@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Loaders for the driver-generated parquet fixtures (TESTDATA.md).
+  *
+  * `events.ts` is physically parquet `timestamp[ns]`; depending on
+  * `spark.sql.legacy.parquet.nanosAsLong` Spark surfaces it either as a
+  * long (nanos) or errors. We normalize to a microsecond TimestampType
+  * column (truncating, which matches DuckDB's ns->us conversion) so every
+  * downstream operator sees one canonical schema.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(path(dir, name))
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) =>
+        // integer division: `/` on longs is double division and loses
+        // microsecond precision at epoch-nano magnitudes (~1.7e18).
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case None => df
+    }
+  }
+
+  /** Register every fixture table as a temp view (for spark.sql surfaces). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,42 @@
+package graft.functions
+
+/** Cross-engine deterministic hashing, expressed as SQL fragments that have
+  * bit-identical semantics in Spark SQL and DuckDB (pure int64 arithmetic,
+  * no engine-specific hash functions). Verified parity: polyHash("hello
+  * world") == 204910434 in both engines.
+  *
+  * These exist so the LLM-data ops (MinHash/SimHash dedup, fingerprints) are
+  * *oracle-checkable*: the DuckDB oracle replays the same arithmetic with
+  * list_transform/list_reduce. At scale the same expressions run inside
+  * Spark's higher-order functions (no UDF, no serialization boundary); a
+  * codegen'd native Expression is the planned optimization path.
+  */
+object Portable {
+  /** Modulus for token/char hashes (fits products with 31 in int64). */
+  val P: Long = 1000000007L
+  /** 61-bit Mersenne prime for permutation hashes. */
+  val P61: Long = 2305843009213693951L
+  /** Knuth multiplicative constant for bit mixing. */
+  val MIX: Long = 2654435761L
+
+  /** Lowercased alnum tokens of a string SQL expression. */
+  def tokensSql(c: String): String =
+    s"filter(split(lower($c), '[^a-z0-9]+'), t -> length(t) > 0)"
+
+  /** Char-level polynomial hash (base 31 mod P) of a string SQL expression. */
+  def polyHashSql(c: String): String =
+    s"""aggregate(transform(sequence(1, length($c)), i -> bigint(ascii(substring($c, i, 1)))),
+       | bigint(0), (h, ch) -> (h * 31 + ch) % ${P}L)""".stripMargin
+
+  /** Token-hash array: polyHash applied to each token. */
+  def tokenHashesSql(c: String): String =
+    s"""transform(${tokensSql(c)},
+       | t -> aggregate(transform(sequence(1, length(t)), i -> bigint(ascii(substring(t, i, 1)))),
+       |   bigint(0), (h, ch) -> (h * 31 + ch) % ${P}L))""".stripMargin
+
+  /** 3-token shingle hashes from a token-hash array column name. */
+  def shingleSql(th: String): String =
+    s"""array_distinct(transform(sequence(1, greatest(size($th) - 2, 0)),
+       | i -> ((element_at($th, i) * 31 + element_at($th, i + 1)) % ${P}L * 31
+       |        + element_at($th, i + 2)) % ${P}L))""".stripMargin
+}

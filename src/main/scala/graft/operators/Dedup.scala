@@ -1,0 +1,228 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.Portable.{P, P61, MIX, tokensSql, tokenHashesSql}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.immutable.ListMap
+
+/** Deduplication operators over `documents` (the LLM-data north star):
+  * exact (content hash), MinHash+LSH banding, SimHash, and char-n-gram
+  * Jaccard with length-band blocking.
+  *
+  * Scale design: every variant is candidate-generation-by-key (hash group /
+  * LSH band bucket / length band) followed by pairwise verification *only
+  * inside buckets* — never an all-pairs product. At 100 TB the band
+  * explode+shuffle is linear in corpus size and the verify join touches only
+  * colliding candidates; skewed buckets are bounded because band keys are
+  * 4-minhash tuples (collision probability ≈ j^4).
+  *
+  * All hashing is the portable int64 arithmetic from [[graft.functions.Portable]]
+  * so the DuckDB oracle replays it exactly.
+  */
+object Dedup {
+
+  /** doc_id + distinct 3-token shingle hashes (guarded for short docs). */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .selectExpr("doc_id", s"${tokenHashesSql("text")} AS th")
+      .selectExpr("doc_id",
+        s"""CASE WHEN size(th) >= 3 THEN array_distinct(transform(sequence(1, size(th) - 2),
+           | i -> ((element_at(th, i) * 31 + element_at(th, i + 1)) % ${P}L * 31
+           |        + element_at(th, i + 2)) % ${P}L))
+           | ELSE array() END AS sh""".stripMargin)
+      .filter("size(sh) > 0")
+
+  private val duckShingles: String =
+    s"""toks AS (SELECT doc_id,
+       |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) AS toks
+       |  FROM documents),
+       |th AS (SELECT doc_id, list_transform(toks,
+       |  t -> list_reduce(list_prepend(0::BIGINT,
+       |    list_transform(range(1, length(t) + 1), i -> ascii(substr(t, i, 1))::BIGINT)),
+       |    (h, ch) -> (h * 31 + ch) % ${P})) AS th
+       |  FROM toks),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(th) - 1, 1)),
+       |  i -> ((th[i] * 31 + th[i + 1]) % ${P} * 31 + th[i + 2]) % ${P})) AS sh
+       |  FROM th WHERE len(th) >= 3)""".stripMargin
+
+  val defs: ListMap[String, QueryDef] = ListMap(
+
+    // ---- exact dedup: content-hash grouping, canonical = min doc_id -------
+    "dedup_exact" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val canon = d.groupBy(md5(col("text")).as("digest"))
+          .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("group_size"))
+        d.select(col("doc_id"), md5(col("text")).as("digest"))
+          .join(canon, "digest")
+          .selectExpr("doc_id", "digest", "canonical_id",
+            "CAST(doc_id != canonical_id AS INT) AS is_dup", "group_size")
+          .orderBy("doc_id")
+      },
+      """WITH canon AS (
+        |  SELECT md5(text) AS digest, MIN(doc_id) AS canonical_id, COUNT(*) AS group_size
+        |  FROM documents GROUP BY 1)
+        |SELECT doc_id, md5(text) AS digest, canonical_id,
+        |  CAST(doc_id != canonical_id AS INT) AS is_dup, group_size
+        |FROM documents JOIN canon ON md5(text) = digest
+        |ORDER BY doc_id""".stripMargin),
+
+    // ---- MinHash + LSH near-dup pairs: 16 permutations, 4 bands × 4 rows;
+    // candidates share a band, verified by exact shingle Jaccard ≥ 0.8 ------
+    "dedup_minhash" -> QueryDef(
+      (s, dir) => {
+        val sh = shingles(s, dir)
+        val sig = sh.selectExpr("doc_id", "sh",
+          s"""transform(sequence(0, 15), j -> array_min(transform(sh,
+             | x -> (x * (${MIX}L + 40503L * j) + 98765432L + 1234577L * j) % ${P61}L))) AS sig""".stripMargin)
+        val bands = sig.selectExpr("doc_id",
+          "explode(transform(sequence(0, 3), b -> struct(b AS band, concat_ws('_', slice(sig, b * 4 + 1, 4)) AS key))) AS bk")
+          .selectExpr("doc_id", "bk.band AS band", "bk.key AS key")
+        val cand = bands.alias("a")
+          .join(bands.alias("b"),
+            expr("a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"))
+          .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b").distinct()
+        val shA = sh.selectExpr("doc_id AS doc_a", "sh AS sh_a")
+        val shB = sh.selectExpr("doc_id AS doc_b", "sh AS sh_b")
+        cand.join(shA, "doc_a").join(shB, "doc_b")
+          .selectExpr("doc_a", "doc_b",
+            """CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE)
+              | / (size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b))) AS jaccard""".stripMargin)
+          .filter("jaccard >= 0.8")
+          .orderBy("doc_a", "doc_b")
+      },
+      s"""WITH $duckShingles,
+         |sig AS (SELECT doc_id, sh, list_transform(range(0, 16), j -> list_min(list_transform(sh,
+         |  x -> (x * ($MIX + 40503 * j) + 98765432 + 1234577 * j) % $P61))) AS sig
+         |  FROM sh),
+         |bands AS (SELECT doc_id, b.band AS band,
+         |   concat_ws('_', sig[b.band * 4 + 1], sig[b.band * 4 + 2], sig[b.band * 4 + 3], sig[b.band * 4 + 4]) AS key
+         |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |   / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+         |FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+         |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |   / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // ---- SimHash fingerprint per document (60-bit, token-vote) ------------
+    "simhash_fingerprint" -> QueryDef(
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .selectExpr("doc_id", s"${tokenHashesSql("text")} AS th")
+          .selectExpr("doc_id",
+            s"""aggregate(sequence(0, 59), bigint(0), (acc, b) -> acc +
+               | IF(aggregate(th, bigint(0), (v, t) ->
+               |      v + IF(shiftright((t * ${MIX}L) % ${P61}L, b) % 2 = 1, bigint(1), bigint(-1))) > 0,
+               |    shiftleft(bigint(1), b), bigint(0))) AS simhash""".stripMargin)
+          .orderBy("doc_id")
+      },
+      s"""WITH toks AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) AS toks
+         |  FROM documents),
+         |th AS (SELECT doc_id, list_transform(toks,
+         |  t -> list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(range(1, length(t) + 1), i -> ascii(substr(t, i, 1))::BIGINT)),
+         |    (h, ch) -> (h * 31 + ch) % $P)) AS th
+         |  FROM toks)
+         |SELECT doc_id,
+         |  list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 60), b ->
+         |    CASE WHEN list_reduce(list_prepend(0::BIGINT, list_transform(th,
+         |        t -> CASE WHEN ((t * $MIX) % $P61 >> b) & 1 = 1 THEN 1::BIGINT ELSE -1::BIGINT END)),
+         |        (x, y) -> x + y) > 0
+         |    THEN (1::BIGINT << b) ELSE 0::BIGINT END)), (x, y) -> x + y) AS simhash
+         |FROM th ORDER BY doc_id""".stripMargin),
+
+    // ---- SimHash near-dup pairs: 4×15-bit block LSH, Hamming ≤ 3 ----------
+    "dedup_simhash_pairs" -> QueryDef(
+      (s, dir) => {
+        val fp = defs("simhash_fingerprint").fn(s, dir)
+        val blocks = fp.selectExpr("doc_id", "simhash",
+          "explode(transform(sequence(0, 3), i -> struct(i AS blk, shiftright(simhash, i * 15) % 32768 AS bkey))) AS b")
+          .selectExpr("doc_id", "simhash", "b.blk AS blk", "b.bkey AS bkey")
+        blocks.alias("a").join(blocks.alias("b"),
+            expr("a.blk = b.blk AND a.bkey = b.bkey AND a.doc_id < b.doc_id"))
+          .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b",
+            "bit_count(a.simhash ^ b.simhash) AS hamming")
+          .distinct()
+          .filter("hamming <= 3")
+          .orderBy("doc_a", "doc_b")
+      },
+      s"""WITH toks AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) AS toks
+         |  FROM documents),
+         |th AS (SELECT doc_id, list_transform(toks,
+         |  t -> list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(range(1, length(t) + 1), i -> ascii(substr(t, i, 1))::BIGINT)),
+         |    (h, ch) -> (h * 31 + ch) % $P)) AS th
+         |  FROM toks),
+         |fp AS (SELECT doc_id,
+         |  list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 60), b ->
+         |    CASE WHEN list_reduce(list_prepend(0::BIGINT, list_transform(th,
+         |        t -> CASE WHEN ((t * $MIX) % $P61 >> b) & 1 = 1 THEN 1::BIGINT ELSE -1::BIGINT END)),
+         |        (x, y) -> x + y) > 0
+         |    THEN (1::BIGINT << b) ELSE 0::BIGINT END)), (x, y) -> x + y) AS simhash
+         |  FROM th),
+         |blocks AS (SELECT doc_id, simhash, i.blk AS blk, (simhash >> (i.blk * 15)) % 32768 AS bkey
+         |  FROM fp, (SELECT unnest(range(0, 4)) AS blk) i)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // ---- char-5-gram Jaccard near-dups with (lang, length-band) blocking --
+    "dedup_ngram_jaccard" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .selectExpr("doc_id", "lang", "n_chars", "lower(text) AS t")
+          .filter("length(t) >= 5")
+          .selectExpr("doc_id", "lang", "n_chars",
+            "transform(sequence(1, length(t)), i -> bigint(ascii(substring(t, i, 1)))) AS ch")
+          .selectExpr("doc_id", "lang", "n_chars",
+            s"""array_distinct(transform(sequence(1, size(ch) - 4),
+               | i -> ((((element_at(ch, i) * 31 + element_at(ch, i + 1)) % ${P}L * 31
+               |   + element_at(ch, i + 2)) % ${P}L * 31
+               |   + element_at(ch, i + 3)) % ${P}L * 31
+               |   + element_at(ch, i + 4)) % ${P}L)) AS g""".stripMargin)
+        val bucketed = d.selectExpr("doc_id", "lang", "g",
+          "explode(array(CAST(n_chars / 100 AS BIGINT), CAST((n_chars + 50) / 100 AS BIGINT))) AS band")
+          .distinct()
+        val cand = bucketed.alias("a").join(bucketed.alias("b"),
+            expr("a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id"))
+          .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b",
+            "a.g AS g_a", "b.g AS g_b")
+          .dropDuplicates("doc_a", "doc_b")
+        cand.selectExpr("doc_a", "doc_b",
+            """CAST(size(array_intersect(g_a, g_b)) AS DOUBLE)
+              | / (size(g_a) + size(g_b) - size(array_intersect(g_a, g_b))) AS jaccard""".stripMargin)
+          .filter("jaccard >= 0.7")
+          .orderBy("doc_a", "doc_b")
+      },
+      s"""WITH d AS (SELECT doc_id, lang, n_chars,
+         |  list_transform(range(1, length(lower(text)) + 1), i -> ascii(substr(lower(text), i, 1))::BIGINT) AS ch
+         |  FROM documents WHERE length(lower(text)) >= 5),
+         |g AS (SELECT doc_id, lang, n_chars,
+         |  list_distinct(list_transform(range(1, len(ch) - 3),
+         |   i -> ((((ch[i] * 31 + ch[i + 1]) % $P * 31 + ch[i + 2]) % $P * 31
+         |     + ch[i + 3]) % $P * 31 + ch[i + 4]) % $P)) AS g
+         |  FROM d),
+         |bucketed AS (SELECT DISTINCT doc_id, lang, g, unnest([n_chars // 100, (n_chars + 50) // 100]) AS band
+         |  FROM g),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.g AS g_a, b.g AS g_b
+         |  FROM bucketed a JOIN bucketed b
+         |    ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(len(list_intersect(g_a, g_b)) AS DOUBLE)
+         |   / (len(g_a) + len(g_b) - len(list_intersect(g_a, g_b))) AS jaccard
+         |FROM cand
+         |WHERE CAST(len(list_intersect(g_a, g_b)) AS DOUBLE)
+         |   / (len(g_a) + len(g_b) - len(list_intersect(g_a, g_b))) >= 0.7
+         |ORDER BY doc_a, doc_b""".stripMargin)
+  )
+}

@@ -1,0 +1,252 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import scala.collection.immutable.ListMap
+
+/** Batch forms of the reference's DWD/DWM pipeline semantics (SURVEY.md §2.3,
+  * §2.5–2.7), expressed over the `events` fixture (`user_id` plays the role of
+  * the device id `mid`; `event_type` the role of the log-record type).
+  *
+  * The same column-level transforms are reused by the Structured Streaming
+  * jobs in `graft.streaming` — Spark's unified model means a
+  * `DataFrame => DataFrame` written here runs unchanged on a stream.
+  *
+  * Reference semantics re-expressed (citations into /root/reference/):
+  *  - daily unique-visit dedup: RT/app/dwm/UniqueVisitApp.java:57-95
+  *  - new/old-visitor fix:      RT/app/dwd/BaseLogTask.java:65-99
+  *  - bounce (jump) detection:  RT/app/dwm/UserJumpDetailApp.java:101-159
+  *  - 3-way log split:          RT/app/dwd/BaseLogTask.java:109-148
+  *  - CDC config routing:       RT/app/func/TableProcessFunction.java:64-97
+  *  - order wide enrichment:    RT/app/dwm/OrderWideApp.java:127-251
+  */
+object EventOps {
+
+  private val dtCol = date_format(col("ts"), "yyyyMMdd")
+
+  /** Per-user event ordering used by all sessionized operators: total order
+    * via (ts, event_id) so results are deterministic under ties. */
+  private val userW = Window.partitionBy(col("user_id"))
+    .orderBy(col("ts"), col("event_id"))
+
+  val defs: ListMap[String, QueryDef] = ListMap(
+
+    // ---- P4: daily UV counts (dedup'd first visits per user per day) ------
+    "uv_daily" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        ev.groupBy(dtCol.as("dt"))
+          .agg(countDistinct(col("user_id")).as("uv"),
+            count(lit(1)).as("pv"))
+          .orderBy("dt")
+      },
+      """SELECT strftime(ts, '%Y%m%d') AS dt,
+        | COUNT(DISTINCT user_id) AS uv, COUNT(*) AS pv
+        |FROM events GROUP BY 1 ORDER BY dt""".stripMargin),
+
+    // ---- P4: the dedup'd rows themselves (first event per user per day),
+    // the exact output of the reference's keyed ValueState filter ------------
+    "uv_first_visits" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        ev.groupBy(col("user_id"), dtCol.as("dt"))
+          .agg(min(unix_micros(col("ts"))).as("first_ts_us"))
+          .orderBy("user_id", "dt")
+      },
+      """SELECT user_id, strftime(ts, '%Y%m%d') AS dt,
+        | MIN(epoch_us(ts)) AS first_ts_us
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, dt""".stripMargin),
+
+    // ---- P2: new/old-visitor fix — an event is "new" only on the user's
+    // first active day (event-time variant of BaseLogTask's ValueState) -----
+    "visitor_fix" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val w = Window.partitionBy(col("user_id"))
+        ev.select(col("event_id"), col("user_id"), dtCol.as("dt"))
+          .withColumn("first_dt", min(col("dt")).over(w))
+          .select(col("event_id"), col("user_id"), col("dt"),
+            when(col("dt") === col("first_dt"), lit("1")).otherwise(lit("0")).as("is_new"))
+          .orderBy("event_id")
+      },
+      """SELECT event_id, user_id, dt,
+        | CASE WHEN dt = MIN(dt) OVER (PARTITION BY user_id) THEN '1' ELSE '0' END AS is_new
+        |FROM (SELECT event_id, user_id, strftime(ts, '%Y%m%d') AS dt FROM events)
+        |ORDER BY event_id""".stripMargin),
+
+    // ---- P5: bounce detection — a session-entry event with no follow-up
+    // within 10 s (timeout-as-answer, batch form via lead()) ----------------
+    "bounce_events" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        ev.withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(userW))
+          .withColumn("next_us", lead(unix_micros(col("ts")), 1).over(userW))
+          .withColumn("is_entry",
+            col("prev_us").isNull || (unix_micros(col("ts")) - col("prev_us")) > 1800L * 1000000L)
+          .filter(col("is_entry") &&
+            (col("next_us").isNull || (col("next_us") - unix_micros(col("ts"))) > 10L * 1000000L))
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+          .orderBy("event_id")
+      },
+      """WITH seq AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    LAG(epoch_us(ts)) OVER w AS prev_us,
+        |    LEAD(epoch_us(ts)) OVER w AS next_us
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id, ts_us FROM seq
+        |WHERE (prev_us IS NULL OR ts_us - prev_us > 1800000000)
+        |  AND (next_us IS NULL OR next_us - ts_us > 10000000)
+        |ORDER BY event_id""".stripMargin),
+
+    // ---- session windows: 30-min-gap sessionization (gaps-and-islands) ----
+    "sessionize" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val flagged = ev
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .withColumn("prev_us", lag(col("ts_us"), 1).over(userW))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull || (col("ts_us") - col("prev_us")) > 1800L * 1000000L, 1L)
+              .otherwise(0L))
+        val sessW = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        flagged.withColumn("session_no", sum(col("new_sess")).over(sessW))
+          .groupBy(col("user_id"), col("session_no"))
+          .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"),
+            count(lit(1)).as("n_events"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"))
+          .orderBy("user_id", "session_no")
+      },
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM flagged)
+        |SELECT user_id, session_no, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+        |  COUNT(*) AS n_events,
+        |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
+        |FROM sess GROUP BY user_id, session_no ORDER BY user_id, session_no""".stripMargin),
+
+    // ---- P2: 3-way split — per-type measures from a single pass -----------
+    "log_split_counts" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        ev.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy("event_type")
+      },
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        | COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // ---- P3: config-table-driven dynamic routing — broadcast the config,
+    // join on (type), count rows bound for each sink --------------------------
+    "cdc_route" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.load(s, dir, "events")
+        val cfg = Seq(
+          ("view", "kafka", "dwd_page_view"),
+          ("click", "kafka", "dwd_click"),
+          ("purchase", "kafka", "dwd_purchase"),
+          ("signup", "hbase", "dim_user_signup"),
+          ("error", "hbase", "dim_error_log"))
+          .toDF("event_type", "sink_type", "sink_table")
+        ev.join(broadcast(cfg), Seq("event_type"))
+          .groupBy(col("sink_type"), col("sink_table"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+          .orderBy("sink_type", "sink_table")
+      },
+      """SELECT sink_type, sink_table, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+        |FROM events JOIN (VALUES
+        |  ('view','kafka','dwd_page_view'),
+        |  ('click','kafka','dwd_click'),
+        |  ('purchase','kafka','dwd_purchase'),
+        |  ('signup','hbase','dim_user_signup'),
+        |  ('error','hbase','dim_error_log')) AS cfg(event_type, sink_type, sink_table)
+        |USING (event_type)
+        |GROUP BY sink_type, sink_table ORDER BY sink_type, sink_table""".stripMargin),
+
+    // ---- tumbling window aggregation (Spark window() operator) ------------
+    "tumbling_window" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+            col("event_type"), col("n"))
+          .orderBy("w_start", "event_type")
+      },
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+        | event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin),
+
+    // ---- sliding window aggregation (1 h window, 30 min slide) ------------
+    "sliding_window" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        ev.groupBy(window(col("ts"), "1 hour", "30 minutes"))
+          .agg(count(lit(1)).as("n"))
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+            col("n"))
+          .orderBy("w_start")
+      },
+      """WITH halves AS (
+        |  SELECT to_timestamp(epoch_us(ts) // 1800000000 * 1800) AS b, ts FROM events),
+        |expanded AS (
+        |  SELECT b AS w_start FROM halves
+        |  UNION ALL
+        |  SELECT b - INTERVAL 30 MINUTE AS w_start FROM halves)
+        |SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start, COUNT(*) AS n
+        |FROM expanded GROUP BY 1 ORDER BY w_start""".stripMargin),
+
+    // ---- P6: order wide table — fact join + chained broadcast dim
+    // enrichments (customer → nation → region), derived columns --------------
+    "order_wide" -> QueryDef(
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val c = Tables.load(s, dir, "customer")
+        val n = Tables.load(s, dir, "nation")
+        val r = Tables.load(s, dir, "region")
+        o.join(broadcast(c), col("o_custkey") === col("c_custkey"), "left")
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"), "left")
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"), "left")
+          .select(
+            col("o_orderkey"), col("o_custkey"),
+            col("c_name"), col("c_mktsegment"),
+            col("n_name").as("nation"), col("r_name").as("region"),
+            col("o_totalprice"),
+            when(col("c_acctbal") < 0, lit("overdrawn"))
+              .when(col("c_acctbal") < 5000, lit("standard"))
+              .otherwise(lit("premium")).as("acct_band"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_dt"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_custkey, c_name, c_mktsegment,
+        | n_name AS nation, r_name AS region, o_totalprice,
+        | CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+        |      WHEN c_acctbal < 5000 THEN 'standard'
+        |      ELSE 'premium' END AS acct_band,
+        | strftime(o_orderdate, '%Y-%m-%d') AS order_dt
+        |FROM orders
+        |LEFT JOIN customer ON o_custkey = c_custkey
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY o_orderkey""".stripMargin)
+  )
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+import scala.collection.immutable.ListMap
+
+/** Similarity search over `embeddings` (`embedding: array<float>, dim=64`).
+  *
+  * Numeric parity contract with the DuckDB oracle: element products are done
+  * in FLOAT (both engines), accumulated left-to-right in DOUBLE, and the
+  * final cosine is a DOUBLE division — bit-identical across engines, so raw
+  * doubles are safe to hash-compare.
+  *
+  * Scale path: `ann_cosine_topk` is the brute-force baseline (broadcast the
+  * query set, map-side score + per-partition top-k via window);
+  * `ann_cosine_bucketed` is the IVF-style variant — restrict search to the
+  * coarse partition (`label` plays the centroid-assignment role), which is
+  * the linear-scan-per-bucket shape a real IVF index has at 100 TB.
+  */
+object Similarity {
+
+  private val dotSql =
+    "aggregate(zip_with(q_emb, embedding, (x, y) -> double(x * y)), double(0), (a, b) -> a + b)"
+  private val qNormSql =
+    "aggregate(transform(q_emb, x -> double(x * x)), double(0), (a, b) -> a + b)"
+  private val eNormSql =
+    "aggregate(transform(embedding, x -> double(x * x)), double(0), (a, b) -> a + b)"
+
+  private val duckDot =
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> (q_emb[i] * embedding[i])::DOUBLE)), (a, b) -> a + b)"
+  private val duckQNorm =
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> (q_emb[i] * q_emb[i])::DOUBLE)), (a, b) -> a + b)"
+  private val duckENorm =
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> (embedding[i] * embedding[i])::DOUBLE)), (a, b) -> a + b)"
+
+  val defs: ListMap[String, QueryDef] = ListMap(
+
+    // ---- brute-force cosine top-k (k=5) for 10 query vectors --------------
+    "ann_cosine_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 10)
+          .selectExpr("vec_id AS q_id", "embedding AS q_emb")
+        broadcast(q).join(emb, expr("vec_id != q_id"))
+          .selectExpr("q_id", "vec_id",
+            s"$dotSql / (sqrt($qNormSql) * sqrt($eNormSql)) AS cosine")
+          .withColumn("rank",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("q_id"))
+              .orderBy(col("cosine").desc, col("vec_id"))))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("vec_id"), col("rank"), col("cosine"))
+          .orderBy("q_id", "rank")
+      },
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q_id, vec_id,
+         |    $duckDot / (sqrt($duckQNorm) * sqrt($duckENorm)) AS cosine
+         |  FROM q JOIN embeddings ON vec_id != q_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, vec_id, rank, cosine FROM ranked
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
+
+    // ---- IVF-style bucketed ANN: search only within the coarse partition
+    // (label = centroid assignment), top-3 neighbors for 20 query vectors ---
+    "ann_cosine_bucketed" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 20)
+          .selectExpr("vec_id AS q_id", "label AS q_label", "embedding AS q_emb")
+        broadcast(q).join(emb, expr("label = q_label AND vec_id != q_id"))
+          .selectExpr("q_id", "vec_id", "label",
+            s"$dotSql / (sqrt($qNormSql) * sqrt($eNormSql)) AS cosine")
+          .withColumn("rank",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("q_id"))
+              .orderBy(col("cosine").desc, col("vec_id"))))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("vec_id"), col("label"), col("rank"), col("cosine"))
+          .orderBy("q_id", "rank")
+      },
+      s"""WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
+         |  FROM embeddings WHERE vec_id < 20),
+         |scored AS (
+         |  SELECT q_id, vec_id, label,
+         |    $duckDot / (sqrt($duckQNorm) * sqrt($duckENorm)) AS cosine
+         |  FROM q JOIN embeddings ON label = q_label AND vec_id != q_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, label, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, vec_id, label, rank, cosine FROM ranked
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin),
+
+    // ---- vector stats: norms and label centroid distances (agg over
+    // array columns entirely in codegen'd higher-order functions) -----------
+    "vector_norms" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        emb.selectExpr("label", s"sqrt($eNormSql) AS norm")
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"),
+            min(col("norm")).as("min_norm"),
+            max(col("norm")).as("max_norm"))
+          .orderBy("label")
+      },
+      s"""SELECT label, COUNT(*) AS n,
+         |  MIN(sqrt($duckENorm)) AS min_norm,
+         |  MAX(sqrt($duckENorm)) AS max_norm
+         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)
+  )
+}

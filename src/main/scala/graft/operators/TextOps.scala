@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.Portable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.collection.immutable.ListMap
+
+/** Text-analysis operators over the `documents` table: language ID
+  * (stopword-vote heuristic), quality scoring, token counting, document
+  * fingerprinting (rolling hash). All are single-pass, shuffle-free
+  * per-row transforms — at 100 TB they run map-side inside whole-stage
+  * codegen with no data movement.
+  */
+object TextOps {
+
+  private val stop = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "un"),
+    "zh" -> Seq("de", "shi", "le", "bu", "wo", "zai"))
+
+  private def arrLit(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("array(", ", ", ")")
+  private def listLit(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  private def scoreSql(lang: String): String =
+    s"size(filter(toks, t -> array_contains(${arrLit(stop(lang))}, t)))"
+  private def duckScoreSql(lang: String): String =
+    s"len(list_filter(toks, t -> list_contains(${listLit(stop(lang))}, t)))"
+
+  val defs: ListMap[String, QueryDef] = ListMap(
+
+    // ---- language identification: stopword vote with deterministic
+    // tie-break (fixed precedence chain) ------------------------------------
+    "text_lang_id" -> QueryDef(
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .selectExpr("doc_id", "lang AS labeled_lang", s"${Portable.tokensSql("text")} AS toks")
+          .selectExpr("doc_id", "labeled_lang",
+            s"${scoreSql("en")} AS s_en", s"${scoreSql("es")} AS s_es",
+            s"${scoreSql("de")} AS s_de", s"${scoreSql("fr")} AS s_fr")
+          .selectExpr("doc_id", "labeled_lang",
+            """CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+              |     WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+              |     WHEN s_de >= s_fr THEN 'de'
+              |     ELSE 'fr' END AS pred_lang""".stripMargin,
+            "s_en", "s_es", "s_de", "s_fr")
+          .orderBy("doc_id")
+      },
+      s"""WITH t AS (SELECT doc_id, lang AS labeled_lang,
+         |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) AS toks
+         |  FROM documents),
+         |sc AS (SELECT doc_id, labeled_lang,
+         |  ${duckScoreSql("en")} AS s_en, ${duckScoreSql("es")} AS s_es,
+         |  ${duckScoreSql("de")} AS s_de, ${duckScoreSql("fr")} AS s_fr
+         |  FROM t)
+         |SELECT doc_id, labeled_lang,
+         |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+         |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+         |       WHEN s_de >= s_fr THEN 'de'
+         |       ELSE 'fr' END AS pred_lang,
+         |  s_en, s_es, s_de, s_fr
+         |FROM sc ORDER BY doc_id""".stripMargin),
+
+    // ---- quality scoring: length/punctuation/stopword/uniqueness ratios ---
+    "text_quality" -> QueryDef(
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .selectExpr("doc_id", "n_chars", s"${Portable.tokensSql("text")} AS toks",
+            "length(regexp_replace(text, '[a-z0-9 ]', '')) AS n_punct")
+          .selectExpr("doc_id", "n_chars", "n_punct",
+            "size(toks) AS n_tokens",
+            "size(array_distinct(toks)) AS n_uniq",
+            s"${scoreSql("en")} AS n_stop",
+            "aggregate(toks, bigint(0), (a, t) -> a + length(t)) AS sum_len")
+          .selectExpr("doc_id", "n_chars", "n_tokens", "n_uniq", "n_punct",
+            "CAST(sum_len AS DOUBLE) / n_tokens AS avg_token_len",
+            "CAST(n_uniq AS DOUBLE) / n_tokens AS uniq_ratio",
+            "CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio",
+            """least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+              | + CAST(n_uniq AS DOUBLE) / n_tokens * 0.3
+              | + CAST(n_stop AS DOUBLE) / n_tokens * 0.3 AS quality""".stripMargin)
+          .orderBy("doc_id")
+      },
+      s"""WITH t AS (SELECT doc_id, n_chars,
+         |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) AS toks,
+         |  length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct
+         |  FROM documents),
+         |m AS (SELECT doc_id, n_chars, n_punct,
+         |  len(toks) AS n_tokens, len(list_distinct(toks)) AS n_uniq,
+         |  ${duckScoreSql("en")} AS n_stop,
+         |  list_reduce(list_prepend(0::BIGINT, list_transform(toks, t -> length(t)::BIGINT)), (a, b) -> a + b) AS sum_len
+         |  FROM t)
+         |SELECT doc_id, n_chars, n_tokens, n_uniq, n_punct,
+         |  CAST(sum_len AS DOUBLE) / n_tokens AS avg_token_len,
+         |  CAST(n_uniq AS DOUBLE) / n_tokens AS uniq_ratio,
+         |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+         |  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |   + CAST(n_uniq AS DOUBLE) / n_tokens * 0.3
+         |   + CAST(n_stop AS DOUBLE) / n_tokens * 0.3 AS quality
+         |FROM m ORDER BY doc_id""".stripMargin),
+
+    // ---- token counting: whitespace split vs regex token extraction -------
+    "token_counts" -> QueryDef(
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .selectExpr("doc_id", "source",
+            "size(filter(split(text, '\\\\s+'), t -> length(t) > 0)) AS n_ws_tokens",
+            "size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS n_re_tokens",
+            "n_chars")
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, source,
+        | len(list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0)) AS n_ws_tokens,
+        | len(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS n_re_tokens,
+        | n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // ---- document fingerprint: char-level rolling hash (base 31 mod P) of
+    // the full text plus a first-8-token prefix fingerprint ------------------
+    "doc_fingerprint" -> QueryDef(
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .selectExpr("doc_id", "text AS t0", s"${Portable.tokensSql("text")} AS toks")
+          .selectExpr("doc_id",
+            s"${Portable.polyHashSql("t0")} AS fp",
+            s"""aggregate(slice(transform(toks,
+               | t -> aggregate(transform(sequence(1, length(t)), i -> bigint(ascii(substring(t, i, 1)))),
+               |   bigint(0), (h, ch) -> (h * 31 + ch) % ${Portable.P}L)), 1, 8),
+               | bigint(0), (h, x) -> (h * 131 + x) % ${Portable.P}L) AS prefix_fp""".stripMargin)
+          .orderBy("doc_id")
+      },
+      s"""SELECT doc_id,
+         | list_reduce(list_prepend(0::BIGINT,
+         |   list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))::BIGINT)),
+         |   (h, ch) -> (h * 31 + ch) % ${Portable.P}) AS fp,
+         | list_reduce(list_prepend(0::BIGINT,
+         |   list_transform(
+         |     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)[1:8],
+         |     t -> list_reduce(list_prepend(0::BIGINT,
+         |       list_transform(range(1, length(t) + 1), i -> ascii(substr(t, i, 1))::BIGINT)),
+         |       (h, ch) -> (h * 31 + ch) % ${Portable.P}))),
+         |   (h, x) -> (h * 131 + x) % ${Portable.P}) AS prefix_fp
+         |FROM documents ORDER BY doc_id""".stripMargin)
+  )
+}
