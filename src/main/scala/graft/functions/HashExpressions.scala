@@ -1,0 +1,201 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.collection.mutable
+
+/** Native Catalyst expressions for the portable-hash operators.
+  *
+  * Semantics are bit-identical to the SQL higher-order-function forms in
+  * [[Portable]] (and therefore to the DuckDB oracles): lowercase, tokenize
+  * on non-[a-z0-9], polynomial char hash base 31 mod P, 3-token shingles,
+  * 16 affine-permutation minhashes mod P61, 60-bit token-vote simhash,
+  * rolling char 5-grams. The win over the lambda forms is a single tight
+  * JVM loop per row instead of millions of interpreted expression nodes —
+  * at 100 TB these run map-side inside the scan stage.
+  *
+  * CodegenFallback is acceptable here: each eval is O(len) work on one
+  * string, dwarfing the per-row virtual call the fallback costs.
+  */
+object HashExpressions {
+  final val P: Long = Portable.P
+  final val P61: Long = Portable.P61
+  final val MIX: Long = Portable.MIX
+
+  /** Lowercase (ASCII) + tokenize on non-[a-z0-9] + per-token poly hash. */
+  private[functions] def tokenHashes(s: UTF8String): Array[Long] = {
+    val str = s.toString
+    val out = mutable.ArrayBuilder.make[Long]
+    var h = 0L
+    var inTok = false
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      var c = str.charAt(i)
+      if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+      val alnum = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      if (alnum) {
+        h = (h * 31 + c.toInt) % P
+        inTok = true
+      } else if (inTok) {
+        out += h; h = 0L; inTok = false
+      }
+      i += 1
+    }
+    if (inTok) out += h
+    out.result()
+  }
+
+  private[functions] def shingles(th: Array[Long]): Array[Long] = {
+    if (th.length < 3) return Array.emptyLongArray
+    val seen = new mutable.LinkedHashSet[Long]
+    var i = 0
+    while (i < th.length - 2) {
+      seen += ((th(i) * 31 + th(i + 1)) % P * 31 + th(i + 2)) % P
+      i += 1
+    }
+    seen.toArray
+  }
+
+  private[functions] def minhashSig(sh: Array[Long]): Array[Long] = {
+    val sig = new Array[Long](16)
+    var j = 0
+    while (j < 16) {
+      val a = MIX + 40503L * j
+      val b = 98765432L + 1234577L * j
+      var best = Long.MaxValue
+      var i = 0
+      while (i < sh.length) {
+        val v = (sh(i) * a + b) % P61
+        if (v < best) best = v
+        i += 1
+      }
+      sig(j) = best
+      j += 1
+    }
+    sig
+  }
+
+  private[functions] def simhash60(th: Array[Long]): Long = {
+    val votes = new Array[Int](60)
+    var i = 0
+    while (i < th.length) {
+      val g = (th(i) * MIX) % P61
+      var b = 0
+      while (b < 60) {
+        if (((g >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Distinct rolling char-5-gram hashes of the ASCII-lowercased string. */
+  private[functions] def gram5Hashes(s: UTF8String): Array[Long] = {
+    val str = s.toString
+    val n = str.length
+    if (n < 5) return Array.emptyLongArray
+    val codes = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var c = str.charAt(i)
+      if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+      codes(i) = c.toInt
+      i += 1
+    }
+    val seen = new mutable.LinkedHashSet[Long]
+    i = 0
+    while (i <= n - 5) {
+      var h = 0L
+      var k = 0
+      while (k < 5) {
+        h = (h * 31 + codes(i + k)) % P
+        k += 1
+      }
+      seen += h
+      i += 1
+    }
+    seen.toArray
+  }
+
+  private def longArray(a: Array[Long]): ArrayData = {
+    val boxed = new Array[Any](a.length)
+    var i = 0
+    while (i < a.length) { boxed(i) = a(i); i += 1 }
+    new GenericArrayData(boxed)
+  }
+
+  /** text -> array<long> of token poly-hashes (with multiplicity). */
+  case class TokenHashesExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      longArray(tokenHashes(v.asInstanceOf[UTF8String]))
+    override protected def withNewChildInternal(c: Expression): TokenHashesExpr = copy(c)
+    override def prettyName: String = "graft_token_hashes"
+  }
+
+  /** text -> array<long> of distinct 3-token shingle hashes. */
+  case class ShingleSetExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      longArray(shingles(tokenHashes(v.asInstanceOf[UTF8String])))
+    override protected def withNewChildInternal(c: Expression): ShingleSetExpr = copy(c)
+    override def prettyName: String = "graft_shingles"
+  }
+
+  /** text -> array<long>(16) MinHash signature (null-free; docs with no
+    * shingles yield Long.MaxValue sentinels — filter on graft_shingles). */
+  case class MinHashSigExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      longArray(minhashSig(shingles(tokenHashes(v.asInstanceOf[UTF8String]))))
+    override protected def withNewChildInternal(c: Expression): MinHashSigExpr = copy(c)
+    override def prettyName: String = "graft_minhash_sig"
+  }
+
+  /** text -> 60-bit SimHash fingerprint. */
+  case class SimHashExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      simhash60(tokenHashes(v.asInstanceOf[UTF8String]))
+    override protected def withNewChildInternal(c: Expression): SimHashExpr = copy(c)
+    override def prettyName: String = "graft_simhash"
+  }
+
+  /** text -> array<long> of distinct rolling char-5-gram hashes. */
+  case class Gram5Expr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      longArray(gram5Hashes(v.asInstanceOf[UTF8String]))
+    override protected def withNewChildInternal(c: Expression): Gram5Expr = copy(c)
+    override def prettyName: String = "graft_gram5"
+  }
+
+  /** Register all graft_* functions for use in selectExpr/spark.sql.
+    * Idempotent per session. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_token_hashes", es => TokenHashesExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_shingles", es => ShingleSetExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_minhash_sig", es => MinHashSigExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_simhash", es => SimHashExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_gram5", es => Gram5Expr(es.head), "scala_udf")
+  }
+}

@@ -23,16 +23,16 @@ import scala.collection.immutable.ListMap
   */
 object Dedup {
 
-  /** doc_id + distinct 3-token shingle hashes (guarded for short docs). */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
+  /** doc_id + distinct 3-token shingle hashes (guarded for short docs).
+    * Uses the native [[graft.functions.HashExpressions]] expressions — the
+    * SQL higher-order-function form has identical semantics but evaluates
+    * millions of interpreted expression nodes per document. */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashExpressions.register(s)
     Tables.load(s, dir, "documents")
-      .selectExpr("doc_id", s"${tokenHashesSql("text")} AS th")
-      .selectExpr("doc_id",
-        s"""CASE WHEN size(th) >= 3 THEN array_distinct(transform(sequence(1, size(th) - 2),
-           | i -> ((element_at(th, i) * 31 + element_at(th, i + 1)) % ${P}L * 31
-           |        + element_at(th, i + 2)) % ${P}L))
-           | ELSE array() END AS sh""".stripMargin)
+      .selectExpr("doc_id", "graft_shingles(text) AS sh")
       .filter("size(sh) > 0")
+  }
 
   private val duckShingles: String =
     s"""toks AS (SELECT doc_id,
@@ -73,10 +73,11 @@ object Dedup {
     // candidates share a band, verified by exact shingle Jaccard ≥ 0.8 ------
     "dedup_minhash" -> QueryDef(
       (s, dir) => {
+        graft.functions.HashExpressions.register(s)
         val sh = shingles(s, dir)
-        val sig = sh.selectExpr("doc_id", "sh",
-          s"""transform(sequence(0, 15), j -> array_min(transform(sh,
-             | x -> (x * (${MIX}L + 40503L * j) + 98765432L + 1234577L * j) % ${P61}L))) AS sig""".stripMargin)
+        val sig = Tables.load(s, dir, "documents")
+          .selectExpr("doc_id", "graft_shingles(text) AS sh", "graft_minhash_sig(text) AS sig")
+          .filter("size(sh) > 0")
         val bands = sig.selectExpr("doc_id",
           "explode(transform(sequence(0, 3), b -> struct(b AS band, concat_ws('_', slice(sig, b * 4 + 1, 4)) AS key))) AS bk")
           .selectExpr("doc_id", "bk.band AS band", "bk.key AS key")
@@ -88,8 +89,9 @@ object Dedup {
         val shB = sh.selectExpr("doc_id AS doc_b", "sh AS sh_b")
         cand.join(shA, "doc_a").join(shB, "doc_b")
           .selectExpr("doc_a", "doc_b",
-            """CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE)
-              | / (size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b))) AS jaccard""".stripMargin)
+            "size(array_intersect(sh_a, sh_b)) AS inter", "size(sh_a) AS sa", "size(sh_b) AS sb")
+          .selectExpr("doc_a", "doc_b",
+            "CAST(inter AS DOUBLE) / (sa + sb - inter) AS jaccard")
           .filter("jaccard >= 0.8")
           .orderBy("doc_a", "doc_b")
       },
@@ -113,13 +115,9 @@ object Dedup {
     // ---- SimHash fingerprint per document (60-bit, token-vote) ------------
     "simhash_fingerprint" -> QueryDef(
       (s, dir) => {
+        graft.functions.HashExpressions.register(s)
         Tables.load(s, dir, "documents")
-          .selectExpr("doc_id", s"${tokenHashesSql("text")} AS th")
-          .selectExpr("doc_id",
-            s"""aggregate(sequence(0, 59), bigint(0), (acc, b) -> acc +
-               | IF(aggregate(th, bigint(0), (v, t) ->
-               |      v + IF(shiftright((t * ${MIX}L) % ${P61}L, b) % 2 = 1, bigint(1), bigint(-1))) > 0,
-               |    shiftleft(bigint(1), b), bigint(0))) AS simhash""".stripMargin)
+          .selectExpr("doc_id", "graft_simhash(text) AS simhash")
           .orderBy("doc_id")
       },
       s"""WITH toks AS (SELECT doc_id,
@@ -179,28 +177,35 @@ object Dedup {
     // ---- char-5-gram Jaccard near-dups with (lang, length-band) blocking --
     "dedup_ngram_jaccard" -> QueryDef(
       (s, dir) => {
+        graft.functions.HashExpressions.register(s)
         val d = Tables.load(s, dir, "documents")
-          .selectExpr("doc_id", "lang", "n_chars", "lower(text) AS t")
-          .filter("length(t) >= 5")
-          .selectExpr("doc_id", "lang", "n_chars",
-            "transform(sequence(1, length(t)), i -> bigint(ascii(substring(t, i, 1)))) AS ch")
-          .selectExpr("doc_id", "lang", "n_chars",
-            s"""array_distinct(transform(sequence(1, size(ch) - 4),
-               | i -> ((((element_at(ch, i) * 31 + element_at(ch, i + 1)) % ${P}L * 31
-               |   + element_at(ch, i + 2)) % ${P}L * 31
-               |   + element_at(ch, i + 3)) % ${P}L * 31
-               |   + element_at(ch, i + 4)) % ${P}L)) AS g""".stripMargin)
-        val bucketed = d.selectExpr("doc_id", "lang", "g",
+          .filter("length(text) >= 5")
+          .selectExpr("doc_id", "lang", "n_chars", "graft_gram5(text) AS g")
+        // candidate pairs stay slim (ids only) through the dedup shuffle;
+        // the heavy gram arrays are joined back only for surviving pairs.
+        val bucketed = d.selectExpr("doc_id", "lang",
           "explode(array(CAST(n_chars / 100 AS BIGINT), CAST((n_chars + 50) / 100 AS BIGINT))) AS band")
           .distinct()
         val cand = bucketed.alias("a").join(bucketed.alias("b"),
             expr("a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id"))
-          .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b",
-            "a.g AS g_a", "b.g AS g_b")
-          .dropDuplicates("doc_a", "doc_b")
-        cand.selectExpr("doc_a", "doc_b",
-            """CAST(size(array_intersect(g_a, g_b)) AS DOUBLE)
-              | / (size(g_a) + size(g_b) - size(array_intersect(g_a, g_b))) AS jaccard""".stripMargin)
+          .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b")
+          .distinct()
+        // size-compatibility prefilter: jaccard >= 0.7 forces
+        // min(|A|,|B|) >= 0.7/1.7*(|A|+|B|), i.e. sizes within ~0.7 ratio —
+        // sound pruning, applied on slim rows before shipping gram arrays.
+        val sizes = d.selectExpr("doc_id", "size(g) AS sz")
+        val pruned = cand
+          .join(sizes.selectExpr("doc_id AS doc_a", "sz AS sz_a"), "doc_a")
+          .join(sizes.selectExpr("doc_id AS doc_b", "sz AS sz_b"), "doc_b")
+          .filter("least(sz_a, sz_b) * 1.7 >= 0.7 * (sz_a + sz_b)")
+          .select(col("doc_a"), col("doc_b"))
+        pruned
+          .join(d.selectExpr("doc_id AS doc_a", "g AS g_a"), "doc_a")
+          .join(d.selectExpr("doc_id AS doc_b", "g AS g_b"), "doc_b")
+          .selectExpr("doc_a", "doc_b",
+            "size(array_intersect(g_a, g_b)) AS inter", "size(g_a) AS sa", "size(g_b) AS sb")
+          .selectExpr("doc_a", "doc_b",
+            "CAST(inter AS DOUBLE) / (sa + sb - inter) AS jaccard")
           .filter("jaccard >= 0.7")
           .orderBy("doc_a", "doc_b")
       },
