@@ -18,7 +18,9 @@ object SparkEntry {
       operators.EventOps.defs ++
       operators.Dedup.defs ++
       operators.TextOps.defs ++
-      operators.Similarity.defs
+      operators.Similarity.defs ++
+      operators.Multimodal.defs ++
+      operators.Extras.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

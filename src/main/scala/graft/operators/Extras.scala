@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import scala.collection.immutable.ListMap
+
+/** Remaining §2.8–2.9 surface: typed Dataset aggregation via a custom
+  * `Aggregator`, registered Scala UDFs, pivot, and sketch-based distinct
+  * (HLL++). */
+object Extras {
+
+  /** Typed row for the Dataset[T] surface. */
+  case class Line(l_returnflag: String, l_quantity: Double)
+
+  /** Custom typed Aggregator: average quantity. Buffer is (sum, count);
+    * l_quantity is integral-valued so the double sum is exact and
+    * merge-order-independent. */
+  object AvgQty extends Aggregator[Line, (Double, Long), Double] {
+    def zero: (Double, Long) = (0.0, 0L)
+    def reduce(b: (Double, Long), a: Line): (Double, Long) = (b._1 + a.l_quantity, b._2 + 1)
+    def merge(x: (Double, Long), y: (Double, Long)): (Double, Long) = (x._1 + y._1, x._2 + y._2)
+    def finish(r: (Double, Long)): Double = r._1 / r._2
+    def bufferEncoder: Encoder[(Double, Long)] = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  val defs: ListMap[String, QueryDef] = ListMap(
+
+    // ---- typed Dataset + custom Aggregator --------------------------------
+    "typed_aggregator" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_quantity")).as[Line]
+          .groupByKey(_.l_returnflag)
+          .agg(AvgQty.toColumn.name("avg_qty"))
+          .toDF("l_returnflag", "avg_qty")
+          .orderBy("l_returnflag")
+      },
+      """SELECT l_returnflag,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // ---- registered Scala UDF surface (engine exposes udf(); the hot path
+    // prefers native expressions — see HashExpressions) ---------------------
+    "udf_surface" -> QueryDef(
+      (s, dir) => {
+        val urgency = udf((p: String) => p.substring(0, 1).toInt match {
+          case 1 | 2 => "high"
+          case 3 => "medium"
+          case _ => "low"
+        })
+        Tables.load(s, dir, "orders")
+          .groupBy(urgency(col("o_orderpriority")).as("urgency"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("urgency")
+      },
+      """SELECT CASE WHEN substring(o_orderpriority, 1, 1) IN ('1', '2') THEN 'high'
+        |            WHEN substring(o_orderpriority, 1, 1) = '3' THEN 'medium'
+        |            ELSE 'low' END AS urgency, COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY urgency""".stripMargin),
+
+    // ---- pivot ------------------------------------------------------------
+    "pivot_events" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        ev.groupBy(date_format(col("ts"), "yyyyMMdd").as("dt"))
+          .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy("dt")
+      },
+      """SELECT strftime(ts, '%Y%m%d') AS dt,
+        | COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        | COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        | COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        | COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        | COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        |FROM events GROUP BY 1 ORDER BY dt""".stripMargin),
+
+    // ---- sketch-based distinct (HLL++): algorithm-specific estimates have
+    // no cross-engine oracle; the driver records a rows-only check ----------
+    "approx_distinct" -> QueryDef(
+      fn = (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        ev.groupBy(col("event_type"))
+          .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+            countDistinct(col("user_id")).as("exact_users"))
+          .orderBy("event_type")
+      },
+      oracle = None)
+  )
+}

@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.immutable.ListMap
+
+/** Multimodal columns: image/audio/video as opaque `binary` columns with
+  * typed metadata, plus decode / feature-extract / frame-sample plumbing.
+  *
+  * The decode step is a clearly-marked STUB (no image/audio codecs in this
+  * container): `FakeCodec` derives deterministic pseudo-metadata and
+  * pseudo-features from the bytes. Everything around it — the binary
+  * schema, the batched `mapPartitions` shape (the Scala analog of a
+  * vectorized/Pandas UDF: one iterator per partition, amortized setup, no
+  * per-row driver involvement), the explode of sampled frames, and the
+  * partitioning — is real and is what matters at 100 TB: media bytes stay
+  * in executors, metadata flows as narrow typed columns, and the expensive
+  * decode is a map-side single pass.
+  *
+  * The media table is derived deterministically from `documents` (the
+  * fixtures ship no binary table): content = UTF-8 bytes of `text`,
+  * media_type = doc_id % 3 -> image|audio|video.
+  */
+object Multimodal {
+
+  /** Typed row for the media table. */
+  case class MediaRow(doc_id: Long, media_type: String, content: Array[Byte])
+
+  /** Decoded metadata produced by the (stub) codec. */
+  case class MediaMeta(
+      doc_id: Long, media_type: String, byte_len: Int,
+      width: Int, height: Int, duration_ms: Long, checksum: Long)
+
+  /** Per-media fixed-width feature vector (16-bin byte histogram). */
+  case class MediaFeatures(doc_id: Long, features: Array[Double])
+
+  /** Sampled frame: offset + a slice of bytes. */
+  case class Frame(doc_id: Long, frame_no: Int, offset: Int, frame_bytes: Array[Byte])
+
+  /** STUB codec — deterministic fakes in place of real decoders (???
+    * boundary). Swap `decodeMeta`/`decodeFeatures` for javacv/ffmpeg etc.
+    * in a real deployment; signatures and batch shape stay identical. */
+  object FakeCodec {
+    def decodeMeta(r: MediaRow): MediaMeta = {
+      var h = 0L
+      var i = 0
+      while (i < r.content.length) {
+        h = (h * 31 + (r.content(i) & 0xff)) % 1000000007L
+        i += 1
+      }
+      MediaMeta(r.doc_id, r.media_type, r.content.length,
+        width = 64 + (h % 1024).toInt, height = 64 + ((h / 1024) % 1024).toInt,
+        duration_ms = if (r.media_type == "image") 0L else 1000L + h % 60000L,
+        checksum = h)
+    }
+
+    def decodeFeatures(r: MediaRow): MediaFeatures = {
+      val hist = new Array[Double](16)
+      var i = 0
+      while (i < r.content.length) {
+        hist((r.content(i) & 0xff) / 16) += 1.0
+        i += 1
+      }
+      val n = math.max(r.content.length, 1)
+      MediaFeatures(r.doc_id, hist.map(_ / n))
+    }
+  }
+
+  /** Build the media table from `documents` (deterministic derivation). */
+  def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .selectExpr("doc_id",
+        "element_at(array('image','audio','video'), CAST(doc_id % 3 AS INT) + 1) AS media_type",
+        "encode(text, 'UTF-8') AS content")
+      .as[MediaRow]
+  }
+
+  /** Batched decode: one codec instance per partition (the expensive-setup
+    * pattern of a vectorized UDF), metadata out as typed columns. */
+  def decodeAll(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition setup would init the real codec here
+      rows.map(FakeCodec.decodeMeta)
+    }
+  }
+
+  /** Batched feature extraction (fixed-width vectors for the ANN surface). */
+  def featuresAll(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(FakeCodec.decodeFeatures))
+  }
+
+  /** Frame sampling: every `stride` bytes take a `frameLen`-byte slice —
+    * the explode shape of video frame extraction (rows stay executor-side). */
+  def sampleFrames(media: Dataset[MediaRow], stride: Int = 64, frameLen: Int = 16): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      Iterator.range(0, math.max(r.content.length - frameLen + 1, 0), stride).zipWithIndex.map {
+        case (off, no) => Frame(r.doc_id, no, off, r.content.slice(off, off + frameLen))
+      }
+    }
+  }
+
+  val defs: ListMap[String, QueryDef] = ListMap(
+
+    // ---- metadata decode over binary columns (stub codec; plumbing real).
+    // Oracle replays the checksum arithmetic over the same UTF-8 bytes. ----
+    "multimodal_meta" -> QueryDef(
+      (s, dir) => {
+        decodeAll(mediaTable(s, dir)).toDF()
+          .select(col("doc_id"), col("media_type"), col("byte_len"),
+            col("width"), col("height"), col("duration_ms"), col("checksum"))
+          .orderBy("doc_id")
+      },
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ['image','audio','video'][(doc_id % 3)::INT + 1] AS media_type,
+        |    octet_length(encode(text))::INT AS byte_len,
+        |    -- ASCII corpus: UTF-8 bytes == code points, so the byte-wise
+        |    -- checksum is the char-wise polynomial hash
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))::BIGINT)),
+        |      (acc, b) -> (acc * 31 + b) % 1000000007) AS checksum
+        |  FROM documents)
+        |SELECT doc_id, media_type, byte_len,
+        |  64 + (checksum % 1024)::INT AS width,
+        |  64 + ((checksum // 1024) % 1024)::INT AS height,
+        |  CASE WHEN media_type = 'image' THEN 0 ELSE 1000 + checksum % 60000 END AS duration_ms,
+        |  checksum
+        |FROM h ORDER BY doc_id""".stripMargin),
+
+    // ---- feature extraction: 16-bin byte histogram (rows-only check; the
+    // nested double array is not worth expressing in SQL) -------------------
+    "multimodal_features" -> QueryDef(
+      fn = (s, dir) => {
+        featuresAll(mediaTable(s, dir)).toDF()
+          .selectExpr("doc_id", "round(features[0], 6) AS f0",
+            "round(features[15], 6) AS f15",
+            "round(aggregate(features, double(0), (a, x) -> a + x), 6) AS f_sum")
+          .orderBy("doc_id")
+      },
+      oracle = None),
+
+    // ---- frame sampling: explode binary into per-frame rows ---------------
+    "multimodal_frames" -> QueryDef(
+      (s, dir) => {
+        sampleFrames(mediaTable(s, dir)).toDF()
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_frames"),
+            max(col("offset").cast("long")).as("last_offset"),
+            sum(length(col("frame_bytes")).cast("long")).as("total_frame_bytes"))
+          .orderBy("doc_id")
+      },
+      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
+        |f AS (SELECT doc_id, unnest(range(0, greatest(len - 16 + 1, 0), 64)) AS off, len
+        |  FROM m WHERE len >= 16)
+        |SELECT doc_id, COUNT(*) AS n_frames, MAX(off) AS last_offset,
+        |  CAST(SUM(16) AS BIGINT) AS total_frame_bytes
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  )
+}

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import LogSchema.LogEvent
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** P5 — bounce (user-jump) detection: timeout-as-answer CEP.
+  *
+  * Reference: RT/app/dwm/UserJumpDetailApp.java:101-159 — pattern = session
+  * entry (`last_page_id` empty) followed by NO page event within 10 s; the
+  * *timed-out* partial matches are the result (the matched pairs are
+  * discarded). Spark has no CEP, so the pattern is encoded directly in
+  * `flatMapGroupsWithState` with an event-time timeout: buffer the entry,
+  * cancel on any successor within the window, emit on watermark-fired
+  * timeout (SURVEY.md §2.6). Requires a watermark on the event-time column.
+  */
+object BounceDetect {
+
+  val BounceWindowMs = 10000L // Pattern.within(10 s), UserJumpDetailApp.java:128
+
+  def detectState(
+      mid: String,
+      rows: Iterator[LogEvent],
+      state: GroupState[LogEvent]): Iterator[LogEvent] = {
+    if (rows.isEmpty && state.hasTimedOut) {
+      val pending = state.get
+      state.remove()
+      return Iterator.single(pending) // no successor arrived: bounce
+    }
+    val sorted = rows.toIndexedSeq.sortBy(_.ts)
+    var pending = state.getOption
+    val bounces = Seq.newBuilder[LogEvent]
+    sorted.foreach { e =>
+      pending.foreach { p =>
+        if (e.ts - p.ts > BounceWindowMs) bounces += p // successor too late
+        // any successor event resolves the pending entry either way
+      }
+      pending = None
+      if (e.lastPageId.isEmpty) pending = Some(e) // new entry candidate
+    }
+    pending match {
+      case Some(p) =>
+        state.update(p)
+        state.setTimeoutTimestamp(p.ts + BounceWindowMs)
+      case None if state.exists => state.remove()
+      case None =>
+    }
+    bounces.result().iterator
+  }
+
+  /** events must carry a watermarked event-time column when streaming; use
+    * [[withEventTime]] to attach one from the epoch-millis `ts`. */
+  def apply(events: Dataset[LogEvent]): Dataset[LogEvent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.mid)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(detectState)
+  }
+
+  /** Attach + watermark an event-time column (monotonic watermark parity
+    * with WatermarkStrategy.forMonotonousTimestamps, UserJumpDetailApp:80-88). */
+  def withEventTime(df: DataFrame, delay: String = "0 seconds"): DataFrame =
+    df.withColumn("ets", timestamp_millis(col("ts"))).withWatermark("ets", delay)
+}

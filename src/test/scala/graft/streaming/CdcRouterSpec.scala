@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CdcRouterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cdc(table: String, tpe: String, data: String): String =
+    s"""{"database":"gmall2021","table":"$table","type":"$tpe","data":$data}"""
+
+  private def configDf = Seq(
+    ("order_info", "insert", "kafka", "dwd_order_info", "id,user_id,total_amount", "id", ""),
+    ("user_info", "insert", "hbase", "dim_user_info", "id,name,birthday", "id", ""),
+    ("user_info", "update", "hbase", "dim_user_info", "id,name,birthday", "id", ""))
+    .toDF("source_table", "operate_type", "sink_type", "sink_table",
+      "sink_columns", "sink_pk", "sink_extend")
+
+  test("parse: ETL filter + bootstrap-insert normalization") {
+    val raw = Seq(
+      cdc("order_info", "insert", """{"id":"1","user_id":"7","total_amount":"9.90"}"""),
+      cdc("order_info", "bootstrap-insert", """{"id":"2","user_id":"8","total_amount":"1.00"}"""),
+      """{"database":"g","type":"insert","data":{"id":"3"}}""", // no table: dropped
+      cdc("order_info", "insert", "{}")                         // len(data)<=3: dropped
+    ).toDF("value")
+    val parsed = CdcRouter.parse(raw)
+    assert(parsed.count() == 2)
+    assert(parsed.select("type").as[String].collect().toSet == Set("insert"))
+  }
+
+  test("route: config join, column pruning, unmatched rows dropped") {
+    val raw = Seq(
+      cdc("order_info", "insert", """{"id":"1","user_id":"7","total_amount":"9.90","secret":"x"}"""),
+      cdc("unknown_table", "insert", """{"id":"9","a":"b"}""")).toDF("value")
+    val routed = CdcRouter.route(CdcRouter.parse(raw), configDf)
+    val rows = routed.collect()
+    assert(rows.length == 1)
+    val m = routed.select("data_pruned").as[Map[String, String]].collect().head
+    assert(m.keySet == Set("id", "user_id", "total_amount")) // `secret` pruned
+    assert(rows.head.getAs[String]("sink_table") == "dwd_order_info")
+  }
+
+  test("dim upsert: last write per primary key wins across batches") {
+    val out = tmpDir("cdcrouter")
+    val b0 = CdcRouter.parse(Seq(
+      cdc("user_info", "insert", """{"id":"u1","name":"alice","birthday":"1990-01-01"}"""),
+      cdc("user_info", "insert", """{"id":"u2","name":"bob","birthday":"1991-01-01"}"""),
+      cdc("order_info", "insert", """{"id":"1","user_id":"u1","total_amount":"5.00"}""")).toDF("value"))
+    CdcRouter.processBatch(b0, configDf, out, 0L)
+    val b1 = CdcRouter.parse(Seq(
+      cdc("user_info", "update", """{"id":"u1","name":"alice2","birthday":"1990-01-01"}""")).toDF("value"))
+    CdcRouter.processBatch(b1, configDf, out, 1L)
+
+    val facts = spark.read.parquet(s"$out/facts")
+    assert(facts.count() == 1)
+    assert(facts.select("sink_table").as[String].collect().head == "dwd_order_info")
+
+    val snap = CdcRouter.dimSnapshot(spark, out)
+    val byPk = snap.collect().map(r => r.getAs[String]("pk") -> r.getAs[String]("data")).toMap
+    assert(byPk.keySet == Set("u1", "u2"))
+    assert(byPk("u1").contains("alice2")) // updated value won
+  }
+}
