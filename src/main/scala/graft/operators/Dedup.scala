@@ -174,6 +174,35 @@ object Dedup {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin),
 
+    // ---- end-to-end dedup decision: drop any doc that near-duplicates a
+    // lower-id doc (greedy by id — the classic keep-first policy over the
+    // MinHash pair set); corpus shrink factor is the headline dedup metric -
+    "dedup_keep_list" -> QueryDef(
+      (s, dir) => {
+        val pairs = defs("dedup_minhash").fn(s, dir) // (doc_a < doc_b, jaccard)
+        val drops = pairs.selectExpr("doc_b AS doc_id").distinct()
+        Tables.load(s, dir, "documents")
+          .join(drops.withColumn("dropped", lit(1)), Seq("doc_id"), "left")
+          .selectExpr("doc_id", "CAST(dropped IS NULL AS INT) AS keep")
+          .orderBy("doc_id")
+      },
+      s"""WITH $duckShingles,
+         |sig AS (SELECT doc_id, sh, list_transform(range(0, 16), j -> list_min(list_transform(sh,
+         |  x -> (x * ($MIX + 40503 * j) + 98765432 + 1234577 * j) % $P61))) AS sig
+         |  FROM sh),
+         |bands AS (SELECT doc_id, b.band AS band,
+         |   concat_ws('_', sig[b.band * 4 + 1], sig[b.band * 4 + 2], sig[b.band * 4 + 3], sig[b.band * 4 + 4]) AS key
+         |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |dup AS (SELECT DISTINCT doc_b AS doc_id
+         |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |     / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8)
+         |SELECT d.doc_id, CAST(dup.doc_id IS NULL AS INT) AS keep
+         |FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+         |ORDER BY d.doc_id""".stripMargin),
+
     // ---- char-5-gram Jaccard near-dups with (lang, length-band) blocking --
     "dedup_ngram_jaccard" -> QueryDef(
       (s, dir) => {

@@ -215,6 +215,31 @@ object EventOps {
         |SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS w_start, COUNT(*) AS n
         |FROM expanded GROUP BY 1 ORDER BY w_start""".stripMargin),
 
+    // ---- built-in session_window operator (30-min gap), equivalent to the
+    // gaps-and-islands form in `sessionize` — the oracle IS that form ------
+    "session_window_agg" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        ev.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("start_us"),
+            col("n_events"))
+          .orderBy("user_id", "start_us")
+      },
+      """WITH flagged AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM flagged)
+        |SELECT user_id, MIN(ts_us) AS start_us, COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id, session_no ORDER BY user_id, start_us""".stripMargin),
+
     // ---- P6: order wide table — fact join + chained broadcast dim
     // enrichments (customer → nation → region), derived columns --------------
     "order_wide" -> QueryDef(

@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property tests (SURVEY.md §5.4) over the pure kernels of the portable
+  * hash operators — these are the exact semantics the DuckDB oracle
+  * replays, so invariants here guard the cross-engine contract. */
+object HashProperties extends Properties("graft.hash") {
+
+  private val text: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaLowerChar, 2 -> Gen.numChar, 3 -> Gen.const(' '),
+      1 -> Gen.oneOf('!', ',', '.', 'X'))).map(_.mkString)
+
+  private def th(s: String): Array[Long] =
+    HashExpressions.tokenHashes(UTF8String.fromString(s))
+
+  property("tokenHash deterministic + case-insensitive") = forAll(text) { s =>
+    th(s).toSeq == th(s.toUpperCase).toSeq
+  }
+
+  property("tokenHash bounded by modulus") = forAll(text) { s =>
+    th(s).forall(h => h >= 0 && h < HashExpressions.P)
+  }
+
+  property("token count == regex token count") = forAll(text) { s =>
+    th(s).length == "[a-z0-9]+".r.findAllIn(s.toLowerCase).length
+  }
+
+  property("shingles distinct and bounded by n_tokens-2") = forAll(text) { s =>
+    val sh = HashExpressions.shingles(th(s))
+    sh.length <= math.max(th(s).length - 2, 0) &&
+      sh.toSeq.distinct.length == sh.length
+  }
+
+  property("minhash: 16 lanes, monotone under shingle-superset") =
+    forAll(text, text) { (s1, s2) =>
+      val a = HashExpressions.shingles(th(s1))
+      val b = HashExpressions.shingles(th(s2))
+      val union = (a ++ b).distinct
+      val sigA = HashExpressions.minhashSig(a)
+      val sigU = HashExpressions.minhashSig(union)
+      sigA.length == 16 && sigU.zip(sigA).forall { case (u, x) => u <= x }
+    }
+
+  property("minhash: identical shingle sets agree on every lane") =
+    forAll(text) { s =>
+      val a = HashExpressions.shingles(th(s))
+      HashExpressions.minhashSig(a).toSeq ==
+        HashExpressions.minhashSig(a.reverse).toSeq
+    }
+
+  property("simhash order-independent + 60-bit bound") = forAll(text) { s =>
+    val hs = th(s)
+    val f1 = HashExpressions.simhash60(hs)
+    val f2 = HashExpressions.simhash60(hs.reverse)
+    f1 == f2 && f1 >= 0 && f1 < (1L << 60)
+  }
+
+  property("gram5 distinct, bounded, modulus-bounded") = forAll(text) { s =>
+    val g = HashExpressions.gram5Hashes(UTF8String.fromString(s))
+    g.length <= math.max(s.length - 4, 0) &&
+      g.forall(h => h >= 0 && h < HashExpressions.P) &&
+      g.toSeq.distinct.length == g.length
+  }
+
+  property("jaccard symmetry on gram sets") = forAll(text, text) { (s1, s2) =>
+    val a = HashExpressions.gram5Hashes(UTF8String.fromString(s1)).toSet
+    val b = HashExpressions.gram5Hashes(UTF8String.fromString(s2)).toSet
+    def j(x: Set[Long], y: Set[Long]): Double =
+      if (x.isEmpty && y.isEmpty) 1.0
+      else x.intersect(y).size.toDouble / x.union(y).size
+    j(a, b) == j(b, a) && j(a, a) == 1.0
+  }
+}

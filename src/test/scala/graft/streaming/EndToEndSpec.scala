@@ -1,0 +1,61 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** End-to-end pipeline lifecycle (SURVEY.md §3.1): raw JSON stream ->
+  * foreachBatch multi-sink (3-way split written in one pass), plus a
+  * watermarked tumbling-window aggregation stream (the DWS shape). */
+class EndToEndSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("P2 multi-sink: one raw stream fans out to start/page/display parquet") {
+    implicit val sq = spark.sqlContext
+    val out = tmpDir("logpipe")
+    val ms = MemoryStream[String]
+    val q = LogPipeline.run(spark, ms.toDF(), out)
+    try {
+      ms.addData(
+        """{"common":{"mid":"m1","is_new":"1"},"start":{"entry":"icon"},"ts":1704067200000}""",
+        """{"common":{"mid":"m1","is_new":"1"},"page":{"page_id":"home"},"displays":[{"item":"sku_1","pos_id":1}],"ts":1704067201000}""",
+        """{"common":{"mid":"m2","is_new":"0"},"page":{"page_id":"detail","last_page_id":"home"},"ts":1704067202000}""")
+      q.processAllAvailable()
+      ms.addData(
+        """{"common":{"mid":"m3","is_new":"0"},"start":{"entry":"notice"},"ts":1704067203000}""")
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$out/dwd_start_log").count() == 2)
+      assert(spark.read.parquet(s"$out/dwd_page_log").count() == 2)
+      val disp = spark.read.parquet(s"$out/dwd_display_log").collect()
+      assert(disp.length == 1 && disp.head.getAs[String]("page_id") == "home")
+    } finally q.stop()
+  }
+
+  test("watermarked tumbling-window aggregation emits closed windows (append)") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String)]
+    val agg = ms.toDF().toDF("ets", "etype")
+      .withWatermark("ets", "0 seconds")
+      .groupBy(window(col("ets"), "1 hour"), col("etype"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("winagg")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      ms.addData((t("2024-01-01 00:10:00"), "view"), (t("2024-01-01 00:20:00"), "view"),
+        (t("2024-01-01 00:40:00"), "click"))
+      q.processAllAvailable()
+      // watermark still at 00:40 -> nothing final yet; advance past 01:00
+      ms.addData((t("2024-01-01 01:30:00"), "view"))
+      q.processAllAvailable()
+      ms.addData((t("2024-01-01 03:00:00"), "view")) // flush the 01:00 window
+      q.processAllAvailable()
+      val rows = spark.table("winagg")
+        .selectExpr("date_format(window.start, 'HH:mm') AS ws", "etype", "n")
+        .as[(String, String, Long)].collect().toSet
+      assert(rows.contains(("00:00", "view", 2L)))
+      assert(rows.contains(("00:00", "click", 1L)))
+      assert(rows.contains(("01:00", "view", 1L)))
+    } finally q.stop()
+  }
+}
