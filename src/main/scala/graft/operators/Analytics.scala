@@ -423,6 +423,89 @@ object Analytics {
         |WHERE LENGTH(token) > 0
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin),
 
+    // ---- TPC-H Q13 style: outer join + distribution of counts ------------
+    "q20_cust_distribution" -> QueryDef(
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val o = Tables.load(s, dir, "orders")
+        val perCust = c.join(o, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+        perCust.groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin),
+
+    // ---- correlated scalar subquery (Catalyst decorrelation): parts whose
+    // total shipped quantity exceeds 50% of a correlated average ------------
+    "q21_correlated_subquery" -> QueryDef(
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem").createOrReplaceTempView(s"cs_lineitem")
+        Tables.load(s, dir, "part").createOrReplaceTempView(s"cs_part")
+        s.sql(
+          """SELECT p_partkey, p_brand
+            |FROM cs_part
+            |WHERE p_retailprice > (
+            |  SELECT 2.0 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+            |  FROM cs_lineitem WHERE l_partkey = p_partkey)
+            |ORDER BY p_partkey""".stripMargin)
+      },
+      """SELECT p_partkey, p_brand
+        |FROM part
+        |WHERE p_retailprice > (
+        |  SELECT 2.0 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM lineitem WHERE l_partkey = p_partkey)
+        |ORDER BY p_partkey""".stripMargin),
+
+    // ---- TPC-H Q22 style: uncorrelated scalar subquery + anti join --------
+    "q22_global_avg_anti" -> QueryDef(
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val o = Tables.load(s, dir, "orders")
+        val globalAvg = c.filter(col("c_acctbal") > 0)
+          .agg((sum(dec2(col("c_acctbal"))).cast(DoubleType) / count(lit(1))).as("a"))
+        c.join(broadcast(globalAvg))
+          .filter(col("c_acctbal") > col("a"))
+          .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_rich_inactive"),
+            dsum2(col("c_acctbal")).as("total_bal"))
+          .orderBy("c_mktsegment")
+      },
+      """WITH g AS (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS a
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, COUNT(*) AS n_rich_inactive,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer, g
+        |WHERE c_acctbal > g.a
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    // ---- IN-subquery with aggregate HAVING (semi-join after agg) ----------
+    "q23_in_subquery" -> QueryDef(
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem").createOrReplaceTempView(s"in_lineitem")
+        Tables.load(s, dir, "orders").createOrReplaceTempView(s"in_orders")
+        s.sql(
+          """SELECT o_orderpriority, COUNT(*) AS n
+            |FROM in_orders
+            |WHERE o_orderkey IN (
+            |  SELECT l_orderkey FROM in_lineitem
+            |  GROUP BY l_orderkey HAVING COUNT(*) >= 5)
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      },
+      """SELECT o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING COUNT(*) >= 5)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
     // ---- range/interval join (batch analog of the stream interval join):
     // equi key + time-range predicate ---------------------------------------
     "q19_interval_join" -> QueryDef(

@@ -212,11 +212,21 @@ object Dedup {
           .selectExpr("doc_id", "lang", "n_chars", "graft_gram5(text) AS g")
         // candidate pairs stay slim (ids only) through the dedup shuffle;
         // the heavy gram arrays are joined back only for surviving pairs.
-        val bucketed = d.selectExpr("doc_id", "lang",
-          "explode(array(CAST(n_chars / 100 AS BIGINT), CAST((n_chars + 50) / 100 AS BIGINT))) AS band")
+        // Block key = (lang, length band, min-gram LSH): two min-hash
+        // permutations of the gram set — docs with jaccard j share a given
+        // permutation's min with probability >= j, so the miss rate at the
+        // 0.7 threshold is <= (1-0.7)^2 = 9% while cutting the all-pairs-
+        // within-band product (~1.2M pairs at sf0.1) to near-collisions only.
+        val bucketed = d.selectExpr("doc_id", "lang", "g",
+            "explode(array(CAST(n_chars / 100 AS BIGINT), CAST((n_chars + 50) / 100 AS BIGINT))) AS band")
+          .selectExpr("doc_id", "lang", "band",
+            s"""explode(array(
+               | struct(1 AS tag, array_min(g) AS mv),
+               | struct(2 AS tag, array_min(transform(g, x -> (x * ${MIX}L + 12345L) % ${P61}L)) AS mv))) AS k""".stripMargin)
+          .selectExpr("doc_id", "lang", "band", "k.tag AS tag", "k.mv AS mv")
           .distinct()
         val cand = bucketed.alias("a").join(bucketed.alias("b"),
-            expr("a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id"))
+            expr("a.lang = b.lang AND a.band = b.band AND a.tag = b.tag AND a.mv = b.mv AND a.doc_id < b.doc_id"))
           .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b")
           .distinct()
         // size-compatibility prefilter: jaccard >= 0.7 forces
@@ -246,11 +256,19 @@ object Dedup {
          |   i -> ((((ch[i] * 31 + ch[i + 1]) % $P * 31 + ch[i + 2]) % $P * 31
          |     + ch[i + 3]) % $P * 31 + ch[i + 4]) % $P)) AS g
          |  FROM d),
-         |bucketed AS (SELECT DISTINCT doc_id, lang, g, unnest([n_chars // 100, (n_chars + 50) // 100]) AS band
+         |b1 AS (SELECT doc_id, lang, g, unnest([n_chars // 100, (n_chars + 50) // 100]) AS band
          |  FROM g),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.g AS g_a, b.g AS g_b
-         |  FROM bucketed a JOIN bucketed b
-         |    ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id)
+         |b2 AS (SELECT doc_id, lang, band, unnest([
+         |   {'tag': 1, 'mv': list_min(g)},
+         |   {'tag': 2, 'mv': list_min(list_transform(g, x -> (x * $MIX + 12345) % $P61))}]) AS k
+         |  FROM b1),
+         |bucketed AS (SELECT DISTINCT doc_id, lang, band, k.tag AS tag, k.mv AS mv FROM b2),
+         |cand AS (SELECT DISTINCT doc_a, doc_b, ga.g AS g_a, gb.g AS g_b FROM (
+         |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |    FROM bucketed a JOIN bucketed b
+         |      ON a.lang = b.lang AND a.band = b.band AND a.tag = b.tag AND a.mv = b.mv
+         |     AND a.doc_id < b.doc_id)
+         |  JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b)
          |SELECT doc_a, doc_b,
          |  CAST(len(list_intersect(g_a, g_b)) AS DOUBLE)
          |   / (len(g_a) + len(g_b) - len(list_intersect(g_a, g_b))) AS jaccard
