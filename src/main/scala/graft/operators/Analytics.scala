@@ -506,6 +506,45 @@ object Analytics {
         |  GROUP BY l_orderkey HAVING COUNT(*) >= 5)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
 
+    // ---- full outer join: per-nation customer/supplier presence ----------
+    "q24_full_outer" -> QueryDef(
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+          .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+        val sup = Tables.load(s, dir, "supplier")
+          .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+        c.join(sup, col("c_nationkey") === col("s_nationkey"), "full_outer")
+          .select(
+            coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+          .orderBy("nationkey")
+      },
+      """SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+        | COALESCE(c.n_cust, 0) AS n_cust, COALESCE(s.n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+        |  ON c.c_nationkey = s.s_nationkey
+        |ORDER BY nationkey""".stripMargin),
+
+    // ---- exact percentiles (interpolated), per group ----------------------
+    "q25_percentiles" -> QueryDef(
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        li.groupBy(col("l_returnflag"))
+          .agg(
+            expr("percentile(l_extendedprice, 0.5)").as("median_price"),
+            expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
+            min(col("l_extendedprice")).as("min_price"),
+            max(col("l_extendedprice")).as("max_price"))
+          .orderBy("l_returnflag")
+      },
+      """SELECT l_returnflag,
+        | quantile_cont(l_extendedprice, 0.5) AS median_price,
+        | quantile_cont(l_extendedprice, 0.9) AS p90_price,
+        | MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
     // ---- range/interval join (batch analog of the stream interval join):
     // equi key + time-range predicate ---------------------------------------
     "q19_interval_join" -> QueryDef(
