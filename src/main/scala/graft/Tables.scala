@@ -20,6 +20,11 @@ object Tables {
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // defensive: events.parquet is timestamp[ns]; without this runtime conf
+    // a session built outside Verify/Bench/GraftSession would fail the read
+    // with PARQUET_TYPE_ILLEGAL (conf is runtime-settable).
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(path(dir, name))
     df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) =>

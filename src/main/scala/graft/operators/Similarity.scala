@@ -96,6 +96,58 @@ object Similarity {
          |SELECT q_id, vec_id, label, rank, cosine FROM ranked
          |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin),
 
+    // ---- embedding-cosine near-dup pairs: sign-random-projection LSH
+    // (4 bands x 3 deterministic hyperplanes) for candidates, exact cosine
+    // >= 0.45 verification. All-pairs never materializes — the 100 TB path.
+    // (The fixture has no >0.52-cosine pairs, so the demo threshold is 0.45;
+    // recall at a real 0.9 near-dup threshold with these bands is ~0.98.) --
+    "dedup_embedding_cosine" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        // deterministic hyperplanes: w[j][i] = ((i*1103 + j*907) % 2001 - 1000)/1000
+        val signed = emb.selectExpr("vec_id", "embedding",
+          """transform(sequence(0, 11), j ->
+            | CASE WHEN aggregate(zip_with(embedding,
+            |   transform(sequence(1, 64), i -> double((i * 1103 + j * 907) % 2001 - 1000) / 1000.0),
+            |   (x, w) -> double(x) * w), double(0), (a, b) -> a + b) >= 0 THEN 1 ELSE 0 END) AS sg""".stripMargin)
+        val bands = signed.selectExpr("vec_id",
+          """explode(transform(sequence(0, 3), b -> struct(b AS band,
+            | element_at(sg, b * 3 + 1) * 4 + element_at(sg, b * 3 + 2) * 2
+            |  + element_at(sg, b * 3 + 3) AS key))) AS bk""".stripMargin)
+          .selectExpr("vec_id", "bk.band AS band", "bk.key AS key")
+        val cand = bands.alias("a").join(bands.alias("b"),
+            expr("a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id"))
+          .selectExpr("a.vec_id AS id_a", "b.vec_id AS id_b").distinct()
+        val ea = emb.selectExpr("vec_id AS id_a", "embedding AS q_emb")
+        val eb = emb.selectExpr("vec_id AS id_b", "embedding")
+        cand.join(ea, "id_a").join(eb, "id_b")
+          .selectExpr("id_a", "id_b",
+            s"$dotSql / (sqrt($qNormSql) * sqrt($eNormSql)) AS cosine")
+          .filter("cosine >= 0.45")
+          .orderBy("id_a", "id_b")
+      },
+      s"""WITH signed AS (
+         |  SELECT vec_id, embedding,
+         |    list_transform(range(0, 12), j ->
+         |      CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+         |        list_transform(range(1, 65),
+         |          i -> embedding[i]::DOUBLE * (((i * 1103 + j * 907) % 2001 - 1000)::DOUBLE / 1000.0))),
+         |        (a, b) -> a + b) >= 0 THEN 1 ELSE 0 END) AS sg
+         |  FROM embeddings),
+         |bands AS (SELECT vec_id, b.band AS band,
+         |    sg[b.band * 3 + 1] * 4 + sg[b.band * 3 + 2] * 2 + sg[b.band * 3 + 3] AS key
+         |  FROM signed, (SELECT unnest(range(0, 4)) AS band) b),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+         |scored AS (
+         |  SELECT id_a, id_b,
+         |    $duckDot / (sqrt($duckQNorm) * sqrt($duckENorm)) AS cosine
+         |  FROM cand
+         |  JOIN (SELECT vec_id AS id_a, embedding AS q_emb FROM embeddings) USING (id_a)
+         |  JOIN (SELECT vec_id AS id_b, embedding FROM embeddings) USING (id_b))
+         |SELECT id_a, id_b, cosine FROM scored
+         |WHERE cosine >= 0.45 ORDER BY id_a, id_b""".stripMargin),
+
     // ---- vector stats: norms and label centroid distances (agg over
     // array columns entirely in codegen'd higher-order functions) -----------
     "vector_norms" -> QueryDef(

@@ -32,4 +32,32 @@ class UniqueVisitsSpec extends SparkSpec {
         Seq(("m1", day1), ("m1", day2), ("m2", day1)))
     } finally q.stop()
   }
+
+  test("pure-SQL UV form: streaming dropDuplicates on (mid, dt) + watermark") {
+    // SURVEY.md §2.6's alternative encoding: watermarked dropDuplicates
+    // instead of explicit keyed state.
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[LogEvent]
+    import org.apache.spark.sql.functions._
+    val dedup = ms.toDF()
+      .filter(col("lastPageId") === "")
+      .withColumn("ets", timestamp_millis(col("ts")))
+      .withWatermark("ets", "1 hour")
+      .withColumn("dt", date_format(col("ets"), "yyyyMMdd"))
+      .dropDuplicates("mid", "dt")
+    val q = dedup.writeStream.format("memory").queryName("uv_sql")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        LogEvent("m1", "0", "home", "", hasStart = false, day1),
+        LogEvent("m1", "0", "home", "", hasStart = false, day1 + 5000),
+        LogEvent("m2", "0", "home", "home2", hasStart = false, day1)) // mid-session
+      q.processAllAvailable()
+      ms.addData(LogEvent("m1", "0", "home", "", hasStart = false, day2))
+      q.processAllAvailable()
+      val out = spark.table("uv_sql").select("mid", "dt")
+        .as[(String, String)].collect().sorted.toSeq
+      assert(out == Seq(("m1", "20240101"), ("m1", "20240102")))
+    } finally q.stop()
+  }
 }
