@@ -81,6 +81,30 @@ object Extras {
         | COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
         |FROM events GROUP BY 1 ORDER BY dt""".stripMargin),
 
+    // ---- unpivot (wide -> long), the inverse surface of pivot -------------
+    "unpivot_measures" -> QueryDef(
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val wide = li.groupBy(col("l_returnflag"))
+          .agg(
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"))
+        wide.unpivot(
+            Array(col("l_returnflag")),
+            Array(col("sum_qty"), col("sum_base_price")),
+            "measure", "value")
+          .orderBy("l_returnflag", "measure")
+      },
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_base_price', sum_base_price FROM wide
+        |ORDER BY l_returnflag, measure""".stripMargin),
+
     // ---- sketch-based distinct (HLL++): algorithm-specific estimates have
     // no cross-engine oracle; the driver records a rows-only check ----------
     "approx_distinct" -> QueryDef(

@@ -31,6 +31,30 @@ class EndToEndSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source streaming resumes from checkpoint without reprocessing") {
+    val src = tmpDir("logsrc")
+    val out = tmpDir("logout")
+    def writeFile(name: String, lines: String*): Unit = {
+      val p = java.nio.file.Paths.get(src, name)
+      java.nio.file.Files.write(p, lines.mkString("\n").getBytes)
+    }
+    writeFile("b1.jsonl",
+      """{"common":{"mid":"m1","is_new":"1"},"page":{"page_id":"home"},"ts":1704067200000}""",
+      """{"common":{"mid":"m2","is_new":"0"},"page":{"page_id":"list"},"ts":1704067201000}""")
+    val q1 = LogPipeline.run(spark, spark.readStream.text(src), out)
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(spark.read.parquet(s"$out/dwd_page_log").count() == 2)
+
+    // restart from the same checkpoint: only the new file is processed
+    writeFile("b2.jsonl",
+      """{"common":{"mid":"m3","is_new":"1"},"page":{"page_id":"cart"},"ts":1704067202000}""")
+    val q2 = LogPipeline.run(spark, spark.readStream.text(src), out)
+    try { q2.processAllAvailable() } finally q2.stop()
+    val pages = spark.read.parquet(s"$out/dwd_page_log")
+    assert(pages.count() == 3) // 2 + 1, no reprocessing of b1
+    assert(pages.select("mid").as[String].collect().sorted.toSeq == Seq("m1", "m2", "m3"))
+  }
+
   test("watermarked tumbling-window aggregation emits closed windows (append)") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[(java.sql.Timestamp, String)]
