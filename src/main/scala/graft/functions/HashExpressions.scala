@@ -188,6 +188,35 @@ object HashExpressions {
     override def prettyName: String = "graft_gram5"
   }
 
+  /** array<float> cosine similarity with the oracle-parity contract:
+    * element products in FLOAT, accumulation left-to-right in DOUBLE,
+    * final division in DOUBLE — bit-identical to the SQL higher-order-
+    * function form and to DuckDB's replay. */
+  case class CosineExpr(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData].toFloatArray()
+      val b = r.asInstanceOf[ArrayData].toFloatArray()
+      var dot = 0.0
+      var na = 0.0
+      var nb = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        dot += (a(i) * b(i)).toDouble // float multiply, double accumulate
+        na += (a(i) * a(i)).toDouble
+        nb += (b(i) * b(i)).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineExpr =
+      copy(l, r)
+    override def prettyName: String = "graft_cosine"
+  }
+
   /** Register all graft_* functions for use in selectExpr/spark.sql.
     * Idempotent per session. */
   def register(spark: SparkSession): Unit = {
@@ -197,5 +226,6 @@ object HashExpressions {
     reg.createOrReplaceTempFunction("graft_minhash_sig", es => MinHashSigExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_simhash", es => SimHashExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_gram5", es => Gram5Expr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_cosine", es => CosineExpr(es.head, es(1)), "scala_udf")
   }
 }

@@ -39,12 +39,13 @@ object Similarity {
     // ---- brute-force cosine top-k (k=5) for 10 query vectors --------------
     "ann_cosine_topk" -> QueryDef(
       (s, dir) => {
+        graft.functions.HashExpressions.register(s)
         val emb = Tables.load(s, dir, "embeddings")
         val q = emb.filter(col("vec_id") < 10)
           .selectExpr("vec_id AS q_id", "embedding AS q_emb")
         broadcast(q).join(emb, expr("vec_id != q_id"))
           .selectExpr("q_id", "vec_id",
-            s"$dotSql / (sqrt($qNormSql) * sqrt($eNormSql)) AS cosine")
+            s"graft_cosine(q_emb, embedding) AS cosine")
           .withColumn("rank",
             row_number().over(org.apache.spark.sql.expressions.Window
               .partitionBy(col("q_id"))
@@ -69,12 +70,13 @@ object Similarity {
     // (label = centroid assignment), top-3 neighbors for 20 query vectors ---
     "ann_cosine_bucketed" -> QueryDef(
       (s, dir) => {
+        graft.functions.HashExpressions.register(s)
         val emb = Tables.load(s, dir, "embeddings")
         val q = emb.filter(col("vec_id") < 20)
           .selectExpr("vec_id AS q_id", "label AS q_label", "embedding AS q_emb")
         broadcast(q).join(emb, expr("label = q_label AND vec_id != q_id"))
           .selectExpr("q_id", "vec_id", "label",
-            s"$dotSql / (sqrt($qNormSql) * sqrt($eNormSql)) AS cosine")
+            s"graft_cosine(q_emb, embedding) AS cosine")
           .withColumn("rank",
             row_number().over(org.apache.spark.sql.expressions.Window
               .partitionBy(col("q_id"))
@@ -103,6 +105,7 @@ object Similarity {
     // recall at a real 0.9 near-dup threshold with these bands is ~0.98.) --
     "dedup_embedding_cosine" -> QueryDef(
       (s, dir) => {
+        graft.functions.HashExpressions.register(s)
         val emb = Tables.load(s, dir, "embeddings")
         // deterministic hyperplanes: w[j][i] = ((i*1103 + j*907) % 2001 - 1000)/1000
         val signed = emb.selectExpr("vec_id", "embedding",
@@ -122,7 +125,7 @@ object Similarity {
         val eb = emb.selectExpr("vec_id AS id_b", "embedding")
         cand.join(ea, "id_a").join(eb, "id_b")
           .selectExpr("id_a", "id_b",
-            s"$dotSql / (sqrt($qNormSql) * sqrt($eNormSql)) AS cosine")
+            s"graft_cosine(q_emb, embedding) AS cosine")
           .filter("cosine >= 0.45")
           .orderBy("id_a", "id_b")
       },
