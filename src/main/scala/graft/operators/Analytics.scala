@@ -545,6 +545,46 @@ object Analytics {
         | MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
+    // ---- string aggregation (sorted for determinism) ----------------------
+    "q26_string_agg" -> QueryDef(
+      (s, dir) => {
+        val n = Tables.load(s, dir, "nation")
+        val r = Tables.load(s, dir, "region")
+        n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"),
+            count(lit(1)).as("n_nations"))
+          .orderBy("r_name")
+      },
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        | COUNT(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin),
+
+    // ---- first_value / last_value window frames ---------------------------
+    "q27_first_last" -> QueryDef(
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        o.select(col("o_custkey"), col("o_orderkey"),
+            first(col("o_totalprice")).over(w).as("first_price"),
+            last(col("o_totalprice")).over(w).as("last_price"),
+            count(lit(1)).over(w).as("n_orders"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      """SELECT o_custkey, o_orderkey,
+        | FIRST_VALUE(o_totalprice) OVER w AS first_price,
+        | LAST_VALUE(o_totalprice) OVER w AS last_price,
+        | COUNT(*) OVER w AS n_orders
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin),
+
     // ---- range/interval join (batch analog of the stream interval join):
     // equi key + time-range predicate ---------------------------------------
     "q19_interval_join" -> QueryDef(
