@@ -24,3 +24,23 @@ object QueryDef {
   def apply(fn: (SparkSession, String) => DataFrame, oracle: String): QueryDef =
     QueryDef(fn, Some(oracle))
 }
+
+/** Persist-then-sort for final presentation ordering.
+  *
+  * A global `orderBy` shuffles by range partitioning, whose bound-sampling
+  * pass EXECUTES the child plan once and the shuffle map tasks execute it
+  * again. When the child's final stage is expensive and has no shuffle
+  * boundary of its own (map-heavy projections, chains of broadcast joins),
+  * that doubles the query. Results here are small (≤ tens of thousands of
+  * rows), so persisting the result first turns the sampling pass into the
+  * single real execution and the sort into a cache read. Queries whose sort
+  * child already ends in a shuffle (plain aggregations) don't need this —
+  * sampling only re-runs the cheap post-shuffle step there. */
+object Sorted {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.storage.StorageLevel
+  def apply(df: DataFrame, cols: Column*): DataFrame =
+    df.persist(StorageLevel.MEMORY_AND_DISK).orderBy(cols: _*)
+  def byNames(df: DataFrame, first: String, rest: String*): DataFrame =
+    df.persist(StorageLevel.MEMORY_AND_DISK).orderBy(first, rest: _*)
+}

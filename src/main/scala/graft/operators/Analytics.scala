@@ -186,7 +186,7 @@ object Analytics {
           .orderBy(col("revenue").desc, col("p_partkey"))
         rev.withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
-          .orderBy("p_brand", "rn")
+          .transform(graft.Sorted.byNames(_, "p_brand", "rn"))
       },
       """WITH rev AS (
         |  SELECT p_brand, p_partkey,
@@ -402,8 +402,8 @@ object Analytics {
           .orderBy("event_type")
       },
       """SELECT event_type,
-        | SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS sum_k,
-        | MAX(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS max_k,
+        | CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        | CAST(MAX(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS max_k,
         | COUNT(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS n_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 

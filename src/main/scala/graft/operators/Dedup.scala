@@ -4,6 +4,7 @@ import graft.{QueryDef, Tables}
 import graft.functions.Portable.{P, P61, MIX, tokensSql, tokenHashesSql}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import scala.collection.immutable.ListMap
 
@@ -23,15 +24,45 @@ import scala.collection.immutable.ListMap
   */
 object Dedup {
 
-  /** doc_id + distinct 3-token shingle hashes (guarded for short docs).
-    * Uses the native [[graft.functions.HashExpressions]] expressions — the
-    * SQL higher-order-function form has identical semantics but evaluates
-    * millions of interpreted expression nodes per document. */
+  /** doc_id + 16-permutation MinHash signature, computed ONCE and persisted.
+    * The tokenize→shingle→16-permutation chain is the expensive part of every
+    * MinHash query; without persistence the band self-join re-derives it
+    * twice from the scan. Deliberately SLIM — 16 longs per doc (~128 B), not
+    * the shingle arrays: columnar-caching heavy array<long> columns costs
+    * more than recomputing them map-side (measured on dedup_ngram_jaccard),
+    * while the signature cache is effectively free and saves the worst
+    * recompute. Docs with no shingles carry the Long.MaxValue sentinel in
+    * every signature slot and are filtered without materializing shingles.
+    * `dedup_keep_list` builds the identical logical plan, so Spark's
+    * CacheManager serves it the same InMemoryRelation — sharing, not
+    * re-running. At 100 TB the same shape holds: materialize the signature
+    * table once (cache/temp parquet), derive bands from it, verify from a
+    * recomputed map-side shingle projection. */
+  private def minhashSigTable(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashExpressions.register(s)
+    Tables.load(s, dir, "documents")
+      .selectExpr("doc_id", "graft_minhash_sig(text) AS sig")
+      .filter(s"element_at(sig, 1) != ${Long.MaxValue}L")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** doc_id + distinct 3-token shingle hashes (guarded for short docs),
+    * recomputed map-side per use — cheap native expression, poor cache
+    * economics (see [[minhashSigTable]]). */
   private def shingles(s: SparkSession, dir: String): DataFrame = {
     graft.functions.HashExpressions.register(s)
     Tables.load(s, dir, "documents")
       .selectExpr("doc_id", "graft_shingles(text) AS sh")
       .filter("size(sh) > 0")
+  }
+
+  /** doc_id + 60-bit SimHash, persisted so the block-LSH self-join reads the
+    * fingerprint from cache instead of deriving it twice. */
+  private[operators] def simhashFp(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashExpressions.register(s)
+    Tables.load(s, dir, "documents")
+      .selectExpr("doc_id", "graft_simhash(text) AS simhash")
+      .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
   private val duckShingles: String =
@@ -73,11 +104,8 @@ object Dedup {
     // candidates share a band, verified by exact shingle Jaccard ≥ 0.8 ------
     "dedup_minhash" -> QueryDef(
       (s, dir) => {
-        graft.functions.HashExpressions.register(s)
+        val sig = minhashSigTable(s, dir) // persisted slim: sig computed once
         val sh = shingles(s, dir)
-        val sig = Tables.load(s, dir, "documents")
-          .selectExpr("doc_id", "graft_shingles(text) AS sh", "graft_minhash_sig(text) AS sig")
-          .filter("size(sh) > 0")
         val bands = sig.selectExpr("doc_id",
           "explode(transform(sequence(0, 3), b -> struct(b AS band, concat_ws('_', slice(sig, b * 4 + 1, 4)) AS key))) AS bk")
           .selectExpr("doc_id", "bk.band AS band", "bk.key AS key")
@@ -93,7 +121,7 @@ object Dedup {
           .selectExpr("doc_a", "doc_b",
             "CAST(inter AS DOUBLE) / (sa + sb - inter) AS jaccard")
           .filter("jaccard >= 0.8")
-          .orderBy("doc_a", "doc_b")
+          .transform(graft.Sorted.byNames(_, "doc_a", "doc_b"))
       },
       s"""WITH $duckShingles,
          |sig AS (SELECT doc_id, sh, list_transform(range(0, 16), j -> list_min(list_transform(sh,
@@ -114,12 +142,7 @@ object Dedup {
 
     // ---- SimHash fingerprint per document (60-bit, token-vote) ------------
     "simhash_fingerprint" -> QueryDef(
-      (s, dir) => {
-        graft.functions.HashExpressions.register(s)
-        Tables.load(s, dir, "documents")
-          .selectExpr("doc_id", "graft_simhash(text) AS simhash")
-          .orderBy("doc_id")
-      },
+      (s, dir) => simhashFp(s, dir).orderBy("doc_id"),
       s"""WITH toks AS (SELECT doc_id,
          |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) AS toks
          |  FROM documents),
@@ -139,7 +162,7 @@ object Dedup {
     // ---- SimHash near-dup pairs: 4×15-bit block LSH, Hamming ≤ 3 ----------
     "dedup_simhash_pairs" -> QueryDef(
       (s, dir) => {
-        val fp = defs("simhash_fingerprint").fn(s, dir)
+        val fp = simhashFp(s, dir) // persisted: fingerprint computed once
         val blocks = fp.selectExpr("doc_id", "simhash",
           "explode(transform(sequence(0, 3), i -> struct(i AS blk, shiftright(simhash, i * 15) % 32768 AS bkey))) AS b")
           .selectExpr("doc_id", "simhash", "b.blk AS blk", "b.bkey AS bkey")
@@ -149,7 +172,7 @@ object Dedup {
             "bit_count(a.simhash ^ b.simhash) AS hamming")
           .distinct()
           .filter("hamming <= 3")
-          .orderBy("doc_a", "doc_b")
+          .transform(graft.Sorted.byNames(_, "doc_a", "doc_b"))
       },
       s"""WITH toks AS (SELECT doc_id,
          |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) AS toks
@@ -179,12 +202,14 @@ object Dedup {
     // MinHash pair set); corpus shrink factor is the headline dedup metric -
     "dedup_keep_list" -> QueryDef(
       (s, dir) => {
+        // Builds the same logical plan as dedup_minhash, so the persisted
+        // (doc_id, sh, sig) base is served from cache — shared, not re-run.
         val pairs = defs("dedup_minhash").fn(s, dir) // (doc_a < doc_b, jaccard)
         val drops = pairs.selectExpr("doc_b AS doc_id").distinct()
         Tables.load(s, dir, "documents")
           .join(drops.withColumn("dropped", lit(1)), Seq("doc_id"), "left")
           .selectExpr("doc_id", "CAST(dropped IS NULL AS INT) AS keep")
-          .orderBy("doc_id")
+          .transform(graft.Sorted.byNames(_, "doc_id"))
       },
       s"""WITH $duckShingles,
          |sig AS (SELECT doc_id, sh, list_transform(range(0, 16), j -> list_min(list_transform(sh,
@@ -207,6 +232,10 @@ object Dedup {
     "dedup_ngram_jaccard" -> QueryDef(
       (s, dir) => {
         graft.functions.HashExpressions.register(s)
+        // gram arrays are recomputed per use — the native graft_gram5 is a
+        // cheap map-side loop, and columnar-caching the heavy array<long>
+        // column measured SLOWER than recomputation (cache build + decode
+        // dominate). Candidate generation stays on slim rows.
         val d = Tables.load(s, dir, "documents")
           .filter("length(text) >= 5")
           .selectExpr("doc_id", "lang", "n_chars", "graft_gram5(text) AS g")
@@ -246,7 +275,7 @@ object Dedup {
           .selectExpr("doc_a", "doc_b",
             "CAST(inter AS DOUBLE) / (sa + sb - inter) AS jaccard")
           .filter("jaccard >= 0.7")
-          .orderBy("doc_a", "doc_b")
+          .transform(graft.Sorted.byNames(_, "doc_a", "doc_b"))
       },
       s"""WITH d AS (SELECT doc_id, lang, n_chars,
          |  list_transform(range(1, length(lower(text)) + 1), i -> ascii(substr(lower(text), i, 1))::BIGINT) AS ch

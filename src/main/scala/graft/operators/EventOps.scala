@@ -129,12 +129,12 @@ object EventOps {
         |         THEN 1 ELSE 0 END AS new_sess
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sess AS (
-        |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
         |  FROM flagged)
         |SELECT user_id, session_no, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
         |  COUNT(*) AS n_events,
-        |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
         |FROM sess GROUP BY user_id, session_no ORDER BY user_id, session_no""".stripMargin),
 
     // ---- P2: 3-way split — per-type measures from a single pass -----------
@@ -260,7 +260,7 @@ object EventOps {
               .when(col("c_acctbal") < 5000, lit("standard"))
               .otherwise(lit("premium")).as("acct_band"),
             date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_dt"))
-          .orderBy("o_orderkey")
+          .transform(graft.Sorted.byNames(_, "o_orderkey"))
       },
       """SELECT o_orderkey, o_custkey, c_name, c_mktsegment,
         | n_name AS nation, r_name AS region, o_totalprice,

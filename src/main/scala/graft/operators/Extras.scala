@@ -48,9 +48,11 @@ object Extras {
     // prefers native expressions — see HashExpressions) ---------------------
     "udf_surface" -> QueryDef(
       (s, dir) => {
-        val urgency = udf((p: String) => p.substring(0, 1).toInt match {
-          case 1 | 2 => "high"
-          case 3 => "medium"
+        // null/empty-safe: unparseable priorities classify as "low", matching
+        // the oracle's CASE fallthrough (NULL IN (...) is never TRUE in SQL).
+        val urgency = udf((p: String) => Option(p).filter(_.nonEmpty).map(_.charAt(0)) match {
+          case Some('1') | Some('2') => "high"
+          case Some('3') => "medium"
           case _ => "low"
         })
         Tables.load(s, dir, "orders")
@@ -105,16 +107,22 @@ object Extras {
         |SELECT l_returnflag, 'sum_base_price', sum_base_price FROM wide
         |ORDER BY l_returnflag, measure""".stripMargin),
 
-    // ---- sketch-based distinct (HLL++): algorithm-specific estimates have
-    // no cross-engine oracle; the driver records a rows-only check ----------
+    // ---- sketch-based distinct (HLL++): the raw estimate is engine-specific
+    // so it can't hash-match DuckDB; instead the output carries the exact
+    // count plus a deterministic within-tolerance flag for the estimate
+    // (HLL++ at default rsd 0.05 — 15% is 3 sigma). The oracle asserts the
+    // flag is 1, so the sketch IS checked, not just row-counted. ------------
     "approx_distinct" -> QueryDef(
-      fn = (s, dir) => {
+      (s, dir) => {
         val ev = Tables.load(s, dir, "events")
         ev.groupBy(col("event_type"))
           .agg(approx_count_distinct(col("user_id")).as("approx_users"),
             countDistinct(col("user_id")).as("exact_users"))
+          .selectExpr("event_type", "exact_users",
+            "CAST(abs(approx_users - exact_users) <= 0.15 * exact_users AS INT) AS approx_ok")
           .orderBy("event_type")
       },
-      oracle = None)
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, 1 AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
   )
 }

@@ -114,7 +114,7 @@ object Multimodal {
         decodeAll(mediaTable(s, dir)).toDF()
           .select(col("doc_id"), col("media_type"), col("byte_len"),
             col("width"), col("height"), col("duration_ms"), col("checksum"))
-          .orderBy("doc_id")
+          .transform(graft.Sorted.byNames(_, "doc_id"))
       },
       """WITH h AS (
         |  SELECT doc_id,
@@ -133,17 +133,31 @@ object Multimodal {
         |  checksum
         |FROM h ORDER BY doc_id""".stripMargin),
 
-    // ---- feature extraction: 16-bin byte histogram (rows-only check; the
-    // nested double array is not worth expressing in SQL) -------------------
+    // ---- feature extraction: 16-bin byte histogram. The histogram is
+    // deterministic byte math over the ASCII corpus, so the oracle replays
+    // it char-wise: bin = ascii // 16, f_b = count_b / max(len, 1), and
+    // f_sum is the same left-fold over bins 0..15 (IEEE-identical). --------
     "multimodal_features" -> QueryDef(
-      fn = (s, dir) => {
+      (s, dir) => {
         featuresAll(mediaTable(s, dir)).toDF()
           .selectExpr("doc_id", "round(features[0], 6) AS f0",
             "round(features[15], 6) AS f15",
             "round(aggregate(features, double(0), (a, x) -> a + x), 6) AS f_sum")
-          .orderBy("doc_id")
+          .transform(graft.Sorted.byNames(_, "doc_id"))
       },
-      oracle = None),
+      """WITH ch AS (
+        |  SELECT doc_id, length(text) AS n,
+        |    list_transform(range(1, length(text) + 1),
+        |      i -> ascii(substr(text, i, 1)) // 16) AS bins
+        |  FROM documents),
+        |hist AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 16),
+        |      b -> len(list_filter(bins, x -> x = b))::DOUBLE / greatest(n, 1)) AS f
+        |  FROM ch)
+        |SELECT doc_id, round(f[1], 6) AS f0, round(f[16], 6) AS f15,
+        |  round(list_reduce(list_prepend(0.0::DOUBLE, f), (a, b) -> a + b), 6) AS f_sum
+        |FROM hist ORDER BY doc_id""".stripMargin),
 
     // ---- frame sampling: explode binary into per-frame rows ---------------
     "multimodal_frames" -> QueryDef(

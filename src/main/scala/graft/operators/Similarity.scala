@@ -1,7 +1,10 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import scala.collection.immutable.ListMap
 
@@ -34,6 +37,29 @@ object Similarity {
   private val duckENorm =
     "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> (embedding[i] * embedding[i])::DOUBLE)), (a, b) -> a + b)"
 
+  /** Scale-safe top-k per query: a per-input-partition pre-reduction (rank
+    * within (q_id, spark_partition_id()), keep ≤ k) runs before the global
+    * per-q_id rank. Without it, ALL N×Q scored rows funnel into ≤ |Q| window
+    * reducers — with 10 query vectors that is a 10-reducer bottleneck at any
+    * scale. The pre-reduction spreads the heavy shuffle across (|Q| × input
+    * partitions) keys; only ≤ k·partitions rows per query reach the final
+    * window. Results are identical: per-partition top-k is a sound prefilter
+    * for global top-k under the same deterministic (cosine DESC, vec_id)
+    * order. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val order: Seq[Column] = Seq(col("cosine").desc, col("vec_id"))
+    val partial = scored
+      .withColumn("pid", spark_partition_id())
+      .withColumn("prank",
+        row_number().over(Window.partitionBy(col("q_id"), col("pid")).orderBy(order: _*)))
+      .filter(col("prank") <= k)
+      .drop("pid", "prank")
+    partial
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("q_id")).orderBy(order: _*)))
+      .filter(col("rank") <= k)
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
 
     // ---- brute-force cosine top-k (k=5) for 10 query vectors --------------
@@ -43,14 +69,10 @@ object Similarity {
         val emb = Tables.load(s, dir, "embeddings")
         val q = emb.filter(col("vec_id") < 10)
           .selectExpr("vec_id AS q_id", "embedding AS q_emb")
-        broadcast(q).join(emb, expr("vec_id != q_id"))
+        val scored = broadcast(q).join(emb, expr("vec_id != q_id"))
           .selectExpr("q_id", "vec_id",
             s"graft_cosine(q_emb, embedding) AS cosine")
-          .withColumn("rank",
-            row_number().over(org.apache.spark.sql.expressions.Window
-              .partitionBy(col("q_id"))
-              .orderBy(col("cosine").desc, col("vec_id"))))
-          .filter(col("rank") <= 5)
+        topKPerQuery(scored, 5)
           .select(col("q_id"), col("vec_id"), col("rank"), col("cosine"))
           .orderBy("q_id", "rank")
       },
@@ -74,14 +96,10 @@ object Similarity {
         val emb = Tables.load(s, dir, "embeddings")
         val q = emb.filter(col("vec_id") < 20)
           .selectExpr("vec_id AS q_id", "label AS q_label", "embedding AS q_emb")
-        broadcast(q).join(emb, expr("label = q_label AND vec_id != q_id"))
+        val scored = broadcast(q).join(emb, expr("label = q_label AND vec_id != q_id"))
           .selectExpr("q_id", "vec_id", "label",
             s"graft_cosine(q_emb, embedding) AS cosine")
-          .withColumn("rank",
-            row_number().over(org.apache.spark.sql.expressions.Window
-              .partitionBy(col("q_id"))
-              .orderBy(col("cosine").desc, col("vec_id"))))
-          .filter(col("rank") <= 3)
+        topKPerQuery(scored, 3)
           .select(col("q_id"), col("vec_id"), col("label"), col("rank"), col("cosine"))
           .orderBy("q_id", "rank")
       },
@@ -108,11 +126,14 @@ object Similarity {
         graft.functions.HashExpressions.register(s)
         val emb = Tables.load(s, dir, "embeddings")
         // deterministic hyperplanes: w[j][i] = ((i*1103 + j*907) % 2001 - 1000)/1000
-        val signed = emb.selectExpr("vec_id", "embedding",
+        // persisted slim (vec_id, sg): the 12-projection is the expensive
+        // part and the band self-join would otherwise compute it twice.
+        val signed = emb.selectExpr("vec_id",
           """transform(sequence(0, 11), j ->
             | CASE WHEN aggregate(zip_with(embedding,
             |   transform(sequence(1, 64), i -> double((i * 1103 + j * 907) % 2001 - 1000) / 1000.0),
             |   (x, w) -> double(x) * w), double(0), (a, b) -> a + b) >= 0 THEN 1 ELSE 0 END) AS sg""".stripMargin)
+          .persist(StorageLevel.MEMORY_AND_DISK)
         val bands = signed.selectExpr("vec_id",
           """explode(transform(sequence(0, 3), b -> struct(b AS band,
             | element_at(sg, b * 3 + 1) * 4 + element_at(sg, b * 3 + 2) * 2
@@ -127,7 +148,7 @@ object Similarity {
           .selectExpr("id_a", "id_b",
             s"graft_cosine(q_emb, embedding) AS cosine")
           .filter("cosine >= 0.45")
-          .orderBy("id_a", "id_b")
+          .transform(graft.Sorted.byNames(_, "id_a", "id_b"))
       },
       s"""WITH signed AS (
          |  SELECT vec_id, embedding,

@@ -49,7 +49,7 @@ object TextOps {
               |     WHEN s_de >= s_fr THEN 'de'
               |     ELSE 'fr' END AS pred_lang""".stripMargin,
             "s_en", "s_es", "s_de", "s_fr")
-          .orderBy("doc_id")
+          .transform(graft.Sorted.byNames(_, "doc_id"))
       },
       s"""WITH t AS (SELECT doc_id, lang AS labeled_lang,
          |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) AS toks
@@ -84,7 +84,7 @@ object TextOps {
             """least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
               | + CAST(n_uniq AS DOUBLE) / n_tokens * 0.3
               | + CAST(n_stop AS DOUBLE) / n_tokens * 0.3 AS quality""".stripMargin)
-          .orderBy("doc_id")
+          .transform(graft.Sorted.byNames(_, "doc_id"))
       },
       s"""WITH t AS (SELECT doc_id, n_chars,
          |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) AS toks,
@@ -112,7 +112,7 @@ object TextOps {
             "size(filter(split(text, '\\\\s+'), t -> length(t) > 0)) AS n_ws_tokens",
             "size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS n_re_tokens",
             "n_chars")
-          .orderBy("doc_id")
+          .transform(graft.Sorted.byNames(_, "doc_id"))
       },
       """SELECT doc_id, source,
         | len(list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0)) AS n_ws_tokens,
@@ -132,7 +132,7 @@ object TextOps {
                | t -> aggregate(transform(sequence(1, length(t)), i -> bigint(ascii(substring(t, i, 1)))),
                |   bigint(0), (h, ch) -> (h * 31 + ch) % ${Portable.P}L)), 1, 8),
                | bigint(0), (h, x) -> (h * 131 + x) % ${Portable.P}L) AS prefix_fp""".stripMargin)
-          .orderBy("doc_id")
+          .transform(graft.Sorted.byNames(_, "doc_id"))
       },
       s"""SELECT doc_id,
          | list_reduce(list_prepend(0::BIGINT,
