@@ -2,8 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -19,8 +20,11 @@ import scala.collection.mutable
   * JVM loop per row instead of millions of interpreted expression nodes —
   * at 100 TB these run map-side inside the scan stage.
   *
-  * CodegenFallback is acceptable here: each eval is O(len) work on one
-  * string, dwarfing the per-row virtual call the fallback costs.
+  * All expressions implement `doGenCode`, so they stay INSIDE whole-stage
+  * codegen (no CodegenFallback row boxing on the dedup hot path): the
+  * generated code is a single static-style call into the same tight loops
+  * `eval` uses, and array results are `UnsafeArrayData` (no per-element
+  * boxing on either path).
   */
 object HashExpressions {
   final val P: Long = Portable.P
@@ -130,60 +134,84 @@ object HashExpressions {
     seen.toArray
   }
 
-  private def longArray(a: Array[Long]): ArrayData = {
-    val boxed = new Array[Any](a.length)
+  // ---- codegen entry points: one call per row from the generated code,
+  // returning unsafe (unboxed) arrays. Referenced from doGenCode as
+  // `graft.functions.HashExpressions$.MODULE$.<name>(...)`. -----------------
+  def evalTokenHashes(s: UTF8String): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(tokenHashes(s))
+  def evalShingles(s: UTF8String): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(shingles(tokenHashes(s)))
+  def evalMinhashSig(s: UTF8String): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(minhashSig(shingles(tokenHashes(s))))
+  def evalSimhash(s: UTF8String): Long = simhash60(tokenHashes(s))
+  def evalGram5(s: UTF8String): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(gram5Hashes(s))
+  def evalCosine(l: ArrayData, r: ArrayData): Double = {
+    val a = l.toFloatArray()
+    val b = r.toFloatArray()
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
     var i = 0
-    while (i < a.length) { boxed(i) = a(i); i += 1 }
-    new GenericArrayData(boxed)
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dot += (a(i) * b(i)).toDouble // float multiply, double accumulate
+      na += (a(i) * a(i)).toDouble
+      nb += (b(i) * b(i)).toDouble
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  private val Self = "graft.functions.HashExpressions$.MODULE$"
+
   /** text -> array<long> of token poly-hashes (with multiplicity). */
-  case class TokenHashesExpr(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class TokenHashesExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(v: Any): Any =
-      longArray(tokenHashes(v.asInstanceOf[UTF8String]))
+    override def nullSafeEval(v: Any): Any = evalTokenHashes(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"${Self}.evalTokenHashes($c)")
     override protected def withNewChildInternal(c: Expression): TokenHashesExpr = copy(c)
     override def prettyName: String = "graft_token_hashes"
   }
 
   /** text -> array<long> of distinct 3-token shingle hashes. */
-  case class ShingleSetExpr(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class ShingleSetExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(v: Any): Any =
-      longArray(shingles(tokenHashes(v.asInstanceOf[UTF8String])))
+    override def nullSafeEval(v: Any): Any = evalShingles(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"${Self}.evalShingles($c)")
     override protected def withNewChildInternal(c: Expression): ShingleSetExpr = copy(c)
     override def prettyName: String = "graft_shingles"
   }
 
   /** text -> array<long>(16) MinHash signature (null-free; docs with no
     * shingles yield Long.MaxValue sentinels — filter on graft_shingles). */
-  case class MinHashSigExpr(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class MinHashSigExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(v: Any): Any =
-      longArray(minhashSig(shingles(tokenHashes(v.asInstanceOf[UTF8String]))))
+    override def nullSafeEval(v: Any): Any = evalMinhashSig(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"${Self}.evalMinhashSig($c)")
     override protected def withNewChildInternal(c: Expression): MinHashSigExpr = copy(c)
     override def prettyName: String = "graft_minhash_sig"
   }
 
   /** text -> 60-bit SimHash fingerprint. */
-  case class SimHashExpr(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class SimHashExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
-    override def nullSafeEval(v: Any): Any =
-      simhash60(tokenHashes(v.asInstanceOf[UTF8String]))
+    override def nullSafeEval(v: Any): Any = evalSimhash(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"${Self}.evalSimhash($c)")
     override protected def withNewChildInternal(c: Expression): SimHashExpr = copy(c)
     override def prettyName: String = "graft_simhash"
   }
 
   /** text -> array<long> of distinct rolling char-5-gram hashes. */
-  case class Gram5Expr(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class Gram5Expr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(v: Any): Any =
-      longArray(gram5Hashes(v.asInstanceOf[UTF8String]))
+    override def nullSafeEval(v: Any): Any = evalGram5(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"${Self}.evalGram5($c)")
     override protected def withNewChildInternal(c: Expression): Gram5Expr = copy(c)
     override def prettyName: String = "graft_gram5"
   }
@@ -193,25 +221,12 @@ object HashExpressions {
     * final division in DOUBLE — bit-identical to the SQL higher-order-
     * function form and to DuckDB's replay. */
   case class CosineExpr(left: Expression, right: Expression)
-      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-      with CodegenFallback {
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
     override def dataType: DataType = DoubleType
-    override def nullSafeEval(l: Any, r: Any): Any = {
-      val a = l.asInstanceOf[ArrayData].toFloatArray()
-      val b = r.asInstanceOf[ArrayData].toFloatArray()
-      var dot = 0.0
-      var na = 0.0
-      var nb = 0.0
-      var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) {
-        dot += (a(i) * b(i)).toDouble // float multiply, double accumulate
-        na += (a(i) * a(i)).toDouble
-        nb += (b(i) * b(i)).toDouble
-        i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
+    override def nullSafeEval(l: Any, r: Any): Any =
+      evalCosine(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$Self.evalCosine($a, $b)")
     override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineExpr =
       copy(l, r)
     override def prettyName: String = "graft_cosine"

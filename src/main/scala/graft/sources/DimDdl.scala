@@ -8,16 +8,31 @@ import org.apache.spark.sql.functions._
   * (RT/app/func/TableProcessFunction.java:141-183, RT/app/func/DimSink
   * .java:64-73): every column string-typed, one string primary key
   * (default "id"), created if absent.
+  *
+  * Scale design: dim tables are partitioned by `pk_bucket =
+  * pmod(xxhash64(pk), N)` and upserts use DYNAMIC partition overwrite —
+  * each micro-batch reads and rewrites ONLY the buckets its keys hash
+  * into, so per-batch I/O is O(touched buckets), not O(table). A small
+  * trickle batch touches a few buckets; a full reload touches all of them
+  * and degrades gracefully to the rewrite-everything cost. For the
+  * log-structured alternative (append + last-write-wins view, better for
+  * high-churn dims) see CdcRouter.processBatch/dimSnapshot.
   */
 object DimDdl {
 
   val SchemaName = "gmall_realtime" // GmallConfig.java:11 namespace parity
 
+  /** Hash-bucket count for dim partitioning. 16 keeps files per table
+    * bounded for reference-sized dims; at 100 TB scale set per-table from
+    * expected row count (buckets ≈ table_bytes / target_file_size). */
+  val NumBuckets = 16
+
   def ensureSchema(spark: SparkSession): Unit =
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $SchemaName")
 
   /** CREATE TABLE IF NOT EXISTS <schema>.<sinkTable>(cols string..., pk
-    * string) from the config row's CSV column list (sink_pk default id). */
+    * string) PARTITIONED BY (pk_bucket) from the config row's CSV column
+    * list (sink_pk default id). */
   def ensureTable(spark: SparkSession, sinkTable: String, sinkColumns: String,
       sinkPk: String): Unit = {
     ensureSchema(spark)
@@ -26,27 +41,52 @@ object DimDdl {
     val colDefs = (if (cols.contains(pk)) cols else pk +: cols)
       .map(c => s"`$c` STRING").mkString(", ")
     spark.sql(
-      s"CREATE TABLE IF NOT EXISTS $SchemaName.`$sinkTable` ($colDefs) USING parquet")
+      s"""CREATE TABLE IF NOT EXISTS $SchemaName.`$sinkTable`
+         | ($colDefs, `pk_bucket` INT)
+         | USING parquet PARTITIONED BY (`pk_bucket`)""".stripMargin)
   }
 
+  /** The partition a key's row lives in. */
+  def bucketOf(pk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(xxhash64(pk), lit(NumBuckets)).cast("int")
+
   /** Upsert a batch of rows (map column `data_pruned`) into the dim table:
-    * read-merge-overwrite keyed by pk, last write wins — `upsert into`
-    * parity without a transactional store. For the log-structured
-    * streaming variant see CdcRouter.processBatch/dimSnapshot. */
+    * keyed merge, last write wins — `upsert into` parity without a
+    * transactional store. Incremental: only the pk-buckets present in the
+    * batch are read (partition pruning) and rewritten (dynamic partition
+    * overwrite); untouched bucket files are left as-is. */
   def upsert(spark: SparkSession, sinkTable: String, sinkPk: String,
       batch: DataFrame): Unit = {
     val pk = Option(sinkPk).filter(_.nonEmpty).getOrElse("id")
     val target = s"$SchemaName.`$sinkTable`"
-    val cols = spark.table(target).columns
+    val dataCols = spark.table(target).columns.filter(_ != "pk_bucket")
     val incoming = batch
-      .select(cols.map(c => element_at(col("data_pruned"), c).as(c)): _*)
+      .select(dataCols.map(c => element_at(col("data_pruned"), c).as(c)): _*)
       .dropDuplicates(pk)
-    val merged = spark.table(target)
+      .withColumn("pk_bucket", bucketOf(col(pk)))
+    // bucket ids, not data: bounded by NumBuckets, safe to collect
+    val touched = incoming.select("pk_bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val existing = spark.table(target) // pruned scan: only touched partitions
+      .filter(col("pk_bucket").isin(touched: _*))
+    val merged = existing
       .join(incoming.select(col(pk).as("__pk")), col(pk) === col("__pk"), "left_anti")
+      .drop("__pk")
       .unionByName(incoming)
-    // stage to a scratch dir: Spark cannot overwrite a table it is reading
+      .select((dataCols :+ "pk_bucket").map(col): _*) // insertInto is positional
+    // stage to a scratch dir (Spark cannot overwrite partitions it is
+    // reading) — O(touched buckets) I/O, not O(table)
     val scratch = java.nio.file.Files.createTempDirectory("dim_upsert").toString
     merged.write.mode("overwrite").parquet(scratch)
-    spark.read.parquet(scratch).write.mode("overwrite").insertInto(target)
+    // session conf, not writer option: insertInto ignores the per-write
+    // partitionOverwriteMode option on catalog tables
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try spark.read.parquet(scratch).write.mode("overwrite").insertInto(target)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 }

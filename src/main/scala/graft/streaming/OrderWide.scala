@@ -1,10 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** P6 — order wide table: watermarked stream-stream interval join plus
-  * chained dimension enrichments.
+  * chained dimension enrichments, at full reference-bean parity.
   *
   * Reference: RT/app/dwm/OrderWideApp.java:48-263 —
   *  - both order streams parsed with `create_ts` derived from the
@@ -16,40 +17,65 @@ import org.apache.spark.sql.functions._
   *  - 6 async Redis/Phoenix dim lookups (lines 149-251) become broadcast
   *    stream-static joins — vectorized, no per-row RPC, dims re-read per
   *    micro-batch when driven through foreachBatch.
+  *
+  * Field surface mirrors `RT/bean/OrderInfo.java:13-29` (15 fields),
+  * `RT/bean/OrderDetail.java:13-25` (11 fields) and the 34-field
+  * `RT/bean/OrderWide.java:16-51`, populated exactly as
+  * `mergeOrderInfo`/`mergeOrderDetail` (OrderWide.java:57-82) plus the six
+  * dim joins (OrderWideApp.java:149-251). `split_feight_fee` exists on the
+  * bean but is never populated by the reference either — it stays a typed
+  * null column. Each stream is parsed with a single `from_json` against an
+  * explicit schema (one parse per record, not one per field).
   */
 object OrderWide {
 
-  /** Parse a raw order_info JSON stream: derive event-time `create_ts`. */
-  def parseInfo(raw: DataFrame): DataFrame =
-    raw.selectExpr(
-        "get_json_object(value, '$.id') AS id",
-        "get_json_object(value, '$.province_id') AS province_id",
-        "get_json_object(value, '$.order_status') AS order_status",
-        "get_json_object(value, '$.user_id') AS user_id",
-        "get_json_object(value, '$.total_amount') AS total_amount",
-        "get_json_object(value, '$.create_time') AS create_time")
-      .select(
-        col("id").cast("long"), col("province_id").cast("long"),
-        col("order_status"), col("user_id").cast("long"),
-        col("total_amount").cast("decimal(16,2)"),
-        to_timestamp(col("create_time"), "yyyy-MM-dd HH:mm:ss").as("create_ts"))
+  /** OrderInfo JSON schema — RT/bean/OrderInfo.java:13-29 (create_date /
+    * create_hour / create_ts are derived, not parsed). */
+  val infoSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("province_id", LongType),
+    StructField("order_status", StringType),
+    StructField("user_id", LongType),
+    StructField("total_amount", DecimalType(16, 2)),
+    StructField("activity_reduce_amount", DecimalType(16, 2)),
+    StructField("coupon_reduce_amount", DecimalType(16, 2)),
+    StructField("original_total_amount", DecimalType(16, 2)),
+    StructField("feight_fee", DecimalType(16, 2)),
+    StructField("expire_time", StringType),
+    StructField("create_time", StringType),
+    StructField("operate_time", StringType)))
 
-  /** Parse a raw order_detail JSON stream. */
+  /** OrderDetail JSON schema — RT/bean/OrderDetail.java:13-25. */
+  val detailSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("order_id", LongType),
+    StructField("sku_id", LongType),
+    StructField("order_price", DecimalType(16, 2)),
+    StructField("sku_num", LongType),
+    StructField("sku_name", StringType),
+    StructField("create_time", StringType),
+    StructField("split_total_amount", DecimalType(16, 2)),
+    StructField("split_activity_amount", DecimalType(16, 2)),
+    StructField("split_coupon_amount", DecimalType(16, 2))))
+
+  /** Parse a raw order_info JSON stream: one `from_json` per record, then
+    * the derived fields — event-time `create_ts` plus `create_date` /
+    * `create_hour` (OrderWideApp.java:79-84; OrderInfo.java:27-28). */
+  def parseInfo(raw: DataFrame): DataFrame =
+    raw.select(from_json(col("value"), infoSchema).as("o"))
+      .select(col("o.*"))
+      .withColumn("create_ts", to_timestamp(col("create_time"), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("create_date", substring(col("create_time"), 1, 10))
+      .withColumn("create_hour", substring(col("create_time"), 12, 2))
+
+  /** Parse a raw order_detail JSON stream (OrderWideApp.java:89-98);
+    * `id` becomes `detail_id` as in OrderWide.mergeOrderDetail. */
   def parseDetail(raw: DataFrame): DataFrame =
-    raw.selectExpr(
-        "get_json_object(value, '$.id') AS detail_id",
-        "get_json_object(value, '$.order_id') AS order_id",
-        "get_json_object(value, '$.sku_id') AS sku_id",
-        "get_json_object(value, '$.sku_name') AS sku_name",
-        "get_json_object(value, '$.order_price') AS order_price",
-        "get_json_object(value, '$.sku_num') AS sku_num",
-        "get_json_object(value, '$.create_time') AS create_time")
-      .select(
-        col("detail_id").cast("long"), col("order_id").cast("long"),
-        col("sku_id").cast("long"), col("sku_name"),
-        col("order_price").cast("decimal(16,2)"),
-        col("sku_num").cast("long"),
-        to_timestamp(col("create_time"), "yyyy-MM-dd HH:mm:ss").as("d_create_ts"))
+    raw.select(from_json(col("value"), detailSchema).as("d"))
+      .select(col("d.*"))
+      .withColumnRenamed("id", "detail_id")
+      .withColumn("d_create_ts", to_timestamp(col("create_time"), "yyyy-MM-dd HH:mm:ss"))
+      .drop("create_time")
 
   /** Event-time interval join: detail.ts within ±`boundSeconds` of info.ts,
     * equi on order id, 3 s watermarks on both sides (reference semantics;
@@ -64,31 +90,98 @@ object OrderWide {
         col("d_create_ts") <= col("create_ts") + expr(s"INTERVAL $boundSeconds SECONDS"))
   }
 
-  /** The six dimension enrichments as broadcast left joins + derived columns
-    * (age from birthday as-of a fixed date for determinism; province/sku/
-    * spu/category3/trademark renames — OrderWideApp.java:149-251). Dims are
-    * the all-varchar shape of FIXTURES.md §B.6. */
-  def enrich(wide: DataFrame, dims: Dims, asOfDate: String): DataFrame =
-    wide
+  /** The six dimension enrichments as broadcast left joins + derived
+    * columns, with the reference's field flow (OrderWideApp.java:149-251):
+    *  - user: age from birthday (as-of a fixed date for determinism) and
+    *    `user_gender` (lines 157-161);
+    *  - province: name / area_code / iso_code / 3166-2 renames (175-182);
+    *  - sku: dim SKU_NAME overrides the detail's sku_name when present, and
+    *    the dim supplies `spu_id` / `category3_id` / `tm_id` for the three
+    *    downstream joins (196-203) — they are NOT fact columns;
+    *  - spu / category3 / trademark names (209-251).
+    * Missing dim rows pass through as nulls (the async lookup's no-hit
+    * behavior). Dims are the all-varchar shape of FIXTURES.md §B.6. */
+  def enrich(wide: DataFrame, dims: Dims, asOfDate: String): DataFrame = {
+    val u = wide
       .join(broadcast(dims.user), col("user_id") === dims.user("uid"), "left")
       .withColumn("user_age",
         floor(months_between(lit(asOfDate).cast("date"), col("birthday")) / 12).cast("int"))
+      .withColumnRenamed("gender", "user_gender")
       .drop("uid", "birthday")
+    val p = u
       .join(broadcast(dims.province), col("province_id") === dims.province("pid"), "left")
+      .withColumnRenamed("iso_code", "province_iso_code")
+      .withColumnRenamed("area_code", "province_area_code")
+      .withColumnRenamed("iso_3166_2", "province_3166_2_code")
       .drop("pid")
+    val skuJoined = p
       .join(broadcast(dims.sku), col("sku_id") === dims.sku("skid"), "left")
-      .drop("skid")
+    val sk = (if (p.columns.contains("sku_name"))
+        // reference overwrites sku_name from DIM_SKU_INFO when the dim row
+        // exists, keeps the detail's value otherwise
+        skuJoined.withColumn("sku_name", coalesce(col("dim_sku_name"), col("sku_name")))
+      else skuJoined.withColumnRenamed("dim_sku_name", "sku_name"))
+      .drop("dim_sku_name", "skid")
+    sk
       .join(broadcast(dims.spu), col("spu_id") === dims.spu("spid"), "left")
       .drop("spid")
       .join(broadcast(dims.category3), col("category3_id") === dims.category3("c3id"), "left")
       .drop("c3id")
       .join(broadcast(dims.trademark), col("tm_id") === dims.trademark("tmid"), "left")
       .drop("tmid")
+  }
+
+  /** Final projection to the complete 34-field OrderWide surface
+    * (RT/bean/OrderWide.java:16-51, field order preserved).
+    * `split_feight_fee` is a typed null — the reference bean declares but
+    * never populates it. Columns the upstream didn't provide (e.g. a test
+    * fixture without every dim) surface as typed nulls too. */
+  def toOrderWide(enriched: DataFrame): DataFrame = {
+    val have = enriched.columns.toSet
+    def c(name: String, t: DataType): Column =
+      (if (have(name)) col(name) else lit(null).cast(t)).as(name)
+    enriched.select(
+      c("detail_id", LongType),
+      c("order_id", LongType),
+      c("sku_id", LongType),
+      c("order_price", DecimalType(16, 2)),
+      c("sku_num", LongType),
+      c("sku_name", StringType),
+      c("province_id", LongType),
+      c("order_status", StringType),
+      c("user_id", LongType),
+      c("total_amount", DecimalType(16, 2)),
+      c("activity_reduce_amount", DecimalType(16, 2)),
+      c("coupon_reduce_amount", DecimalType(16, 2)),
+      c("original_total_amount", DecimalType(16, 2)),
+      c("feight_fee", DecimalType(16, 2)),
+      c("split_feight_fee", DecimalType(16, 2)),
+      c("split_activity_amount", DecimalType(16, 2)),
+      c("split_coupon_amount", DecimalType(16, 2)),
+      c("split_total_amount", DecimalType(16, 2)),
+      c("expire_time", StringType),
+      c("create_time", StringType),
+      c("operate_time", StringType),
+      c("create_date", StringType),
+      c("create_hour", StringType),
+      c("province_name", StringType),
+      c("province_area_code", StringType),
+      c("province_iso_code", StringType),
+      c("province_3166_2_code", StringType),
+      c("user_age", IntegerType),
+      c("user_gender", StringType),
+      c("spu_id", LongType),
+      c("tm_id", LongType),
+      c("category3_id", LongType),
+      c("spu_name", StringType),
+      c("tm_name", StringType),
+      c("category3_name", StringType))
+  }
 
   /** Dimension table bundle (FIXTURES.md §B.6 columns). */
   case class Dims(
       user: DataFrame,      // uid, birthday, gender
-      province: DataFrame,  // pid, province_name, iso_code, area_code
+      province: DataFrame,  // pid, province_name, iso_code, area_code, iso_3166_2
       sku: DataFrame,       // skid, dim_sku_name, spu_id, category3_id, tm_id
       spu: DataFrame,       // spid, spu_name
       category3: DataFrame, // c3id, category3_name

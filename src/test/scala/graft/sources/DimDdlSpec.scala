@@ -6,16 +6,26 @@ import org.apache.spark.sql.functions._
 class DimDdlSpec extends SparkSpec {
   import spark.implicits._
 
+  private def batch(rows: (String, String, String)*) =
+    rows.toSeq.toDF("id", "name", "birthday")
+      .select(map(lit("id"), col("id"), lit("name"), col("name"),
+        lit("birthday"), col("birthday")).as("data_pruned"))
+
+  private def dropClean(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${DimDdl.SchemaName}.`$name`")
+    val loc = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      s"${DimDdl.SchemaName}.db", name)
+    if (java.nio.file.Files.exists(loc))
+      org.apache.commons.io.FileUtils.deleteDirectory(loc.toFile)
+  }
+
   test("config-driven CREATE TABLE IF NOT EXISTS + keyed upsert (last write wins)") {
+    dropClean("dim_user_info_t")
     DimDdl.ensureTable(spark, "dim_user_info_t", "id,name,birthday", "id")
     DimDdl.ensureTable(spark, "dim_user_info_t", "id,name,birthday", "id") // idempotent
     val t = s"${DimDdl.SchemaName}.`dim_user_info_t`"
-    assert(spark.table(t).columns.toSeq == Seq("id", "name", "birthday"))
-
-    def batch(rows: (String, String, String)*) =
-      rows.toSeq.toDF("id", "name", "birthday")
-        .select(map(lit("id"), col("id"), lit("name"), col("name"),
-          lit("birthday"), col("birthday")).as("data_pruned"))
+    assert(spark.table(t).columns.toSeq == Seq("id", "name", "birthday", "pk_bucket"))
 
     DimDdl.upsert(spark, "dim_user_info_t", "id",
       batch(("u1", "alice", "1990-01-01"), ("u2", "bob", "1991-01-01")))
@@ -24,6 +34,45 @@ class DimDdlSpec extends SparkSpec {
     val byId = spark.table(t).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(byId == Map("u1" -> "alice2", "u2" -> "bob"))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("incremental upsert rewrites only the touched pk-buckets' files") {
+    dropClean("dim_incr_t")
+    DimDdl.ensureTable(spark, "dim_incr_t", "id,name,birthday", "id")
+    val t = s"${DimDdl.SchemaName}.`dim_incr_t`"
+    // pick ids that land in different buckets so batch 2 leaves some alone
+    val ids = (1 to 40).map(i => s"u$i")
+    val buckets = ids.map(id => id ->
+      spark.range(1).select(DimDdl.bucketOf(lit(id))).head.getInt(0)).toMap
+    val (idA, idB) = {
+      val distinct = ids.groupBy(buckets).values.map(_.head).toSeq
+      (distinct(0), distinct(1)) // two ids in two different buckets
+    }
+    DimDdl.upsert(spark, "dim_incr_t", "id",
+      batch((idA, "a-v1", "1990-01-01"), (idB, "b-v1", "1991-01-01")))
+
+    def filesByBucket(): Map[Int, Set[String]] =
+      spark.table(t).select(col("pk_bucket"), input_file_name().as("f"))
+        .distinct().collect()
+        .groupBy(_.getInt(0)).map { case (b, rs) => b -> rs.map(_.getString(1)).toSet }
+
+    val before = filesByBucket()
+    assert(before.keySet == Set(buckets(idA), buckets(idB)))
+
+    // batch 2 touches only idA's bucket
+    DimDdl.upsert(spark, "dim_incr_t", "id", batch((idA, "a-v2", "1990-01-01")))
+    val after = filesByBucket()
+
+    // untouched bucket: identical files (not rewritten); touched: new files
+    assert(after(buckets(idB)) == before(buckets(idB)),
+      "untouched bucket was rewritten")
+    assert(after(buckets(idA)) != before(buckets(idA)),
+      "touched bucket should have new files")
+    // values: idA updated, idB untouched
+    val byId = spark.table(t).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byId == Map(idA -> "a-v2", idB -> "b-v1"))
     spark.sql(s"DROP TABLE $t")
   }
 }

@@ -18,7 +18,8 @@ class OrderWideChainSpec extends SparkSpec {
     val dims = OrderWide.Dims(
       user = Seq((11L, "1990-06-15", "M")).toDF("uid", "birthday", "gender")
         .withColumn("birthday", col("birthday").cast("date")),
-      province = Seq((3L, "Shandong", "CN-37", "370000")).toDF("pid", "province_name", "iso_code", "area_code"),
+      province = Seq((3L, "Shandong", "CN-37", "370000", "CN-SD"))
+        .toDF("pid", "province_name", "iso_code", "area_code", "iso_3166_2"),
       sku = Seq((5L, "iPhone", 7L, 9L, 13L)).toDF("skid", "dim_sku_name", "spu_id", "category3_id", "tm_id"),
       spu = Seq((7L, "iPhone family")).toDF("spid", "spu_name"),
       category3 = Seq((9L, "Phones")).toDF("c3id", "category3_name"),
@@ -35,7 +36,7 @@ class OrderWideChainSpec extends SparkSpec {
       val out = spark.table("owchain").collect()
       assert(out.length == 1)
       val r = out.head
-      assert(r.getAs[String]("gender") == "M")
+      assert(r.getAs[String]("user_gender") == "M")
       assert(r.getAs[Int]("user_age") == 33)
       assert(r.getAs[String]("province_name") == "Shandong")
       assert(r.getAs[String]("tm_name") == "Apple")

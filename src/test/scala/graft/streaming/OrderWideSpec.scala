@@ -14,6 +14,17 @@ class OrderWideSpec extends SparkSpec {
     s"""{"id":$id,"order_id":$order,"sku_id":$sku,"sku_name":"thing",
        |"order_price":99.00,"sku_num":1,"create_time":"$t"}""".stripMargin.replaceAll("\n", "")
 
+  private def refDims = OrderWide.Dims(
+    user = Seq((11L, "1990-06-15", "M")).toDF("uid", "birthday", "gender")
+      .withColumn("birthday", col("birthday").cast("date")),
+    province = Seq((3L, "Shandong", "CN-37", "370000", "CN-SD"))
+      .toDF("pid", "province_name", "iso_code", "area_code", "iso_3166_2"),
+    sku = Seq((5L, "iPhone", 7L, 9L, 13L))
+      .toDF("skid", "dim_sku_name", "spu_id", "category3_id", "tm_id"),
+    spu = Seq((7L, "iPhone family")).toDF("spid", "spu_name"),
+    category3 = Seq((9L, "Phones")).toDF("c3id", "category3_name"),
+    trademark = Seq((13L, "Apple")).toDF("tmid", "tm_name"))
+
   test("stream-stream interval join: only details within ±5 s of the order") {
     implicit val sq = spark.sqlContext
     val msI = MemoryStream[String]
@@ -34,23 +45,22 @@ class OrderWideSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("six-dimension broadcast enrichment with derived age") {
-    val wide = Seq((1L, 11L, 3L, 5L, 7L, 9L, 13L))
-      .toDF("id", "user_id", "province_id", "sku_id", "spu_id", "category3_id", "tm_id")
-    val dims = OrderWide.Dims(
-      user = Seq((11L, "1990-06-15", "M")).toDF("uid", "birthday", "gender")
-        .withColumn("birthday", col("birthday").cast("date")),
-      province = Seq((3L, "Shandong", "CN-37", "370000")).toDF("pid", "province_name", "iso_code", "area_code"),
-      sku = Seq((5L, "iPhone", 7L, 9L, 13L)).toDF("skid", "dim_sku_name", "d_spu_id", "d_c3_id", "d_tm_id"),
-      spu = Seq((7L, "iPhone family")).toDF("spid", "spu_name"),
-      category3 = Seq((9L, "Phones")).toDF("c3id", "category3_name"),
-      trademark = Seq((13L, "Apple")).toDF("tmid", "tm_name"))
-    val out = OrderWide.enrich(wide, dims, asOfDate = "2024-01-01").collect().head
-    val m = out.getValuesMap[Any](Seq("user_age", "gender", "province_name",
-      "dim_sku_name", "spu_name", "category3_name", "tm_name"))
+  test("six-dimension broadcast enrichment with derived age and dim-sourced spu/category3/tm ids") {
+    // reference flow: the fact carries only user/province/sku ids; spu_id,
+    // category3_id and tm_id come from DIM_SKU_INFO (OrderWideApp.java:196-203)
+    val wide = Seq((1L, 11L, 3L, 5L)).toDF("id", "user_id", "province_id", "sku_id")
+    val out = OrderWide.enrich(wide, refDims, asOfDate = "2024-01-01").collect().head
+    val m = out.getValuesMap[Any](Seq("user_age", "user_gender", "province_name",
+      "province_3166_2_code", "sku_name", "spu_id", "category3_id", "tm_id",
+      "spu_name", "category3_name", "tm_name"))
     assert(m("user_age") == 33)
-    assert(m("gender") == "M")
+    assert(m("user_gender") == "M")
     assert(m("province_name") == "Shandong")
+    assert(m("province_3166_2_code") == "CN-SD")
+    assert(m("sku_name") == "iPhone")
+    assert(m("spu_id") == 7L)
+    assert(m("category3_id") == 9L)
+    assert(m("tm_id") == 13L)
     assert(m("spu_name") == "iPhone family")
     assert(m("category3_name") == "Phones")
     assert(m("tm_name") == "Apple")
@@ -59,7 +69,6 @@ class OrderWideSpec extends SparkSpec {
   test("missing dim rows pass through as nulls (left join, skip-on-null parity)") {
     val wide = Seq((1L, 99L, 98L, 97L, 96L, 95L, 94L))
       .toDF("id", "user_id", "province_id", "sku_id", "spu_id", "category3_id", "tm_id")
-    val empty = spark.emptyDataFrame
     val dims = OrderWide.Dims(
       user = Seq.empty[(Long, String, String)].toDF("uid", "birthday", "gender")
         .withColumn("birthday", col("birthday").cast("date")),
@@ -69,8 +78,67 @@ class OrderWideSpec extends SparkSpec {
       category3 = Seq.empty[(Long, String)].toDF("c3id", "category3_name"),
       trademark = Seq.empty[(Long, String)].toDF("tmid", "tm_name"))
     val out = OrderWide.enrich(wide, dims, asOfDate = "2024-01-01").collect().head
-    assert(out.getAs[Any]("gender") == null)
+    assert(out.getAs[Any]("user_gender") == null)
     assert(out.getAs[Any]("tm_name") == null)
     assert(out.getAs[Long]("id") == 1L)
+  }
+
+  test("full 34-field OrderWide surface: golden row through parse -> join -> enrich -> project") {
+    implicit val sq = spark.sqlContext
+    val fullInfo =
+      """{"id":1,"province_id":3,"order_status":"1001","user_id":11,
+        |"total_amount":199.00,"activity_reduce_amount":10.00,
+        |"coupon_reduce_amount":5.00,"original_total_amount":214.00,
+        |"feight_fee":8.00,"expire_time":"2021-11-13 11:25:00",
+        |"create_time":"2021-11-13 11:10:00",
+        |"operate_time":"2021-11-13 11:11:00"}""".stripMargin.replaceAll("\n", "")
+    val fullDetail =
+      """{"id":101,"order_id":1,"sku_id":5,"sku_name":"thing",
+        |"order_price":99.00,"sku_num":2,"create_time":"2021-11-13 11:10:02",
+        |"split_total_amount":198.00,"split_activity_amount":9.00,
+        |"split_coupon_amount":4.00}""".stripMargin.replaceAll("\n", "")
+    val msI = MemoryStream[String]
+    val msD = MemoryStream[String]
+    val joined = OrderWide.intervalJoin(
+      OrderWide.parseInfo(msI.toDF()), OrderWide.parseDetail(msD.toDF()), boundSeconds = 5)
+    val wide = OrderWide.toOrderWide(
+      OrderWide.enrich(joined, refDims, asOfDate = "2024-01-01"))
+    assert(wide.columns.length == 35) // 34 populated + declared-only split_feight_fee
+    val q = wide.writeStream.format("memory").queryName("owfull").outputMode("append").start()
+    try {
+      msI.addData(fullInfo)
+      msD.addData(fullDetail)
+      q.processAllAvailable()
+      val rows = spark.table("owfull").collect()
+      assert(rows.length == 1)
+      val r = rows.head
+      val expect = Map(
+        "detail_id" -> 101L, "order_id" -> 1L, "sku_id" -> 5L,
+        "order_price" -> new java.math.BigDecimal("99.00"),
+        "sku_num" -> 2L, "sku_name" -> "iPhone", // dim overrides detail value
+        "province_id" -> 3L, "order_status" -> "1001", "user_id" -> 11L,
+        "total_amount" -> new java.math.BigDecimal("199.00"),
+        "activity_reduce_amount" -> new java.math.BigDecimal("10.00"),
+        "coupon_reduce_amount" -> new java.math.BigDecimal("5.00"),
+        "original_total_amount" -> new java.math.BigDecimal("214.00"),
+        "feight_fee" -> new java.math.BigDecimal("8.00"),
+        "split_feight_fee" -> null,
+        "split_activity_amount" -> new java.math.BigDecimal("9.00"),
+        "split_coupon_amount" -> new java.math.BigDecimal("4.00"),
+        "split_total_amount" -> new java.math.BigDecimal("198.00"),
+        "expire_time" -> "2021-11-13 11:25:00",
+        "create_time" -> "2021-11-13 11:10:00",
+        "operate_time" -> "2021-11-13 11:11:00",
+        "create_date" -> "2021-11-13", "create_hour" -> "11",
+        "province_name" -> "Shandong", "province_area_code" -> "370000",
+        "province_iso_code" -> "CN-37", "province_3166_2_code" -> "CN-SD",
+        "user_age" -> 33, "user_gender" -> "M",
+        "spu_id" -> 7L, "tm_id" -> 13L, "category3_id" -> 9L,
+        "spu_name" -> "iPhone family", "tm_name" -> "Apple",
+        "category3_name" -> "Phones")
+      expect.foreach { case (k, v) =>
+        assert(r.getAs[Any](k) == v, s"field $k: got ${r.getAs[Any](k)}, want $v")
+      }
+    } finally q.stop()
   }
 }
