@@ -21,6 +21,11 @@ import org.apache.spark.sql.Row
   *    15 min txn timeout) has no Spark equivalent — the Kafka sink is
   *    at-least-once; end-to-end exactly-once requires idempotent consumers
   *    or a transactional store (documented semantic gap, SURVEY.md §7.4.3).
+  *    The working recipe is demonstrated: a replayed micro-batch appends
+  *    byte-identical (topic, batch_id, value) records, so consumer-side
+  *    keyed dedup restores exactly-once — see
+  *    [[graft.streaming.CdcRouter.factsExactlyOnce]] and the
+  *    "at-least-once replay" test in CdcRouterSpec.
   */
 object Kafka {
 

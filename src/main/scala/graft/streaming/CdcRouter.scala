@@ -62,6 +62,19 @@ object CdcRouter {
     } finally routed.unpersist()
   }
 
+  /** Exactly-once view over the at-least-once facts log. Spark's Kafka (and
+    * file) sinks are at-least-once: a micro-batch replayed after a failure
+    * between sink write and checkpoint commit appends byte-identical
+    * (sink_table, batch_id, data) rows. Keyed dedup on read restores
+    * exactly-once — the idempotent-consumer recipe for the reference's
+    * transactional-producer gap (MyKafkaUtil.java:43-49; see
+    * sources/Kafka.scala scaladoc and CdcRouterSpec's replay test). At
+    * scale this is a per-(batch_id) shuffle-free dedup when the log is
+    * partitioned by batch_id; here the general dropDuplicates form. */
+  def factsExactlyOnce(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/facts")
+      .dropDuplicates("sink_table", "batch_id", "data")
+
   /** Read the current dim snapshot: last write per (sink_table, pk) from the
     * upsert log — the keyed-KV-store view the reference holds in HBase. */
   def dimSnapshot(spark: SparkSession, outDir: String): DataFrame = {

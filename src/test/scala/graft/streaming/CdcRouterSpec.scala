@@ -40,6 +40,27 @@ class CdcRouterSpec extends SparkSpec {
     assert(rows.head.getAs[String]("sink_table") == "dwd_order_info")
   }
 
+  test("at-least-once replay: idempotent re-consumption restores exactly-once counts") {
+    val out = tmpDir("cdcreplay")
+    val b0 = CdcRouter.parse(Seq(
+      cdc("order_info", "insert", """{"id":"1","user_id":"u1","total_amount":"5.00"}"""),
+      cdc("order_info", "insert", """{"id":"2","user_id":"u2","total_amount":"7.00"}""")).toDF("value"))
+    CdcRouter.processBatch(b0, configDf, out, 0L)
+    // forced replay: the same micro-batch re-runs after a failure between
+    // sink write and checkpoint commit (at-least-once duplicates)
+    CdcRouter.processBatch(b0, configDf, out, 0L)
+    val b1 = CdcRouter.parse(Seq(
+      cdc("order_info", "insert", """{"id":"3","user_id":"u3","total_amount":"9.00"}""")).toDF("value"))
+    CdcRouter.processBatch(b1, configDf, out, 1L)
+
+    val raw = spark.read.parquet(s"$out/facts")
+    assert(raw.count() == 5, "at-least-once log should contain the duplicates")
+    val eo = CdcRouter.factsExactlyOnce(spark, out)
+    assert(eo.count() == 3, "idempotent view should restore exactly-once counts")
+    val ids = eo.select(get_json_object(col("data"), "$.id")).as[String].collect().toSet
+    assert(ids == Set("1", "2", "3"))
+  }
+
   test("dim upsert: last write per primary key wins across batches") {
     val out = tmpDir("cdcrouter")
     val b0 = CdcRouter.parse(Seq(
