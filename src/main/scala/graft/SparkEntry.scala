@@ -20,7 +20,8 @@ object SparkEntry {
       operators.TextOps.defs ++
       operators.Similarity.defs ++
       operators.Multimodal.defs ++
-      operators.Extras.defs
+      operators.Extras.defs ++
+      operators.Curation.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,169 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.Portable.{MIX, P}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import scala.collection.immutable.ListMap
+
+/** Corpus-curation operators — the composition layer of the LLM-data
+  * pipeline: transitive dedup clustering, deterministic stratified
+  * sampling, sequence-length bucketing for batch packing, and an
+  * end-to-end curation filter chain. All oracle-checked; sampling and
+  * bucketing use pure int64 arithmetic shared with DuckDB.
+  */
+object Curation {
+
+  /** Connected components over an undirected pair graph (columns doc_a,
+    * doc_b): Pregel-style min-label propagation. Returns (doc_id,
+    * cluster_id = min id in component, cluster_size). Per iteration one
+    * join+groupBy shuffle; iterations bounded by component diameter with a
+    * hard cap. The driver loop iterates over ROUNDS, not rows. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("doc_a"), col("doc_b"))
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels: DataFrame = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var persisted: Option[DataFrame] = None
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
+      val step = labels.join(prop, labels("id") === prop("dst"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("nl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = step.filter(col("nl") < col("label")).count()
+      persisted.foreach(_.unpersist())
+      persisted = Some(step)
+      labels = step.select(col("id"), col("nl").as("label"))
+      iters += 1
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+  }
+
+  val defs: ListMap[String, QueryDef] = ListMap(
+
+    // ---- connected components over the MinHash near-dup graph: the
+    // transitive-closure upgrade of dedup_keep_list's greedy pair drop
+    // (a~b, b~c => {a,b,c} one cluster even if a,c never collide).
+    // Pregel-style min-label propagation: per iteration one join+groupBy
+    // shuffle, iterations bounded by component diameter (near-dup clusters
+    // are shallow; 25-iteration hard cap). The driver loop iterates over
+    // ROUNDS, not rows — each round is fully distributed. --------------------
+    "dedup_clusters" -> QueryDef(
+      (s, dir) => {
+        val pairs = Dedup.defs("dedup_minhash").fn(s, dir).select("doc_a", "doc_b")
+        connectedComponents(pairs)
+          .transform(graft.Sorted.byNames(_, "doc_id"))
+      },
+      s"""WITH RECURSIVE ${Dedup.duckPairsCtes},
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |walk(id, label) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id),
+         |comp AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY id)
+         |SELECT doc_id, cluster_id,
+         |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+         |FROM comp ORDER BY doc_id""".stripMargin),
+
+    // ---- deterministic stratified sampling: per-language keep rates via
+    // portable int64 hashing — reproducible across engines and runs, no RNG
+    // state. Map-side only (zero shuffle); at 100 TB this is the shape of
+    // training-mix sampling (rate per stratum, hash on a stable key). -------
+    "sample_stratified" -> QueryDef(
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .filter(expr(s"(doc_id * ${MIX}L + 7919L) % 1000 " +
+            "< IF(lang = 'en', 600, 250)"))
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id")
+      },
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE (doc_id * $MIX + 7919) % 1000
+         |  < CASE WHEN lang = 'en' THEN 600 ELSE 250 END
+         |ORDER BY doc_id""".stripMargin),
+
+    // ---- sequence-length bucketing (power-of-2 token-count bands) — the
+    // histogram a batch-packing scheduler needs. Integer CASE bands, no
+    // floating log2. Single partial+final aggregation. ----------------------
+    "length_buckets" -> QueryDef(
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .selectExpr(
+            "size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS n_tokens")
+          .selectExpr(
+            """CASE WHEN n_tokens < 16 THEN 'b000_016'
+              |     WHEN n_tokens < 32 THEN 'b016_032'
+              |     WHEN n_tokens < 64 THEN 'b032_064'
+              |     WHEN n_tokens < 128 THEN 'b064_128'
+              |     WHEN n_tokens < 256 THEN 'b128_256'
+              |     WHEN n_tokens < 512 THEN 'b256_512'
+              |     ELSE 'b512_inf' END AS bucket""".stripMargin,
+            "n_tokens")
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).cast("long").as("sum_tokens"))
+          .orderBy("bucket")
+      },
+      """WITH t AS (SELECT len(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS n_tokens
+        |  FROM documents)
+        |SELECT CASE WHEN n_tokens < 16 THEN 'b000_016'
+        |            WHEN n_tokens < 32 THEN 'b016_032'
+        |            WHEN n_tokens < 64 THEN 'b032_064'
+        |            WHEN n_tokens < 128 THEN 'b064_128'
+        |            WHEN n_tokens < 256 THEN 'b128_256'
+        |            WHEN n_tokens < 512 THEN 'b256_512'
+        |            ELSE 'b512_inf' END AS bucket,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM t GROUP BY 1 ORDER BY bucket""".stripMargin),
+
+    // ---- end-to-end curation: language gate + token-count bounds +
+    // uniqueness-ratio floor + exact-dup canonical filter, composed as one
+    // declarative plan (filters stay pushed against the scan; the only
+    // shuffle is the md5 canonical groupBy). The output is the kept corpus
+    // manifest a training pipeline would feed downstream. -------------------
+    "curate_corpus" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val canon = d.groupBy(md5(col("text")).as("digest"))
+          .agg(min(col("doc_id")).as("canonical_id"))
+        d.withColumn("digest", md5(col("text")))
+          .join(canon, "digest")
+          .filter(col("doc_id") === col("canonical_id")) // exact-dup canonical
+          .filter(col("lang") === "en")
+          .selectExpr("doc_id",
+            "size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS n_tokens",
+            "filter(split(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) AS toks")
+          .filter(col("n_tokens").between(20, 5000))
+          .selectExpr("doc_id", "n_tokens",
+            "CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks) AS uniq_ratio")
+          .filter(col("uniq_ratio") >= 0.2)
+          .orderBy("doc_id")
+      },
+      """WITH canon AS (
+        |  SELECT md5(text) AS digest, MIN(doc_id) AS canonical_id
+        |  FROM documents GROUP BY 1),
+        |kept AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS n_tokens,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) AS toks
+        |  FROM documents JOIN canon ON md5(text) = digest
+        |  WHERE doc_id = canonical_id AND lang = 'en')
+        |SELECT doc_id, n_tokens,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio
+        |FROM kept
+        |WHERE n_tokens BETWEEN 20 AND 5000
+        |  AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.2
+        |ORDER BY doc_id""".stripMargin)
+  )
+}

@@ -65,6 +65,26 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** Shared DuckDB CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — the
+    * verified MinHash near-dup pair set; composed by dedup_minhash,
+    * dedup_keep_list and Curation.dedup_clusters oracles. */
+  private[operators] def duckPairsCtes: String =
+    s"""$duckShingles,
+       |sig AS (SELECT doc_id, sh, list_transform(range(0, 16), j -> list_min(list_transform(sh,
+       |  x -> (x * ($MIX + 40503 * j) + 98765432 + 1234577 * j) % $P61))) AS sig
+       |  FROM sh),
+       |bands AS (SELECT doc_id, b.band AS band,
+       |   concat_ws('_', sig[b.band * 4 + 1], sig[b.band * 4 + 2], sig[b.band * 4 + 3], sig[b.band * 4 + 4]) AS key
+       |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |   / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+       |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+       |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |   / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8)""".stripMargin
+
   private val duckShingles: String =
     s"""toks AS (SELECT doc_id,
        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) AS toks
