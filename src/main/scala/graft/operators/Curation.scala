@@ -29,19 +29,23 @@ object Curation {
     var labels: DataFrame = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
     var persisted: Option[DataFrame] = None
-    var changed = 1L
+    // min-label propagation strictly decreases sum(label) until fixpoint,
+    // so the convergence check is one cheap agg on the already-persisted
+    // round result — no extra changed-rows join per round
+    var prevSum = Long.MaxValue
     var iters = 0
-    while (changed > 0 && iters < maxIters) {
-      val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
-      val step = labels.join(prop, labels("id") === prop("dst"), "left")
-        .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("nl"))
+    var done = false
+    while (!done && iters < maxIters) {
+      val step = labels
+        .union(edges.join(labels.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id"), col("label")))
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = step.filter(col("nl") < col("label")).count()
+      val s = step.agg(sum(col("label"))).head().getLong(0)
       persisted.foreach(_.unpersist())
       persisted = Some(step)
-      labels = step.select(col("id"), col("nl").as("label"))
+      labels = step
+      if (s == prevSum) done = true else prevSum = s
       iters += 1
     }
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
