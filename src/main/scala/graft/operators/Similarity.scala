@@ -1,8 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -16,7 +15,8 @@ import scala.collection.immutable.ListMap
   * doubles are safe to hash-compare.
   *
   * Scale path: `ann_cosine_topk` is the brute-force baseline (broadcast the
-  * query set, map-side score + per-partition top-k via window);
+  * query set, map-side score + bounded TopK aggregation — see
+  * [[graft.functions.TopK]]);
   * `ann_cosine_bucketed` is the IVF-style variant — restrict search to the
   * coarse partition (`label` plays the centroid-assignment role), which is
   * the linear-scan-per-bucket shape a real IVF index has at 100 TB.
@@ -37,27 +37,29 @@ object Similarity {
   private val duckENorm =
     "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> (embedding[i] * embedding[i])::DOUBLE)), (a, b) -> a + b)"
 
-  /** Scale-safe top-k per query: a per-input-partition pre-reduction (rank
-    * within (q_id, spark_partition_id()), keep ≤ k) runs before the global
-    * per-q_id rank. Without it, ALL N×Q scored rows funnel into ≤ |Q| window
-    * reducers — with 10 query vectors that is a 10-reducer bottleneck at any
-    * scale. The pre-reduction spreads the heavy shuffle across (|Q| × input
-    * partitions) keys; only ≤ k·partitions rows per query reach the final
-    * window. Results are identical: per-partition top-k is a sound prefilter
-    * for global top-k under the same deterministic (cosine DESC, vec_id)
-    * order. */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
-    val order: Seq[Column] = Seq(col("cosine").desc, col("vec_id"))
-    val partial = scored
-      .withColumn("pid", spark_partition_id())
-      .withColumn("prank",
-        row_number().over(Window.partitionBy(col("q_id"), col("pid")).orderBy(order: _*)))
-      .filter(col("prank") <= k)
-      .drop("pid", "prank")
-    partial
-      .withColumn("rank",
-        row_number().over(Window.partitionBy(col("q_id")).orderBy(order: _*)))
-      .filter(col("rank") <= k)
+  /** Scale-safe top-k per query via the bounded [[graft.functions.TopK]]
+    * Aggregator: ONE partial+final aggregation — every map task reduces its
+    * slice to ≤ k entries before anything shuffles, and each group's final
+    * state is ≤ k regardless of corpus size. The naive window form
+    * (`row_number().over(partitionBy(q_id))` + filter) shuffles ALL N×Q
+    * scored rows into ≤ |Q| reducers — with 10 query vectors that is a
+    * 10-reducer bottleneck at any scale (the round-1 named scale-killer).
+    * Tie-break (cosine DESC, vec_id ASC) inside the aggregator matches the
+    * oracle's deterministic rank order; ranks are re-derived by position on
+    * the ≤ k exploded rows. `groupCols` carries along columns functionally
+    * dependent on q_id (e.g. the bucketed variant's label). */
+  private def topKPerQuery(scored: DataFrame, k: Int, groupCols: String*): DataFrame = {
+    val topk = udaf(new graft.functions.TopK(k),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+    val keyCols = ("q_id" +: groupCols).map(col)
+    scored
+      .groupBy(keyCols: _*)
+      .agg(topk(col("cosine"), col("vec_id")).as("top"))
+      .select(keyCols :+ posexplode(col("top")).as(Seq("pos", "t")): _*)
+      .select(keyCols ++ Seq(
+        col("t._2").as("vec_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("t._1").as("cosine")): _*)
   }
 
   val defs: ListMap[String, QueryDef] = ListMap(
@@ -99,7 +101,7 @@ object Similarity {
         val scored = broadcast(q).join(emb, expr("label = q_label AND vec_id != q_id"))
           .selectExpr("q_id", "vec_id", "label",
             s"graft_cosine(q_emb, embedding) AS cosine")
-        topKPerQuery(scored, 3)
+        topKPerQuery(scored, 3, "label")
           .select(col("q_id"), col("vec_id"), col("label"), col("rank"), col("cosine"))
           .orderBy("q_id", "rank")
       },

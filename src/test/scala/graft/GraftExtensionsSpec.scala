@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Builds its own session (extensions are session-construction-time), so
+  * not part of the shared SparkSpec fixture. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("spark.sql.extensions=graft.GraftExtensions registers graft_* for SQL") {
+    // extensions apply at session construction; other suites in this JVM may
+    // hold a default session, so clear (and later restore) rather than
+    // stop() — the underlying SparkContext is shared
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      // `.config("spark.sql.extensions", ...)` is a STATIC conf — honored
+      // only when the SparkContext itself is built (true in a fresh
+      // deployment; this JVM's context belongs to the shared fixture).
+      // `withExtensions` drives the exact same GraftExtensions.apply.
+      val spark = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-extensions-spec")
+        .withExtensions(new GraftExtensions)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val r = spark.sql(
+        "SELECT graft_simhash('hello world hello') AS sh, " +
+          "size(graft_shingles('a b c d')) AS n, " +
+          "graft_cosine(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS c").head()
+      assert(r.getLong(0) != 0L)
+      assert(r.getInt(1) == 2) // shingles of 4 tokens = 2 distinct 3-grams
+      assert(r.getDouble(2) == 1.0)
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
