@@ -34,5 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(e, "graft_simhash", es => SimHashExpr(es.head))
     inject(e, "graft_gram5", es => Gram5Expr(es.head))
     inject(e, "graft_cosine", es => CosineExpr(es.head, es(1)))
+    inject(e, "graft_polyhash", es => PolyHashExpr(es.head))
+    inject(e, "graft_text_stats", es => TextStatsExpr(es.head))
   }
 }

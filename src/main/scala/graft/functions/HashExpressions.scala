@@ -163,6 +163,71 @@ object HashExpressions {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Raw-character polynomial hash (base 31 mod P) over the UNlowered
+    * string — the whole-document fingerprint arithmetic. */
+  def evalPolyHash(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      h = (h * 31 + str.charAt(i).toInt) % P
+      i += 1
+    }
+    h
+  }
+
+  /** Single-pass text statistics: token count, distinct-token count, one
+    * stopword hit count per [[Stopwords.scored]] language, summed token
+    * length, and the punctuation count (chars outside [a-z0-9 ] in the RAW
+    * string — uppercase counts, matching
+    * `length(regexp_replace(text, '[a-z0-9 ]', ''))`). Tokenization is the
+    * shared lower+split-on-non-[a-z0-9] contract. One scan replaces ~8
+    * interpreted higher-order-lambda passes in the SQL form. */
+  def evalTextStats(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toString
+    var nTokens = 0
+    var sumLen = 0L
+    var nPunct = 0
+    val uniq = new java.util.HashSet[String]()
+    val stopCounts = new Array[Int](Stopwords.sets.length)
+    val sb = new java.lang.StringBuilder
+    def flush(): Unit = if (sb.length > 0) {
+      val t = sb.toString
+      nTokens += 1
+      sumLen += t.length
+      uniq.add(t)
+      var j = 0
+      while (j < stopCounts.length) {
+        if (Stopwords.sets(j).contains(t)) stopCounts(j) += 1
+        j += 1
+      }
+      sb.setLength(0)
+    }
+    var i = 0
+    while (i < str.length) {
+      val c0 = str.charAt(i)
+      val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c) else flush()
+      if (!((c0 >= 'a' && c0 <= 'z') || (c0 >= '0' && c0 <= '9') || c0 == ' ')) nPunct += 1
+      i += 1
+    }
+    flush()
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      nTokens, uniq.size,
+      stopCounts(0), stopCounts(1), stopCounts(2), stopCounts(3),
+      sumLen, nPunct))
+  }
+
+  val textStatsType: StructType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_uniq", IntegerType, nullable = false),
+    StructField("s_en", IntegerType, nullable = false),
+    StructField("s_es", IntegerType, nullable = false),
+    StructField("s_de", IntegerType, nullable = false),
+    StructField("s_fr", IntegerType, nullable = false),
+    StructField("sum_len", LongType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false)))
+
   private val Self = "graft.functions.HashExpressions$.MODULE$"
 
   /** text -> array<long> of token poly-hashes (with multiplicity). */
@@ -232,6 +297,26 @@ object HashExpressions {
     override def prettyName: String = "graft_cosine"
   }
 
+  /** text -> 64-bit raw-char polynomial hash (document fingerprint). */
+  case class PolyHashExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any = evalPolyHash(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Self.evalPolyHash($c)")
+    override protected def withNewChildInternal(c: Expression): PolyHashExpr = copy(c)
+    override def prettyName: String = "graft_polyhash"
+  }
+
+  /** text -> struct of single-pass token/stopword/punctuation statistics. */
+  case class TextStatsExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = textStatsType
+    override def nullSafeEval(v: Any): Any = evalTextStats(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Self.evalTextStats($c)")
+    override protected def withNewChildInternal(c: Expression): TextStatsExpr = copy(c)
+    override def prettyName: String = "graft_text_stats"
+  }
+
   /** Register all graft_* functions for use in selectExpr/spark.sql.
     * Idempotent per session. */
   def register(spark: SparkSession): Unit = {
@@ -242,5 +327,7 @@ object HashExpressions {
     reg.createOrReplaceTempFunction("graft_simhash", es => SimHashExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_gram5", es => Gram5Expr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_cosine", es => CosineExpr(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_polyhash", es => PolyHashExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_text_stats", es => TextStatsExpr(es.head), "scala_udf")
   }
 }

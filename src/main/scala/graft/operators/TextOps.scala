@@ -15,12 +15,7 @@ import scala.collection.immutable.ListMap
   */
 object TextOps {
 
-  private val stop = Map(
-    "en" -> Seq("the", "a", "and", "of", "to", "is"),
-    "es" -> Seq("el", "la", "de", "que", "y", "los"),
-    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
-    "fr" -> Seq("le", "la", "de", "et", "les", "un"),
-    "zh" -> Seq("de", "shi", "le", "bu", "wo", "zai"))
+  private val stop = graft.functions.Stopwords.lists
 
   private def arrLit(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("array(", ", ", ")")
@@ -38,11 +33,12 @@ object TextOps {
     // tie-break (fixed precedence chain) ------------------------------------
     "text_lang_id" -> QueryDef(
       (s, dir) => {
+        graft.functions.HashExpressions.register(s)
         Tables.load(s, dir, "documents")
-          .selectExpr("doc_id", "lang AS labeled_lang", s"${Portable.tokensSql("text")} AS toks")
+          .selectExpr("doc_id", "lang AS labeled_lang", "graft_text_stats(text) AS st")
           .selectExpr("doc_id", "labeled_lang",
-            s"${scoreSql("en")} AS s_en", s"${scoreSql("es")} AS s_es",
-            s"${scoreSql("de")} AS s_de", s"${scoreSql("fr")} AS s_fr")
+            "st.s_en AS s_en", "st.s_es AS s_es",
+            "st.s_de AS s_de", "st.s_fr AS s_fr")
           .selectExpr("doc_id", "labeled_lang",
             """CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
               |     WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
@@ -69,14 +65,14 @@ object TextOps {
     // ---- quality scoring: length/punctuation/stopword/uniqueness ratios ---
     "text_quality" -> QueryDef(
       (s, dir) => {
+        graft.functions.HashExpressions.register(s)
         Tables.load(s, dir, "documents")
-          .selectExpr("doc_id", "n_chars", s"${Portable.tokensSql("text")} AS toks",
-            "length(regexp_replace(text, '[a-z0-9 ]', '')) AS n_punct")
-          .selectExpr("doc_id", "n_chars", "n_punct",
-            "size(toks) AS n_tokens",
-            "size(array_distinct(toks)) AS n_uniq",
-            s"${scoreSql("en")} AS n_stop",
-            "aggregate(toks, bigint(0), (a, t) -> a + length(t)) AS sum_len")
+          .selectExpr("doc_id", "n_chars", "graft_text_stats(text) AS st")
+          .selectExpr("doc_id", "n_chars", "st.n_punct AS n_punct",
+            "st.n_tokens AS n_tokens",
+            "st.n_uniq AS n_uniq",
+            "st.s_en AS n_stop",
+            "st.sum_len AS sum_len")
           .selectExpr("doc_id", "n_chars", "n_tokens", "n_uniq", "n_punct",
             "CAST(sum_len AS DOUBLE) / n_tokens AS avg_token_len",
             "CAST(n_uniq AS DOUBLE) / n_tokens AS uniq_ratio",
@@ -124,13 +120,13 @@ object TextOps {
     // the full text plus a first-8-token prefix fingerprint ------------------
     "doc_fingerprint" -> QueryDef(
       (s, dir) => {
+        graft.functions.HashExpressions.register(s)
         Tables.load(s, dir, "documents")
-          .selectExpr("doc_id", "text AS t0", s"${Portable.tokensSql("text")} AS toks")
           .selectExpr("doc_id",
-            s"${Portable.polyHashSql("t0")} AS fp",
-            s"""aggregate(slice(transform(toks,
-               | t -> aggregate(transform(sequence(1, length(t)), i -> bigint(ascii(substring(t, i, 1)))),
-               |   bigint(0), (h, ch) -> (h * 31 + ch) % ${Portable.P}L)), 1, 8),
+            "graft_polyhash(text) AS fp",
+            // token char-hashes are native; only the 8-element prefix fold
+            // stays a (tiny) SQL lambda
+            s"""aggregate(slice(graft_token_hashes(text), 1, 8),
                | bigint(0), (h, x) -> (h * 131 + x) % ${Portable.P}L) AS prefix_fp""".stripMargin)
           .transform(graft.Sorted.byNames(_, "doc_id"))
       },
