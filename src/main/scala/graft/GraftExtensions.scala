@@ -36,5 +36,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(e, "graft_cosine", es => CosineExpr(es.head, es(1)))
     inject(e, "graft_polyhash", es => PolyHashExpr(es.head))
     inject(e, "graft_text_stats", es => TextStatsExpr(es.head))
+    inject(e, "graft_srp12", es => Srp12Expr(es.head))
   }
 }

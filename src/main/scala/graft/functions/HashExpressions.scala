@@ -218,6 +218,31 @@ object HashExpressions {
       sumLen, nPunct))
   }
 
+  /** Sign-random-projection signature for the embedding near-dup LSH:
+    * 12 deterministic hyperplanes w[j][i] = ((i*1103 + j*907) % 2001 -
+    * 1000)/1000 over a 64-dim float vector; per plane, FLOAT elements are
+    * widened to DOUBLE, multiplied by the DOUBLE weight, and accumulated
+    * left-to-right — exactly the SQL `aggregate(zip_with(...))` form the
+    * DuckDB oracle replays, so signs are bit-identical. */
+  def evalSrp12(arr: ArrayData): ArrayData = {
+    val emb = arr.toFloatArray()
+    val out = new Array[Int](12)
+    var j = 0
+    while (j < 12) {
+      var acc = 0.0
+      var i = 1
+      val n = math.min(64, emb.length)
+      while (i <= n) {
+        val w = ((i * 1103 + j * 907) % 2001 - 1000).toDouble / 1000.0
+        acc += emb(i - 1).toDouble * w
+        i += 1
+      }
+      out(j) = if (acc >= 0) 1 else 0
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   val textStatsType: StructType = StructType(Seq(
     StructField("n_tokens", IntegerType, nullable = false),
     StructField("n_uniq", IntegerType, nullable = false),
@@ -317,6 +342,16 @@ object HashExpressions {
     override def prettyName: String = "graft_text_stats"
   }
 
+  /** array<float> -> array<int>(12) sign-random-projection signature. */
+  case class Srp12Expr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = evalSrp12(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Self.evalSrp12($c)")
+    override protected def withNewChildInternal(c: Expression): Srp12Expr = copy(c)
+    override def prettyName: String = "graft_srp12"
+  }
+
   /** Register all graft_* functions for use in selectExpr/spark.sql.
     * Idempotent per session. */
   def register(spark: SparkSession): Unit = {
@@ -329,5 +364,6 @@ object HashExpressions {
     reg.createOrReplaceTempFunction("graft_cosine", es => CosineExpr(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_polyhash", es => PolyHashExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_text_stats", es => TextStatsExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_srp12", es => Srp12Expr(es.head), "scala_udf")
   }
 }

@@ -128,13 +128,10 @@ object Similarity {
         graft.functions.HashExpressions.register(s)
         val emb = Tables.load(s, dir, "embeddings")
         // deterministic hyperplanes: w[j][i] = ((i*1103 + j*907) % 2001 - 1000)/1000
-        // persisted slim (vec_id, sg): the 12-projection is the expensive
-        // part and the band self-join would otherwise compute it twice.
-        val signed = emb.selectExpr("vec_id",
-          """transform(sequence(0, 11), j ->
-            | CASE WHEN aggregate(zip_with(embedding,
-            |   transform(sequence(1, 64), i -> double((i * 1103 + j * 907) % 2001 - 1000) / 1000.0),
-            |   (x, w) -> double(x) * w), double(0), (a, b) -> a + b) >= 0 THEN 1 ELSE 0 END) AS sg""".stripMargin)
+        // native single-pass signature (graft_srp12, float-widen/double-
+        // accumulate parity with the oracle); persisted slim (vec_id, sg)
+        // so the band self-join reads it from cache.
+        val signed = emb.selectExpr("vec_id", "graft_srp12(embedding) AS sg")
           .persist(StorageLevel.MEMORY_AND_DISK)
         val bands = signed.selectExpr("vec_id",
           """explode(transform(sequence(0, 3), b -> struct(b AS band,
