@@ -21,7 +21,8 @@ object SparkEntry {
       operators.Similarity.defs ++
       operators.Multimodal.defs ++
       operators.Extras.defs ++
-      operators.Curation.defs
+      operators.Curation.defs ++
+      operators.AsOf.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

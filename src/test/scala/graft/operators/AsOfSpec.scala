@@ -1,0 +1,31 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("backward as-of: latest right row at-or-before each left time, per key") {
+    val left = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 5L), (4L, "b", 50L), (5L, "c", 9L))
+      .toDF("id", "k", "t")
+    val right = Seq(("a", 10L, "a@10"), ("a", 15L, "a@15"), ("b", 40L, "b@40"))
+      .toDF("k", "rt", "v")
+    val out = AsOf.asofBackward(left, right, "k", "t", "rt", Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("v")).toMap
+    assert(out == Map(
+      1L -> "a@10", // equal time matches (t >= rt inclusive)
+      2L -> "a@15", // latest of the two candidates
+      3L -> null,   // before any right row
+      4L -> "b@40",
+      5L -> null))  // key with no right rows at all
+  }
+
+  test("left columns and row count are preserved (left-join semantics)") {
+    val left = Seq((1L, "x", 100L, "extra")).toDF("id", "k", "t", "note")
+    val right = Seq(("x", 90L, 7L)).toDF("k", "rt", "payload")
+    val out = AsOf.asofBackward(left, right, "k", "t", "rt", Seq("payload"))
+    assert(out.columns.toSeq == Seq("id", "k", "t", "note", "payload"))
+    val r = out.collect().head
+    assert(r.getAs[String]("note") == "extra" && r.getAs[Long]("payload") == 7L)
+  }
+}
