@@ -79,15 +79,20 @@ object OrderWide {
 
   /** Event-time interval join: detail.ts within ±`boundSeconds` of info.ts,
     * equi on order id, 3 s watermarks on both sides (reference semantics;
-    * bound configurable — the reference's ±5 ms, OrderWideApp.java:135). */
+    * bound configurable — the reference's ±5 ms, OrderWideApp.java:135).
+    * `joinType` "inner" (reference behavior) or "left_outer" — the outer
+    * form emits an unmatched order with null detail columns once the
+    * watermark passes its join bound (state is evicted either way; the
+    * reference can only drop unmatched orders, this surfaces them). */
   def intervalJoin(info: DataFrame, detail: DataFrame, boundSeconds: Int = 5,
-      watermark: String = "3 seconds"): DataFrame = {
+      watermark: String = "3 seconds", joinType: String = "inner"): DataFrame = {
     val i = info.withWatermark("create_ts", watermark)
     val d = detail.withWatermark("d_create_ts", watermark)
     i.join(d,
       col("order_id") === col("id") &&
         col("d_create_ts") >= col("create_ts") - expr(s"INTERVAL $boundSeconds SECONDS") &&
-        col("d_create_ts") <= col("create_ts") + expr(s"INTERVAL $boundSeconds SECONDS"))
+        col("d_create_ts") <= col("create_ts") + expr(s"INTERVAL $boundSeconds SECONDS"),
+      joinType)
   }
 
   /** The six dimension enrichments as broadcast left joins + derived

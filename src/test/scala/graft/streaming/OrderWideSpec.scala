@@ -45,6 +45,35 @@ class OrderWideSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join: unmatched orders surface with null details after watermark") {
+    implicit val sq = spark.sqlContext
+    val msI = MemoryStream[String]
+    val msD = MemoryStream[String]
+    val joined = OrderWide.intervalJoin(
+      OrderWide.parseInfo(msI.toDF()), OrderWide.parseDetail(msD.toDF()),
+      boundSeconds = 5, joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("owlo").outputMode("append").start()
+    try {
+      // order 1 gets a detail; order 2 never does
+      msI.addData(info(1, 11, "2021-11-13 11:10:00"), info(2, 12, "2021-11-13 11:10:01"))
+      msD.addData(detail(101, 1, 5, "2021-11-13 11:10:02"))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past order 2's bound so the outer
+      // result can be emitted and its state evicted
+      msI.addData(info(99, 13, "2021-11-13 12:00:00"))
+      msD.addData(detail(999, 99, 5, "2021-11-13 12:00:00"))
+      q.processAllAvailable()
+      msI.addData(info(98, 13, "2021-11-13 13:00:00"))
+      msD.addData(detail(998, 98, 5, "2021-11-13 13:00:00"))
+      q.processAllAvailable()
+      val rows = spark.table("owlo").select("id", "detail_id")
+        .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      assert(rows(1L) == Some(101L))
+      assert(rows.contains(2L) && rows(2L).isEmpty,
+        "unmatched order should emit with null detail columns")
+    } finally q.stop()
+  }
+
   test("six-dimension broadcast enrichment with derived age and dim-sourced spu/category3/tm ids") {
     // reference flow: the fact carries only user/province/sku ids; spu_id,
     // category3_id and tm_id come from DIM_SKU_INFO (OrderWideApp.java:196-203)
