@@ -22,35 +22,48 @@ object Curation {
     * join+groupBy shuffle; iterations bounded by component diameter with a
     * hard cap. The driver loop iterates over ROUNDS, not rows. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val sess = pairs.sparkSession
     val edges = pairs.select(col("doc_a"), col("doc_b"))
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels: DataFrame = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-    var persisted: Option[DataFrame] = None
-    // min-label propagation strictly decreases sum(label) until fixpoint,
-    // so the convergence check is one cheap agg on the already-persisted
-    // round result — no extra changed-rows join per round
-    var prevSum = Long.MaxValue
-    var iters = 0
-    var done = false
-    while (!done && iters < maxIters) {
-      val step = labels
-        .union(edges.join(labels.withColumnRenamed("id", "src"), "src")
-          .select(col("dst").as("id"), col("label")))
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val s = step.agg(sum(col("label"))).head().getLong(0)
-      persisted.foreach(_.unpersist())
-      persisted = Some(step)
-      labels = step
-      if (s == prevSum) done = true else prevSum = s
-      iters += 1
-    }
-    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "label")
-      .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+    // size the per-round shuffles to the graph, not the session default: a
+    // near-dup pair graph is typically tiny relative to the corpus, and an
+    // iterative loop pays the per-round task-scheduling floor `rounds ×
+    // partitions` times. (At 100 TB with a billion-edge graph this keeps
+    // the configured parallelism.)
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevSp = sess.conf.get(spKey)
+    val nEdges = edges.count()
+    val p = math.max(1L, math.min(prevSp.toLong, nEdges / 100000L + 1L)).toInt
+    sess.conf.set(spKey, p.toString)
+    try {
+      var labels: DataFrame = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
+      var persisted: Option[DataFrame] = None
+      // min-label propagation strictly decreases sum(label) until fixpoint,
+      // so the convergence check is one cheap agg on the already-persisted
+      // round result — no extra changed-rows join per round
+      var prevSum = Long.MaxValue
+      var iters = 0
+      var done = false
+      while (!done && iters < maxIters) {
+        val step = labels
+          .union(edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .select(col("dst").as("id"), col("label")))
+          .groupBy(col("id")).agg(min(col("label")).as("label"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val s = step.agg(sum(col("label"))).head().getLong(0)
+        persisted.foreach(_.unpersist())
+        persisted = Some(step)
+        labels = step
+        if (s == prevSum) done = true else prevSum = s
+        iters += 1
+      }
+      val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "label")
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+    } finally sess.conf.set(spKey, prevSp)
   }
 
   val defs: ListMap[String, QueryDef] = ListMap(

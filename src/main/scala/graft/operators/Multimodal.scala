@@ -94,6 +94,32 @@ object Multimodal {
     media.mapPartitions(_.map(FakeCodec.decodeFeatures))
   }
 
+  /** Resized media: deterministic stub "thumbnail" (every stride-th byte,
+    * ≤ `target` bytes) standing in for a real image resize. */
+  case class Resized(doc_id: Long, in_len: Int, out_len: Int, resized_checksum: Long)
+
+  /** Stub resize: keep every ceil(len/target)-th byte (a deterministic
+    * downsample standing in for real pixel resampling; swap the kernel for
+    * an image library in deployment — the executor-side single-pass shape
+    * is the real design). Returns length + rolling checksum of the
+    * downsampled bytes so the oracle can replay it. */
+  def resizeAll(media: Dataset[MediaRow], target: Int = 64): Dataset[Resized] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val n = r.content.length
+      val stride = math.max(1, (n + target - 1) / target)
+      var h = 0L
+      var outLen = 0
+      var i = 0
+      while (i < n) {
+        h = (h * 31 + (r.content(i) & 0xff)) % 1000000007L
+        outLen += 1
+        i += stride
+      }
+      Resized(r.doc_id, n, outLen, h)
+    })
+  }
+
   /** Frame sampling: every `stride` bytes take a `frameLen`-byte slice —
     * the explode shape of video frame extraction (rows stay executor-side). */
   def sampleFrames(media: Dataset[MediaRow], stride: Int = 64, frameLen: Int = 16): Dataset[Frame] = {
@@ -158,6 +184,31 @@ object Multimodal {
         |SELECT doc_id, round(f[1], 6) AS f0, round(f[16], 6) AS f15,
         |  round(list_reduce(list_prepend(0.0::DOUBLE, f), (a, b) -> a + b), 6) AS f_sum
         |FROM hist ORDER BY doc_id""".stripMargin),
+
+    // ---- resize: deterministic byte downsample (stub kernel; real
+    // executor-side single-pass shape). Oracle replays the stride walk
+    // char-wise over the same ASCII bytes. ----------------------------------
+    "multimodal_resize" -> QueryDef(
+      (s, dir) => {
+        resizeAll(mediaTable(s, dir)).toDF()
+          .select(col("doc_id"), col("in_len"), col("out_len"), col("resized_checksum"))
+          .transform(graft.Sorted.byNames(_, "doc_id"))
+      },
+      """WITH m AS (
+        |  SELECT doc_id, length(text) AS n,
+        |    greatest(1, (length(text) + 63) // 64) AS stride
+        |  FROM documents),
+        |walk AS (
+        |  SELECT doc_id, n, stride,
+        |    range(1, n + 1, stride) AS idx
+        |  FROM m)
+        |SELECT w.doc_id, w.n AS in_len,
+        |  len(w.idx)::INT AS out_len,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(w.idx, i -> ascii(substr(d.text, i, 1))::BIGINT)),
+        |    (h, b) -> (h * 31 + b) % 1000000007) AS resized_checksum
+        |FROM walk w JOIN documents d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
 
     // ---- frame sampling: explode binary into per-frame rows ---------------
     "multimodal_frames" -> QueryDef(

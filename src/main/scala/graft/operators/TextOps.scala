@@ -100,19 +100,23 @@ object TextOps {
          |   + CAST(n_stop AS DOUBLE) / n_tokens * 0.3 AS quality
          |FROM m ORDER BY doc_id""".stripMargin),
 
-    // ---- token counting: whitespace split vs regex token extraction -------
+    // ---- token counting: whitespace split, alnum-word extraction, and a
+    // BPE-ish segmentation (letter runs | digit runs | punctuation runs —
+    // the pre-merge word-splitting shape of GPT-style tokenizers) -----------
     "token_counts" -> QueryDef(
       (s, dir) => {
         Tables.load(s, dir, "documents")
           .selectExpr("doc_id", "source",
             "size(filter(split(text, '\\\\s+'), t -> length(t) > 0)) AS n_ws_tokens",
             "size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS n_re_tokens",
+            "size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]+', 0)) AS n_bpe_tokens",
             "n_chars")
           .transform(graft.Sorted.byNames(_, "doc_id"))
       },
       """SELECT doc_id, source,
         | len(list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0)) AS n_ws_tokens,
         | len(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS n_re_tokens,
+        | len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+', 0)) AS n_bpe_tokens,
         | n_chars
         |FROM documents ORDER BY doc_id""".stripMargin),
 
