@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Executable plan audit: the scale claims in SCALE.md as assertions over
+  * the actual physical plans — pushdown reaches the scan, projection is
+  * pruned, small dims broadcast, aggregation is partial+final, and the
+  * graft_* expressions run inside whole-stage codegen. Runs every CI pass,
+  * so a plan regression (a lost filter pushdown, a broadcast that became a
+  * shuffle join) fails the build instead of surviving as prose. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    graft.functions.HashExpressions.register(spark)
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q6: all sargable predicates reach the parquet scan; projection pruned") {
+    val p = plan("q6_forecast_revenue")
+    assert(p.contains("PushedFilters:"))
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+      "GreaterThanOrEqual(l_discount", "LessThanOrEqual(l_discount",
+      "LessThan(l_quantity").foreach(f => assert(p.contains(f), s"missing pushed filter $f"))
+    // scan reads the 4 referenced columns, not the 16-column table
+    assert(p.contains(
+      "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp_ntz>"))
+  }
+
+  test("q6/q1: aggregation is partial (map-side) + final") {
+    assert(plan("q6_forecast_revenue").contains("partial_sum"))
+    assert(plan("q1_pricing_summary").contains("partial_sum"))
+  }
+
+  test("q5_region: schema-small dims broadcast; the scaling fact side never does") {
+    val p = plan("q5_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), "nation/region should broadcast")
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey")
+      || p.contains("SortMergeJoin"), "fact join strategy left to Catalyst/AQE")
+  }
+
+  test("order_wide: all three dim enrichments are broadcast joins") {
+    val p = plan("order_wide")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3)
+  }
+
+  test("dedup_exact: column pruning reads only (doc_id, text)") {
+    val p = plan("dedup_exact")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
+  test("text stats / minhash signature run inside whole-stage codegen") {
+    // the graft_* expressions implement doGenCode: their project sits in a
+    // codegen stage (formatted plan marks members with [codegen id : N])
+    val tq = plan("text_quality")
+    assert(tq.contains("graft_text_stats"))
+    assert("Project \\[codegen id : \\d+\\]".r.findFirstIn(tq).isDefined,
+      "graft_text_stats projection should be codegen'd")
+    val mh = plan("simhash_fingerprint")
+    assert(mh.contains("graft_simhash"))
+    assert("\\[codegen id : \\d+\\]".r.findFirstIn(mh).isDefined)
+  }
+
+  test("ann top-k: bounded TopK aggregation is partial+final (no all-rows window shuffle)") {
+    val p = plan("ann_cosine_topk")
+    assert(p.toLowerCase.contains("partial"), "TopK aggregator should plan a partial stage")
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window ["),
+      "no window over all scored rows")
+  }
+}
