@@ -183,6 +183,25 @@ object OrderWide {
       c("category3_name", StringType))
   }
 
+  /** Launchable P6 pipeline (the `env.execute("order wide task")` analog,
+    * OrderWideApp.java:255-259): parse both raw JSON streams, interval-join
+    * them, then per micro-batch re-read the dims (freshness = batch
+    * cadence, replacing the reference's Redis-cached async lookups), enrich,
+    * project the full 34-field surface, and append to parquet (the
+    * `dwm_order_wide` topic analog). Returns the streaming query. */
+  def run(spark: SparkSession, rawInfo: DataFrame, rawDetail: DataFrame,
+      dimDir: String, outDir: String, asOfDate: String,
+      boundSeconds: Int = 5): org.apache.spark.sql.streaming.StreamingQuery =
+    intervalJoin(parseInfo(rawInfo), parseDetail(rawDetail), boundSeconds)
+      .writeStream
+      .option("checkpointLocation", s"$outDir/_chk")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val dims = dimsFromParquet(spark, dimDir) // re-read: config freshness
+        toOrderWide(enrich(batch, dims, asOfDate))
+          .write.mode("append").parquet(s"$outDir/dwm_order_wide")
+      }
+      .start()
+
   /** Dimension table bundle (FIXTURES.md §B.6 columns). */
   case class Dims(
       user: DataFrame,      // uid, birthday, gender
