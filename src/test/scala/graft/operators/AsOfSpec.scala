@@ -20,6 +20,24 @@ class AsOfSpec extends SparkSpec {
       5L -> null))  // key with no right rows at all
   }
 
+  test("randomized: asofBackward equals the naive per-row reference") {
+    val rnd = new scala.util.Random(42) // seeded: deterministic fixture
+    val left = (1 to 200).map(i =>
+      (i.toLong, s"k${rnd.nextInt(8)}", rnd.nextInt(1000).toLong))
+    val right = (1 to 100).map(i =>
+      (s"k${rnd.nextInt(10)}", rnd.nextInt(1000).toLong, i.toLong))
+      .distinctBy(r => (r._1, r._2)) // unique (key, time) for determinism
+    val expected = left.map { case (id, k, t) =>
+      val cand = right.filter(r => r._1 == k && r._2 <= t)
+      id -> (if (cand.isEmpty) None else Some(cand.maxBy(_._2)._3))
+    }.toMap
+    val out = AsOf.asofBackward(
+        left.toDF("id", "k", "t"), right.toDF("k", "rt", "v"),
+        "k", "t", "rt", Seq("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(out == expected)
+  }
+
   test("left columns and row count are preserved (left-join semantics)") {
     val left = Seq((1L, "x", 100L, "extra")).toDF("id", "k", "t", "note")
     val right = Seq(("x", 90L, 7L)).toDF("k", "rt", "payload")
