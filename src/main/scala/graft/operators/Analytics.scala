@@ -585,6 +585,36 @@ object Analytics {
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin),
 
+    // ---- time-RANGE window frame: trailing-7-day revenue per day (RANGE
+    // BETWEEN frames over event-time seconds, vs q8's ROWS frame). Runs
+    // over the daily pre-aggregate (distinct days), so the unpartitioned
+    // window is bounded by the calendar, not the data. ----------------------
+    "q29_trailing_window" -> QueryDef(
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val daily = o.groupBy(col("o_orderdate"))
+          .agg(sum(dec2(col("o_totalprice"))).as("daily_dec"))
+        val w = Window.orderBy(col("t_sec"))
+          .rangeBetween(-6L * 86400L, 0L) // trailing 7 calendar days inclusive
+        daily
+          .withColumn("t_sec", col("o_orderdate").cast("timestamp").cast("long"))
+          .withColumn("trail_dec", sum(col("daily_dec")).over(w))
+          .select(
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("dt"),
+            col("daily_dec").cast(DoubleType).as("daily_total"),
+            col("trail_dec").cast(DoubleType).as("trailing_7d"))
+          .orderBy("dt")
+      },
+      """WITH daily AS (
+        |  SELECT o_orderdate, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS daily_dec
+        |  FROM orders GROUP BY 1)
+        |SELECT strftime(o_orderdate, '%Y-%m-%d') AS dt,
+        |  CAST(daily_dec AS DOUBLE) AS daily_total,
+        |  CAST(SUM(daily_dec) OVER (ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS trailing_7d
+        |FROM daily ORDER BY dt""".stripMargin),
+
     // ---- range/interval join (batch analog of the stream interval join):
     // equi key + time-range predicate ---------------------------------------
     "q19_interval_join" -> QueryDef(

@@ -47,7 +47,7 @@ object AsOf {
       .withColumn("__last", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__is_left") === 1)
     val carried = payload.map(p => col(s"__last.$p").as(p))
-    joined.select(left.columns.map(col) ++ carried: _*)
+    joined.select(left.columns.toIndexedSeq.map(col) ++ carried: _*)
   }
 
   val defs: ListMap[String, QueryDef] = ListMap(

@@ -61,7 +61,7 @@ object DimDdl {
     val target = s"$SchemaName.`$sinkTable`"
     val dataCols = spark.table(target).columns.filter(_ != "pk_bucket")
     val incoming = batch
-      .select(dataCols.map(c => element_at(col("data_pruned"), c).as(c)): _*)
+      .select(dataCols.toIndexedSeq.map(c => element_at(col("data_pruned"), c).as(c)): _*)
       .dropDuplicates(pk)
       .withColumn("pk_bucket", bucketOf(col(pk)))
     // bucket ids, not data: bounded by NumBuckets, safe to collect
@@ -73,7 +73,7 @@ object DimDdl {
       .join(incoming.select(col(pk).as("__pk")), col(pk) === col("__pk"), "left_anti")
       .drop("__pk")
       .unionByName(incoming)
-      .select((dataCols :+ "pk_bucket").map(col): _*) // insertInto is positional
+      .select((dataCols.toIndexedSeq :+ "pk_bucket").map(col): _*) // insertInto is positional
     // stage to a scratch dir (Spark cannot overwrite partitions it is
     // reading) — O(touched buckets) I/O, not O(table)
     val scratch = java.nio.file.Files.createTempDirectory("dim_upsert").toString

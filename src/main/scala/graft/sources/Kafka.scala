@@ -43,7 +43,7 @@ object Kafka {
   /** Fixed-topic string sink (MyKafkaUtil.getKafkaSink parity). */
   def sink(df: DataFrame, servers: String, topic: String,
       checkpoint: String): DataStreamWriter[Row] =
-    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
       .writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", servers)
