@@ -19,6 +19,7 @@ object GraftSession {
       appName: String = "graft"): SparkSession = {
     val b = SparkSession.builder()
       .appName(appName)
+      .withExtensions(new GraftExtensions) // graft_* functions in every session
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
