@@ -11,7 +11,8 @@ object Explain {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q1_pricing_summary", "q3_segment_revenue", "q6_forecast_revenue",
-        "order_wide", "uv_daily", "dedup_minhash")
+        "order_wide", "uv_daily", "dedup_minhash", "ann_cosine_topk",
+        "q28_asof_join", "dedup_ngram_jaccard")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -64,7 +64,9 @@ object OrderWide {
   def parseInfo(raw: DataFrame): DataFrame =
     raw.select(from_json(col("value"), infoSchema).as("o"))
       .select(col("o.*"))
-      .withColumn("create_ts", to_timestamp(col("create_time"), "yyyy-MM-dd HH:mm:ss"))
+      // try_: one malformed record must not kill the stream (ANSI
+      // to_timestamp throws); unparseable times become null event times
+      .withColumn("create_ts", try_to_timestamp(col("create_time"), lit("yyyy-MM-dd HH:mm:ss")))
       .withColumn("create_date", substring(col("create_time"), 1, 10))
       .withColumn("create_hour", substring(col("create_time"), 12, 2))
 
@@ -74,7 +76,7 @@ object OrderWide {
     raw.select(from_json(col("value"), detailSchema).as("d"))
       .select(col("d.*"))
       .withColumnRenamed("id", "detail_id")
-      .withColumn("d_create_ts", to_timestamp(col("create_time"), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("d_create_ts", try_to_timestamp(col("create_time"), lit("yyyy-MM-dd HH:mm:ss")))
       .drop("create_time")
 
   /** Event-time interval join: detail.ts within ±`boundSeconds` of info.ts,

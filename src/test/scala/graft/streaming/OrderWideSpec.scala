@@ -112,6 +112,24 @@ class OrderWideSpec extends SparkSpec {
     assert(out.getAs[Long]("id") == 1L)
   }
 
+  test("parse is defensive: malformed JSON and missing fields yield typed nulls, not failures") {
+    val raw = Seq(
+      "not json at all",
+      """{"id":"abc"}""",            // wrong type for id
+      """{"id":7}""",                // minimal valid: everything else absent
+      """{"id":8,"create_time":"not-a-time"}""").toDF("value")
+    val parsed = OrderWide.parseInfo(raw).collect()
+    assert(parsed.length == 4) // no row is dropped or throws
+    val byId = parsed.map(r => Option(r.getAs[java.lang.Long]("id"))).toSeq
+    assert(byId.count(_.isEmpty) == 2) // garbage + wrong-type rows
+    val r7 = parsed.find(r => r.getAs[java.lang.Long]("id") == 7L).get
+    assert(r7.getAs[Any]("total_amount") == null)
+    assert(r7.getAs[Any]("create_ts") == null)
+    val r8 = parsed.find(r => r.getAs[java.lang.Long]("id") == 8L).get
+    assert(r8.getAs[Any]("create_ts") == null) // unparseable time -> null, no throw
+    assert(r8.getAs[String]("create_date") == "not-a-time".substring(0, 10))
+  }
+
   test("full 34-field OrderWide surface: golden row through parse -> join -> enrich -> project") {
     implicit val sq = spark.sqlContext
     val fullInfo =
