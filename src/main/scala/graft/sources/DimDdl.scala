@@ -62,6 +62,7 @@ object DimDdl {
     val dataCols = spark.table(target).columns.filter(_ != "pk_bucket")
     val incoming = batch
       .select(dataCols.toIndexedSeq.map(c => element_at(col("data_pruned"), c).as(c)): _*)
+      .filter(col(pk).isNotNull) // a dim row without its pk is undeliverable
       .dropDuplicates(pk)
       .withColumn("pk_bucket", bucketOf(col(pk)))
     // bucket ids, not data: bounded by NumBuckets, safe to collect

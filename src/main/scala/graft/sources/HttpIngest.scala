@@ -42,6 +42,9 @@ object HttpIngest {
     private val server = HttpServer.create(new InetSocketAddress(port), 0)
     private val buf = new ArrayBuffer[String]
     private var fileNo = 0
+    // per-instance token: multiple collector instances share one spool dir
+    // (the horizontal-shard deployment) without file-name collisions
+    private val token = java.util.UUID.randomUUID().toString.take(8)
 
     server.createContext("/applog", new HttpHandler {
       override def handle(x: HttpExchange): Unit = {
@@ -76,7 +79,7 @@ object HttpIngest {
         val tmp = Files.createTempFile("httpingest", ".tmp")
         Files.write(tmp, buf.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
         val dest: Path = Paths.get(spoolDir,
-          f"part-${System.currentTimeMillis()}%d-$fileNo%05d.jsonl")
+          f"part-$token%s-${System.currentTimeMillis()}%d-$fileNo%05d.jsonl")
         Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
         fileNo += 1
         buf.clear()

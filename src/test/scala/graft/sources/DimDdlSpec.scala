@@ -37,6 +37,22 @@ class DimDdlSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("rows with a null primary key are skipped, not crashed on") {
+    dropClean("dim_nullpk_t")
+    DimDdl.ensureTable(spark, "dim_nullpk_t", "id,name,birthday", "id")
+    val t = s"${DimDdl.SchemaName}.`dim_nullpk_t`"
+    // second row's map has no "id" entry -> null pk
+    val rows = Seq(("u1", "alice", "1990-01-01")).toDF("id", "name", "birthday")
+      .select(map(lit("id"), col("id"), lit("name"), col("name"),
+        lit("birthday"), col("birthday")).as("data_pruned"))
+      .union(Seq(("ghost", "2000-01-01")).toDF("name", "birthday")
+        .select(map(lit("name"), col("name"),
+          lit("birthday"), col("birthday")).as("data_pruned")))
+    DimDdl.upsert(spark, "dim_nullpk_t", "id", rows)
+    assert(spark.table(t).collect().map(_.getString(0)).toSeq == Seq("u1"))
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("incremental upsert rewrites only the touched pk-buckets' files") {
     dropClean("dim_incr_t")
     DimDdl.ensureTable(spark, "dim_incr_t", "id,name,birthday", "id")
