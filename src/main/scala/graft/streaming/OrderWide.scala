@@ -185,6 +185,23 @@ object OrderWide {
       c("category3_name", StringType))
   }
 
+  /** Two-sided firstNonNull merge of partially-populated wide rows — the
+    * `mergeOtherOrderWide` semantics (RT/bean/OrderWide.java:84-109:
+    * `this.x = firstNonNull(this.x, other.x)` per field, i.e. LEFT value
+    * wins when both sides carry one). Full-outer join on the identity keys
+    * so a row present on only one side passes through unchanged; every
+    * other column coalesces left-over-right. Schemas must match (the bean
+    * contract). */
+  def mergePartial(a: DataFrame, b: DataFrame,
+      keys: Seq[String] = Seq("order_id", "detail_id")): DataFrame = {
+    val l = a.alias("l")
+    val r = b.alias("r")
+    val cond = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
+    l.join(r, cond, "full_outer")
+      .select(a.columns.toIndexedSeq.map(c =>
+        coalesce(col(s"l.$c"), col(s"r.$c")).as(c)): _*)
+  }
+
   /** Launchable P6 pipeline (the `env.execute("order wide task")` analog,
     * OrderWideApp.java:255-259): parse both raw JSON streams, interval-join
     * them, then per micro-batch re-read the dims (freshness = batch

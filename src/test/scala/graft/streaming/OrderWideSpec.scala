@@ -112,6 +112,21 @@ class OrderWideSpec extends SparkSpec {
     assert(out.getAs[Long]("id") == 1L)
   }
 
+  test("mergePartial: per-field firstNonNull with left precedence (mergeOtherOrderWide parity)") {
+    val a = Seq((1L, 101L, Some("1001"), None: Option[String]))
+      .toDF("order_id", "detail_id", "order_status", "sku_name")
+    val b = Seq(
+      (1L, 101L, Some("2002"), Some("thing")), // overlapping row: left status wins, fills sku
+      (2L, 202L, Some("1003"), Some("other"))) // right-only row passes through
+      .toDF("order_id", "detail_id", "order_status", "sku_name")
+    val out = OrderWide.mergePartial(a, b).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[String]("order_status"), r.getAs[String]("sku_name"))).toMap
+    assert(out == Map(
+      (1L, 101L) -> (("1001", "thing")),
+      (2L, 202L) -> (("1003", "other"))))
+  }
+
   test("parse is defensive: malformed JSON and missing fields yield typed nulls, not failures") {
     val raw = Seq(
       "not json at all",
