@@ -60,4 +60,37 @@ class UniqueVisitsSpec extends SparkSpec {
       assert(out == Seq(("m1", "20240101"), ("m1", "20240102")))
     } finally q.stop()
   }
+
+  test("bounded-state UV form: dropDuplicatesWithinWatermark evicts dedup state") {
+    // plain dropDuplicates("mid","dt") holds every (mid, dt) pair forever;
+    // the WithinWatermark variant drops state once the watermark passes the
+    // event — the 1-day-TTL semantics of the reference, built-in.
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[LogEvent]
+    import org.apache.spark.sql.functions._
+    val dedup = ms.toDF()
+      .filter(col("lastPageId") === "")
+      .withColumn("ets", timestamp_millis(col("ts")))
+      .withWatermark("ets", "1 hour")
+      .dropDuplicatesWithinWatermark("mid")
+    val q = dedup.writeStream.format("memory").queryName("uv_wwm")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        LogEvent("m1", "0", "home", "", hasStart = false, day1),
+        LogEvent("m1", "0", "home", "", hasStart = false, day1 + 5000), // dup: dropped
+        LogEvent("m2", "0", "home", "", hasStart = false, day1))
+      q.processAllAvailable()
+      // advance the watermark past day1 + 1h: m1/m2 dedup state is evicted
+      ms.addData(LogEvent("m3", "0", "home", "", hasStart = false, day1 + 10L * 3600000L))
+      q.processAllAvailable()
+      // next day: m1's state is gone -> counted again (bounded state, TTL parity)
+      ms.addData(LogEvent("m1", "0", "home", "", hasStart = false, day2))
+      q.processAllAvailable()
+      val out = spark.table("uv_wwm").select("mid", "ts").as[(String, Long)]
+        .collect().sorted.toSeq
+      assert(out == Seq(("m1", day1), ("m1", day2), ("m2", day1),
+        ("m3", day1 + 10L * 3600000L)))
+    } finally q.stop()
+  }
 }
