@@ -22,10 +22,15 @@ object Bench {
       // projections away, under-timing map-only queries. The hash-agg keeps
       // all columns live while letting the optimizer drop the final
       // presentation sort (whose range-sampling would re-execute the query).
-      // Fallback to a noop write for output types hash() can't take.
+      // head(), NOT count(): a count on top is itself an aggregate, and
+      // column pruning would strip the hash (and everything under it) right
+      // back out. bit_xor, NOT sum: summing full-range int64 hashes
+      // overflows under ANSI mode (and the resulting exception would
+      // silently demote the query to the slower noop fallback). Fallback
+      // to a noop write only for output types hash() can't take.
       try {
         val df = fn(spark, sfDir)
-        try df.selectExpr("sum(xxhash64(struct(*))) AS h").count()
+        try df.selectExpr("bit_xor(xxhash64(struct(*))) AS h").head()
         catch { case _: Throwable =>
           df.write.format("noop").mode("overwrite").save()
         }

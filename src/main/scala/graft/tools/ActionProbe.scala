@@ -21,6 +21,10 @@ object ActionProbe {
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
     names.split(",").foreach { name =>
       val fn = SparkEntry.queries(name)
+      // does the bench's hash-agg action survive optimization un-pruned?
+      val benchDf = fn(spark, sfDir).selectExpr("bit_xor(xxhash64(struct(*))) AS h")
+      val optimized = benchDf.queryExecution.optimizedPlan.toString
+      println(s"$name bench-action keeps xxhash64: ${optimized.contains("xxhash64")}")
       for (round <- 1 to 2) {
         var t0 = System.nanoTime()
         fn(spark, sfDir).count()
@@ -28,7 +32,10 @@ object ActionProbe {
         t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val tNoop = (System.nanoTime() - t0) / 1e9
-        println(f"$name%s r$round count=$tCount%.2f noop=$tNoop%.2f")
+        t0 = System.nanoTime()
+        benchDf.head()
+        val tHash = (System.nanoTime() - t0) / 1e9
+        println(f"$name%s r$round count=$tCount%.2f noop=$tNoop%.2f hashagg_count=$tHash%.2f")
       }
       spark.catalog.clearCache()
     }
