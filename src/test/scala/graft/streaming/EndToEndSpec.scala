@@ -31,6 +31,36 @@ class EndToEndSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("P1 -> P2: HTTP collector feeds the log pipeline end-to-end") {
+    // the reference topology's front half: LoggerController (HTTP) ->
+    // Kafka ods_base_log -> BaseLogTask. Here: HttpIngest -> spool ->
+    // file stream -> LogPipeline 3-way split, one live chain.
+    val spool = tmpDir("e2espool")
+    val out = tmpDir("e2eout")
+    val srv = new graft.sources.HttpIngest.Server(spool, flushEvery = 10)
+    srv.start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def post(record: String): Unit = {
+        val req = java.net.http.HttpRequest
+          .newBuilder(java.net.URI.create(s"http://localhost:${srv.boundPort}/applog"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+            "param=" + java.net.URLEncoder.encode(record, "UTF-8")))
+          .header("Content-Type", "application/x-www-form-urlencoded").build()
+        assert(client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+          .statusCode() == 200)
+      }
+      post("""{"common":{"mid":"m1","is_new":"1"},"start":{"entry":"icon"},"ts":1704067200000}""")
+      post("""{"common":{"mid":"m1","is_new":"1"},"page":{"page_id":"home"},"displays":[{"item":"sku_1","pos_id":1}],"ts":1704067201000}""")
+      srv.flush()
+      val q = LogPipeline.run(spark, graft.sources.HttpIngest.source(spark, spool), out)
+      try q.processAllAvailable() finally q.stop()
+      assert(spark.read.parquet(s"$out/dwd_start_log").count() == 1)
+      assert(spark.read.parquet(s"$out/dwd_page_log").count() == 1)
+      assert(spark.read.parquet(s"$out/dwd_display_log").count() == 1)
+    } finally srv.stop()
+  }
+
   test("file-source streaming resumes from checkpoint without reprocessing") {
     val src = tmpDir("logsrc")
     val out = tmpDir("logout")
