@@ -110,6 +110,37 @@ object Curation {
          |  < CASE WHEN lang = 'en' THEN 600 ELSE 250 END
          |ORDER BY doc_id""".stripMargin),
 
+    // ---- fixed-size deterministic sample: exactly N docs per language,
+    // chosen by smallest portable hash — the fixed-N counterpart of
+    // sample_stratified's rate-based form. Reuses the bounded TopK
+    // aggregator (score = -hash; hash < P < 2^53 so the double is exact):
+    // one partial+final aggregation, ≤ N state per stratum at any corpus
+    // size — the scale shape of "give me exactly 10k docs per language
+    // from 100 TB" without a global sort. -----------------------------------
+    "sample_fixed_per_lang" -> QueryDef(
+      (s, dir) => {
+        val topk = udaf(new graft.functions.TopK(5),
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaDouble,
+            org.apache.spark.sql.Encoders.scalaLong))
+        Tables.load(s, dir, "documents")
+          .selectExpr("lang", "doc_id",
+            s"-CAST((doc_id * ${MIX}L + 999L) % ${P}L AS DOUBLE) AS score")
+          .groupBy(col("lang"))
+          .agg(topk(col("score"), col("doc_id")).as("top"))
+          .select(col("lang"), posexplode(col("top")).as(Seq("pos", "t")))
+          .select(col("lang"), col("t._2").as("doc_id"),
+            (col("pos") + 1).cast("int").as("pick"))
+          .orderBy("lang", "pick")
+      },
+      s"""WITH h AS (
+         |  SELECT lang, doc_id, (doc_id * $MIX + 999) % $P AS hv,
+         |    ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY (doc_id * $MIX + 999) % $P, doc_id) AS rn
+         |  FROM documents)
+         |SELECT lang, doc_id, rn::INT AS pick FROM h
+         |WHERE rn <= 5 ORDER BY lang, pick""".stripMargin),
+
     // ---- sequence-length bucketing (power-of-2 token-count bands) — the
     // histogram a batch-packing scheduler needs. Integer CASE bands, no
     // floating log2. Single partial+final aggregation. ----------------------

@@ -120,6 +120,29 @@ object TextOps {
         | n_chars
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // ---- text normalization: lowercase + whitespace-run collapse + trim —
+    // the canonicalization step before dedup/tokenization in a training
+    // pipeline. Map-side; fingerprint of the normalized form via the
+    // native graft_polyhash so the oracle can replay it char-wise. ----------
+    "text_normalize" -> QueryDef(
+      (s, dir) => {
+        graft.functions.HashExpressions.register(s)
+        Tables.load(s, dir, "documents")
+          .selectExpr("doc_id",
+            "trim(regexp_replace(lower(text), '\\\\s+', ' ')) AS norm")
+          .selectExpr("doc_id", "length(norm) AS norm_len",
+            "graft_polyhash(norm) AS norm_fp")
+          .transform(graft.Sorted.byNames(_, "doc_id"))
+      },
+      s"""WITH n AS (
+         |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+         |  FROM documents)
+         |SELECT doc_id, length(norm) AS norm_len,
+         |  list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(range(1, length(norm) + 1), i -> ascii(substr(norm, i, 1))::BIGINT)),
+         |    (h, ch) -> (h * 31 + ch) % ${Portable.P}) AS norm_fp
+         |FROM n ORDER BY doc_id""".stripMargin),
+
     // ---- document fingerprint: char-level rolling hash (base 31 mod P) of
     // the full text plus a first-8-token prefix fingerprint ------------------
     "doc_fingerprint" -> QueryDef(
