@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -16,7 +17,12 @@ object Bench {
     // warm the session (codegen, parquet footers) so the first timed query
     // doesn't absorb one-time init cost
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val names = SparkEntry.queries.keys.toSeq
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    val errs = scala.collection.mutable.Map.empty[String, String]
+    for (_ <- 1 to reps; name <- names) {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       // Materialize EVERY output column — count() lets Catalyst prune the
       // projections away, under-timing map-only queries. The hash-agg keeps
@@ -28,19 +34,49 @@ object Bench {
       // overflows under ANSI mode (and the resulting exception would
       // silently demote the query to the slower noop fallback). Fallback
       // to a noop write only for output types hash() can't take.
-      try {
-        val df = fn(spark, sfDir)
-        try df.selectExpr("bit_xor(xxhash64(struct(*))) AS h").head()
-        catch { case _: Throwable =>
-          df.write.format("noop").mode("overwrite").save()
+      val failed: Option[String] =
+        try {
+          val df = fn(spark, sfDir)
+          try { df.selectExpr("bit_xor(xxhash64(struct(*))) AS h").head(); None }
+          catch { case _: Throwable =>
+            df.write.format("noop").mode("overwrite").save(); None
+          }
+        } catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
         }
-      } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      failed match {
+        case Some(msg) => errs(name) = msg // failures poison the query, not the run
+        case None      => times(name) = secs :: times(name)
+      }
+      // ~25 queries persist intermediates (Sorted, LSH signature tables,
+      // connected-components rounds). Without this the caches accumulate
+      // across the 70-query run and GC pressure inflates the back half
+      // 6-21x (round-2 driver bench). Cleared OUTSIDE the timing window —
+      // each query is timed cold-cache, same as a fresh session.
+      spark.catalog.clearCache()
+      System.gc()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      s(s.size / 2)
+    }
+    def jnum(d: Double): String = f"$d%.4f"
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    // failed queries report -1 so a crash is never mistaken for a fast query
+    val perQuery = names.map { n =>
+      n -> (if (times(n).nonEmpty) median(times(n)) else -1.0)
+    }
+    val qs = perQuery.map { case (k, v) => jstr(k) + ":" + jnum(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errs.toSeq.sortBy(_._1)
+      .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val total = perQuery.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -40,10 +40,15 @@ object Curation {
     try {
       var labels: DataFrame = edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id"))
-      var persisted: Option[DataFrame] = None
       // min-label propagation strictly decreases sum(label) until fixpoint,
-      // so the convergence check is one cheap agg on the already-persisted
-      // round result — no extra changed-rows join per round
+      // so the convergence check is one cheap agg on the already-materialized
+      // round result — no extra changed-rows join per round.
+      // localCheckpoint (eager) per round both materializes the step AND
+      // truncates its lineage to a LogicalRDD: without this the logical plan
+      // grows one join+agg layer per iteration and analysis/optimization time
+      // comes to dominate at high iteration counts (billion-edge graphs).
+      // Earlier rounds' blocks are reclaimed by the ContextCleaner once
+      // unreferenced — nothing is left registered in the CacheManager.
       var prevSum = Long.MaxValue
       var iters = 0
       var done = false
@@ -52,14 +57,18 @@ object Curation {
           .union(edges.join(labels.withColumnRenamed("id", "src"), "src")
             .select(col("dst").as("id"), col("label")))
           .groupBy(col("id")).agg(min(col("label")).as("label"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(true)
         val s = step.agg(sum(col("label"))).head().getLong(0)
-        persisted.foreach(_.unpersist())
-        persisted = Some(step)
         labels = step
         if (s == prevSum) done = true else prevSum = s
         iters += 1
       }
+      if (!done)
+        System.err.println(
+          s"[connectedComponents] iteration cap $maxIters reached before the " +
+            "sum-fixpoint: returned labels may be NON-CONVERGED (component " +
+            "diameter exceeds the cap); raise maxIters")
+      edges.unpersist()
       val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
       labels.join(sizes, "label")
         .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
@@ -100,13 +109,17 @@ object Curation {
     "sample_stratified" -> QueryDef(
       (s, dir) => {
         Tables.load(s, dir, "documents")
-          .filter(expr(s"(doc_id * ${MIX}L + 7919L) % 1000 " +
+          // reduce doc_id mod a prime BEFORE the multiply: raw doc_id is
+          // unbounded (petabyte corpora pass 3.5e9 ids, where id * MIX
+          // overflows int64 — an ANSI-mode throw in Spark and a BIGINT
+          // error in DuckDB). 999983 * MIX ≈ 2.7e15 stays in-range forever.
+          .filter(expr(s"((doc_id % 999983L) * ${MIX}L + 7919L) % 1000 " +
             "< IF(lang = 'en', 600, 250)"))
           .select(col("doc_id"), col("lang"))
           .orderBy("doc_id")
       },
       s"""SELECT doc_id, lang FROM documents
-         |WHERE (doc_id * $MIX + 7919) % 1000
+         |WHERE ((doc_id % 999983) * $MIX + 7919) % 1000
          |  < CASE WHEN lang = 'en' THEN 600 ELSE 250 END
          |ORDER BY doc_id""".stripMargin),
 
@@ -125,7 +138,8 @@ object Curation {
             org.apache.spark.sql.Encoders.scalaLong))
         Tables.load(s, dir, "documents")
           .selectExpr("lang", "doc_id",
-            s"-CAST((doc_id * ${MIX}L + 999L) % ${P}L AS DOUBLE) AS score")
+            // same overflow-safe reduction as sample_stratified
+            s"-CAST(((doc_id % 999983L) * ${MIX}L + 999L) % ${P}L AS DOUBLE) AS score")
           .groupBy(col("lang"))
           .agg(topk(col("score"), col("doc_id")).as("top"))
           .select(col("lang"), posexplode(col("top")).as(Seq("pos", "t")))
@@ -134,9 +148,9 @@ object Curation {
           .orderBy("lang", "pick")
       },
       s"""WITH h AS (
-         |  SELECT lang, doc_id, (doc_id * $MIX + 999) % $P AS hv,
+         |  SELECT lang, doc_id, ((doc_id % 999983) * $MIX + 999) % $P AS hv,
          |    ROW_NUMBER() OVER (PARTITION BY lang
-         |      ORDER BY (doc_id * $MIX + 999) % $P, doc_id) AS rn
+         |      ORDER BY ((doc_id % 999983) * $MIX + 999) % $P, doc_id) AS rn
          |  FROM documents)
          |SELECT lang, doc_id, rn::INT AS pick FROM h
          |WHERE rn <= 5 ORDER BY lang, pick""".stripMargin),

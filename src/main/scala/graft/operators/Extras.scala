@@ -123,6 +123,27 @@ object Extras {
           .orderBy("event_type")
       },
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, 1 AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // ---- two-phase salted aggregation for skewed keys (Salting.scala):
+    // phase 1 groups by (key, salt) so a hot key's rows spread across
+    // `salts` reducers instead of serializing on one; phase 2 merges the
+    // partials per key. events has only 5 event_type values — exactly the
+    // shape where an unsalted groupBy leaves all but 5 reducers idle at
+    // 100 TB. The merged result is salt-independent, so DuckDB replays the
+    // plain one-level aggregation; value is quantized to DECIMAL per row so
+    // both engines sum exactly regardless of partial grouping/order. --------
+    "salted_agg" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        graft.functions.Salting
+          .saltedSumCount(ev, col("event_type"), col("value").cast("decimal(18,6)"), salts = 8)
+          .select(col("key").as("event_type"),
+            col("sum_value").cast("double").as("sum_value"), col("cnt"))
+          .orderBy("event_type")
+      },
+      """SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  COUNT(*) AS cnt
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
   )
 }

@@ -76,7 +76,12 @@ object HttpIngest {
 
     private def flushLocked(): Unit = {
       if (buf.nonEmpty) {
-        val tmp = Files.createTempFile("httpingest", ".tmp")
+        // temp file INSIDE spoolDir, not java.io.tmpdir: ATOMIC_MOVE is only
+        // guaranteed same-filesystem, and deployments put the spool on a data
+        // disk while /tmp is elsewhere — a cross-device move would throw
+        // AtomicMoveNotSupportedException and strand the buffered records.
+        // A dot-prefixed name keeps the file source from matching it pre-move.
+        val tmp = Files.createTempFile(Paths.get(spoolDir), ".httpingest", ".tmp")
         Files.write(tmp, buf.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
         val dest: Path = Paths.get(spoolDir,
           f"part-$token%s-${System.currentTimeMillis()}%d-$fileNo%05d.jsonl")

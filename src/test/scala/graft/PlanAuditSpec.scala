@@ -69,4 +69,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("RunningWindowFunction") && !p.contains("Window ["),
       "no window over all scored rows")
   }
+
+  // formatted-mode plans print each node twice (tree + details), so count
+  // DISTINCT node ids, not raw substring hits
+  private def nodeIds(p: String, node: String): Set[String] =
+    s"\\((\\d+)\\) $node".r.findAllMatchIn(p).map(_.group(1)).toSet
+
+  test("salted_agg: two aggregation stages — salted pre-agg then per-key merge") {
+    val p = plan("salted_agg")
+    // phase 1 shuffles on (key, __salt); phase 2 re-shuffles on the bare key
+    assert(p.contains("__salt"), "salt column should appear in the physical plan")
+    val hashPart = "hashpartitioning\\([^\\n]*".r.findAllIn(p).toList
+    assert(hashPart.exists(_.contains("__salt")), s"no salted shuffle in:\n${hashPart.mkString("\n")}")
+    assert(hashPart.exists(e => e.contains("key") && !e.contains("__salt")),
+      "final merge should re-partition by the bare key")
+    assert(nodeIds(p, "HashAggregate").size >= 4,
+      "expected partial+final aggregates for both phases")
+  }
+
+  test("q12: grouping sets plan Expand + partial/final aggregation (one pass over lineitem)") {
+    val p = plan("q12_grouping_sets")
+    assert(nodeIds(p, "Expand").size == 1,
+      "grouping sets should plan a single Expand, not a union of scans")
+    assert(p.toLowerCase.contains("partial_"), "aggregation should be map-side partial + final")
+    assert(nodeIds(p, "Scan parquet").size <= 1, "one scan feeds all grouping sets")
+  }
 }

@@ -61,6 +61,61 @@ class EndToEndSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("P1 -> P3: HTTP CDC feed routes facts per-topic and upserts dims, last write wins") {
+    // the reference topology's DB half: Maxwell -> Kafka ods_base_db ->
+    // BaseDbTask -> {Kafka facts, Phoenix dims}. Here: HTTP collector ->
+    // spool -> file stream -> CdcRouter.run -> {facts parquet partitioned
+    // by sink_table, dims upsert log}, then the exactly-once fact view and
+    // the keyed dim snapshot over two live micro-batches.
+    val spool = tmpDir("cdcspool")
+    val out = tmpDir("cdcout")
+    val cfg = tmpDir("cdccfg") + "/table_process.csv"
+    java.nio.file.Files.write(java.nio.file.Paths.get(cfg),
+      ("source_table,operate_type,sink_type,sink_table,sink_columns,sink_pk\n" +
+        "order_info,insert,kafka,dwd_order_info,\"id,total_amount\",id\n" +
+        "user_info,insert,hbase,dim_user_info,\"id,name\",id\n" +
+        "user_info,update,hbase,dim_user_info,\"id,name\",id\n").getBytes)
+    val srv = new graft.sources.HttpIngest.Server(spool, flushEvery = 100)
+    srv.start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def post(record: String): Unit = {
+        val req = java.net.http.HttpRequest
+          .newBuilder(java.net.URI.create(s"http://localhost:${srv.boundPort}/applog"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+            "param=" + java.net.URLEncoder.encode(record, "UTF-8")))
+          .header("Content-Type", "application/x-www-form-urlencoded").build()
+        assert(client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+          .statusCode() == 200)
+      }
+      post("""{"database":"gmall","table":"order_info","type":"insert","data":{"id":"101","total_amount":"49.9","skip_me":"x"}}""")
+      post("""{"database":"gmall","table":"user_info","type":"insert","data":{"id":"1","name":"alice","email":"a@x"}}""")
+      post("""{"database":"gmall","table":"ignored_tbl","type":"insert","data":{"id":"9"}}""")
+      srv.flush()
+      val q = CdcRouter.run(spark, graft.sources.HttpIngest.source(spark, spool), cfg, out)
+      try {
+        q.processAllAvailable()
+        // second micro-batch: dim update for the same pk
+        post("""{"database":"gmall","table":"user_info","type":"update","data":{"id":"1","name":"alicia","email":"a@y"}}""")
+        srv.flush()
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val facts = CdcRouter.factsExactlyOnce(spark, out).collect()
+      assert(facts.length == 1, s"one routed fact, got ${facts.mkString(";")}")
+      assert(facts.head.getAs[String]("sink_table") == "dwd_order_info")
+      // dynamic column pruning dropped skip_me
+      assert(!facts.head.getAs[String]("data").contains("skip_me"))
+
+      val dims = CdcRouter.dimSnapshot(spark, out)
+        .select("sink_table", "pk", "data").collect()
+      assert(dims.length == 1 && dims.head.getAs[String]("pk") == "1")
+      val data = dims.head.getAs[String]("data")
+      assert(data.contains("alicia") && !data.contains("email"),
+        s"last write wins + pruned to sink_columns, got $data")
+    } finally srv.stop()
+  }
+
   test("file-source streaming resumes from checkpoint without reprocessing") {
     val src = tmpDir("logsrc")
     val out = tmpDir("logout")
