@@ -20,9 +20,20 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
+    val gcs = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
     val errs = scala.collection.mutable.Map.empty[String, String]
+    // cumulative JVM GC time — the per-query delta separates "query was
+    // slow" from "the JVM was collecting someone else's garbage" (the
+    // round-2 q12 outlier shape) without a profiler attach
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+    }
     for (_ <- 1 to reps; name <- names) {
       val fn = SparkEntry.queries(name)
+      val gc0 = gcMillis
       val t0 = System.nanoTime()
       // Materialize EVERY output column — count() lets Catalyst prune the
       // projections away, under-timing map-only queries. The hash-agg keeps
@@ -47,7 +58,9 @@ object Bench {
       val secs = (System.nanoTime() - t0) / 1e9
       failed match {
         case Some(msg) => errs(name) = msg // failures poison the query, not the run
-        case None      => times(name) = secs :: times(name)
+        case None =>
+          times(name) = secs :: times(name)
+          gcs(name) = (gcMillis - gc0) / 1e3 :: gcs(name)
       }
       // ~25 queries persist intermediates (Sorted, LSH signature tables,
       // connected-components rounds). Without this the caches accumulate
@@ -75,8 +88,10 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errs.toSeq.sortBy(_._1)
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val gcJson = names.filter(gcs(_).nonEmpty)
+      .map(n => jstr(n) + ":" + jnum(median(gcs(n)))).mkString("{", ",", "}")
     val total = perQuery.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errJson,"gc_sec":$gcJson,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
