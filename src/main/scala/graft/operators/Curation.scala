@@ -226,6 +226,34 @@ object Curation {
         |FROM kept
         |WHERE n_tokens BETWEEN 20 AND 5000
         |  AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.2
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin),
+
+    // ---- sequence packing for training batches: assign docs to fixed-size
+    // context-window packs (4096 chars) by running length sum — the
+    // "concatenate until full" packing a dataloader does, made deterministic
+    // and distributed. Packing is inherently sequential, so the scale trick
+    // is SHARDING: the running sum partitions by (lang, shard = doc_id div
+    // 1000), bounding every window partition to ≤ 1000 rows regardless of
+    // corpus size — no single-reducer global cumsum at 100 TB. Pure int64
+    // window arithmetic, exact in both engines. -----------------------------
+    "pack_sequences" -> QueryDef(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        Tables.load(s, dir, "documents")
+          .withColumn("shard", expr("doc_id div 1000"))
+          .withColumn("cum_chars", sum(col("n_chars")).over(w))
+          // subtract the current doc so a doc landing exactly on a pack
+          // boundary opens the next pack rather than overflowing this one
+          .selectExpr("doc_id", "lang", "shard", "n_chars",
+            "(cum_chars - n_chars) div 4096 AS pack_id")
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, lang, doc_id // 1000 AS shard, n_chars,
+        |  (SUM(n_chars) OVER (PARTITION BY lang, doc_id // 1000 ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars) // 4096 AS pack_id
+        |FROM documents ORDER BY doc_id""".stripMargin)
   )
 }

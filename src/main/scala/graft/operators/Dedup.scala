@@ -324,6 +324,33 @@ object Dedup {
          |FROM cand
          |WHERE CAST(len(list_intersect(g_a, g_b)) AS DOUBLE)
          |   / (len(g_a) + len(g_b) - len(list_intersect(g_a, g_b))) >= 0.7
-         |ORDER BY doc_a, doc_b""".stripMargin)
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // ---- benchmark decontamination: flag training docs sharing >= 3
+    // distinct 3-token shingles with a held-out evaluation pool (stand-in
+    // pool: doc_id % 97 == 0, ~1% of the corpus — in production the pool is
+    // the benchmark suite's n-grams). The scale shape is the point: the
+    // pool's distinct shingle set is benchmark-sized (millions of grams,
+    // not corpus-sized), so it BROADCASTS, and the corpus side is one
+    // map-side explode + broadcast-hash-join + partial/final count — no
+    // shuffle of corpus text, linear in corpus size. ------------------------
+    "decontaminate_overlap" -> QueryDef(
+      (s, dir) => {
+        val sh = shingles(s, dir)
+        val bench = sh.filter(col("doc_id") % 97 === 0)
+          .select(explode(col("sh")).as("g")).distinct()
+        val train = sh.filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"), explode(col("sh")).as("g"))
+        train.join(broadcast(bench), "g")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+          .filter(col("n_overlap") >= 3)
+          .orderBy("doc_id")
+      },
+      s"""WITH $duckShingles,
+         |bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 97 = 0),
+         |train AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 97 <> 0)
+         |SELECT doc_id, COUNT(*) AS n_overlap
+         |FROM train JOIN bench USING (g)
+         |GROUP BY doc_id HAVING COUNT(*) >= 3 ORDER BY doc_id""".stripMargin)
   )
 }

@@ -186,6 +186,54 @@ object Similarity {
       s"""SELECT label, COUNT(*) AS n,
          |  MIN(sqrt($duckENorm)) AS min_norm,
          |  MAX(sqrt($duckENorm)) AS max_norm
-         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)
+         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin),
+
+    // ---- int8 symmetric quantization of embeddings — the storage/IO path
+    // of a 100 TB ANN index (4 bytes -> 1 byte per dimension before the
+    // bucketed scan). Per-vector scale = 127/max|x|; q_i = floor(x_i *
+    // scale + 0.5). Map-side only, entirely codegen'd higher-order
+    // functions. Every float step is a single IEEE op with the oracle SQL
+    // written in the SAME operation order/parenthesization, so the DOUBLE
+    // outputs (and the derived int checksums) agree bitwise; round() is
+    // avoided because half-even vs half-up differs across engines —
+    // floor(x + 0.5) doesn't. Output is per-vector stats (sum/first/max
+    // reconstruction error), not the int array itself, so the compare
+    // stays scalar. ---------------------------------------------------------
+    "embedding_quantize" -> QueryDef(
+      (s, dir) => {
+        Tables.load(s, dir, "embeddings")
+          .selectExpr("vec_id", "embedding",
+            """greatest(aggregate(embedding, CAST(0 AS DOUBLE),
+              |  (a, x) -> greatest(a, abs(CAST(x AS DOUBLE)))), 1e-30D) AS maxabs""".stripMargin)
+          .selectExpr("vec_id", "embedding", "maxabs",
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * (127.0D / maxabs) + 0.5D) AS BIGINT)) AS q")
+          .selectExpr("vec_id", "maxabs",
+            "aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x) AS q_sum",
+            "element_at(q, 1) AS q_first",
+            """aggregate(transform(sequence(1, size(q)),
+              |  i -> abs(CAST(element_at(q, i) AS DOUBLE) * (maxabs / 127.0D)
+              |         - CAST(element_at(embedding, i) AS DOUBLE))),
+              |  CAST(0 AS DOUBLE), (a, e) -> greatest(a, e)) AS max_err""".stripMargin)
+          // map-only child: persist-before-sort (QueryDef scaladoc)
+          .transform(graft.Sorted.byNames(_, "vec_id"))
+      },
+      """WITH m AS (SELECT vec_id, embedding,
+        |  greatest(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+        |    (a, b) -> greatest(a, b)), 1e-30) AS maxabs
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, maxabs, embedding,
+        |  list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / maxabs) + 0.5) AS BIGINT)) AS q
+        |  FROM m)
+        |SELECT vec_id, maxabs,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), q), (a, b) -> a + b) AS q_sum,
+        |  q[1] AS q_first,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(range(1, len(q) + 1),
+        |      i -> abs(CAST(q[i] AS DOUBLE) * (maxabs / 127.0)
+        |             - CAST(embedding[i] AS DOUBLE)))),
+        |    (a, b) -> greatest(a, b)) AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin)
   )
 }

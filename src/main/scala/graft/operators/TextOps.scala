@@ -168,6 +168,97 @@ object TextOps {
          |       list_transform(range(1, length(t) + 1), i -> ascii(substr(t, i, 1))::BIGINT)),
          |       (h, ch) -> (h * 31 + ch) % ${Portable.P}))),
          |   (h, x) -> (h * 131 + x) % ${Portable.P}) AS prefix_fp
-         |FROM documents ORDER BY doc_id""".stripMargin)
+         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // ---- repetition scoring (the Gopher-style quality gate): fraction of
+    // duplicate tokens and duplicate token-bigrams per document. Repetitive
+    // machine-generated text scores high on both; the flag thresholds are
+    // the filter a curation chain applies before training. Single-pass
+    // map-side (higher-order functions, no shuffle); the DOUBLE fractions
+    // are one IEEE divide of exact integers so both engines agree bitwise. --
+    "text_repetition" -> QueryDef(
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .selectExpr("doc_id", s"${Portable.tokensSql("text")} AS toks")
+          .selectExpr("doc_id", "toks",
+            // sequence(1, 0) would produce a DESCENDING sequence, so guard
+            // the under-2-token case explicitly
+            """CASE WHEN size(toks) < 2 THEN CAST(array() AS ARRAY<STRING>)
+              |ELSE transform(sequence(1, size(toks) - 1),
+              |  i -> concat(element_at(toks, i), '_', element_at(toks, i + 1)))
+              |END AS bigrams""".stripMargin)
+          .selectExpr("doc_id",
+            "CAST(size(toks) AS BIGINT) AS n_tokens",
+            "CAST(size(array_distinct(toks)) AS BIGINT) AS n_distinct",
+            "CAST(size(bigrams) AS BIGINT) AS n_bigrams",
+            "CAST(size(array_distinct(bigrams)) AS BIGINT) AS n_distinct_bigrams")
+          .selectExpr("doc_id", "n_tokens", "n_distinct",
+            "CASE WHEN n_tokens > 0 THEN CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens ELSE CAST(0 AS DOUBLE) END AS dup_token_frac",
+            "CASE WHEN n_bigrams > 0 THEN CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / n_bigrams ELSE CAST(0 AS DOUBLE) END AS dup_bigram_frac")
+          .selectExpr("doc_id", "n_tokens", "n_distinct", "dup_token_frac",
+            "dup_bigram_frac",
+            "CAST(dup_token_frac > 0.5D OR dup_bigram_frac > 0.25D AS INT) AS is_repetitive")
+          // map-only child: persist-before-sort, or the orderBy's range
+          // sampling executes the array work twice (QueryDef scaladoc)
+          .transform(graft.Sorted.byNames(_, "doc_id"))
+      },
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) AS toks
+        |  FROM documents),
+        |b AS (SELECT doc_id, toks,
+        |  list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i + 1]) AS bigrams
+        |  FROM t),
+        |c AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |  CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+        |  CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct_bigrams
+        |  FROM b),
+        |f AS (SELECT doc_id, n_tokens, n_distinct,
+        |  CASE WHEN n_tokens > 0 THEN CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens ELSE 0.0 END AS dup_token_frac,
+        |  CASE WHEN n_bigrams > 0 THEN CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / n_bigrams ELSE 0.0 END AS dup_bigram_frac
+        |  FROM c)
+        |SELECT doc_id, n_tokens, n_distinct, dup_token_frac, dup_bigram_frac,
+        |  CAST(dup_token_frac > 0.5 OR dup_bigram_frac > 0.25 AS INT) AS is_repetitive
+        |FROM f ORDER BY doc_id""".stripMargin),
+
+    // ---- TF-IDF top terms per document: term frequency weighted by
+    // corpus-wide rarity, top 3 per doc. The weight is the log-free
+    // rational form tf * N * 1e6 div df — pure int64 (deterministic across
+    // engines; ln() is a transcendental both engines round differently).
+    // Shape at 100 TB: tf is one partial+final agg on (doc, term), df one
+    // more on term (vocabulary-sized), the rank window partitions by
+    // doc_id (massively parallel, ≤ vocabulary terms per doc). N comes
+    // from a metadata count, broadcast as a literal. ------------------------
+    "tfidf_top_terms" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val n = docs.count()
+        val tf = docs
+          .selectExpr("doc_id", s"explode(${Portable.tokensSql("text")}) AS term")
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+        tf.join(df, "term")
+          .withColumn("score", expr(s"tf * ${n * 1000000L}L div df"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("score"))
+          .orderBy("doc_id", "rk")
+      },
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.term, tf.tf,
+        |    tf.tf * n.n * 1000000 // df.df AS score,
+        |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf * n.n * 1000000 // df.df DESC, tf.term) AS rk
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, CAST(rk AS INT) AS rk, term, tf, score
+        |FROM scored WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)
   )
 }

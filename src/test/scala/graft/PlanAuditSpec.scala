@@ -94,4 +94,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.toLowerCase.contains("partial_"), "aggregation should be map-side partial + final")
     assert(nodeIds(p, "Scan parquet").size <= 1, "one scan feeds all grouping sets")
   }
+
+  test("pack_sequences: running-sum window partitions by (lang, shard) — bounded partitions") {
+    val p = plan("pack_sequences")
+    val parts = "hashpartitioning\\([^\\n]*".r.findAllIn(p).toList
+    assert(parts.exists(e => e.contains("lang") && e.contains("shard")),
+      s"window shuffle must key on (lang, shard), not lang alone:\n${parts.mkString("\n")}")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>"),
+      "scan pruned to the three referenced columns")
+  }
+
+  test("tfidf: rank filter pushes a WindowGroupLimit (top-k, not full per-doc sort retention)") {
+    val p = plan("tfidf_top_terms")
+    assert(p.contains("WindowGroupLimit"),
+      "rk <= 3 should plan Spark's group-limit pushdown under the window")
+  }
+
+  test("embedding_quantize: map-side only — scan pruned, no shuffle before the presentation sort") {
+    val p = plan("embedding_quantize")
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"))
+    // the only exchange is the final order-by's range partitioning over the
+    // persisted result; quantization itself never shuffles
+    assert(!("hashpartitioning".r.findFirstIn(p).isDefined),
+      "quantization must not introduce a hash shuffle")
+  }
+
+  test("decontaminate_overlap: benchmark shingle pool broadcasts; corpus side never shuffles text") {
+    val p = plan("decontaminate_overlap")
+    assert(p.contains("BroadcastHashJoin"), "pool join should broadcast the benchmark grams")
+    assert(p.toLowerCase.contains("partial_count"), "overlap count is partial+final")
+  }
 }
