@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.{SparkSpec, SparkEntry}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Edge cases the parquet-fixture oracle can't reach: empty/one-token
+  * documents through the repetition scorer, a document landing exactly on
+  * a pack boundary, zero and single-element vectors through the int8
+  * quantizer, and rarity beating frequency in TF-IDF ranking. The spec
+  * writes a miniature documents/embeddings parquet pair shaped like the
+  * driver fixtures and drives the registered queries against it.
+  */
+class LlmOpsEdgeSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    val d = tmpDir("llmedge")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docs = Seq(
+      // doc 0: pool member for decontamination (doc_id % 97 == 0), shares
+      // its only shingle with doc 1
+      Row(0L, "alpha beta gamma delta epsilon", "en", "s", 4096L),
+      Row(1L, "alpha beta gamma delta epsilon zeta", "en", "s", 4096L),
+      Row(2L, "", "en", "s", 1L),                       // empty text
+      Row(3L, "one", "en", "s", 3L),                    // single token: no bigrams
+      Row(4L, "a a a a a", "en", "s", 9L),              // maximal repetition
+      Row(5L, "rare unique words here now", "en", "s", 100L))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(docs, 1), docSchema)
+      .write.parquet(s"$d/documents.parquet")
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val embs = Seq(
+      Row(0L, Seq(0.0f, 0.0f, 0.0f), 0),                // zero vector (scale guard)
+      Row(1L, Seq(1.0f), 0),                            // single element, exact scale
+      Row(2L, Seq(0.5f, -1.0f, 0.25f), 1))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(embs, 1), embSchema)
+      .write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("text_repetition: empty and single-token docs score 0; pure repetition flags") {
+    val rows = run("text_repetition").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("dup_token_frac"),
+          r.getAs[Double]("dup_bigram_frac"), r.getAs[Int]("is_repetitive"))).toMap
+    assert(rows(2L) == ((0L, 0.0, 0.0, 0)), "empty text is a clean zero, not a crash/NaN")
+    assert(rows(3L) == ((1L, 0.0, 0.0, 0)), "one token: no bigrams, nothing duplicated")
+    val (n4, dt4, db4, flag4) = rows(4L)
+    // 5 tokens / 1 distinct -> 4/5; 4 bigrams ("a_a" x4) / 1 distinct -> 3/4
+    assert(n4 == 5L && dt4 == 0.8 && db4 == 0.75 && flag4 == 1,
+      s"'a a a a a': expected dup fractions 0.8/0.75, got $dt4/$db4")
+    assert(rows(5L)._4 == 0, "all-distinct text is not repetitive")
+  }
+
+  test("pack_sequences: a doc landing exactly on the boundary opens the next pack") {
+    val packs = run("pack_sequences").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pack_id")).toMap
+    // docs 0 and 1 are both n_chars=4096 in the same (lang, shard):
+    // doc 0 fills pack 0 completely, doc 1 must start pack 1
+    assert(packs(0L) == 0L && packs(1L) == 1L,
+      s"expected boundary doc to open the next pack, got $packs")
+  }
+
+  test("embedding_quantize: zero vector survives the scale guard; unit scale is exact") {
+    val rows = run("embedding_quantize").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("q_sum"), r.getAs[Long]("q_first"), r.getAs[Double]("max_err"))).toMap
+    assert(rows(0L) == ((0L, 0L, 0.0)), "zero vector quantizes to all-zero, zero error")
+    assert(rows(1L) == ((127L, 127L, 0.0)), "1.0 with maxabs=1.0 is exactly q=127")
+    val (_, _, err2) = rows(2L)
+    // reconstruction error bound: half a quantization step = maxabs/127/2
+    assert(err2 <= 1.0 / 127.0 / 2.0 + 1e-12, s"max_err $err2 exceeds half a step")
+  }
+
+  test("tfidf_top_terms: corpus-rare terms outrank corpus-common ones at equal tf") {
+    val top1 = run("tfidf_top_terms").collect()
+      .filter(r => r.getAs[Long]("doc_id") == 1L && r.getAs[Int]("rk") == 1)
+      .map(_.getAs[String]("term"))
+    // doc 1's terms all have tf=1; 'zeta' appears in no other doc while
+    // alpha..epsilon all also appear in doc 0 -> zeta must rank first
+    assert(top1.sameElements(Array("zeta")), s"expected rare term first, got ${top1.mkString}")
+  }
+
+  test("decontaminate_overlap: doc sharing >= 3 shingles with the pool is flagged, others not") {
+    val rows = run("decontaminate_overlap").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_overlap")).toMap
+    // doc 1 shares shingles (alpha,beta,gamma),(beta,gamma,delta),
+    // (gamma,delta,epsilon) with pool doc 0 -> 3 overlaps, flagged
+    assert(rows.get(1L).contains(3L), s"doc 1 should be flagged with 3 overlaps, got $rows")
+    assert(!rows.contains(5L), "doc with no pool overlap must not be flagged")
+    assert(!rows.contains(0L), "pool docs themselves are excluded from the output")
+  }
+}
