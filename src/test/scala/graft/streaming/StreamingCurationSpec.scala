@@ -1,0 +1,41 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+/** Streaming curation: cross-batch content dedup with bounded state plus
+  * the quality gate, over live micro-batches. */
+class StreamingCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("dedups content across micro-batches, gates quality, splits kept/rejected in one pass") {
+    implicit val sq = spark.sqlContext
+    val out = tmpDir("streamcur")
+    val ms = MemoryStream[(Long, String, String, Timestamp)]
+    val raw = ms.toDF().toDF("doc_id", "text", "lang", "ts")
+    val q = StreamingCuration.run(spark, raw, out)
+    try {
+      ms.addData(
+        (1L, "the quick brown fox jumps", "en", t("2024-01-01 00:00:01")),
+        (2L, "the quick brown fox jumps", "en", t("2024-01-01 00:00:02")), // in-batch dup of 1
+        (3L, "a a a a a a", "en", t("2024-01-01 00:00:03")),               // uniq 1/6 < 0.2 -> rejected
+        (4L, "hi", "en", t("2024-01-01 00:00:04")))                       // 1 token < 3 -> rejected
+      q.processAllAvailable()
+      ms.addData(
+        (5L, "the quick brown fox jumps", "en", t("2024-01-01 00:10:00")), // cross-batch dup of 1
+        (6L, "an entirely different clean document", "en", t("2024-01-01 00:10:01")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val kept = spark.read.parquet(s"$out/kept")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 6L),
+      s"one canonical copy of the dup plus the clean doc, got $kept")
+    val rejected = spark.read.parquet(s"$out/rejected")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(rejected == Seq(3L, 4L), s"low-uniqueness and too-short docs rejected, got $rejected")
+  }
+}
