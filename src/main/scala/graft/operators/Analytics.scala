@@ -636,6 +636,34 @@ object Analytics {
         |  ON o_orderkey = l_orderkey
         | AND l_shipdate >= o_orderdate
         | AND l_shipdate <= o_orderdate + INTERVAL 120 DAY
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // ---- correlated scalar subquery (TPC-H Q17 shape, adapted to the
+    // fixture's part columns): small-order revenue for one brand, where
+    // "small" is per-part — below 20% of that part's average quantity.
+    // Catalyst DECORRELATES this into a per-part aggregate joined back
+    // (asserted in PlanAuditSpec): the 100 TB plan is two scans + one join,
+    // never a per-row subquery execution. avg(l_quantity) is an exact
+    // integral sum over an exact count with one IEEE divide, so the 0.2 *
+    // avg threshold is bit-identical across engines. ------------------------
+    "q30_correlated_sub" -> QueryDef(
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem").createOrReplaceTempView("cs_lineitem")
+        Tables.load(s, dir, "part").createOrReplaceTempView("cs_part")
+        s.sql(
+          """SELECT COUNT(*) AS n_small_orders,
+            |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0D AS avg_yearly
+            |FROM cs_lineitem, cs_part
+            |WHERE p_partkey = l_partkey AND p_brand = 'Brand#4'
+            |  AND l_quantity < (SELECT 0.2D * avg(l_quantity)
+            |                    FROM cs_lineitem l2 WHERE l2.l_partkey = cs_lineitem.l_partkey)
+            |""".stripMargin)
+      },
+      """SELECT COUNT(*) AS n_small_orders,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey AND p_brand = 'Brand#4'
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin)
   )
 }

@@ -119,6 +119,15 @@ class PlanAuditSpec extends SparkSpec {
       "quantization must not introduce a hash shuffle")
   }
 
+  test("q30: correlated scalar subquery decorrelates to aggregate+join, no per-row subquery") {
+    val p = plan("q30_correlated_sub")
+    assert(!p.contains("Subquery"),
+      "correlated subquery must be rewritten, not executed per outer row")
+    assert(nodeIds(p, "Scan parquet").size <= 3, "two lineitem scans + part, nothing more")
+    assert(p.toLowerCase.contains("partial_avg") || p.toLowerCase.contains("partial_sum"),
+      "the per-part average is a partial+final aggregate")
+  }
+
   test("decontaminate_overlap: benchmark shingle pool broadcasts; corpus side never shuffles text") {
     val p = plan("decontaminate_overlap")
     assert(p.contains("BroadcastHashJoin"), "pool join should broadcast the benchmark grams")
