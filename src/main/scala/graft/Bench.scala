@@ -70,16 +70,16 @@ object Bench {
       spark.catalog.clearCache()
       System.gc()
     }
+    // true median: average the middle pair on even counts (with reps=2, or
+    // one failed rep out of 4, taking the upper-middle would systematically
+    // bias recorded baselines upward)
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
-      s(s.size / 2)
+      val n = s.size
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
     def jnum(d: Double): String = f"$d%.4f"
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      } + "\""
+    def jstr(s: String): String = Json.str(s)
     // failed queries report -1 so a crash is never mistaken for a fast query
     val perQuery = names.map { n =>
       n -> (if (times(n).nonEmpty) median(times(n)) else -1.0)

@@ -68,11 +68,16 @@ object Curation {
           s"[connectedComponents] iteration cap $maxIters reached before the " +
             "sum-fixpoint: returned labels may be NON-CONVERGED (component " +
             "diameter exceeds the cap); raise maxIters")
-      edges.unpersist()
       val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
       labels.join(sizes, "label")
         .select(col("id").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
-    } finally sess.conf.set(spKey, prevSp)
+    } finally {
+      sess.conf.set(spKey, prevSp)
+      // in the finally so a failed propagation round (OOM, cancellation)
+      // can't strand the edge table in the CacheManager; the returned plan
+      // hangs off the checkpointed labels, never off edges
+      edges.unpersist()
+    }
   }
 
   val defs: ListMap[String, QueryDef] = ListMap(

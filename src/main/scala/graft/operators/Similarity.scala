@@ -202,6 +202,10 @@ object Similarity {
     "embedding_quantize" -> QueryDef(
       (s, dir) => {
         Tables.load(s, dir, "embeddings")
+          // empty vectors are excluded up front (mirrored in the oracle):
+          // ANSI element_at on an empty array throws, and sequence(1, 0)
+          // would generate a DESCENDING sequence, not an empty one
+          .filter("size(embedding) > 0")
           .selectExpr("vec_id", "embedding",
             """greatest(aggregate(embedding, CAST(0 AS DOUBLE),
               |  (a, x) -> greatest(a, abs(CAST(x AS DOUBLE)))), 1e-30D) AS maxabs""".stripMargin)
@@ -221,7 +225,7 @@ object Similarity {
         |  greatest(list_reduce(list_prepend(CAST(0 AS DOUBLE),
         |    list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
         |    (a, b) -> greatest(a, b)), 1e-30) AS maxabs
-        |  FROM embeddings),
+        |  FROM embeddings WHERE len(embedding) > 0),
         |q AS (SELECT vec_id, maxabs, embedding,
         |  list_transform(embedding,
         |    x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / maxabs) + 0.5) AS BIGINT)) AS q

@@ -224,16 +224,19 @@ object TextOps {
 
     // ---- TF-IDF top terms per document: term frequency weighted by
     // corpus-wide rarity, top 3 per doc. The weight is the log-free
-    // rational form tf * N * 1e6 div df — pure int64 (deterministic across
+    // rational form tf * 1e9 div df — pure int64 (deterministic across
     // engines; ln() is a transcendental both engines round differently).
+    // The corpus size N is deliberately NOT in the weight: it is constant
+    // across a corpus, so it cannot change any per-doc ranking, and
+    // keeping it would overflow int64 at N ≈ 1e9 docs × tf ≈ 1e4 — the
+    // same unbounded-product class fixed in sample_stratified. tf is
+    // bounded by document length (≪ 9.2e9), so tf * 1e9 stays in-range.
     // Shape at 100 TB: tf is one partial+final agg on (doc, term), df one
     // more on term (vocabulary-sized), the rank window partitions by
-    // doc_id (massively parallel, ≤ vocabulary terms per doc). N comes
-    // from a metadata count, broadcast as a literal. ------------------------
+    // doc_id (massively parallel, ≤ vocabulary terms per doc). ---------------
     "tfidf_top_terms" -> QueryDef(
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
-        val n = docs.count()
         val tf = docs
           .selectExpr("doc_id", s"explode(${Portable.tokensSql("text")}) AS term")
           .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -241,7 +244,7 @@ object TextOps {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
         tf.join(df, "term")
-          .withColumn("score", expr(s"tf * ${n * 1000000L}L div df"))
+          .withColumn("score", expr("tf * 1000000000L div df"))
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") <= 3)
           .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("score"))
@@ -252,12 +255,11 @@ object TextOps {
         |  FROM documents),
         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-        |n AS (SELECT COUNT(*) AS n FROM documents),
         |scored AS (SELECT tf.doc_id, tf.term, tf.tf,
-        |    tf.tf * n.n * 1000000 // df.df AS score,
+        |    tf.tf * 1000000000 // df.df AS score,
         |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
-        |      ORDER BY tf.tf * n.n * 1000000 // df.df DESC, tf.term) AS rk
-        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |      ORDER BY tf.tf * 1000000000 // df.df DESC, tf.term) AS rk
+        |  FROM tf JOIN df USING (term))
         |SELECT doc_id, CAST(rk AS INT) AS rk, term, tf, score
         |FROM scored WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)
   )

@@ -32,6 +32,31 @@ object StreamingCuration {
       .withColumn("keep", col("n_tokens").between(3, 5000) && col("uniq_ratio") >= 0.2)
       .drop("toks")
 
+  /** One micro-batch: quality-score, stamp the batch id, split kept/
+    * rejected in a single persisted pass. The parquet appends are
+    * at-least-once (a replay after a crash between write and checkpoint
+    * commit appends byte-identical rows carrying the SAME batch_id), so
+    * read through [[kept]]/[[rejected]] for exactly-once — the
+    * idempotent-consumer recipe shared with `CdcRouter.factsExactlyOnce`. */
+  def processBatch(batch: DataFrame, outDir: String, batchId: Long): Unit = {
+    val s = scored(batch).withColumn("batch_id", lit(batchId)).persist()
+    try {
+      s.filter(col("keep")).drop("keep")
+        .write.mode("append").parquet(s"$outDir/kept")
+      s.filter(!col("keep")).drop("keep")
+        .write.mode("append").parquet(s"$outDir/rejected")
+    } finally { s.unpersist(); () }
+  }
+
+  /** Exactly-once view over the at-least-once kept log (replays append
+    * identical (digest, batch_id) rows; keyed dedup removes them). */
+  def kept(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/kept").dropDuplicates("digest", "batch_id")
+
+  /** Exactly-once view over the rejected log. */
+  def rejected(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/rejected").dropDuplicates("digest", "batch_id")
+
   /** Launch: `raw` is a streaming DataFrame with (doc_id, text, lang, ts).
     * Writes `outDir/kept` and `outDir/rejected` parquet. */
   def run(spark: SparkSession, raw: DataFrame, outDir: String,
@@ -42,14 +67,8 @@ object StreamingCuration {
       .dropDuplicatesWithinWatermark("digest")
     deduped.writeStream
       .option("checkpointLocation", s"$outDir/_chk")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val s = scored(batch).persist()
-        try {
-          s.filter(col("keep")).drop("keep")
-            .write.mode("append").parquet(s"$outDir/kept")
-          s.filter(!col("keep")).drop("keep")
-            .write.mode("append").parquet(s"$outDir/rejected")
-        } finally { s.unpersist(); () }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, outDir, batchId)
       }
       .start()
   }

@@ -28,10 +28,13 @@ class CacheHygieneSpec extends SparkSpec {
     SparkEntry.queries("dedup_clusters")(spark, dir).collect()
     spark.catalog.clearCache()
     // localCheckpoint blocks live outside the CacheManager and are freed by
-    // the ContextCleaner once unreferenced; everything persist()-based
-    // (edges, Sorted) must be gone right now.
-    System.gc()
-    Thread.sleep(500) // let the ContextCleaner drain its reference queue
+    // the ContextCleaner once unreferenced — asynchronously, so poll with a
+    // bound instead of a single fixed sleep (this box is noisy)
+    val deadline = System.nanoTime() + 15_000_000_000L
+    while (cachedRddCount > 0 && System.nanoTime() < deadline) {
+      System.gc()
+      Thread.sleep(200)
+    }
     assert(cachedRddCount == 0,
       s"expected no persistent RDDs after clearCache+GC, found $cachedRddCount")
   }

@@ -38,7 +38,8 @@ class LlmOpsEdgeSpec extends SparkSpec {
     val embs = Seq(
       Row(0L, Seq(0.0f, 0.0f, 0.0f), 0),                // zero vector (scale guard)
       Row(1L, Seq(1.0f), 0),                            // single element, exact scale
-      Row(2L, Seq(0.5f, -1.0f, 0.25f), 1))
+      Row(2L, Seq(0.5f, -1.0f, 0.25f), 1),
+      Row(3L, Seq.empty[Float], 1))                     // empty vector: excluded, not a crash
     spark.createDataFrame(
       spark.sparkContext.parallelize(embs, 1), embSchema)
       .write.parquet(s"$d/embeddings.parquet")
@@ -79,6 +80,7 @@ class LlmOpsEdgeSpec extends SparkSpec {
     val (_, _, err2) = rows(2L)
     // reconstruction error bound: half a quantization step = maxabs/127/2
     assert(err2 <= 1.0 / 127.0 / 2.0 + 1e-12, s"max_err $err2 exceeds half a step")
+    assert(!rows.contains(3L), "empty vector is excluded (ANSI element_at would throw)")
   }
 
   test("tfidf_top_terms: corpus-rare terms outrank corpus-common ones at equal tf") {

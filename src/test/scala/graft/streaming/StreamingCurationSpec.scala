@@ -30,12 +30,26 @@ class StreamingCurationSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
 
-    val kept = spark.read.parquet(s"$out/kept")
+    val kept = StreamingCuration.kept(spark, out)
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(kept == Seq(1L, 6L),
       s"one canonical copy of the dup plus the clean doc, got $kept")
-    val rejected = spark.read.parquet(s"$out/rejected")
+    val rejected = StreamingCuration.rejected(spark, out)
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(rejected == Seq(3L, 4L), s"low-uniqueness and too-short docs rejected, got $rejected")
+  }
+
+  test("replayed micro-batch appends duplicates; the exactly-once views remove them") {
+    val out = tmpDir("streamcur-replay")
+    val batch = Seq((10L, "replay safety check document", "en", t("2024-01-01 00:00:01")))
+      .toDF("doc_id", "text", "lang", "ts")
+      .withColumn("digest", org.apache.spark.sql.functions.md5($"text"))
+    // simulate the crash-between-write-and-commit shape: the same batch id
+    // is processed twice
+    StreamingCuration.processBatch(batch, out, batchId = 7L)
+    StreamingCuration.processBatch(batch, out, batchId = 7L)
+    assert(spark.read.parquet(s"$out/kept").count() == 2, "raw log holds the replay duplicate")
+    assert(StreamingCuration.kept(spark, out).count() == 1,
+      "exactly-once view dedups the replayed (digest, batch_id)")
   }
 }
