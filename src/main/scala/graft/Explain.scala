@@ -12,7 +12,9 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q1_pricing_summary", "q3_segment_revenue", "q6_forecast_revenue",
         "order_wide", "uv_daily", "dedup_minhash", "ann_cosine_topk",
-        "q28_asof_join", "dedup_ngram_jaccard")
+        "q28_asof_join", "dedup_ngram_jaccard",
+        "salted_agg", "tfidf_top_terms", "pack_sequences",
+        "embedding_quantize", "decontaminate_overlap", "q30_correlated_sub")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

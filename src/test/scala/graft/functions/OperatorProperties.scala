@@ -62,4 +62,20 @@ object OperatorProperties extends Properties("graft.operators") {
         out.getInt(j) == (if (acc >= 0) 1 else 0)
       }
     }
+
+  // the driver json.load's every Verify/Bench output line; the escaper must
+  // never emit a raw control char, quote, or lone backslash
+  property("Json.escape output is a safe JSON string body for any input") =
+    forAll(Gen.listOf(Gen.oneOf(
+      Gen.asciiPrintableChar, Gen.chooseNum(0, 31).map(_.toChar),
+      Gen.oneOf('"', '\\', '\n', '\r', '\t'))).map(_.mkString)) { s =>
+      val e = graft.Json.escape(s)
+      val noRawControl = e.forall(c => c >= ' ')
+      // every quote/backslash in the output is part of an escape sequence:
+      // strip the legal two-char escapes and \uXXXX forms, nothing remains
+      val stripped = e.replaceAll("\\\\u[0-9a-f]{4}", "")
+        .replaceAll("\\\\[\"\\\\nrt]", "")
+      val noBareSpecials = !stripped.exists(c => c == '"' || c == '\\')
+      noRawControl && noBareSpecials
+    }
 }
