@@ -149,11 +149,15 @@ object HashExpressions {
   def evalCosine(l: ArrayData, r: ArrayData): Double = {
     val a = l.toFloatArray()
     val b = r.toFloatArray()
+    // mismatched dimensionality is malformed input: return NaN (filtered by
+    // every >= threshold and skipped by TopK) rather than silently computing
+    // a plausible-but-wrong cosine over the common prefix
+    if (a.length != b.length) return Double.NaN
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
-    val n = math.min(a.length, b.length)
+    val n = a.length
     while (i < n) {
       dot += (a(i) * b(i)).toDouble // float multiply, double accumulate
       na += (a(i) * a(i)).toDouble

@@ -26,7 +26,12 @@ class TopK(k: Int) extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(
     a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
 
   private def insert(buf: Seq[(Double, Long)], v: (Double, Long)): Seq[(Double, Long)] = {
-    if (buf.size == k && !better(v, buf.last)) buf
+    // NaN scores (e.g. cosine of a zero vector) are dropped outright: the
+    // comparator is not total under NaN — one NaN parked at the buffer tail
+    // would make `!better(v, buf.last)` true for EVERY candidate and
+    // silently reject all later genuinely-better rows
+    if (java.lang.Double.isNaN(v._1)) buf
+    else if (buf.size == k && !better(v, buf.last)) buf
     else {
       val (pre, post) = buf.span(better(_, v))
       (pre :+ v) ++ post.take(k - pre.size - 1)

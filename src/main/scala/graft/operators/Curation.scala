@@ -49,7 +49,12 @@ object Curation {
       // comes to dominate at high iteration counts (billion-edge graphs).
       // Earlier rounds' blocks are reclaimed by the ContextCleaner once
       // unreferenced — nothing is left registered in the CacheManager.
-      var prevSum = Long.MaxValue
+      // fixpoint metric in DECIMAL(38,0), not int64: a billion-edge graph
+      // summing large doc_id labels overflows Long (ANSI throw); 38 digits
+      // hold 1e9 rows x 1e10 labels with room to spare. coalesce(0) keeps
+      // an EMPTY pair graph (no near-dups found) a clean empty result
+      // instead of an NPE on the null aggregate.
+      var prevSum: java.math.BigDecimal = null
       var iters = 0
       var done = false
       while (!done && iters < maxIters) {
@@ -58,9 +63,12 @@ object Curation {
             .select(col("dst").as("id"), col("label")))
           .groupBy(col("id")).agg(min(col("label")).as("label"))
           .localCheckpoint(true)
-        val s = step.agg(sum(col("label"))).head().getLong(0)
+        val s = step
+          .agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+            lit(java.math.BigDecimal.ZERO)).as("s"))
+          .head().getDecimal(0)
         labels = step
-        if (s == prevSum) done = true else prevSum = s
+        if (prevSum != null && s.compareTo(prevSum) == 0) done = true else prevSum = s
         iters += 1
       }
       if (!done)

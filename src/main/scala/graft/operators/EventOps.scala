@@ -228,13 +228,13 @@ object EventOps {
           .orderBy("user_id", "start_us")
       },
       """WITH flagged AS (
-        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
         |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
         |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
         |         THEN 1 ELSE 0 END AS new_sess
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sess AS (
-        |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+        |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
         |  FROM flagged)
         |SELECT user_id, MIN(ts_us) AS start_us, COUNT(*) AS n_events

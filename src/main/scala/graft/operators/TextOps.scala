@@ -73,13 +73,17 @@ object TextOps {
             "st.n_uniq AS n_uniq",
             "st.s_en AS n_stop",
             "st.sum_len AS sum_len")
+          // zero-token docs (all punctuation / empty) must score 0, not
+          // throw DIVIDE_BY_ZERO under ANSI — same guard as text_repetition
           .selectExpr("doc_id", "n_chars", "n_tokens", "n_uniq", "n_punct",
-            "CAST(sum_len AS DOUBLE) / n_tokens AS avg_token_len",
-            "CAST(n_uniq AS DOUBLE) / n_tokens AS uniq_ratio",
-            "CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio",
-            """least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
-              | + CAST(n_uniq AS DOUBLE) / n_tokens * 0.3
-              | + CAST(n_stop AS DOUBLE) / n_tokens * 0.3 AS quality""".stripMargin)
+            "CASE WHEN n_tokens > 0 THEN CAST(sum_len AS DOUBLE) / n_tokens ELSE CAST(0 AS DOUBLE) END AS avg_token_len",
+            "CASE WHEN n_tokens > 0 THEN CAST(n_uniq AS DOUBLE) / n_tokens ELSE CAST(0 AS DOUBLE) END AS uniq_ratio",
+            "CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE CAST(0 AS DOUBLE) END AS stop_ratio",
+            """CASE WHEN n_tokens > 0 THEN
+              |   least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+              |   + CAST(n_uniq AS DOUBLE) / n_tokens * 0.3
+              |   + CAST(n_stop AS DOUBLE) / n_tokens * 0.3
+              | ELSE CAST(0 AS DOUBLE) END AS quality""".stripMargin)
           .transform(graft.Sorted.byNames(_, "doc_id"))
       },
       s"""WITH t AS (SELECT doc_id, n_chars,
@@ -92,12 +96,14 @@ object TextOps {
          |  list_reduce(list_prepend(0::BIGINT, list_transform(toks, t -> length(t)::BIGINT)), (a, b) -> a + b) AS sum_len
          |  FROM t)
          |SELECT doc_id, n_chars, n_tokens, n_uniq, n_punct,
-         |  CAST(sum_len AS DOUBLE) / n_tokens AS avg_token_len,
-         |  CAST(n_uniq AS DOUBLE) / n_tokens AS uniq_ratio,
-         |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
-         |  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
-         |   + CAST(n_uniq AS DOUBLE) / n_tokens * 0.3
-         |   + CAST(n_stop AS DOUBLE) / n_tokens * 0.3 AS quality
+         |  CASE WHEN n_tokens > 0 THEN CAST(sum_len AS DOUBLE) / n_tokens ELSE 0.0 END AS avg_token_len,
+         |  CASE WHEN n_tokens > 0 THEN CAST(n_uniq AS DOUBLE) / n_tokens ELSE 0.0 END AS uniq_ratio,
+         |  CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio,
+         |  CASE WHEN n_tokens > 0 THEN
+         |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+         |    + CAST(n_uniq AS DOUBLE) / n_tokens * 0.3
+         |    + CAST(n_stop AS DOUBLE) / n_tokens * 0.3
+         |  ELSE 0.0 END AS quality
          |FROM m ORDER BY doc_id""".stripMargin),
 
     // ---- token counting: whitespace split, alnum-word extraction, and a

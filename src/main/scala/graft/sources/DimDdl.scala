@@ -85,9 +85,17 @@ object DimDdl {
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "dynamic")
     try spark.read.parquet(scratch).write.mode("overwrite").insertInto(target)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      // a long-running CDC stream calls upsert every micro-batch: the
+      // scratch copy must not accumulate in the temp filesystem
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      Files.walk(Path.of(scratch)).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
     }
   }
 }

@@ -32,12 +32,15 @@ object BounceDetect {
     var pending = state.getOption
     val bounces = Seq.newBuilder[LogEvent]
     sorted.foreach { e =>
+      // only a TRUE successor (e.ts >= pending.ts) resolves the pending
+      // entry: flatMapGroupsWithState does not auto-drop late rows, and a
+      // straggler from BEFORE the entry must not suppress a real bounce
+      val resolves = pending.exists(p => e.ts >= p.ts)
       pending.foreach { p =>
-        if (e.ts - p.ts > BounceWindowMs) bounces += p // successor too late
-        // any successor event resolves the pending entry either way
+        if (resolves && e.ts - p.ts > BounceWindowMs) bounces += p // successor too late
       }
-      pending = None
-      if (e.lastPageId.isEmpty) pending = Some(e) // new entry candidate
+      if (resolves) pending = None
+      if (e.lastPageId.isEmpty && pending.isEmpty) pending = Some(e) // new entry candidate
     }
     pending match {
       case Some(p) =>

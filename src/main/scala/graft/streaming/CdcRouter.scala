@@ -49,15 +49,30 @@ object CdcRouter {
     * sink_table ≈ dynamic-topic Kafka sink), dims upserted by primary key
     * (last write wins ≈ Phoenix `upsert into`, DimSink.java:34-61). */
   def processBatch(batch: DataFrame, config: DataFrame, outDir: String, batchId: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
     val routed = route(batch, config).persist()
     try {
+      // seq: a DETERMINISTIC within-batch discriminator. Two legitimately
+      // identical fact records in one batch get seq 1 and 2 (they must both
+      // survive the exactly-once dedup); a replayed batch regenerates the
+      // SAME (data, seq) multiset, so replays still collapse. Ordering among
+      // identical rows is immaterial — any assignment yields the same set.
+      val factSeq = Window.partitionBy(col("sink_table"), col("data")).orderBy(lit(1))
       routed.filter(col("sink_type") === "kafka")
         .select(col("sink_table"), col("data"), lit(batchId).as("batch_id"))
+        .withColumn("seq", row_number().over(factSeq))
         .write.mode("append").partitionBy("sink_table").parquet(s"$outDir/facts")
 
+      // same device for dims: two upserts to one pk within a batch need a
+      // deterministic winner (the reference has Kafka offset order; a file
+      // batch does not) — rank by payload for a stable, replay-identical
+      // intra-batch order, and let dimSnapshot take the highest
+      val dimSeq = Window.partitionBy(col("sink_table"),
+        element_at(col("data_pruned"), col("sink_pk"))).orderBy(col("data"))
       val dims = routed.filter(col("sink_type") === "hbase")
         .select(col("sink_table"), element_at(col("data_pruned"), col("sink_pk")).as("pk"),
-          col("data"), lit(batchId).as("batch_id"))
+          col("data"), lit(batchId).as("batch_id"),
+          row_number().over(dimSeq).as("seq"))
       dims.write.mode("append").partitionBy("sink_table").parquet(s"$outDir/dims_log")
     } finally routed.unpersist()
   }
@@ -73,18 +88,18 @@ object CdcRouter {
     * partitioned by batch_id; here the general dropDuplicates form. */
   def factsExactlyOnce(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(s"$outDir/facts")
-      .dropDuplicates("sink_table", "batch_id", "data")
+      .dropDuplicates("sink_table", "batch_id", "data", "seq")
 
   /** Read the current dim snapshot: last write per (sink_table, pk) from the
     * upsert log — the keyed-KV-store view the reference holds in HBase. */
   def dimSnapshot(spark: SparkSession, outDir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("sink_table"), col("pk"))
-      .orderBy(col("batch_id").desc)
+      .orderBy(col("batch_id").desc, col("seq").desc)
     spark.read.parquet(s"$outDir/dims_log")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .drop("rn", "batch_id")
+      .drop("rn", "batch_id", "seq")
   }
 
   /** Launch the streaming router: config re-read from `configPath` (CSV with

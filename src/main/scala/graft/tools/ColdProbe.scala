@@ -34,7 +34,12 @@ object ColdProbe {
         (System.nanoTime() - t0) / 1e9
       }.sorted
       spark.catalog.clearCache()
-      println(f"$name%s cold_median=${times(times.size / 2)}%.2f runs=${times.map(t => f"$t%.2f").mkString(",")}")
+      // true median (average the middle pair on even counts) — same
+      // discipline as graft.Bench, no upper-middle bias
+      val med =
+        if (times.size % 2 == 1) times(times.size / 2)
+        else (times(times.size / 2 - 1) + times(times.size / 2)) / 2.0
+      println(f"$name%s cold_median=$med%.2f runs=${times.map(t => f"$t%.2f").mkString(",")}")
     }
     spark.stop()
   }

@@ -47,4 +47,27 @@ class BounceDetectSpec extends SparkSpec {
       assert(out.map(e => (e.mid, e.ts)).toSeq == Seq(("7", 1000L)))
     } finally q.stop()
   }
+
+  test("a straggler from BEFORE the pending entry does not suppress the bounce") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[LogEvent]
+    val events = BounceDetect.withEventTime(ms.toDF()).as[LogEvent]
+    val q = BounceDetect(events)
+      .writeStream.format("memory").queryName("bounce3").outputMode("append").start()
+    try {
+      // entry at t=100 s stored pending (timeout 110 s)
+      ms.addData(LogEvent("8", "0", "home", "", hasStart = false, 100000L))
+      q.processAllAvailable()
+      // a LATE event from t=95 s arrives next batch — flatMapGroupsWithState
+      // does not auto-drop it; it must not count as a successor of t=100 s
+      ms.addData(LogEvent("8", "0", "cart", "home", hasStart = false, 95000L))
+      q.processAllAvailable()
+      // heartbeat advances the watermark past the timeout
+      ms.addData(LogEvent("999", "0", "home", "", hasStart = false, 200000L))
+      q.processAllAvailable()
+      val out = spark.table("bounce3").as[LogEvent].collect()
+      assert(out.map(e => (e.mid, e.ts)).toSeq == Seq(("8", 100000L)),
+        "the t=100 s entry had no real successor within 10 s and must bounce")
+    } finally q.stop()
+  }
 }

@@ -61,6 +61,23 @@ class CdcRouterSpec extends SparkSpec {
     assert(ids == Set("1", "2", "3"))
   }
 
+  test("replay dedup keeps legitimately identical records within one batch") {
+    val out = tmpDir("cdctwin")
+    // two REAL events with byte-identical payloads in the same micro-batch
+    // (e.g. a double-applied upstream insert) — both must survive the
+    // exactly-once view; only sink REPLAYS may collapse
+    val twins = CdcRouter.parse(Seq(
+      cdc("order_info", "insert", """{"id":"9","user_id":"u9","total_amount":"1.00"}"""),
+      cdc("order_info", "insert", """{"id":"9","user_id":"u9","total_amount":"1.00"}""")).toDF("value"))
+    CdcRouter.processBatch(twins, configDf, out, 0L)
+    assert(CdcRouter.factsExactlyOnce(spark, out).count() == 2,
+      "identical same-batch records are distinct events, not replays")
+    // now force a replay of that same batch: counts must NOT grow
+    CdcRouter.processBatch(twins, configDf, out, 0L)
+    assert(CdcRouter.factsExactlyOnce(spark, out).count() == 2,
+      "the replayed batch regenerates the same (data, seq) set and collapses")
+  }
+
   test("dim upsert: last write per primary key wins across batches") {
     val out = tmpDir("cdcrouter")
     val b0 = CdcRouter.parse(Seq(
