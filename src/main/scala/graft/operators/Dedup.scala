@@ -351,6 +351,41 @@ object Dedup {
          |train AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 97 <> 0)
          |SELECT doc_id, COUNT(*) AS n_overlap
          |FROM train JOIN bench USING (g)
-         |GROUP BY doc_id HAVING COUNT(*) >= 3 ORDER BY doc_id""".stripMargin)
+         |GROUP BY doc_id HAVING COUNT(*) >= 3 ORDER BY doc_id""".stripMargin),
+
+    // ---- Bloom-filter membership probe: the sketch form of the pool
+    // broadcast above — when even the pool's digest set is too big to ship
+    // raw (a billion-document blocklist), a Bloom filter at 1% fpp is
+    // ~1.2 GB/1e9 keys and broadcasts where the exact set cannot. The
+    // per-row might_contain bits are sketch-internal (not portable), so the
+    // oracle checks the sketch's DETERMINISTIC guarantees instead: exact
+    // corpus/pool counts, ZERO false negatives (a Bloom filter never
+    // misses a true member), and a false-positive count under 5x the
+    // configured 1% fpp. Same style as approx_distinct's HLL check — the
+    // sketch IS verified, not just row-counted. -----------------------------
+    "bloom_membership" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .withColumn("digest", md5(col("text")))
+        val pool = d.filter(col("doc_id") % 97 === 0)
+        val bf = pool.stat.bloomFilter("digest", math.max(1000L, pool.count()), 0.01)
+        val bfB = s.sparkContext.broadcast(bf)
+        val might = udf((dg: String) => bfB.value.mightContainString(dg))
+        d.select(col("doc_id"),
+            (col("doc_id") % 97 === 0).cast("int").as("in_pool"),
+            might(col("digest")).cast("int").as("bloom_hit"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("in_pool")).cast("long").as("n_true_members"),
+            sum(expr("CAST(in_pool = 1 AND bloom_hit = 0 AS INT)")).cast("long")
+              .as("false_negatives"),
+            expr("CAST(SUM(CAST(in_pool = 0 AND bloom_hit = 1 AS INT)) <= 0.05 * COUNT(*) AS INT)")
+              .as("fp_ok"))
+      },
+      """SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(doc_id % 97 = 0 AS INT)) AS BIGINT) AS n_true_members,
+        |  CAST(0 AS BIGINT) AS false_negatives,
+        |  1 AS fp_ok
+        |FROM documents""".stripMargin)
   )
 }
