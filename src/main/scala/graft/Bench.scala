@@ -53,7 +53,8 @@ object Bench {
             df.write.format("noop").mode("overwrite").save(); None
           }
         } catch { case e: Throwable =>
-          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+          // keep messages short: they ride on the bounded stdout JSON line
+          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
         }
       val secs = (System.nanoTime() - t0) / 1e9
       failed match {
@@ -78,11 +79,13 @@ object Bench {
       val n = s.size
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
-    def jnum(d: Double): String = f"$d%.4f"
+    def jnum(d: Double): String = f"$d%.3f"
     def jstr(s: String): String = Json.str(s)
-    // failed queries report -1 so a crash is never mistaken for a fast query
+    // a query with ANY failed rep reports -1: a median over the surviving
+    // reps would look like a clean number while `errors` says otherwise,
+    // and the driver can't tell a full median from a partially-poisoned one
     val perQuery = names.map { n =>
-      n -> (if (times(n).nonEmpty) median(times(n)) else -1.0)
+      n -> (if (times(n).nonEmpty && !errs.contains(n)) median(times(n)) else -1.0)
     }
     val qs = perQuery.map { case (k, v) => jstr(k) + ":" + jnum(v) }
       .mkString("{", ",", "}")
@@ -91,7 +94,13 @@ object Bench {
     val gcJson = names.filter(gcs(_).nonEmpty)
       .map(n => jstr(n) + ":" + jnum(median(gcs(n)))).mkString("{", ",", "}")
     val total = perQuery.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errJson,"gc_sec":$gcJson,"reps":$reps,"sf":"$sfDir"}""")
+    // gc diagnostics go to stderr, NOT the stdout JSON line: the driver
+    // captures only a bounded tail of stdout, and round 3's ~4.3k-char line
+    // (queries + gc_sec maps) got head-truncated past parseability
+    // (BENCH_r03.json "parsed": null). The one stdout JSON line must stay
+    // well under that tail budget (~3k chars incl. sbt's epilogue).
+    System.err.println(s"""# gc_sec $gcJson""")
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -49,6 +49,11 @@ object Curation {
       // comes to dominate at high iteration counts (billion-edge graphs).
       // Earlier rounds' blocks are reclaimed by the ContextCleaner once
       // unreferenced — nothing is left registered in the CacheManager.
+      // CLUSTER CAVEAT: localCheckpoint truncates lineage to
+      // executor-local blocks — an executor lost mid-loop makes the labels
+      // unrecoverable (job failure, not recompute). Right trade for this
+      // single-JVM harness; on a real cluster set a checkpoint dir and use
+      // reliable checkpoint() (or persist with replication) per round.
       // fixpoint metric in DECIMAL(38,0), not int64: a billion-edge graph
       // summing large doc_id labels overflows Long (ANSI throw); 38 digits
       // hold 1e9 rows x 1e10 labels with room to spare. coalesce(0) keeps
@@ -264,9 +269,12 @@ object Curation {
             "(cum_chars - n_chars) div 4096 AS pack_id")
           .orderBy("doc_id")
       },
+      // CAST to BIGINT: DuckDB's windowed SUM(int) is HUGEINT, which arrives
+      // as decimal128 through Arrow and hash-mismatches Spark's int64 even
+      // when every value is equal (driver compare hashes typed values).
       """SELECT doc_id, lang, doc_id // 1000 AS shard, n_chars,
-        |  (SUM(n_chars) OVER (PARTITION BY lang, doc_id // 1000 ORDER BY doc_id
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars) // 4096 AS pack_id
+        |  CAST((SUM(n_chars) OVER (PARTITION BY lang, doc_id // 1000 ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars) // 4096 AS BIGINT) AS pack_id
         |FROM documents ORDER BY doc_id""".stripMargin)
   )
 }

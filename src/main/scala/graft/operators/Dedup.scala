@@ -370,16 +370,20 @@ object Dedup {
         val pool = d.filter(col("doc_id") % 97 === 0)
         val bf = pool.stat.bloomFilter("digest", math.max(1000L, pool.count()), 0.01)
         val bfB = s.sparkContext.broadcast(bf)
-        val might = udf((dg: String) => bfB.value.mightContainString(dg))
+        // null guard: a null text yields md5 = null and a bare
+        // mightContainString(null) would NPE executor-side
+        val might = udf((dg: String) => dg != null && bfB.value.mightContainString(dg))
+        // coalesce every aggregate: on an empty documents table SUM is NULL
+        // while the oracle hardcodes 0/1, and the query would diverge
         d.select(col("doc_id"),
             (col("doc_id") % 97 === 0).cast("int").as("in_pool"),
             might(col("digest")).cast("int").as("bloom_hit"))
           .agg(
             count(lit(1)).as("n_docs"),
-            sum(col("in_pool")).cast("long").as("n_true_members"),
-            sum(expr("CAST(in_pool = 1 AND bloom_hit = 0 AS INT)")).cast("long")
-              .as("false_negatives"),
-            expr("CAST(SUM(CAST(in_pool = 0 AND bloom_hit = 1 AS INT)) <= 0.05 * COUNT(*) AS INT)")
+            coalesce(sum(col("in_pool")), lit(0)).cast("long").as("n_true_members"),
+            coalesce(sum(expr("CAST(in_pool = 1 AND bloom_hit = 0 AS INT)")), lit(0))
+              .cast("long").as("false_negatives"),
+            expr("CAST(coalesce(SUM(CAST(in_pool = 0 AND bloom_hit = 1 AS INT)), 0) <= 0.05 * COUNT(*) AS INT)")
               .as("fp_ok"))
       },
       """SELECT COUNT(*) AS n_docs,

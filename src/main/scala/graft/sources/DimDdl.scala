@@ -91,11 +91,15 @@ object DimDdl {
         case None => spark.conf.unset(key)
       }
       // a long-running CDC stream calls upsert every micro-batch: the
-      // scratch copy must not accumulate in the temp filesystem
+      // scratch copy must not accumulate in the temp filesystem. The walk
+      // stream holds an open directory handle until closed — with one call
+      // per micro-batch those would pile up until GC, so close it explicitly.
       import java.nio.file.{Files, Path}
       import java.util.Comparator
-      Files.walk(Path.of(scratch)).sorted(Comparator.reverseOrder[Path]())
-        .forEach(p => Files.deleteIfExists(p))
+      scala.util.Using.resource(Files.walk(Path.of(scratch))) { walk =>
+        walk.sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      }
     }
   }
 }

@@ -34,7 +34,15 @@ object BounceDetect {
     sorted.foreach { e =>
       // only a TRUE successor (e.ts >= pending.ts) resolves the pending
       // entry: flatMapGroupsWithState does not auto-drop late rows, and a
-      // straggler from BEFORE the entry must not suppress a real bounce
+      // straggler from BEFORE the entry must not suppress a real bounce.
+      // DELIBERATE trade-off: a straggler that is ITSELF an entry candidate
+      // (ts < pending.ts) is dropped, never buffered — with one pending
+      // entry per mid we cannot tell whether its 10 s window was already
+      // resolved by events processed (and forgotten) in earlier batches, so
+      // emitting it would risk false-positive bounces. This mirrors the
+      // reference CEP's late-data drop at the watermark
+      // (UserJumpDetailApp.java:80-88, monotonic watermark): an event older
+      // than state Flink would have discarded outright.
       val resolves = pending.exists(p => e.ts >= p.ts)
       pending.foreach { p =>
         if (resolves && e.ts - p.ts > BounceWindowMs) bounces += p // successor too late

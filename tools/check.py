@@ -21,11 +21,33 @@ def main(sf_dir: str, out_dir: str) -> int:
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet({files!r})").fetchdf()
-            exp = con.execute(sql).fetchdf()
+            got_tbl = con.execute(
+                f"SELECT * FROM read_parquet({files!r})").arrow()
+            exp_tbl = con.execute(sql).arrow()
+            got = got_tbl.to_pandas()
+            exp = exp_tbl.to_pandas()
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        # Driver parity: the driver hashes TYPED values, so a DuckDB HUGEINT
+        # (windowed SUM(int) -> decimal128 via Arrow) against Spark int64
+        # hash-mismatches even when every value compares equal in Python
+        # (the pack_sequences round-3 failure). Fail on cross-CATEGORY type
+        # divergence; int/float width differences are tolerated by the driver.
+        def tcat(t):
+            import pyarrow.types as pt
+            if pt.is_integer(t): return "int"
+            if pt.is_floating(t): return "float"
+            if pt.is_decimal(t): return "decimal"
+            if pt.is_boolean(t): return "bool"
+            if pt.is_string(t) or pt.is_large_string(t): return "str"
+            return str(t)
+        gt = {f.name: tcat(f.type) for f in got_tbl.schema}
+        et = {f.name: tcat(f.type) for f in exp_tbl.schema}
+        tbad = [c for c in gt if c in et and gt[c] != et[c]]
+        if tbad:
+            c = tbad[0]
+            print(f"FAIL {name}: type category col={c}: spark={gt[c]} duck={et[c]}")
+            n_fail += 1; continue
         got = got.reindex(sorted(got.columns), axis=1)
         exp = exp.reindex(sorted(exp.columns), axis=1)
         if list(got.columns) != list(exp.columns):
