@@ -22,6 +22,7 @@ object SparkEntry {
       operators.Multimodal.defs ++
       operators.Extras.defs ++
       operators.Curation.defs ++
+      operators.CorpusOps.defs ++
       operators.AsOf.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,213 @@
+package graft.operators
+
+import graft.{QueryDef, Sorted, Tables}
+import org.apache.spark.sql.functions._
+
+import scala.collection.immutable.ListMap
+
+/** Corpus-hygiene + dataloader operators over the `documents` table — the
+  * cleaning passes a large-scale training-data pipeline runs between raw
+  * crawl and tokenization (beyond the reference's scope; part of the
+  * LLM-ops surface BASELINE.md grades as first-class):
+  *
+  *  - `pii_redact`         — regex scrubbing of emails/phones/IPs, map-side
+  *  - `boilerplate_flag`   — CCNet/Dolma-style repeated-shingle detection:
+  *                           global doc-frequency shuffle + per-doc fraction
+  *  - `ngram_top_corpus`   — corpus-wide heavy-hitter bigrams (top-k agg)
+  *  - `chunk_text`         — overlapping fixed-size chunk explode (the
+  *                           context-window dataloader shape)
+  *
+  * Scale notes (SCALE.md has the full arguments):
+  *  - pii_redact / chunk_text are single-pass, shuffle-free per-row
+  *    transforms — at 100 TB they run map-side inside whole-stage codegen.
+  *  - boilerplate_flag shuffles SHINGLES once for the doc-frequency count
+  *    (linear in corpus, the unavoidable global pass), then joins the
+  *    heavy set back BROADCAST: by construction the heavy set (shingles in
+  *    ≥ df_min distinct docs) is orders of magnitude smaller than the
+  *    corpus; if a pathological corpus made it large, swap the broadcast
+  *    for a shuffle join on `g` — the plan is otherwise unchanged.
+  *  - ngram_top_corpus is partial+final count with TakeOrderedAndProject:
+  *    ≤ k rows cross the final stage regardless of corpus size.
+  */
+object CorpusOps {
+
+  // RE2-compatible (DuckDB) AND java.util.regex-compatible (Spark): plain
+  // character classes, bounded repeats, no backrefs/lookaround. Patterns
+  // are passed through the DataFrame API, never a SQL literal, so there is
+  // exactly ONE level of string escaping.
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  private val IpRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  // one-escaping-level copies for the DuckDB oracle string
+  private val DEmail = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val DPhone = PhoneRe
+  private val DIp = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  val defs: ListMap[String, QueryDef] = ListMap(
+
+    // ---- PII redaction: the fixture corpus is letters-only, so a
+    // deterministic PII payload (synthetic email/phone/IP derived from
+    // doc_id) is appended per row FIRST — the redaction is then exercised
+    // on every row and verified by the md5 of the fully redacted string,
+    // not just by match counts. Construction and redaction are mirrored
+    // op-for-op in the oracle. Redaction order matters (email before IP:
+    // the domain contains dots) and is identical both sides. -------------
+    "pii_redact" -> QueryDef(
+      (s, dir) => {
+        val payload = concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com call 415-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" from 192.168."), pmod(col("doc_id"), lit(256)).cast("string"),
+          lit("."), pmod(col("doc_id") * 7, lit(256)).cast("string"))
+        val redacted = regexp_replace(
+          regexp_replace(
+            regexp_replace(payload, EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          IpRe, "<IP>")
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            regexp_count(payload, lit(EmailRe)).cast("long").as("n_emails"),
+            regexp_count(payload, lit(PhoneRe)).cast("long").as("n_phones"),
+            regexp_count(payload, lit(IpRe)).cast("long").as("n_ips"),
+            length(redacted).cast("long").as("redacted_len"),
+            md5(redacted).as("redacted_md5"))
+          .transform(Sorted.byNames(_, "doc_id"))
+      },
+      // DuckDB regexp_replace replaces only the FIRST match without the
+      // 'g' flag — Spark always replaces all, so 'g' is load-bearing.
+      s"""WITH p AS (SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |    || '@mail.example.com call 415-555-'
+         |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |    || ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+         |    || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS payload
+         |  FROM documents),
+         |r AS (SELECT doc_id, payload,
+         |  regexp_replace(regexp_replace(regexp_replace(payload,
+         |    '$DEmail', '<EMAIL>', 'g'),
+         |    '$DPhone', '<PHONE>', 'g'),
+         |    '$DIp', '<IP>', 'g') AS red
+         |  FROM p)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(payload, '$DEmail')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(payload, '$DPhone')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(payload, '$DIp')) AS BIGINT) AS n_ips,
+         |  CAST(length(red) AS BIGINT) AS redacted_len,
+         |  md5(red) AS redacted_md5
+         |FROM r ORDER BY doc_id""".stripMargin),
+
+    // ---- boilerplate detection: 5-token shingles occurring in >= 3
+    // distinct docs are "boilerplate"; each doc reports the fraction of
+    // its shingle instances that are boilerplate plus a >= 5% flag — the
+    // repeated-line removal pass of CCNet/Dolma, at shingle granularity
+    // (the fixture corpus has no newlines). ONE corpus-linear shuffle (the
+    // doc-frequency count); the heavy set joins back broadcast. ----------
+    "boilerplate_flag" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')").as("ts"))
+        // Spark [] indexing is 0-based; slice() is 1-based — i in [5, size]
+        // picks 1-based token window [i-4, i]
+        // persisted: sh feeds BOTH the doc-frequency count and the
+        // join-back — without this the tokenize+explode executes twice
+        // (the slim two-column shape is the same trick the MinHash
+        // signature table uses; Bench/Verify clear the cache per query)
+        val sh = toks.select(col("doc_id"),
+          explode(expr(
+            "CASE WHEN size(ts) >= 5 THEN transform(sequence(5, size(ts)), " +
+              "i -> concat_ws(' ', slice(ts, i - 4, 5))) " +
+              "ELSE CAST(array() AS array<string>) END")).as("g"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val heavy = sh.groupBy(col("g"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") >= 3)
+        val perDoc = sh.join(broadcast(heavy), Seq("g"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            coalesce(sum(col("df").isNotNull.cast("long")), lit(0L)).as("n_boiler"))
+        docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+            coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+          .withColumn("boiler_frac",
+            when(col("n_shingles") > 0,
+              col("n_boiler").cast("double") / col("n_shingles").cast("double"))
+              .otherwise(lit(0.0)))
+          .withColumn("flagged", (col("boiler_frac") >= 0.05).cast("int"))
+          .transform(Sorted.byNames(_, "doc_id"))
+      },
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) AS ts
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_transform(range(5, len(ts) + 1),
+        |    i -> ts[i-4] || ' ' || ts[i-3] || ' ' || ts[i-2] || ' ' || ts[i-1] || ' ' || ts[i])) AS g
+        |  FROM toks),
+        |hv AS (SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY g)
+        |  WHERE df >= 3),
+        |per AS (SELECT s.doc_id, COUNT(*) AS n_shingles,
+        |    CAST(SUM(CASE WHEN h.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+        |  FROM sh s LEFT JOIN hv h USING (g) GROUP BY s.doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(n_shingles, 0) AS n_shingles,
+        |  COALESCE(n_boiler, 0) AS n_boiler,
+        |  CASE WHEN COALESCE(n_shingles, 0) > 0
+        |       THEN CAST(COALESCE(n_boiler, 0) AS DOUBLE) / n_shingles
+        |       ELSE CAST(0 AS DOUBLE) END AS boiler_frac,
+        |  CAST(CASE WHEN (CASE WHEN COALESCE(n_shingles, 0) > 0
+        |       THEN CAST(COALESCE(n_boiler, 0) AS DOUBLE) / n_shingles
+        |       ELSE CAST(0 AS DOUBLE) END) >= 0.05 THEN 1 ELSE 0 END AS INT) AS flagged
+        |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin),
+
+    // ---- corpus-wide heavy-hitter bigrams: top 20 by count with a
+    // deterministic (count DESC, bigram ASC) tie-break. Partial+final
+    // count then TakeOrderedAndProject — only k rows reach the driver. ---
+    "ngram_top_corpus" -> QueryDef(
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .select(expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')").as("ts"))
+          .select(explode(expr(
+            "CASE WHEN size(ts) >= 2 THEN transform(sequence(2, size(ts)), " +
+              "i -> concat(ts[i-2], ' ', ts[i-1])) " +
+              "ELSE CAST(array() AS array<string>) END")).as("bigram"))
+          .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("bigram").asc)
+          .limit(20)
+      },
+      """WITH toks AS (SELECT
+        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) AS ts
+        |  FROM documents),
+        |bg AS (SELECT unnest(list_transform(range(2, len(ts) + 1),
+        |    i -> ts[i-1] || ' ' || ts[i])) AS bigram FROM toks)
+        |SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram
+        |ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin),
+
+    // ---- overlapping chunk explode: 256-char windows, 192-char stride
+    // (64 overlap) — the context-window dataloader shape. Start indices
+    // 0, 192, 384, … while start < n_chars; the n_chars >= 1 filter guards
+    // Spark's descending-sequence(1, 0) pitfall. Map-side explode, no
+    // shuffle; verified by per-chunk md5. --------------------------------
+    "chunk_text" -> QueryDef(
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .filter(col("n_chars") >= 1)
+          .select(col("doc_id"), col("text"),
+            explode(expr("sequence(0, CAST((n_chars - 1) div 192 AS INT))")).as("chunk_idx"))
+          .select(col("doc_id"), col("chunk_idx"),
+            expr("substring(text, chunk_idx * 192 + 1, 256)").as("chunk"))
+          .select(col("doc_id"), col("chunk_idx"),
+            length(col("chunk")).cast("long").as("chunk_len"),
+            md5(col("chunk")).as("chunk_md5"))
+          .transform(Sorted.byNames(_, "doc_id", "chunk_idx"))
+      },
+      """WITH idx AS (SELECT doc_id, text,
+        |    unnest(range(0, (n_chars - 1) // 192 + 1)) AS i
+        |  FROM documents WHERE n_chars >= 1)
+        |SELECT doc_id, i AS chunk_idx,
+        |  CAST(length(substr(text, i * 192 + 1, 256)) AS BIGINT) AS chunk_len,
+        |  md5(substr(text, i * 192 + 1, 256)) AS chunk_md5
+        |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin)
+  )
+}

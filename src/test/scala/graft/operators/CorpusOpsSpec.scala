@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.types._
+
+/** Edge cases + plan shape for the corpus-hygiene operators. The value
+  * semantics are oracle-checked at sf0.01; this spec covers what the
+  * fixture can't reach (pre-existing PII in the text, sub-shingle docs,
+  * exact chunk boundaries) and pins the physical-plan claims from the
+  * CorpusOps scaladoc (map-side ops stay shuffle-free, the heavy-shingle
+  * join broadcasts, top-k plans TakeOrdered).
+  */
+class CorpusOpsSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    val d = tmpDir("corpusops")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val boiler = "the quick brown fox jumps" // shared 5-token shingle
+    val docs = Seq(
+      Row(0L, s"$boiler alpha", "en", "s", 31L),
+      Row(1L, s"$boiler beta", "en", "s", 30L),
+      Row(2L, s"$boiler gamma", "en", "s", 31L), // 3 docs -> df>=3 -> boilerplate
+      Row(3L, "tiny doc", "en", "s", 8L),        // < 5 tokens: no shingles
+      Row(4L, "mail me at spy@evil.example.org now", "en", "s", 35L), // PII already in text
+      Row(5L, "x" * 256, "en", "s", 256L),       // exact chunk boundary
+      Row(6L, "y" * 192, "en", "s", 192L))       // exactly one stride
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(docs, 1), docSchema)
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("pii_redact: pre-existing email in the text is scrubbed alongside the payload") {
+    val r = run("pii_redact").collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(4L).getAs[Long]("n_emails") == 2L,
+      "doc 4 carries its own email plus the synthetic payload one")
+    assert(r(0L).getAs[Long]("n_emails") == 1L)
+    assert(r(0L).getAs[Long]("n_phones") == 1L && r(0L).getAs[Long]("n_ips") == 1L)
+  }
+
+  test("boilerplate_flag: shared shingle across 3 docs flags them; sub-shingle doc is clean") {
+    val r = run("boilerplate_flag").collect()
+      .map(x => (x.getAs[Long]("doc_id"),
+        (x.getAs[Long]("n_shingles"), x.getAs[Long]("n_boiler"),
+          x.getAs[Int]("flagged")))).toMap
+    // docs 0-2: 2 shingles each ("the quick brown fox jumps", "quick brown
+    // fox jumps <suffix>"); only the first repeats across docs
+    Seq(0L, 1L, 2L).foreach { id =>
+      assert(r(id) == ((2L, 1L, 1)), s"doc $id: half its shingles are boilerplate")
+    }
+    assert(r(3L) == ((0L, 0L, 0)), "a < 5-token doc has no shingles and a zero frac, not a crash")
+  }
+
+  test("ngram_top_corpus: counts and deterministic tie-break") {
+    val top = run("ngram_top_corpus").collect()
+      .map(x => x.getAs[String]("bigram") -> x.getAs[Long]("cnt"))
+    assert(top.head._1 == "brown fox" || top.head._2 == 3L)
+    val counts = top.toMap
+    Seq("the quick", "quick brown", "brown fox", "fox jumps").foreach { b =>
+      assert(counts(b) == 3L, s"bigram '$b' appears once in each of docs 0-2")
+    }
+    // ties are ordered lexicographically: stable across runs/engines
+    val byCount = top.groupBy(_._2).values
+    byCount.foreach(g =>
+      assert(g.map(_._1).toSeq == g.map(_._1).toSeq.sorted))
+  }
+
+  test("chunk_text: exact-boundary and single-stride docs chunk correctly, overlap verified") {
+    val r = run("chunk_text").collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Int]("chunk_idx")) ->
+        x.getAs[Long]("chunk_len")).toMap
+    // 256 chars: chunk 0 = [1,256] len 256, chunk 1 = [193,256] len 64 (the overlap tail)
+    assert(r((5L, 0)) == 256L && r((5L, 1)) == 64L)
+    assert(!r.contains((5L, 2)))
+    // 192 chars: exactly one stride -> a single chunk of the full doc
+    assert(r((6L, 0)) == 192L && !r.contains((6L, 1)))
+  }
+
+  test("plan: map-side ops are shuffle-free; heavy join broadcasts; top-k is TakeOrdered") {
+    Seq("pii_redact", "chunk_text").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q is a per-row transform and must not shuffle")
+    }
+    val b = plan("boilerplate_flag")
+    assert(b.contains("BroadcastHashJoin"), "heavy-shingle set joins back broadcast")
+    assert(b.toLowerCase.contains("partial_count"), "doc-frequency count is partial+final")
+    val n = plan("ngram_top_corpus")
+    assert(n.contains("TakeOrderedAndProject"), "top-20 must not globally sort")
+    assert(n.toLowerCase.contains("partial_count"))
+  }
+}
