@@ -246,6 +246,44 @@ object Curation {
         |  AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.2
         |ORDER BY doc_id""".stripMargin),
 
+    // ---- domain-mix rebalancing: given a target of uniform per-source
+    // shares, compute each source's integer keep-rate (per-mille) and
+    // deterministically downsample with the portable hash — the "data
+    // mixing" stage between curation and tokenization. All arithmetic is
+    // int64 (exact in both engines); the per-source stats table is the
+    // output, so the rate computation AND the hash filter outcome are both
+    // verified. Scale shape: the counts/rates side is |sources| rows
+    // (broadcast); the corpus side is ONE partial+final count plus a
+    // map-side filter — no corpus shuffle beyond the group-by. -------------
+    "mix_rebalance" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        val tot = counts.agg(sum(col("n_docs")).as("total"),
+          count(lit(1)).as("n_src"))
+        val rates = counts.crossJoin(broadcast(tot))
+          .withColumn("keep_m",
+            least(lit(1000L), expr("((total div n_src) * 1000L) div n_docs")))
+          .select(col("source"), col("n_docs"), col("keep_m"))
+        val kept = docs.join(broadcast(rates.select("source", "keep_m")), "source")
+          .filter(expr(s"((doc_id % 999983L) * ${MIX}L + 31L) % 1000 < keep_m"))
+          .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+        rates.join(kept, Seq("source"), "left")
+          .select(col("source"), col("n_docs"), col("keep_m"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+          .orderBy("source")
+      },
+      s"""WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+         |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total, COUNT(*) AS n_src FROM c),
+         |r AS (SELECT source, n_docs,
+         |    least(1000, ((total // n_src) * 1000) // n_docs) AS keep_m FROM c, t),
+         |k AS (SELECT d.source, COUNT(*) AS n_kept
+         |  FROM documents d JOIN r USING (source)
+         |  WHERE ((doc_id % 999983) * $MIX + 31) % 1000 < keep_m
+         |  GROUP BY d.source)
+         |SELECT source, n_docs, keep_m, COALESCE(n_kept, 0) AS n_kept
+         |FROM r LEFT JOIN k USING (source) ORDER BY source""".stripMargin),
+
     // ---- sequence packing for training batches: assign docs to fixed-size
     // context-window packs (4096 chars) by running length sum — the
     // "concatenate until full" packing a dataloader does, made deterministic

@@ -30,6 +30,14 @@ object Similarity {
   private val eNormSql =
     "aggregate(transform(embedding, x -> double(x * x)), double(0), (a, b) -> a + b)"
 
+  /** DuckDB cosine between two named float-array columns — the same
+    * float-multiply / double-accumulate parity contract as graft_cosine. */
+  private def duckCos(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> ($x[i] * $y[i])::DOUBLE)), (u, v) -> u + v)"
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+
   private val duckDot =
     "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> (q_emb[i] * embedding[i])::DOUBLE)), (a, b) -> a + b)"
   private val duckQNorm =
@@ -116,6 +124,63 @@ object Similarity {
          |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
          |  FROM scored)
          |SELECT q_id, vec_id, label, rank, cosine FROM ranked
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin),
+
+    // ---- IVF with CONTENT-DERIVED cells: coarse-quantize every vector to
+    // its nearest of 4 deterministic seed centroids (vec_id < 4), then
+    // probe only the query's cell (nprobe=1) for exact top-3 — the real
+    // IVF recipe, upgrading ann_cosine_bucketed's pre-labeled partition to
+    // an assignment computed from the data. Assignment is a 4×N map-side
+    // broadcast score + one slim argmax agg (ties broken toward the
+    // smaller centroid id, identically in the oracle); at 100 TB the cell
+    // id becomes a partition column at index-build time and probing is
+    // partition pruning, exactly as ann_cosine_bucketed's plan shows. ------
+    "ann_ivf_probe" -> QueryDef(
+      (s, dir) => {
+        graft.functions.HashExpressions.register(s)
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents = emb.filter(col("vec_id") < 4)
+          .selectExpr("vec_id AS c_id", "embedding AS c_emb")
+        // argmax cosine via max(struct(sim, -c_id)): equal sims pick the
+        // larger -c_id = smaller c_id, matching the oracle's (sim DESC,
+        // c_id ASC) row_number. Persisted slim: feeds queries AND candidates.
+        val assigned = emb.crossJoin(broadcast(cents))
+          .selectExpr("vec_id", "c_id", "graft_cosine(c_emb, embedding) AS sim")
+          .groupBy(col("vec_id"))
+          .agg(max(struct(col("sim"), (-col("c_id")).as("nc"))).as("m"))
+          .select(col("vec_id"), (-col("m.nc")).as("cell"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val cellEmb = emb.join(assigned, "vec_id")
+        val q = cellEmb.filter(col("vec_id") < 8)
+          .selectExpr("vec_id AS q_id", "cell AS q_cell", "embedding AS q_emb")
+        val scored = broadcast(q)
+          .join(cellEmb, expr("cell = q_cell AND vec_id != q_id"))
+          .selectExpr("q_id", "vec_id", "cell",
+            "graft_cosine(q_emb, embedding) AS cosine")
+        topKPerQuery(scored, 3, "cell")
+          .select(col("q_id"), col("cell"), col("vec_id"), col("rank"), col("cosine"))
+          .orderBy("q_id", "rank")
+      },
+      s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb
+         |  FROM embeddings WHERE vec_id < 4),
+         |sc AS (SELECT e.vec_id, c.c_id,
+         |    ${duckCos("c_emb", "embedding")} AS sim
+         |  FROM embeddings e CROSS JOIN cents c),
+         |asg AS (SELECT vec_id, c_id AS cell FROM (
+         |    SELECT vec_id, c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
+         |    FROM sc) WHERE rn = 1),
+         |ce AS (SELECT e.vec_id, e.embedding, a.cell
+         |  FROM embeddings e JOIN asg a USING (vec_id)),
+         |q AS (SELECT vec_id AS q_id, cell AS q_cell, embedding AS q_emb
+         |  FROM ce WHERE vec_id < 8),
+         |scored AS (SELECT q_id, vec_id, cell,
+         |    ${duckCos("q_emb", "embedding")} AS cosine
+         |  FROM q JOIN ce ON cell = q_cell AND vec_id != q_id),
+         |ranked AS (SELECT q_id, cell, vec_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, cell, vec_id, rank, cosine FROM ranked
          |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin),
 
     // ---- embedding-cosine near-dup pairs: sign-random-projection LSH

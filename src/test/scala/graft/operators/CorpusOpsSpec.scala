@@ -21,17 +21,36 @@ class CorpusOpsSpec extends SparkSpec {
       StructField("lang", StringType), StructField("source", StringType),
       StructField("n_chars", LongType)))
     val boiler = "the quick brown fox jumps" // shared 5-token shingle
+    // sources skewed 5:2 so mix_rebalance must downsample "a" and keep "b"
     val docs = Seq(
-      Row(0L, s"$boiler alpha", "en", "s", 31L),
-      Row(1L, s"$boiler beta", "en", "s", 30L),
-      Row(2L, s"$boiler gamma", "en", "s", 31L), // 3 docs -> df>=3 -> boilerplate
-      Row(3L, "tiny doc", "en", "s", 8L),        // < 5 tokens: no shingles
-      Row(4L, "mail me at spy@evil.example.org now", "en", "s", 35L), // PII already in text
-      Row(5L, "x" * 256, "en", "s", 256L),       // exact chunk boundary
-      Row(6L, "y" * 192, "en", "s", 192L))       // exactly one stride
+      Row(0L, s"$boiler alpha", "en", "a", 31L),
+      Row(1L, s"$boiler beta", "en", "a", 30L),
+      Row(2L, s"$boiler gamma", "en", "a", 31L), // 3 docs -> df>=3 -> boilerplate
+      Row(3L, "tiny doc", "en", "a", 8L),        // < 5 tokens: no shingles
+      Row(4L, "mail me at spy@evil.example.org now", "en", "a", 35L), // PII already in text
+      Row(5L, "x" * 256, "en", "b", 256L),       // exact chunk boundary
+      Row(6L, "y" * 192, "en", "b", 192L))       // exactly one stride
     spark.createDataFrame(
       spark.sparkContext.parallelize(docs, 1), docSchema)
       .write.parquet(s"$d/documents.parquet")
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    // vec_ids 0-3 are the IVF seed centroids (near-orthogonal); 4-7 sit
+    // close to centroid 0 or 1, so cell membership is unambiguous
+    val embs = Seq(
+      Row(0L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      Row(1L, Seq(0.0f, 1.0f, 0.0f, 0.0f), 0),
+      Row(2L, Seq(0.0f, 0.0f, 1.0f, 0.0f), 1),
+      Row(3L, Seq(0.0f, 0.0f, 0.0f, 1.0f), 1),
+      Row(4L, Seq(0.9f, 0.1f, 0.0f, 0.0f), 0),   // cell 0
+      Row(5L, Seq(0.8f, 0.2f, 0.0f, 0.0f), 0),   // cell 0
+      Row(6L, Seq(0.1f, 0.9f, 0.0f, 0.0f), 1),   // cell 1
+      Row(7L, Seq(0.2f, 0.8f, 0.1f, 0.0f), 1))   // cell 1
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(embs, 1), embSchema)
+      .write.parquet(s"$d/embeddings.parquet")
     d
   }
 
@@ -86,6 +105,38 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!r.contains((5L, 2)))
     // 192 chars: exactly one stride -> a single chunk of the full doc
     assert(r((6L, 0)) == 192L && !r.contains((6L, 1)))
+  }
+
+  test("mix_rebalance: over-represented source is rate-limited, under-represented keeps all") {
+    val r = run("mix_rebalance").collect()
+      .map(x => x.getAs[String]("source") ->
+        (x.getAs[Long]("n_docs"), x.getAs[Long]("keep_m"), x.getAs[Long]("n_kept"))).toMap
+    // total 7, 2 sources -> target 3/source: a (5 docs) -> 600 permille,
+    // b (2 docs) -> capped at 1000 (never up-samples)
+    assert(r("a") == ((5L, 600L, r("a")._3)) && r("a")._3 <= 5L)
+    assert(r("b") == ((2L, 1000L, 2L)), "keep_m is capped at 1000: every b doc survives")
+  }
+
+  test("ann_ivf_probe: results stay in the query's cell, self excluded, ranks contiguous") {
+    val rows = run("ann_ivf_probe").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { x =>
+      assert(x.getAs[Long]("vec_id") != x.getAs[Long]("q_id"), "self match must be excluded")
+      assert(!x.getAs[Double]("cosine").isNaN)
+    }
+    // every (q_id) group: one cell value, ranks 1..n ordered by cosine desc
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, g) =>
+      assert(g.map(_.getAs[Long]("cell")).distinct.size == 1,
+        "nprobe=1: all results come from the query's own cell")
+      val byRank = g.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).toSeq == (1 to g.size).toSeq)
+      val cos = byRank.map(_.getAs[Double]("cosine")).toSeq
+      assert(cos == cos.sorted.reverse, "ranks follow cosine descending")
+    }
+    // vectors 4,5 sit by centroid 0 and 6,7 by centroid 1: querying 4 must
+    // find 5 (same cell) and never 6/7
+    val q4 = rows.filter(_.getAs[Long]("q_id") == 4L).map(_.getAs[Long]("vec_id")).toSet
+    assert(q4.contains(5L) && !q4.contains(6L) && !q4.contains(7L))
   }
 
   test("plan: map-side ops are shuffle-free; heavy join broadcasts; top-k is TakeOrdered") {
