@@ -125,6 +125,39 @@ object Extras {
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, 1 AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
+    // ---- sketch-based percentiles: approx_percentile (a mergeable
+    // quantile sketch — partial+final, bounded memory, the only way to do
+    // percentiles in one pass over 100 TB) checked against the EXACT
+    // in-engine percentile at a value-rank tolerance: the approximation
+    // must land between the exact p±0.02 quantiles. Same oracle style as
+    // approx_distinct/bloom_membership — the sketch's guarantee is
+    // asserted (flag = 1), not just row-counted, and the exact quantiles
+    // hash-match DuckDB's quantile_cont. ------------------------------------
+    "approx_percentiles" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        ev.groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            expr("approx_percentile(value, array(0.5D, 0.9D, 0.99D), 10000)").as("ap"),
+            expr("percentile(value, 0.5)").as("x50"),
+            expr("percentile(value, 0.48)").as("lo50"),
+            expr("percentile(value, 0.52)").as("hi50"),
+            expr("percentile(value, 0.88)").as("lo90"),
+            expr("percentile(value, 0.92)").as("hi90"),
+            expr("percentile(value, 0.97)").as("lo99"),
+            expr("percentile(value, 1.0)").as("hi99"))
+          .selectExpr("event_type", "n", "x50 AS exact_p50",
+            "CAST(ap[0] >= lo50 AND ap[0] <= hi50 AS INT) AS ok_p50",
+            "CAST(ap[1] >= lo90 AND ap[1] <= hi90 AS INT) AS ok_p90",
+            "CAST(ap[2] >= lo99 AND ap[2] <= hi99 AS INT) AS ok_p99")
+          .orderBy("event_type")
+      },
+      """SELECT event_type, COUNT(*) AS n,
+        |  quantile_cont(value, 0.5) AS exact_p50,
+        |  1 AS ok_p50, 1 AS ok_p90, 1 AS ok_p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
     // ---- two-phase salted aggregation for skewed keys (Salting.scala):
     // phase 1 groups by (key, salt) so a hot key's rows spread across
     // `salts` reducers instead of serializing on one; phase 2 merges the
