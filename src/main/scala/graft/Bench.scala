@@ -79,7 +79,10 @@ object Bench {
       val n = s.size
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
-    def jnum(d: Double): String = f"$d%.3f"
+    // Locale.ROOT: the f-interpolator formats with the JVM default locale,
+    // and a comma-decimal locale (de_DE, fr_FR) would emit 0,123 — not JSON
+    def jnum(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     def jstr(s: String): String = Json.str(s)
     // a query with ANY failed rep reports -1: a median over the surviving
     // reps would look like a clean number while `errors` says otherwise,
@@ -89,8 +92,14 @@ object Bench {
     }
     val qs = perQuery.map { case (k, v) => jstr(k) + ":" + jnum(v) }
       .mkString("{", ",", "}")
-    val errJson = errs.toSeq.sortBy(_._1)
-      .map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    // the errors map must stay BOUNDED or a registry-wide failure (bad sf
+    // dir) re-blows the stdout tail budget with 85 messages: first 5 in
+    // full (the -1 entries in `queries` already name every failure), plus
+    // an omitted count
+    val errShown = errs.toSeq.sortBy(_._1).take(5)
+    val errJson = (errShown.map { case (k, v) => jstr(k) + ":" + jstr(v) } ++
+      (if (errs.size > 5) Seq(jstr("_omitted") + ":" + jstr(s"${errs.size - 5} more")) else Nil))
+      .mkString("{", ",", "}")
     val gcJson = names.filter(gcs(_).nonEmpty)
       .map(n => jstr(n) + ":" + jnum(median(gcs(n)))).mkString("{", ",", "}")
     val total = perQuery.collect { case (_, v) if v >= 0 => v }.sum

@@ -39,10 +39,19 @@ object CorpusOps {
   private val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
   private val IpRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
 
-  // one-escaping-level copies for the DuckDB oracle string
-  private val DEmail = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  // the SAME strings serve the DuckDB oracle: both sides are plain Scala
+  // string interpolation (one escaping level), so aliasing keeps the two
+  // engines' patterns impossible to desynchronize
+  private val DEmail = EmailRe
   private val DPhone = PhoneRe
-  private val DIp = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  private val DIp = IpRe
+
+  // one tokenization contract for every corpus statistic in this module
+  // (boilerplate shingles, bigrams) — same shape as TextOps' oracles
+  private val toksExpr =
+    "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
+  private val duckToks =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)"
 
   val defs: ListMap[String, QueryDef] = ListMap(
 
@@ -107,8 +116,7 @@ object CorpusOps {
     "boilerplate_flag" -> QueryDef(
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
-        val toks = docs.select(col("doc_id"),
-          expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')").as("ts"))
+        val toks = docs.select(col("doc_id"), expr(toksExpr).as("ts"))
         // Spark [] indexing is 0-based; slice() is 1-based — i in [5, size]
         // picks 1-based token window [i-4, i]
         // persisted: sh feeds BOTH the doc-frequency count and the
@@ -139,8 +147,7 @@ object CorpusOps {
           .withColumn("flagged", (col("boiler_frac") >= 0.05).cast("int"))
           .transform(Sorted.byNames(_, "doc_id"))
       },
-      """WITH toks AS (SELECT doc_id,
-        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) AS ts
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS ts
         |  FROM documents),
         |sh AS (SELECT doc_id, unnest(list_transform(range(5, len(ts) + 1),
         |    i -> ts[i-4] || ' ' || ts[i-3] || ' ' || ts[i-2] || ' ' || ts[i-1] || ' ' || ts[i])) AS g
@@ -167,7 +174,7 @@ object CorpusOps {
     "ngram_top_corpus" -> QueryDef(
       (s, dir) => {
         Tables.load(s, dir, "documents")
-          .select(expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')").as("ts"))
+          .select(expr(toksExpr).as("ts"))
           .select(explode(expr(
             "CASE WHEN size(ts) >= 2 THEN transform(sequence(2, size(ts)), " +
               "i -> concat(ts[i-2], ' ', ts[i-1])) " +
@@ -176,8 +183,7 @@ object CorpusOps {
           .orderBy(col("cnt").desc, col("bigram").asc)
           .limit(20)
       },
-      """WITH toks AS (SELECT
-        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) AS ts
+      s"""WITH toks AS (SELECT $duckToks AS ts
         |  FROM documents),
         |bg AS (SELECT unnest(list_transform(range(2, len(ts) + 1),
         |    i -> ts[i-1] || ' ' || ts[i])) AS bigram FROM toks)
@@ -186,15 +192,22 @@ object CorpusOps {
 
     // ---- overlapping chunk explode: 256-char windows, 192-char stride
     // (64 overlap) — the context-window dataloader shape. Start indices
-    // 0, 192, 384, … while start < n_chars; the n_chars >= 1 filter guards
-    // Spark's descending-sequence(1, 0) pitfall. Map-side explode, no
-    // shuffle; verified by per-chunk md5. --------------------------------
+    // 0, 192, 384, …, but a chunk is emitted ONLY while it adds content
+    // beyond the previous window (start + overlap < n_chars): a doc of
+    // 193–256 chars is ONE chunk, not a full chunk plus a wholly-contained
+    // 64-char tail that would double-count training data. max start index
+    // = (n_chars - 65) div 192 for n_chars > 256 (positive division only —
+    // negative `div` truncates toward zero in Spark but floors in DuckDB).
+    // The n_chars >= 1 filter guards Spark's descending-sequence pitfall.
+    // Map-side explode, no shuffle; verified by per-chunk md5. -----------
     "chunk_text" -> QueryDef(
       (s, dir) => {
         Tables.load(s, dir, "documents")
           .filter(col("n_chars") >= 1)
           .select(col("doc_id"), col("text"),
-            explode(expr("sequence(0, CAST((n_chars - 1) div 192 AS INT))")).as("chunk_idx"))
+            explode(expr(
+              "sequence(0, CASE WHEN n_chars <= 256 THEN 0 " +
+                "ELSE CAST((n_chars - 65) div 192 AS INT) END)")).as("chunk_idx"))
           .select(col("doc_id"), col("chunk_idx"),
             expr("substring(text, chunk_idx * 192 + 1, 256)").as("chunk"))
           .select(col("doc_id"), col("chunk_idx"),
@@ -203,7 +216,8 @@ object CorpusOps {
           .transform(Sorted.byNames(_, "doc_id", "chunk_idx"))
       },
       """WITH idx AS (SELECT doc_id, text,
-        |    unnest(range(0, (n_chars - 1) // 192 + 1)) AS i
+        |    unnest(range(0, CASE WHEN n_chars <= 256 THEN 1
+        |      ELSE (n_chars - 65) // 192 + 1 END)) AS i
         |  FROM documents WHERE n_chars >= 1)
         |SELECT doc_id, i AS chunk_idx,
         |  CAST(length(substr(text, i * 192 + 1, 256)) AS BIGINT) AS chunk_len,

@@ -373,10 +373,12 @@ object Dedup {
         // null guard: a null text yields md5 = null and a bare
         // mightContainString(null) would NPE executor-side
         val might = udf((dg: String) => dg != null && bfB.value.mightContainString(dg))
-        // coalesce every aggregate: on an empty documents table SUM is NULL
-        // while the oracle hardcodes 0/1, and the query would diverge
+        // membership metrics are defined over docs WITH a digest: a
+        // null-text pool doc is absent from the filter by construction
+        // (bloomFilter skips nulls), and counting it as a false negative
+        // would diverge from the oracle's zero-FN guarantee
         d.select(col("doc_id"),
-            (col("doc_id") % 97 === 0).cast("int").as("in_pool"),
+            (col("doc_id") % 97 === 0 && col("digest").isNotNull).cast("int").as("in_pool"),
             might(col("digest")).cast("int").as("bloom_hit"))
           .agg(
             count(lit(1)).as("n_docs"),
@@ -387,7 +389,7 @@ object Dedup {
               .as("fp_ok"))
       },
       """SELECT COUNT(*) AS n_docs,
-        |  CAST(SUM(CAST(doc_id % 97 = 0 AS INT)) AS BIGINT) AS n_true_members,
+        |  CAST(COALESCE(SUM(CAST(doc_id % 97 = 0 AND text IS NOT NULL AS INT)), 0) AS BIGINT) AS n_true_members,
         |  CAST(0 AS BIGINT) AS false_negatives,
         |  1 AS fp_ok
         |FROM documents""".stripMargin)

@@ -55,6 +55,7 @@ class CorpusOpsSpec extends SparkSpec {
   }
 
   private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+  private def run2(name: String, d: String) = SparkEntry.queries(name)(spark, d)
 
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
@@ -85,7 +86,9 @@ class CorpusOpsSpec extends SparkSpec {
   test("ngram_top_corpus: counts and deterministic tie-break") {
     val top = run("ngram_top_corpus").collect()
       .map(x => x.getAs[String]("bigram") -> x.getAs[Long]("cnt"))
-    assert(top.head._1 == "brown fox" || top.head._2 == 3L)
+    // four bigrams tie at count 3; the deterministic tie-break puts the
+    // lexicographically smallest first
+    assert(top.head == ("brown fox" -> 3L))
     val counts = top.toMap
     Seq("the quick", "quick brown", "brown fox", "fox jumps").foreach { b =>
       assert(counts(b) == 3L, s"bigram '$b' appears once in each of docs 0-2")
@@ -96,15 +99,44 @@ class CorpusOpsSpec extends SparkSpec {
       assert(g.map(_._1).toSeq == g.map(_._1).toSeq.sorted))
   }
 
-  test("chunk_text: exact-boundary and single-stride docs chunk correctly, overlap verified") {
+  test("chunk_text: exact-boundary and single-stride docs chunk correctly, no contained tails") {
     val r = run("chunk_text").collect()
       .map(x => (x.getAs[Long]("doc_id"), x.getAs[Int]("chunk_idx")) ->
         x.getAs[Long]("chunk_len")).toMap
-    // 256 chars: chunk 0 = [1,256] len 256, chunk 1 = [193,256] len 64 (the overlap tail)
-    assert(r((5L, 0)) == 256L && r((5L, 1)) == 64L)
-    assert(!r.contains((5L, 2)))
-    // 192 chars: exactly one stride -> a single chunk of the full doc
+    // 256 chars: ONE chunk covers the whole doc — a second chunk at start
+    // 193 would be wholly contained in the first (double-counted content)
+    assert(r((5L, 0)) == 256L && !r.contains((5L, 1)))
+    // 192 chars: a single chunk of the full doc
     assert(r((6L, 0)) == 192L && !r.contains((6L, 1)))
+  }
+
+  test("chunk_text: every chunk past the first adds content beyond the previous window") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val d2 = tmpDir("chunklen")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    // lengths straddling every boundary: 1, 64, 65, 255, 256, 257 (first
+    // length needing 2 chunks), 448 (2nd chunk ends exactly at EOF), 449
+    val lens = Seq(1, 64, 65, 255, 256, 257, 448, 449)
+    val rows = lens.zipWithIndex.map { case (n, i) =>
+      Row(i.toLong, "z" * n, "en", "s", n.toLong)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.parquet(s"$d2/documents.parquet")
+    val out = run2("chunk_text", d2).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("chunk_idx"))
+        .map(_.getAs[Long]("chunk_len")).toSeq).toMap
+    val expect = Map(
+      0L -> Seq(1L), 1L -> Seq(64L), 2L -> Seq(65L), 3L -> Seq(255L),
+      4L -> Seq(256L),
+      5L -> Seq(256L, 65L),      // 257: tail chunk reaches the new char
+      6L -> Seq(256L, 256L),     // 448: second window ends exactly at EOF
+      7L -> Seq(256L, 256L, 65L))
+    assert(out == expect, s"got $out")
   }
 
   test("mix_rebalance: over-represented source is rate-limited, under-represented keeps all") {
