@@ -353,6 +353,75 @@ object Dedup {
          |FROM train JOIN bench USING (g)
          |GROUP BY doc_id HAVING COUNT(*) >= 3 ORDER BY doc_id""".stripMargin),
 
+    // ---- incremental dedup: the PRODUCTION shape of deduplication — a new
+    // ingest batch (doc_id % 10 = 0 here) deduped AGAINST the historical
+    // corpus, not all-pairs within it. Exact layer: flag-join on content
+    // digest (a shuffle join — the historical digest set does not broadcast
+    // at 100 TB; a Bloom prefilter, bloom_membership's shape, would cut the
+    // shuffled batch side first). Near layer: the same MinHash 4×4 banding
+    // as dedup_minhash but ONE-SIDED (batch bands ⋈ historical bands), so
+    // candidate count tracks the batch size, not the corpus pair space;
+    // verification computes exact shingle Jaccard only for colliding
+    // candidates. Per batch doc: exact_dup / near_dup / keep flags. -------
+    "dedup_incremental" -> QueryDef(
+      (s, dir) => {
+        graft.functions.HashExpressions.register(s)
+        val d = Tables.load(s, dir, "documents")
+        val histDig = d.filter(col("doc_id") % 10 =!= 0)
+          .select(md5(col("text")).as("digest")).distinct()
+        val exact = d.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), md5(col("text")).as("digest"))
+          .join(histDig.withColumn("hit", lit(1)), Seq("digest"), "left")
+          .select(col("doc_id"), coalesce(col("hit"), lit(0)).as("exact_dup"))
+        val sig = minhashSigTable(s, dir) // persisted slim, shared plan
+        val bands = sig.selectExpr("doc_id",
+          "explode(transform(sequence(0, 3), b -> struct(b AS band, concat_ws('_', slice(sig, b * 4 + 1, 4)) AS key))) AS bk")
+          .selectExpr("doc_id", "bk.band AS band", "bk.key AS key")
+        val cand = bands.filter(col("doc_id") % 10 === 0).alias("a")
+          .join(bands.filter(col("doc_id") % 10 =!= 0).alias("b"),
+            expr("a.band = b.band AND a.key = b.key"))
+          .selectExpr("a.doc_id AS b_id", "b.doc_id AS h_id").distinct()
+        val sh = shingles(s, dir)
+        val near = cand
+          .join(sh.selectExpr("doc_id AS b_id", "sh AS sh_a"), "b_id")
+          .join(sh.selectExpr("doc_id AS h_id", "sh AS sh_b"), "h_id")
+          .selectExpr("b_id",
+            "size(array_intersect(sh_a, sh_b)) AS inter", "size(sh_a) AS sa", "size(sh_b) AS sb")
+          .filter("CAST(inter AS DOUBLE) / (sa + sb - inter) >= 0.8")
+          .select(col("b_id")).distinct()
+          .withColumn("near_dup", lit(1))
+        exact.join(near, exact("doc_id") === near("b_id"), "left")
+          .select(exact("doc_id"), col("exact_dup"),
+            coalesce(col("near_dup"), lit(0)).as("near_dup"))
+          .withColumn("keep",
+            (col("exact_dup") === 0 && col("near_dup") === 0).cast("int"))
+          .transform(graft.Sorted.byNames(_, "doc_id"))
+      },
+      s"""WITH $duckShingles,
+         |sig AS (SELECT doc_id, sh, list_transform(range(0, 16), j -> list_min(list_transform(sh,
+         |  x -> (x * ($MIX + 40503 * j) + 98765432 + 1234577 * j) % $P61))) AS sig
+         |  FROM sh),
+         |bands AS (SELECT doc_id, b.band AS band,
+         |   concat_ws('_', sig[b.band * 4 + 1], sig[b.band * 4 + 2], sig[b.band * 4 + 3], sig[b.band * 4 + 4]) AS key
+         |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b),
+         |cand AS (SELECT DISTINCT a.doc_id AS b_id, b.doc_id AS h_id
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+         |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+         |near AS (SELECT b_id, 1 AS near_dup
+         |  FROM cand JOIN sh sa ON sa.doc_id = b_id JOIN sh sb ON sb.doc_id = h_id
+         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |   / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8
+         |  GROUP BY b_id),
+         |hd AS (SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id % 10 <> 0),
+         |ex AS (SELECT doc_id,
+         |    CASE WHEN hd.digest IS NOT NULL THEN 1 ELSE 0 END AS exact_dup
+         |  FROM (SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id % 10 = 0) b
+         |  LEFT JOIN hd USING (digest))
+         |SELECT e.doc_id, e.exact_dup, COALESCE(n.near_dup, 0) AS near_dup,
+         |  CAST(e.exact_dup = 0 AND COALESCE(n.near_dup, 0) = 0 AS INT) AS keep
+         |FROM ex e LEFT JOIN near n ON n.b_id = e.doc_id
+         |ORDER BY e.doc_id""".stripMargin),
+
     // ---- Bloom-filter membership probe: the sketch form of the pool
     // broadcast above — when even the pool's digest set is too big to ship
     // raw (a billion-document blocklist), a Bloom filter at 1% fpp is

@@ -29,7 +29,10 @@ class CorpusOpsSpec extends SparkSpec {
       Row(3L, "tiny doc", "en", "a", 8L),        // < 5 tokens: no shingles
       Row(4L, "mail me at spy@evil.example.org now", "en", "a", 35L), // PII already in text
       Row(5L, "x" * 256, "en", "b", 256L),       // exact chunk boundary
-      Row(6L, "y" * 192, "en", "b", 192L))       // exactly one stride
+      Row(6L, "y" * 192, "en", "b", 192L),       // exactly one stride
+      // doc 10 (doc_id % 10 == 0 -> "new batch" for dedup_incremental) is
+      // an exact twin of historical doc 1: must flag exact AND near
+      Row(10L, s"$boiler beta", "en", "b", 30L))
     spark.createDataFrame(
       spark.sparkContext.parallelize(docs, 1), docSchema)
       .write.parquet(s"$d/documents.parquet")
@@ -86,12 +89,12 @@ class CorpusOpsSpec extends SparkSpec {
   test("ngram_top_corpus: counts and deterministic tie-break") {
     val top = run("ngram_top_corpus").collect()
       .map(x => x.getAs[String]("bigram") -> x.getAs[Long]("cnt"))
-    // four bigrams tie at count 3; the deterministic tie-break puts the
+    // four bigrams tie at count 4; the deterministic tie-break puts the
     // lexicographically smallest first
-    assert(top.head == ("brown fox" -> 3L))
+    assert(top.head == ("brown fox" -> 4L))
     val counts = top.toMap
     Seq("the quick", "quick brown", "brown fox", "fox jumps").foreach { b =>
-      assert(counts(b) == 3L, s"bigram '$b' appears once in each of docs 0-2")
+      assert(counts(b) == 4L, s"bigram '$b' appears once in each of docs 0-2 and 10")
     }
     // ties are ordered lexicographically: stable across runs/engines
     val byCount = top.groupBy(_._2).values
@@ -143,10 +146,10 @@ class CorpusOpsSpec extends SparkSpec {
     val r = run("mix_rebalance").collect()
       .map(x => x.getAs[String]("source") ->
         (x.getAs[Long]("n_docs"), x.getAs[Long]("keep_m"), x.getAs[Long]("n_kept"))).toMap
-    // total 7, 2 sources -> target 3/source: a (5 docs) -> 600 permille,
-    // b (2 docs) -> capped at 1000 (never up-samples)
-    assert(r("a") == ((5L, 600L, r("a")._3)) && r("a")._3 <= 5L)
-    assert(r("b") == ((2L, 1000L, 2L)), "keep_m is capped at 1000: every b doc survives")
+    // total 8, 2 sources -> target 4/source: a (5 docs) -> 800 permille,
+    // b (3 docs) -> capped at 1000 (never up-samples)
+    assert(r("a") == ((5L, 800L, r("a")._3)) && r("a")._3 <= 5L)
+    assert(r("b") == ((3L, 1000L, 3L)), "keep_m is capped at 1000: every b doc survives")
   }
 
   test("ann_ivf_probe: results stay in the query's cell, self excluded, ranks contiguous") {
@@ -169,6 +172,18 @@ class CorpusOpsSpec extends SparkSpec {
     // find 5 (same cell) and never 6/7
     val q4 = rows.filter(_.getAs[Long]("q_id") == 4L).map(_.getAs[Long]("vec_id")).toSet
     assert(q4.contains(5L) && !q4.contains(6L) && !q4.contains(7L))
+  }
+
+  test("dedup_incremental: a batch doc twinning a historical doc flags exact+near, others keep") {
+    val r = run("dedup_incremental").collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Int]("exact_dup"), x.getAs[Int]("near_dup"), x.getAs[Int]("keep"))).toMap
+    // the batch is doc_ids 0 and 10 (doc_id % 10 == 0)
+    assert(r.keySet == Set(0L, 10L))
+    assert(r(10L) == ((1, 1, 0)),
+      "doc 10 is an exact twin of historical doc 1: exact (digest) AND near (jaccard 1.0)")
+    // doc 0 shares 3 of 5 shingles with docs 1/2 (jaccard 0.6 < 0.8): kept
+    assert(r(0L) == ((0, 0, 1)))
   }
 
   test("plan: map-side ops are shuffle-free; heavy join broadcasts; top-k is TakeOrdered") {
