@@ -24,6 +24,16 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failure must not leave a PREVIOUS run's parquet in place — the
+        // compare would silently pass on stale data
+        val stale = Paths.get(s"$outDir/$name")
+        if (Files.exists(stale)) {
+          import scala.jdk.CollectionConverters._
+          scala.util.Using.resource(Files.walk(stale)) { w =>
+            w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+          }
+        }
       }
       // free the query's persisted intermediates (Sorted, LSH signature
       // tables) so 70 queries in one JVM don't accumulate unbounded cache

@@ -73,19 +73,27 @@ object Analytics {
         |FROM lineitem GROUP BY l_orderkey
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
 
-    // ---- 3-way join + agg (customer broadcast at this scale; shuffle join
-    // orders×lineitem co-partitioned on orderkey) ---------------------------
+    // ---- 3-way join + agg. Pre-aggregate revenue PER ORDER first (600 k
+    // lineitems -> 150 k order rows, combiner-friendly partial agg), then
+    // join orders co-partitioned on orderkey: after the pre-agg every order
+    // is one row, so n_orders is a plain count — no countDistinct expand
+    // carrying 600 k rows through a two-phase distinct. Decimal stays
+    // decimal across both stages (exact, order-independent); only the
+    // final aggregate casts to double, so the value is identical to the
+    // flat per-row sum the oracle computes. ---------------------------------
     "q3_segment_revenue" -> QueryDef(
       (s, dir) => {
         val li = Tables.load(s, dir, "lineitem")
         val o = Tables.load(s, dir, "orders")
         val c = Tables.load(s, dir, "customer")
-        li.join(o, col("l_orderkey") === col("o_orderkey"))
+        val perOrder = li.groupBy(col("l_orderkey"))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(28, 6))).as("order_rev"))
+        perOrder.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(c), col("o_custkey") === col("c_custkey"))
           .groupBy(col("c_mktsegment"))
-          .agg(
-            dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
-            countDistinct(col("o_orderkey")).as("n_orders"))
+          .agg(sum(col("order_rev")).cast(DoubleType).as("revenue"),
+            count(lit(1)).as("n_orders"))
           .orderBy("c_mktsegment")
       },
       """SELECT c_mktsegment,
@@ -527,16 +535,21 @@ object Analytics {
         |  ON c.c_nationkey = s.s_nationkey
         |ORDER BY nationkey""".stripMargin),
 
-    // ---- exact percentiles (interpolated), per group ----------------------
+    // ---- exact percentiles (interpolated), per group. Both fractions go
+    // through ONE percentile(col, array(...)) call: the sort-based
+    // aggregation buffers each group's values once instead of twice — at
+    // 100 TB the buffered-values state is the whole cost of an exact
+    // percentile, so halving it matters more than anything else here. ------
     "q25_percentiles" -> QueryDef(
       (s, dir) => {
         val li = Tables.load(s, dir, "lineitem")
         li.groupBy(col("l_returnflag"))
           .agg(
-            expr("percentile(l_extendedprice, 0.5)").as("median_price"),
-            expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
+            expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("pcts"),
             min(col("l_extendedprice")).as("min_price"),
             max(col("l_extendedprice")).as("max_price"))
+          .selectExpr("l_returnflag", "pcts[0] AS median_price",
+            "pcts[1] AS p90_price", "min_price", "max_price")
           .orderBy("l_returnflag")
       },
       """SELECT l_returnflag,

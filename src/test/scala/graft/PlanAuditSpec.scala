@@ -18,6 +18,15 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
   }
 
+  test("q3: per-order pre-agg, no countDistinct Expand in the plan") {
+    val p = plan("q3_segment_revenue")
+    assert(!p.contains("Expand"),
+      "n_orders must come from the pre-aggregated order rows, not a distinct expand")
+    assert(p.toLowerCase.contains("partial_sum"),
+      "per-order revenue pre-agg must be partial+final")
+    assert(p.contains("BroadcastHashJoin"), "customer joins broadcast")
+  }
+
   test("q6: all sargable predicates reach the parquet scan; projection pruned") {
     val p = plan("q6_forecast_revenue")
     assert(p.contains("PushedFilters:"))
