@@ -18,21 +18,26 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
+    // clear the ENTIRE out dir up front: stale parquet from a previous run
+    // must never survive into this run's compare — the per-query overwrite
+    // can't help when a query throws before writing, when the JVM dies
+    // mid-run, or when a query was renamed (the round-2 stale-pass pitfall)
+    val outFile = new java.io.File(outDir)
+    if (outFile.exists()) org.apache.commons.io.FileUtils.deleteDirectory(outFile)
+    outFile.mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        // a failure must not leave a PREVIOUS run's parquet in place — the
-        // compare would silently pass on stale data
-        val stale = Paths.get(s"$outDir/$name")
-        if (Files.exists(stale)) {
-          import scala.jdk.CollectionConverters._
-          scala.util.Using.resource(Files.walk(stale)) { w =>
-            w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-              .iterator().asScala.foreach(p => Files.deleteIfExists(p))
-          }
+        // the startup-time outDir wipe guarantees no stale parquet exists;
+        // a partial write from THIS failure is removed so the checker
+        // reports "no spark output" instead of comparing fragments
+        val partial = new java.io.File(s"$outDir/$name")
+        try if (partial.exists())
+          org.apache.commons.io.FileUtils.deleteDirectory(partial)
+        catch { case c: Throwable =>
+          System.err.println(s"[verify] $name partial-output cleanup failed: ${c.getMessage}")
         }
       }
       // free the query's persisted intermediates (Sorted, LSH signature

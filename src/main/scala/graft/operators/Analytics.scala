@@ -76,8 +76,9 @@ object Analytics {
     // ---- 3-way join + agg. Pre-aggregate revenue PER ORDER first (600 k
     // lineitems -> 150 k order rows, combiner-friendly partial agg), then
     // join orders co-partitioned on orderkey: after the pre-agg every order
-    // is one row, so n_orders is a plain count — no countDistinct expand
-    // carrying 600 k rows through a two-phase distinct. Decimal stays
+    // is one row, so n_orders is a plain count — the alternative
+    // countDistinct(o_orderkey) keeps per-key distinct state over every
+    // joined lineitem row through both aggregation phases. Decimal stays
     // decimal across both stages (exact, order-independent); only the
     // final aggregate casts to double, so the value is identical to the
     // flat per-row sum the oracle computes. ---------------------------------
@@ -87,8 +88,8 @@ object Analytics {
         val o = Tables.load(s, dir, "orders")
         val c = Tables.load(s, dir, "customer")
         val perOrder = li.groupBy(col("l_orderkey"))
-          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast(DecimalType(28, 6))).as("order_rev"))
+          .agg(sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("order_rev"))
         perOrder.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(c), col("o_custkey") === col("c_custkey"))
           .groupBy(col("c_mktsegment"))

@@ -18,12 +18,16 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
   }
 
-  test("q3: per-order pre-agg, no countDistinct Expand in the plan") {
+  test("q3: per-order pre-agg replaces distinct-state counting") {
     val p = plan("q3_segment_revenue")
-    assert(!p.contains("Expand"),
-      "n_orders must come from the pre-aggregated order rows, not a distinct expand")
-    assert(p.toLowerCase.contains("partial_sum"),
-      "per-order revenue pre-agg must be partial+final")
+    // the discriminating assertion: the old shape plans count(distinct
+    // o_orderkey) (single-distinct, no Expand node — verified), so the
+    // absence of any distinct aggregate is what pins the rewrite
+    assert(!p.toLowerCase.contains("count(distinct"),
+      "n_orders must come from the pre-aggregated order rows, not a distinct agg")
+    // two aggregations (per-order, per-segment), each partial+final
+    assert(nodeIds(p, "HashAggregate").size >= 4,
+      "per-order AND per-segment stages must both be partial+final")
     assert(p.contains("BroadcastHashJoin"), "customer joins broadcast")
   }
 
