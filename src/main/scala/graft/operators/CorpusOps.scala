@@ -35,9 +35,9 @@ object CorpusOps {
   // character classes, bounded repeats, no backrefs/lookaround. Patterns
   // are passed through the DataFrame API, never a SQL literal, so there is
   // exactly ONE level of string escaping.
-  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  private val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
-  private val IpRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  private[operators] val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[operators] val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  private[operators] val IpRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
 
   // the SAME strings serve the DuckDB oracle: both sides are plain Scala
   // string interpolation (one escaping level), so aliasing keeps the two
