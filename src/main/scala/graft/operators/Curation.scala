@@ -261,10 +261,14 @@ object Curation {
         val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
         val tot = counts.agg(sum(col("n_docs")).as("total"),
           count(lit(1)).as("n_src"))
+        // persisted: rates is |sources| rows but feeds BOTH the keep filter
+        // and the final output join — without this the corpus-count agg
+        // (a full documents scan) executes twice
         val rates = counts.crossJoin(broadcast(tot))
           .withColumn("keep_m",
             least(lit(1000L), expr("((total div n_src) * 1000L) div n_docs")))
           .select(col("source"), col("n_docs"), col("keep_m"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
         val kept = docs.join(broadcast(rates.select("source", "keep_m")), "source")
           .filter(expr(s"((doc_id % 999983L) * ${MIX}L + 31L) % 1000 < keep_m"))
           .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))

@@ -4,6 +4,7 @@ import graft.functions.Portable
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Streaming corpus intake: the batch curation operators (quality gate,
   * exact dedup) composed into a Structured Streaming pipeline — documents
@@ -32,14 +33,31 @@ object StreamingCuration {
       .withColumn("keep", col("n_tokens").between(3, 5000) && col("uniq_ratio") >= 0.2)
       .drop("toks")
 
-  /** One micro-batch: quality-score, stamp the batch id, split kept/
-    * rejected in a single persisted pass. The parquet appends are
-    * at-least-once (a replay after a crash between write and checkpoint
-    * commit appends byte-identical rows carrying the SAME batch_id), so
-    * read through [[kept]]/[[rejected]] for exactly-once — the
-    * idempotent-consumer recipe shared with `CdcRouter.factsExactlyOnce`. */
-  def processBatch(batch: DataFrame, outDir: String, batchId: Long): Unit = {
-    val s = scored(batch).withColumn("batch_id", lit(batchId)).persist()
+  /** One micro-batch: quality-score, gate against the historical corpus
+    * (when a Bloom filter of historical digests is supplied), stamp the
+    * batch id, split kept/rejected in a single persisted pass. The parquet
+    * appends are at-least-once (a replay after a crash between write and
+    * checkpoint commit appends byte-identical rows carrying the SAME
+    * batch_id), so read through [[kept]]/[[rejected]] for exactly-once —
+    * the idempotent-consumer recipe shared with `CdcRouter.factsExactlyOnce`.
+    *
+    * `hist_hit` rides along on BOTH outputs so consumers can distinguish
+    * a quality rejection from a historical duplicate. A Bloom hit is
+    * "probably seen" (fpp per the filter's construction) — the streaming
+    * intake drops it outright, the trade a 100 TB nightly gate makes;
+    * where false drops are unacceptable, verify hits against the exact
+    * historical digest store batch-side (dedup_incremental's exact layer). */
+  def processBatch(batch: DataFrame, outDir: String, batchId: Long,
+      historical: Option[BloomFilter] = None): Unit = {
+    val histB = historical.map(batch.sparkSession.sparkContext.broadcast(_))
+    val gated = histB match {
+      case Some(b) =>
+        val hit = udf((dg: String) => dg != null && b.value.mightContainString(dg))
+        scored(batch).withColumn("hist_hit", hit(col("digest")))
+          .withColumn("keep", col("keep") && !col("hist_hit"))
+      case None => scored(batch).withColumn("hist_hit", lit(false))
+    }
+    val s = gated.withColumn("batch_id", lit(batchId)).persist()
     try {
       s.filter(col("keep")).drop("keep")
         .write.mode("append").parquet(s"$outDir/kept")
@@ -57,10 +75,25 @@ object StreamingCuration {
   def rejected(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(s"$outDir/rejected").dropDuplicates("digest", "batch_id")
 
+  /** Build the historical-corpus gate from a batch DataFrame of already-
+    * ingested documents: a Bloom filter over content digests — ~1.2 GB per
+    * 1e9 docs at 1% fpp, broadcastable where the exact digest set is not
+    * (the sketch rationale of `bloom_membership`). */
+  def historicalFilter(corpus: DataFrame, fpp: Double = 0.01): BloomFilter = {
+    val d = corpus.select(md5(col("text")).as("digest"))
+      .filter(col("digest").isNotNull)
+    d.stat.bloomFilter("digest", math.max(1000L, d.count()), fpp)
+  }
+
   /** Launch: `raw` is a streaming DataFrame with (doc_id, text, lang, ts).
-    * Writes `outDir/kept` and `outDir/rejected` parquet. */
+    * Writes `outDir/kept` and `outDir/rejected` parquet. Pass `historical`
+    * (see [[historicalFilter]]) to also reject documents already present
+    * in the ingested corpus — the streaming counterpart of
+    * `dedup_incremental`'s exact layer: in-stream duplicates are caught by
+    * the watermark-bounded state, cross-corpus duplicates by the sketch. */
   def run(spark: SparkSession, raw: DataFrame, outDir: String,
-      horizon: String = "1 hour"): StreamingQuery = {
+      horizon: String = "1 hour",
+      historical: Option[BloomFilter] = None): StreamingQuery = {
     val deduped = raw
       .withColumn("digest", md5(col("text")))
       .withWatermark("ts", horizon)
@@ -68,7 +101,7 @@ object StreamingCuration {
     deduped.writeStream
       .option("checkpointLocation", s"$outDir/_chk")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, outDir, batchId)
+        processBatch(batch, outDir, batchId, historical)
       }
       .start()
   }

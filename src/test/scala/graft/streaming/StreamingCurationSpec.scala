@@ -52,4 +52,31 @@ class StreamingCurationSpec extends SparkSpec {
     assert(StreamingCuration.kept(spark, out).count() == 1,
       "exactly-once view dedups the replayed (digest, batch_id)")
   }
+
+  test("historical-corpus gate: a streamed doc already in the corpus is rejected as hist_hit") {
+    implicit val sq = spark.sqlContext
+    val out = tmpDir("streamcur-hist")
+    // the already-ingested corpus: one known document
+    val corpus = Seq((100L, "previously ingested corpus document text", "en"))
+      .toDF("doc_id", "text", "lang")
+    val bloom = StreamingCuration.historicalFilter(corpus)
+    val ms = MemoryStream[(Long, String, String, Timestamp)]
+    val raw = ms.toDF().toDF("doc_id", "text", "lang", "ts")
+    val q = StreamingCuration.run(spark, raw, out, historical = Some(bloom))
+    try {
+      ms.addData(
+        (1L, "previously ingested corpus document text", "en", t("2024-01-01 00:00:01")), // cross-corpus dup
+        (2L, "a genuinely new clean document arrives", "en", t("2024-01-01 00:00:02")),
+        (3L, "b b b b b b", "en", t("2024-01-01 00:00:03"))) // quality reject, NOT historical
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val kept = StreamingCuration.kept(spark, out)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(2L), s"only the new document survives, got $kept")
+    val rej = StreamingCuration.rejected(spark, out)
+      .select("doc_id", "hist_hit").as[(Long, Boolean)].collect().toMap
+    assert(rej(1L), "the corpus duplicate is marked hist_hit (a Bloom filter never misses a true member)")
+    assert(!rej(3L), "the quality rejection is distinguishable from a historical duplicate")
+  }
 }
