@@ -31,6 +31,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "customer joins broadcast")
   }
 
+  test("approx_percentiles: sketch and exact percentiles merge partial+final") {
+    val p = plan("approx_percentiles")
+    assert(p.contains("partial_approx_percentile"),
+      "the quantile sketch must be mergeable (map-side partial), or it cannot run in one pass at scale")
+    assert(nodeIds(p, "ObjectHashAggregate").size >= 2, "partial + final stages")
+  }
+
+  test("dedup_incremental: one-sided candidates, no cartesian, shared signature cache") {
+    val p = plan("dedup_incremental")
+    assert(!p.contains("CartesianProduct"), "band join must be an equi-join, never all-pairs")
+    assert(p.contains("InMemoryRelation"),
+      "the slim signature table is persisted and read from cache by the band side")
+    // the distinct layers (historical digests, candidates, near set) are
+    // keys-only aggregates — partial+final shows as paired HashAggregates
+    assert(nodeIds(p, "HashAggregate").size >= 4,
+      "each distinct must be a two-stage (map-side + final) aggregate")
+  }
+
+  test("ann_ivf_probe: centroid scoring is a broadcast, ranking is window-free") {
+    val p = plan("ann_ivf_probe")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 4 seed centroids must broadcast — assignment is |centroids|×N map-side")
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window ["),
+      "top-k must come from the bounded aggregator, not a per-query window funnel")
+  }
+
   test("q6: all sargable predicates reach the parquet scan; projection pruned") {
     val p = plan("q6_forecast_revenue")
     assert(p.contains("PushedFilters:"))
