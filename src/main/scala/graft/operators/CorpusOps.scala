@@ -168,6 +168,39 @@ object CorpusOps {
         |       ELSE CAST(0 AS DOUBLE) END) >= 0.05 THEN 1 ELSE 0 END AS INT) AS flagged
         |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin),
 
+    // ---- cross-source contamination matrix: for every source pair, how
+    // many distinct 5-token shingles they share — the "is src7 scraping
+    // src3" report a corpus audit starts with. Scale shape: shingles
+    // reduce to DISTINCT (source, shingle) rows first (≤ |sources| rows
+    // per shingle, so the self-join fans out ≤ C(|sources|,2) = 190 pairs
+    // per shingle regardless of how boilerplate-heavy the shingle is),
+    // then one partial+final count per pair; output is |sources|² rows. --
+    "source_overlap" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val toks = docs.select(col("source"), expr(toksExpr).as("ts"))
+        val sg = toks.select(col("source"),
+          explode(expr(
+            "CASE WHEN size(ts) >= 5 THEN transform(sequence(5, size(ts)), " +
+              "i -> concat_ws(' ', slice(ts, i - 4, 5))) " +
+              "ELSE CAST(array() AS array<string>) END")).as("g"))
+          .distinct()
+        sg.alias("a").join(sg.alias("b"),
+            expr("a.g = b.g AND a.source < b.source"))
+          .selectExpr("a.source AS src_a", "b.source AS src_b")
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("shared_shingles"))
+          .filter(col("shared_shingles") >= 2)
+          .orderBy("src_a", "src_b")
+      },
+      s"""WITH toks AS (SELECT source, $duckToks AS ts FROM documents),
+         |sg AS (SELECT DISTINCT source, unnest(list_transform(range(5, len(ts) + 1),
+         |    i -> ts[i-4] || ' ' || ts[i-3] || ' ' || ts[i-2] || ' ' || ts[i-1] || ' ' || ts[i])) AS g
+         |  FROM toks)
+         |SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared_shingles
+         |FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY src_a, src_b""".stripMargin),
+
     // ---- corpus-wide heavy-hitter bigrams: top 20 by count with a
     // deterministic (count DESC, bigram ASC) tie-break. Partial+final
     // count then TakeOrderedAndProject — only k rows reach the driver. ---
