@@ -28,3 +28,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Raw stdout passthrough for forked runs: the round driver captures a
+// bounded tail of stdout and parses the single bench JSON line — sbt's
+// default LoggedOutput decorates every line with "[info] ", which defeats
+// a parser expecting the line to start with '{' (BENCH_r01–r03 all
+// recorded "parsed": null with the prefix visible in the captured tails).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
