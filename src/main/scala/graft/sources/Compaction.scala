@@ -1,9 +1,7 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
-
-import java.io.File
-import java.nio.file.{Files, Paths, StandardCopyOption}
 
 /** Small-files compaction for append-mode parquet logs.
   *
@@ -15,54 +13,68 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * partition (yesterday's date dir, a finished topic dir) into
   * size-targeted files, preserving every row.
   *
-  * Mechanics: read the dir, `repartition(ceil(bytes / targetBytes))`,
-  * write to a scratch dir, then swap via two renames (dir → .bak,
-  * scratch → dir) and delete the backup. On a single filesystem the
-  * renames are atomic individually but the SWAP is not — a reader racing
-  * the swap can see the dir missing. That is the accepted contract for
-  * compacting CLOSED partitions (nothing writes them, readers resolve
-  * partitions at query start); table formats with a transaction log
-  * (Delta/Iceberg, out of scope here) are the general answer for hot
-  * partitions.
+  * Implementation is on the Hadoop `FileSystem` API, so the same code
+  * runs against local paths, HDFS, and object stores with rename
+  * semantics. The scratch and backup directories are DOT-PREFIXED
+  * siblings (`.<name>.compact-tmp` / `.<name>.compact-bak`): Spark's
+  * partition discovery ignores dot-prefixed dirs, so a table-root reader
+  * never sees the in-flight copies as extra partitions.
+  *
+  * Crash safety: the swap is two renames (dir → bak, scratch → dir).
+  * A crash between them leaves the partition parked at the backup path;
+  * the next `compactPartition` call on the same dir detects exactly that
+  * state (dir absent + backup present) and restores the backup before
+  * doing anything else. A crash before the first rename leaves only
+  * scratch garbage, which the next run clears. Readers racing the swap
+  * window can still observe the dir briefly absent — the accepted
+  * contract for compacting CLOSED partitions (nothing writes them,
+  * readers resolve partitions at query start); hot partitions need a
+  * transaction-log table format (Delta/Iceberg, out of scope here).
   */
 object Compaction {
 
-  /** Bytes of parquet data files directly inside `dir`. */
-  private def dataBytes(dir: File): Long =
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(_.length()).sum
+  private def scratchPath(dir: Path) =
+    new Path(dir.getParent, s".${dir.getName}.compact-tmp")
+  private def bakPath(dir: Path) =
+    new Path(dir.getParent, s".${dir.getName}.compact-bak")
 
-  private def dataFileCount(dir: File): Int =
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+  private def dataFiles(fs: FileSystem, dir: Path) =
+    fs.listStatus(dir).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
 
   /** Compact one partition directory in place. Returns (filesBefore,
     * filesAfter). No-op (and no rewrite) if the dir already has at most
-    * the target file count. */
+    * the target file count. If a previous attempt crashed mid-swap, the
+    * parked backup is restored first. */
   def compactPartition(spark: SparkSession, dir: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    val d = new File(dir)
-    require(d.isDirectory, s"not a directory: $dir")
-    val before = dataFileCount(d)
-    val n = math.max(1, math.ceil(dataBytes(d).toDouble / targetBytes).toInt)
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bak = bakPath(p)
+    // recover a crashed swap: data parked at the backup, partition absent
+    if (!fs.exists(p) && fs.exists(bak)) {
+      require(fs.rename(bak, p), s"failed to restore parked backup $bak -> $p")
+    }
+    require(fs.getFileStatus(p).isDirectory, s"not a directory: $dir")
+    val files = dataFiles(fs, p)
+    val before = files.length
+    val n = math.max(1, math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toInt)
     if (before <= n) return (before, before)
     // read fully BEFORE touching the dir; repartition (round-robin) spreads
     // rows evenly across the target files regardless of input skew
     val df = spark.read.parquet(dir).repartition(n)
-    val scratch = dir.stripSuffix("/") + ".compact-tmp"
-    val bak = dir.stripSuffix("/") + ".compact-bak"
-    org.apache.commons.io.FileUtils.deleteQuietly(new File(scratch))
-    org.apache.commons.io.FileUtils.deleteQuietly(new File(bak))
-    df.write.mode("overwrite").parquet(scratch)
-    Files.move(Paths.get(dir), Paths.get(bak), StandardCopyOption.ATOMIC_MOVE)
-    try Files.move(Paths.get(scratch), Paths.get(dir), StandardCopyOption.ATOMIC_MOVE)
+    val scratch = scratchPath(p)
+    fs.delete(scratch, true)
+    fs.delete(bak, true)
+    df.write.mode("overwrite").parquet(scratch.toString)
+    require(fs.rename(p, bak), s"failed to park $p at $bak")
+    try require(fs.rename(scratch, p), s"failed to promote $scratch to $p")
     catch { case e: Throwable =>
-      // restore the original so a failed swap never loses the partition
-      Files.move(Paths.get(bak), Paths.get(dir), StandardCopyOption.ATOMIC_MOVE)
+      // restore the original so an in-process failure never loses the
+      // partition (a crash in the window is healed by the recovery above)
+      fs.rename(bak, p)
       throw e
     }
-    org.apache.commons.io.FileUtils.deleteDirectory(new File(bak))
-    (before, dataFileCount(new File(dir)))
+    fs.delete(bak, true)
+    (before, dataFiles(fs, p).length)
   }
 }

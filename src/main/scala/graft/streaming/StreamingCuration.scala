@@ -48,9 +48,8 @@ object StreamingCuration {
     * where false drops are unacceptable, verify hits against the exact
     * historical digest store batch-side (dedup_incremental's exact layer). */
   def processBatch(batch: DataFrame, outDir: String, batchId: Long,
-      historical: Option[BloomFilter] = None): Unit = {
-    val histB = historical.map(batch.sparkSession.sparkContext.broadcast(_))
-    val gated = histB match {
+      historical: Option[org.apache.spark.broadcast.Broadcast[BloomFilter]] = None): Unit = {
+    val gated = historical match {
       case Some(b) =>
         val hit = udf((dg: String) => dg != null && b.value.mightContainString(dg))
         scored(batch).withColumn("hist_hit", hit(col("digest")))
@@ -75,14 +74,23 @@ object StreamingCuration {
   def rejected(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(s"$outDir/rejected").dropDuplicates("digest", "batch_id")
 
+  /** One digest definition for BOTH the filter build and the stream gate:
+    * if these ever diverged, mightContain would silently never hit and
+    * every historical duplicate would flow through as new. */
+  private def digestCol = md5(col("text"))
+
   /** Build the historical-corpus gate from a batch DataFrame of already-
     * ingested documents: a Bloom filter over content digests — ~1.2 GB per
     * 1e9 docs at 1% fpp, broadcastable where the exact digest set is not
-    * (the sketch rationale of `bloom_membership`). */
+    * (the sketch rationale of `bloom_membership`). The digest projection
+    * is persisted across the count + sketch passes so the corpus text is
+    * scanned once, not twice. */
   def historicalFilter(corpus: DataFrame, fpp: Double = 0.01): BloomFilter = {
-    val d = corpus.select(md5(col("text")).as("digest"))
+    val d = corpus.select(digestCol.as("digest"))
       .filter(col("digest").isNotNull)
-    d.stat.bloomFilter("digest", math.max(1000L, d.count()), fpp)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try d.stat.bloomFilter("digest", math.max(1000L, d.count()), fpp)
+    finally { d.unpersist(); () }
   }
 
   /** Launch: `raw` is a streaming DataFrame with (doc_id, text, lang, ts).
@@ -90,18 +98,25 @@ object StreamingCuration {
     * (see [[historicalFilter]]) to also reject documents already present
     * in the ingested corpus — the streaming counterpart of
     * `dedup_incremental`'s exact layer: in-stream duplicates are caught by
-    * the watermark-bounded state, cross-corpus duplicates by the sketch. */
+    * the watermark-bounded state, cross-corpus duplicates by the sketch.
+    * The sketch is broadcast ONCE here, not per micro-batch — at the
+    * documented ~GB scale a per-trigger broadcast would re-serialize and
+    * re-ship it thousands of times a day and pile dead broadcast blocks
+    * until GC. Note on resume: outDirs written by versions without the
+    * `hist_hit` column need `mergeSchema` on read (the column is always
+    * written since it was introduced). */
   def run(spark: SparkSession, raw: DataFrame, outDir: String,
       horizon: String = "1 hour",
       historical: Option[BloomFilter] = None): StreamingQuery = {
+    val histB = historical.map(spark.sparkContext.broadcast(_))
     val deduped = raw
-      .withColumn("digest", md5(col("text")))
+      .withColumn("digest", digestCol)
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("digest")
     deduped.writeStream
       .option("checkpointLocation", s"$outDir/_chk")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, outDir, batchId, historical)
+        processBatch(batch, outDir, batchId, histB)
       }
       .start()
   }

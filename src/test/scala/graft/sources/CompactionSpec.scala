@@ -4,8 +4,9 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 /** Compaction: many small append files collapse into few size-targeted
-  * files with every row preserved, the no-op path skips the rewrite, and
-  * a failed swap restores the original partition. */
+  * files with every row preserved, the no-op path skips the rewrite, the
+  * in-flight dirs are invisible to partition discovery, and a crashed
+  * swap is healed on the next invocation. */
 class CompactionSpec extends SparkSpec {
   import spark.implicits._
 
@@ -33,6 +34,36 @@ class CompactionSpec extends SparkSpec {
     // second pass: already at/below target count -> no rewrite, same answer
     val (b2, a2) = Compaction.compactPartition(spark, dir)
     assert(b2 == 1 && a2 == 1, "no-op on an already-compacted partition")
+  }
+
+  test("a crashed swap (partition parked at backup) is healed on the next call") {
+    val root = tmpDir("compactcrash")
+    val dir = s"$root/dt=2024-01-03"
+    smallFiles(dir, 6)
+    val want = spark.read.parquet(dir)
+      .selectExpr("bit_xor(xxhash64(struct(*))) AS h").head().getLong(0)
+    // simulate the kill window between the two renames: dir moved to the
+    // backup path, promotion never happened
+    val bak = new java.io.File(s"$root/.dt=2024-01-03.compact-bak")
+    assert(new java.io.File(dir).renameTo(bak))
+    val (b, a) = Compaction.compactPartition(spark, dir)
+    assert(b == 6 && a == 1, s"recovered then compacted, got $b -> $a")
+    assert(spark.read.parquet(dir)
+      .selectExpr("bit_xor(xxhash64(struct(*))) AS h").head().getLong(0) == want,
+      "recovery + compaction preserves every row")
+    assert(!bak.exists(), "backup cleaned up after promotion")
+  }
+
+  test("in-flight dirs are invisible to table-root partition discovery") {
+    val root = tmpDir("compactvis")
+    smallFiles(s"$root/dt=2024-01-04", 4)
+    smallFiles(s"$root/dt=2024-01-05", 1)
+    // park a stale backup and scratch beside the partitions (dot-prefixed)
+    smallFiles(s"$root/.dt=2024-01-04.compact-bak", 1)
+    smallFiles(s"$root/.dt=2024-01-04.compact-tmp", 1)
+    val table = spark.read.option("basePath", root).parquet(root)
+    assert(table.select("dt").distinct().count() == 2,
+      "dot-prefixed in-flight dirs must not surface as partitions")
   }
 
   test("declines to rewrite when compaction would not reduce the file count") {
