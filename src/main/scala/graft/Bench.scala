@@ -15,8 +15,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (codegen, parquet footers) so the first timed query
-    // doesn't absorb one-time init cost
-    Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
+    // doesn't absorb one-time init cost. Failure-tolerant: a missing or
+    // partial sf dir must fall through to the per-query error accounting
+    // (which emits a parseable line with -1s and messages), not kill the
+    // run before any JSON is printed.
+    Tables.all.foreach(t =>
+      try Tables.load(spark, sfDir, t).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $t failed: ${Option(e.getMessage).getOrElse("").take(120)}")
+      })
     val names = SparkEntry.queries.keys.toSeq
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
@@ -54,7 +61,7 @@ object Bench {
           }
         } catch { case e: Throwable =>
           // keep messages short: they ride on the bounded stdout JSON line
-          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(80)}")
         }
       val secs = (System.nanoTime() - t0) / 1e9
       failed match {
@@ -93,12 +100,13 @@ object Bench {
     val qs = perQuery.map { case (k, v) => jstr(k) + ":" + jnum(v) }
       .mkString("{", ",", "}")
     // the errors map must stay BOUNDED or a registry-wide failure (bad sf
-    // dir) re-blows the stdout tail budget with 85 messages: first 5 in
+    // dir) re-blows the stdout tail budget with 87 messages: first 3 in
     // full (the -1 entries in `queries` already name every failure), plus
-    // an omitted count
-    val errShown = errs.toSeq.sortBy(_._1).take(5)
+    // an omitted count. Budget check under total failure: 87×-1 entries +
+    // 3×~100-char messages ≈ 2.6 k — still inside the ~3 k tail.
+    val errShown = errs.toSeq.sortBy(_._1).take(3)
     val errJson = (errShown.map { case (k, v) => jstr(k) + ":" + jstr(v) } ++
-      (if (errs.size > 5) Seq(jstr("_omitted") + ":" + jstr(s"${errs.size - 5} more")) else Nil))
+      (if (errs.size > 3) Seq(jstr("_omitted") + ":" + jstr(s"${errs.size - 3} more")) else Nil))
       .mkString("{", ",", "}")
     val gcJson = names.filter(gcs(_).nonEmpty)
       .map(n => jstr(n) + ":" + jnum(median(gcs(n)))).mkString("{", ",", "}")
