@@ -35,6 +35,79 @@ object EventOps {
 
   val defs: ListMap[String, QueryDef] = ListMap(
 
+    // ---- cohort retention matrix: users grouped by first-seen day, counted
+    // once per (cohort, week-offset) they return in — the DWS-layer report
+    // the reference's visitor pipeline feeds. Scale shape: first-seen is one
+    // partial+final min per user; activity reduces to DISTINCT (user,
+    // cohort, offset) before counting, so the count stage is combiner-
+    // friendly and no per-cohort state exceeds the distinct-user count. ----
+    "user_retention" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+        val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort_d"))
+        ev.join(first, "user_id")
+          .selectExpr("user_id",
+            "date_format(cohort_d, 'yyyy-MM-dd') AS cohort_date",
+            "datediff(d, cohort_d) div 7 AS week_offset")
+          .distinct()
+          .groupBy(col("cohort_date"), col("week_offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort_date", "week_offset")
+      },
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |first AS (SELECT user_id, MIN(d) AS cohort_d FROM ev GROUP BY user_id),
+        |act AS (SELECT DISTINCT ev.user_id,
+        |    strftime(cohort_d, '%Y-%m-%d') AS cohort_date,
+        |    datediff('day', cohort_d, d) // 7 AS week_offset
+        |  FROM ev JOIN first ON ev.user_id = first.user_id)
+        |SELECT cohort_date, week_offset, COUNT(*) AS n_users
+        |FROM act GROUP BY 1, 2 ORDER BY cohort_date, week_offset""".stripMargin),
+
+    // ---- ordered funnel: view -> first click AFTER the view -> first
+    // purchase AFTER that click, per user; one summary row with stage
+    // counts and conversion rates. The ORDER constraint is the point — a
+    // bare per-type count would credit a purchase that preceded the view.
+    // Scale shape: three (user)-keyed partial+final min-aggs chained by
+    // join on user_id (co-partitioned — one shuffle key throughout); the
+    // final row is a single global agg. ----------------------------------
+    "funnel_conversion" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("ts") > col("v_ts"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, "user_id").filter(col("ts") > col("c_ts"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+          .agg(
+            count(lit(1)).as("n_view"),
+            count(col("c_ts")).as("n_click_after_view"),
+            count(col("p_ts")).as("n_purchase_after_click"))
+          .selectExpr("n_view", "n_click_after_view", "n_purchase_after_click",
+            "CAST(n_click_after_view AS DOUBLE) / n_view AS click_rate",
+            "CAST(n_purchase_after_click AS DOUBLE) / n_view AS purchase_rate")
+      },
+      """WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS c_ts FROM events e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS p_ts FROM events e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY e.user_id)
+        |SELECT COUNT(*) AS n_view,
+        |  COUNT(c_ts) AS n_click_after_view,
+        |  COUNT(p_ts) AS n_purchase_after_click,
+        |  CAST(COUNT(c_ts) AS DOUBLE) / COUNT(*) AS click_rate,
+        |  CAST(COUNT(p_ts) AS DOUBLE) / COUNT(*) AS purchase_rate
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin),
+
     // ---- P4: daily UV counts (dedup'd first visits per user per day) ------
     "uv_daily" -> QueryDef(
       (s, dir) => {
