@@ -1,0 +1,175 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.Portable
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import scala.collection.immutable.ListMap
+
+/** Retrieval scoring over the corpus: BM25 lexical ranking and
+  * reciprocal-rank fusion of two rankings — the query side of a
+  * training-data pipeline (mining relevant documents, hybrid
+  * lexical+vector retrieval). The reference has no search layer; these
+  * extend the engine the same way the dedup/ANN family does.
+  *
+  * Cross-engine float parity (QueryDef rules): BM25's idf is the RATIONAL
+  * form (N - df + 0.5)/(df + 0.5) — the classic log() around it is a
+  * transcendental whose libm results differ across engines, and a
+  * monotone transform doesn't change the ranking. Every double step is a
+  * single IEEE op in the same parenthesization as the oracle SQL.
+  */
+object Retrieval {
+
+  /** BM25 free parameters (Robertson et al.; k1 in [1.2, 2.0], b = 0.75). */
+  private val K1 = "1.2D"
+  private val B75 = "0.75D"
+
+  /** The fixed query terms (high-df corpus vocabulary, so tf/dl dominate). */
+  private val Terms = Seq("spark", "join", "window")
+
+  /** Spark-side per-term score; identical shape in [[duckScore]]. */
+  private def score(i: Int): String =
+    s"""((CAST(n - df$i AS DOUBLE) + 0.5D) / (CAST(df$i AS DOUBLE) + 0.5D))
+       | * ((CAST(tf$i AS DOUBLE) * 2.2D)
+       |    / (CAST(tf$i AS DOUBLE) + $K1 * ((1.0D - $B75) + $B75 * (CAST(dl AS DOUBLE) / avgdl))))""".stripMargin
+
+  private def duckScore(i: Int): String =
+    s"""((CAST(n - df$i AS DOUBLE) + 0.5::DOUBLE) / (CAST(df$i AS DOUBLE) + 0.5::DOUBLE))
+       | * ((CAST(tf$i AS DOUBLE) * 2.2::DOUBLE)
+       |    / (CAST(tf$i AS DOUBLE) + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE) + 0.75::DOUBLE * (CAST(dl AS DOUBLE) / avgdl))))""".stripMargin
+
+  private val duckToks =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)"
+
+  /** Shared TopK udaf instance builder (bounded top-k per group — one
+    * partial+final aggregation, ≤ k state per group; see
+    * [[graft.functions.TopK]]). */
+  private def topkUdaf(k: Int) =
+    udaf(new graft.functions.TopK(k),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+
+  val defs: ListMap[String, QueryDef] = ListMap(
+
+    // ---- BM25 ranking: top-15 documents for a 3-term query ----------------
+    // Scale shape: one pass tokenizes each doc into a SLIM per-doc stat row
+    // (doc_id, dl, tf_i) — persisted so corpus stats and scoring both read
+    // it; corpus stats reduce to ONE row (partial+final agg) broadcast back;
+    // scoring is map-side; top-15 is TakeOrderedAndProject (≤ 15 rows per
+    // map task reach the driver, no global sort). At 100 TB the stats row
+    // is a metadata artifact refreshed per ingest, everything else streams.
+    "bm25_rank" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val tfCols = Terms.zipWithIndex.map { case (t, i) =>
+          s"size(filter(toks, t -> t = '$t')) AS tf$i"
+        }
+        val slim = d
+          .selectExpr("doc_id", s"${Portable.tokensSql("text")} AS toks")
+          .selectExpr(Seq("doc_id", "size(toks) AS dl") ++ tfCols: _*)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val dfCols = Terms.indices.flatMap { i =>
+          Seq(expr(s"sum(CAST(tf$i > 0 AS BIGINT))").as(s"df$i"))
+        }
+        val stats = slim
+          .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"), dfCols: _*)
+          .withColumn("avgdl", expr("CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)"))
+        slim.crossJoin(broadcast(stats))
+          .selectExpr("doc_id", "dl",
+            s"(${score(0)} + ${score(1)}) + ${score(2)} AS score")
+          .filter(col("score") > 0d)
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(15)
+      },
+      s"""WITH slim AS (
+         |  SELECT doc_id, len(toks) AS dl,
+         |    len(list_filter(toks, t -> t = 'spark')) AS tf0,
+         |    len(list_filter(toks, t -> t = 'join')) AS tf1,
+         |    len(list_filter(toks, t -> t = 'window')) AS tf2
+         |  FROM (SELECT doc_id, $duckToks AS toks FROM documents)),
+         |stats AS (
+         |  SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl,
+         |    CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+         |    CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+         |    CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+         |    CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+         |  FROM slim)
+         |SELECT doc_id, dl,
+         |  (${duckScore(0)} + ${duckScore(1)}) + ${duckScore(2)} AS score
+         |FROM slim CROSS JOIN stats
+         |WHERE (${duckScore(0)} + ${duckScore(1)}) + ${duckScore(2)} > 0
+         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin),
+
+    // ---- reciprocal-rank fusion of a cosine ranking and a dot-product
+    // ranking (the hybrid-retrieval merge step; Cormack et al.'s RRF with
+    // the standard k = 60). Both source rankings come from the bounded
+    // TopK aggregator (no windows, ≤ 20 state per query group); the fused
+    // candidate set is ≤ 40 rows per query regardless of corpus size, so
+    // the final top-5 runs on a bounded frame. rrf = 1/(60+rank_a) +
+    // 1/(60+rank_b), missing list contributes 0 — single IEEE divisions
+    // and one addition, same order as the oracle. ---------------------------
+    "rank_fusion" -> QueryDef(
+      (s, dir) => {
+        graft.functions.HashExpressions.register(s)
+        val emb = Tables.load(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 10)
+          .selectExpr("vec_id AS q_id", "embedding AS q_emb")
+        val dotSql =
+          "aggregate(zip_with(q_emb, embedding, (x, y) -> double(x * y)), double(0), (a, b) -> a + b)"
+        val scored = broadcast(q).join(emb, expr("vec_id != q_id"))
+          .selectExpr("q_id", "vec_id",
+            "graft_cosine(q_emb, embedding) AS cosine", s"$dotSql AS dot")
+          .persist(StorageLevel.MEMORY_AND_DISK) // feeds BOTH rankings once
+        def ranked(scoreCol: String, rankName: String): DataFrame =
+          scored.groupBy(col("q_id"))
+            .agg(topkUdaf(20)(col(scoreCol), col("vec_id")).as("top"))
+            .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+            .select(col("q_id"), col("t._2").as("vec_id"),
+              (col("pos") + 1).cast("long").as(rankName))
+        val fused = ranked("cosine", "rank_a")
+          .join(ranked("dot", "rank_b"), Seq("q_id", "vec_id"), "full_outer")
+          .selectExpr("q_id", "vec_id",
+            """coalesce(1.0D / (60.0D + CAST(rank_a AS DOUBLE)), 0.0D)
+              | + coalesce(1.0D / (60.0D + CAST(rank_b AS DOUBLE)), 0.0D) AS rrf""".stripMargin)
+        fused.groupBy(col("q_id"))
+          .agg(topkUdaf(5)(col("rrf"), col("vec_id")).as("top"))
+          .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+          .select(col("q_id"), col("t._2").as("vec_id"),
+            (col("pos") + 1).cast("int").as("rank"), col("t._1").as("rrf"))
+          .orderBy("q_id", "rank")
+      },
+      {
+        val dot =
+          "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> (q_emb[i] * embedding[i])::DOUBLE)), (a, b) -> a + b)"
+        val qn =
+          "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> (q_emb[i] * q_emb[i])::DOUBLE)), (a, b) -> a + b)"
+        val en =
+          "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> (embedding[i] * embedding[i])::DOUBLE)), (a, b) -> a + b)"
+        s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+           |scored AS (
+           |  SELECT q_id, vec_id,
+           |    $dot / (sqrt($qn) * sqrt($en)) AS cosine, $dot AS dot
+           |  FROM q JOIN embeddings ON vec_id != q_id),
+           |ra AS (SELECT q_id, vec_id, rank_a FROM (
+           |  SELECT q_id, vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank_a
+           |  FROM scored) WHERE rank_a <= 20),
+           |rb AS (SELECT q_id, vec_id, rank_b FROM (
+           |  SELECT q_id, vec_id,
+           |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot DESC, vec_id) AS rank_b
+           |  FROM scored) WHERE rank_b <= 20),
+           |fused AS (
+           |  SELECT COALESCE(ra.q_id, rb.q_id) AS q_id,
+           |    COALESCE(ra.vec_id, rb.vec_id) AS vec_id,
+           |    COALESCE(1.0::DOUBLE / (60.0::DOUBLE + CAST(rank_a AS DOUBLE)), 0.0::DOUBLE)
+           |      + COALESCE(1.0::DOUBLE / (60.0::DOUBLE + CAST(rank_b AS DOUBLE)), 0.0::DOUBLE) AS rrf
+           |  FROM ra FULL JOIN rb ON ra.q_id = rb.q_id AND ra.vec_id = rb.vec_id)
+           |SELECT q_id, vec_id, rank, rrf FROM (
+           |  SELECT q_id, vec_id,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rrf DESC, vec_id) AS INT) AS rank,
+           |    rrf
+           |  FROM fused) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+      })
+  )
+}
