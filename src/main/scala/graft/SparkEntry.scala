@@ -23,7 +23,9 @@ object SparkEntry {
       operators.Extras.defs ++
       operators.Curation.defs ++
       operators.CorpusOps.defs ++
-      operators.AsOf.defs
+      operators.AsOf.defs ++
+      operators.Retrieval.defs ++
+      operators.Graph.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

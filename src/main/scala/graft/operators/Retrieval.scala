@@ -69,11 +69,13 @@ object Retrieval {
           .selectExpr("doc_id", s"${Portable.tokensSql("text")} AS toks")
           .selectExpr(Seq("doc_id", "size(toks) AS dl") ++ tfCols: _*)
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val dfCols = Terms.indices.flatMap { i =>
-          Seq(expr(s"sum(CAST(tf$i > 0 AS BIGINT))").as(s"df$i"))
-        }
+        val aggCols =
+          Seq(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")) ++
+            Terms.indices.map { i =>
+              expr(s"sum(CAST(tf$i > 0 AS BIGINT))").as(s"df$i")
+            }
         val stats = slim
-          .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"), dfCols: _*)
+          .agg(aggCols.head, aggCols.tail: _*)
           .withColumn("avgdl", expr("CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)"))
         slim.crossJoin(broadcast(stats))
           .selectExpr("doc_id", "dl",
