@@ -208,17 +208,30 @@ object Analytics {
         |  FROM rev) WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin),
 
     // ---- window: running total over ordered frames ------------------------
+    // Decomposed global cumsum: a partition-less Window.orderBy plans a
+    // single-partition WindowExec (fine over a calendar-bounded daily frame,
+    // but it logs the "No Partition Defined" warning and serializes the
+    // stage). Instead: within-YEAR running total (partitions ≤366 rows at
+    // any data scale) + a per-year prefix offset from a broadcast self-join
+    // on the tiny year frame. Decimal addition is exact and associative, so
+    // the split is bit-identical to the global window.
     "q8_running_total" -> QueryDef(
       (s, dir) => {
         val o = Tables.load(s, dir, "orders")
         val daily = o.groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("dt"))
           .agg(sum(dec2(col("o_totalprice"))).as("daily_dec"))
-        val w = Window.orderBy(col("dt"))
+          .withColumn("yr", substring(col("dt"), 1, 4))
+        val wy = Window.partitionBy(col("yr")).orderBy(col("dt"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        daily.withColumn("cum_dec", sum(col("daily_dec")).over(w))
+        val inYr = daily.withColumn("cum_yr", sum(col("daily_dec")).over(wy))
+        val yrTot = daily.groupBy(col("yr")).agg(sum(col("daily_dec")).as("yt"))
+        val off = yrTot.as("a")
+          .join(broadcast(yrTot.as("b")), col("b.yr") < col("a.yr"), "left")
+          .groupBy(col("a.yr").as("yr")).agg(sum(col("b.yt")).as("off"))
+        inYr.join(broadcast(off), Seq("yr"))
           .select(col("dt"),
             col("daily_dec").cast(DoubleType).as("daily_total"),
-            col("cum_dec").cast(DoubleType).as("cum_total"))
+            (coalesce(col("off"), lit(0)) + col("cum_yr")).cast(DoubleType).as("cum_total"))
           .orderBy("dt")
       },
       """WITH daily AS (
@@ -600,23 +613,37 @@ object Analytics {
         |ORDER BY o_custkey, o_orderkey""".stripMargin),
 
     // ---- time-RANGE window frame: trailing-7-day revenue per day (RANGE
-    // BETWEEN frames over event-time seconds, vs q8's ROWS frame). Runs
-    // over the daily pre-aggregate (distinct days), so the unpartitioned
-    // window is bounded by the calendar, not the data. ----------------------
+    // BETWEEN frames over event-time seconds, vs q8's ROWS frame). The
+    // range window is partitioned by YEAR (calendar-bounded partitions, no
+    // single-partition WindowExec); the only rows a year partition clips are
+    // the first six days of each year, whose missing prior-year tail is
+    // restored by a broadcast join against the (tiny) daily frame. Decimal
+    // sums are exact, so the decomposition is bit-identical to a global
+    // range window. -------------------------------------------------------
     "q29_trailing_window" -> QueryDef(
       (s, dir) => {
         val o = Tables.load(s, dir, "orders")
         val daily = o.groupBy(col("o_orderdate"))
           .agg(sum(dec2(col("o_totalprice"))).as("daily_dec"))
-        val w = Window.orderBy(col("t_sec"))
-          .rangeBetween(-6L * 86400L, 0L) // trailing 7 calendar days inclusive
-        daily
           .withColumn("t_sec", col("o_orderdate").cast("timestamp").cast("long"))
-          .withColumn("trail_dec", sum(col("daily_dec")).over(w))
+          .withColumn("y0_sec", trunc(col("o_orderdate"), "year").cast("timestamp").cast("long"))
+        val wy = Window.partitionBy(col("y0_sec")).orderBy(col("t_sec"))
+          .rangeBetween(-6L * 86400L, 0L) // trailing 7 calendar days inclusive
+        val inYr = daily.withColumn("trail_yr", sum(col("daily_dec")).over(wy))
+        // year-head rows (offsets 0..5 from Jan 1) reach back across the
+        // boundary: pick up prior-year days in [t-6d, Jan 1) from a
+        // broadcast of the slim daily frame
+        val fix = inYr.filter(col("t_sec") - col("y0_sec") < 6L * 86400L)
+          .select(col("o_orderdate"), col("t_sec"), col("y0_sec"))
+          .as("a")
+          .join(broadcast(daily.select(col("t_sec").as("b_sec"), col("daily_dec").as("b_dec"))),
+            col("b_sec") >= col("t_sec") - lit(6L * 86400L) && col("b_sec") < col("y0_sec"))
+          .groupBy(col("a.o_orderdate")).agg(sum(col("b_dec")).as("tail_dec"))
+        inYr.join(broadcast(fix), Seq("o_orderdate"), "left")
           .select(
             date_format(col("o_orderdate"), "yyyy-MM-dd").as("dt"),
             col("daily_dec").cast(DoubleType).as("daily_total"),
-            col("trail_dec").cast(DoubleType).as("trailing_7d"))
+            (col("trail_yr") + coalesce(col("tail_dec"), lit(0))).cast(DoubleType).as("trailing_7d"))
           .orderBy("dt")
       },
       """WITH daily AS (

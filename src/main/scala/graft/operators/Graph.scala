@@ -25,6 +25,27 @@ import scala.collection.immutable.ListMap
   */
 object Graph {
 
+  /** One PageRank step: contributions flow src→dst over `esrc` (corpus-sized
+    * edge frame, reused every round), new mass is summed per dst, and
+    * dangling nodes fall back to the teleport term. `ranks` is
+    * node-domain-sized (bounded page-id domain) so it is explicitly
+    * [[broadcast]]: the per-iteration plan must not depend on AQE having
+    * fresh stats for a just-checkpointed frame — on a cluster the edge side
+    * is the only graph-sized shuffle each round. Exposed so PlanAuditSpec
+    * can assert the broadcast on the pre-checkpoint plan. */
+  private[graft] def iterate(esrc: org.apache.spark.sql.DataFrame,
+                             nodes: org.apache.spark.sql.DataFrame,
+                             ranks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val contrib = esrc
+      .join(broadcast(ranks), esrc("src") === ranks("page"))
+      .select(col("dst").as("page"),
+        expr("(r * 85L * w) div (100L * ow)").as("c"))
+      .groupBy(col("page")).agg(sum(col("c")).as("in_mass"))
+    nodes.join(contrib, Seq("page"), "left")
+      .select(col("page"),
+        (lit(150000L) + coalesce(col("in_mass"), lit(0L))).as("r"))
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
 
     // ---- weighted PageRank, 3 iterations, damping 0.85 --------------------
@@ -57,17 +78,8 @@ object Graph {
           .distinct()
           .persist(StorageLevel.MEMORY_AND_DISK)
         var ranks = nodes.withColumn("r", lit(1000000L)).localCheckpoint(true)
-        for (_ <- 1 to 3) {
-          val contrib = esrc
-            .join(ranks, esrc("src") === ranks("page"))
-            .select(col("dst").as("page"),
-              expr("(r * 85L * w) div (100L * ow)").as("c"))
-            .groupBy(col("page")).agg(sum(col("c")).as("in_mass"))
-          ranks = nodes.join(contrib, Seq("page"), "left")
-            .select(col("page"),
-              (lit(150000L) + coalesce(col("in_mass"), lit(0L))).as("r"))
-            .localCheckpoint(true)
-        }
+        for (_ <- 1 to 3)
+          ranks = iterate(esrc, nodes, ranks).localCheckpoint(true)
         esrc.unpersist()
         nodes.unpersist()
         ranks.select(col("page"), col("r").as("rank_scaled"))

@@ -167,6 +167,23 @@ class PlanAuditSpec extends SparkSpec {
       "the per-part average is a partial+final aggregate")
   }
 
+  test("pagerank iteration: ranks side is a pinned broadcast (edge side carries the only shuffle)") {
+    import spark.implicits._
+    // the per-round plan is consumed by localCheckpoint inside the query, so
+    // audit the exposed single-step builder on representative slim frames
+    val esrc = Seq((1L, 2L, 3L, 5L), (2L, 1L, 2L, 2L)).toDF("src", "dst", "w", "ow")
+    val nodes = Seq(1L, 2L).toDF("page")
+    val ranks = Seq((1L, 1000000L), (2L, 1000000L)).toDF("page", "r")
+    val p = graft.operators.Graph.iterate(esrc, nodes, ranks)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), "contribution join must be a broadcast hash join")
+    // the broadcast build side is the ranks frame: its exchange carries the
+    // rank column `r`, which the edge frame does not have
+    val bx = "\\(\\d+\\) BroadcastExchange[\\s\\S]*?Input \\[\\d+\\]: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(bx.exists(_.contains("r#")), s"broadcast side should be ranks(page, r), got: $bx")
+  }
+
   test("decontaminate_overlap: benchmark shingle pool broadcasts; corpus side never shuffles text") {
     val p = plan("decontaminate_overlap")
     assert(p.contains("BroadcastHashJoin"), "pool join should broadcast the benchmark grams")
