@@ -19,6 +19,19 @@ object Portable {
   /** Knuth multiplicative constant for bit mixing. */
   val MIX: Long = 2654435761L
 
+  /** THE content-identity digest, shared by every layer that answers "have
+    * I seen this document before": the batch exact-dedup family
+    * (`dedup_exact`, `dedup_incremental`, `dedup_keep_list`) and the
+    * streaming intake gate (`StreamingCuration`, both the historical Bloom
+    * build and the in-stream dedup key). One definition — md5 over the
+    * UTF-8 bytes of `text`, lowercase hex — because a silent divergence
+    * between builder and prober would make every membership probe miss and
+    * every historical duplicate flow through as new. Byte-identity is
+    * pinned by StreamingCurationSpec against an independent JDK
+    * MessageDigest reference. */
+  def contentDigest: org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.md5(org.apache.spark.sql.functions.col("text"))
+
   /** Lowercased alnum tokens of a string SQL expression. */
   def tokensSql(c: String): String =
     s"filter(split(lower($c), '[^a-z0-9]+'), t -> length(t) > 0)"

@@ -104,9 +104,9 @@ object Dedup {
     "dedup_exact" -> QueryDef(
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
-        val canon = d.groupBy(md5(col("text")).as("digest"))
+        val canon = d.groupBy(graft.functions.Portable.contentDigest.as("digest"))
           .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("group_size"))
-        d.select(col("doc_id"), md5(col("text")).as("digest"))
+        d.select(col("doc_id"), graft.functions.Portable.contentDigest.as("digest"))
           .join(canon, "digest")
           .selectExpr("doc_id", "digest", "canonical_id",
             "CAST(doc_id != canonical_id AS INT) AS is_dup", "group_size")
@@ -368,9 +368,9 @@ object Dedup {
         graft.functions.HashExpressions.register(s)
         val d = Tables.load(s, dir, "documents")
         val histDig = d.filter(col("doc_id") % 10 =!= 0)
-          .select(md5(col("text")).as("digest")).distinct()
+          .select(graft.functions.Portable.contentDigest.as("digest")).distinct()
         val exact = d.filter(col("doc_id") % 10 === 0)
-          .select(col("doc_id"), md5(col("text")).as("digest"))
+          .select(col("doc_id"), graft.functions.Portable.contentDigest.as("digest"))
           .join(histDig.withColumn("hit", lit(1)), Seq("digest"), "left")
           .select(col("doc_id"), coalesce(col("hit"), lit(0)).as("exact_dup"))
         val sig = minhashSigTable(s, dir) // persisted slim, shared plan
@@ -435,7 +435,7 @@ object Dedup {
     "bloom_membership" -> QueryDef(
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
-          .withColumn("digest", md5(col("text")))
+          .withColumn("digest", graft.functions.Portable.contentDigest)
         val pool = d.filter(col("doc_id") % 97 === 0)
         val bf = pool.stat.bloomFilter("digest", math.max(1000L, pool.count()), 0.01)
         val bfB = s.sparkContext.broadcast(bf)

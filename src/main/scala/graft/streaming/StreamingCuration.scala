@@ -74,10 +74,12 @@ object StreamingCuration {
   def rejected(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(s"$outDir/rejected").dropDuplicates("digest", "batch_id")
 
-  /** One digest definition for BOTH the filter build and the stream gate:
-    * if these ever diverged, mightContain would silently never hit and
-    * every historical duplicate would flow through as new. */
-  private def digestCol = md5(col("text"))
+  /** One digest definition for BOTH the filter build and the stream gate —
+    * and for the batch exact-dedup layer: all share
+    * [[Portable.contentDigest]]. If these ever diverged, mightContain would
+    * silently never hit and every historical duplicate would flow through
+    * as new. */
+  private def digestCol = Portable.contentDigest
 
   /** Build the historical-corpus gate from a batch DataFrame of already-
     * ingested documents: a Bloom filter over content digests — ~1.2 GB per

@@ -79,4 +79,28 @@ class StreamingCurationSpec extends SparkSpec {
     assert(rej(1L), "the corpus duplicate is marked hist_hit (a Bloom filter never misses a true member)")
     assert(!rej(3L), "the quality rejection is distinguishable from a historical duplicate")
   }
+
+  test("streaming gate and batch exact-dedup layer share one byte-identical content digest") {
+    // both layers compile against Portable.contentDigest; this pins the
+    // DEFINITION byte-for-byte against an independent JDK reference (md5
+    // over UTF-8 bytes, lowercase hex), so neither side can drift without
+    // failing here — drift would mean every historical duplicate flows
+    // through the stream gate as new
+    val docs = Seq(
+      (1L, "shared digest check document"),
+      (2L, "ünïcode ✓ digest – bytes matter"),
+      (3L, "")).toDF("doc_id", "text")
+    val jdk = docs.collect().map { r =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      r.getLong(0) -> md.digest(r.getString(1).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }.toMap
+    val sparkSide = docs.select($"doc_id", graft.functions.Portable.contentDigest.as("digest"))
+      .as[(Long, String)].collect().toMap
+    assert(sparkSide == jdk, "Portable.contentDigest must be md5(utf8(text)) lowercase hex")
+    // the historical filter built over the corpus can therefore never miss
+    // a digest the batch exact layer (dedup_exact) would produce
+    val bloom = StreamingCuration.historicalFilter(docs)
+    jdk.values.foreach(d => assert(bloom.mightContainString(d), s"filter missed true member $d"))
+  }
 }
