@@ -25,7 +25,9 @@ object SparkEntry {
       operators.CorpusOps.defs ++
       operators.AsOf.defs ++
       operators.Retrieval.defs ++
-      operators.Graph.defs
+      operators.Graph.defs ++
+      operators.Tokenizer.defs ++
+      operators.TimeSeries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

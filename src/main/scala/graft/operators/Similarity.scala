@@ -183,6 +183,75 @@ object Similarity {
          |SELECT q_id, cell, vec_id, rank, cosine FROM ranked
          |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin),
 
+    // ---- IVF with nprobe=2: the recall knob — each query probes its TWO
+    // nearest cells instead of one (ann_ivf_probe's missed-neighbor failure
+    // mode is a true neighbor quantized into the adjacent cell). Data
+    // vectors keep their rank-1 assignment, so cells partition the corpus
+    // and the probe union is duplicate-free by construction. At scale the
+    // scored volume is nprobe × corpus / n_cells — still partition pruning
+    // over the cell column, never a full scan; the query-side top-2 cell
+    // ranking is a window over the 4 broadcast centroid sims per query
+    // (bounded by n_cells, not by data). ------------------------------------
+    "ann_ivf_nprobe" -> QueryDef(
+      (s, dir) => {
+        graft.functions.HashExpressions.register(s)
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents = emb.filter(col("vec_id") < 4)
+          .selectExpr("vec_id AS c_id", "embedding AS c_emb")
+        // centroid sims persisted slim: feeds the data-side argmax
+        // assignment AND the query-side top-2 probe ranking
+        val centSim = emb.crossJoin(broadcast(cents))
+          .selectExpr("vec_id", "c_id", "graft_cosine(c_emb, embedding) AS sim")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val assigned = centSim
+          .groupBy(col("vec_id"))
+          .agg(max(struct(col("sim"), (-col("c_id")).as("nc"))).as("m"))
+          .select(col("vec_id"), (-col("m.nc")).as("cell"))
+        val cellEmb = emb.join(assigned, "vec_id")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("c_id"))
+        val probes = centSim.filter(col("vec_id") < 8)
+          .withColumn("probe", row_number().over(w))
+          .filter(col("probe") <= 2)
+          .selectExpr("vec_id AS q_id", "c_id AS probe_cell")
+        val q = emb.filter(col("vec_id") < 8)
+          .selectExpr("vec_id AS q_id", "embedding AS q_emb")
+          .join(probes, "q_id")
+        val scored = broadcast(q)
+          .join(cellEmb, expr("cell = probe_cell AND vec_id != q_id"))
+          .selectExpr("q_id", "vec_id",
+            "graft_cosine(q_emb, embedding) AS cosine")
+        topKPerQuery(scored, 3)
+          .join(assigned, "vec_id") // re-attach the neighbor's cell
+          .select(col("q_id"), col("cell"), col("vec_id"), col("rank"), col("cosine"))
+          .orderBy("q_id", "rank")
+      },
+      s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb
+         |  FROM embeddings WHERE vec_id < 4),
+         |sc AS (SELECT e.vec_id, c.c_id,
+         |    ${duckCos("c_emb", "embedding")} AS sim
+         |  FROM embeddings e CROSS JOIN cents c),
+         |asg AS (SELECT vec_id, c_id AS cell FROM (
+         |    SELECT vec_id, c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
+         |    FROM sc) WHERE rn = 1),
+         |ce AS (SELECT e.vec_id, e.embedding, a.cell
+         |  FROM embeddings e JOIN asg a USING (vec_id)),
+         |probes AS (SELECT vec_id AS q_id, c_id AS probe_cell FROM (
+         |    SELECT vec_id, c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
+         |    FROM sc WHERE vec_id < 8) WHERE rn <= 2),
+         |q AS (SELECT e.vec_id AS q_id, p.probe_cell, e.embedding AS q_emb
+         |  FROM embeddings e JOIN probes p ON p.q_id = e.vec_id),
+         |scored AS (SELECT q_id, ce.vec_id, ce.cell,
+         |    ${duckCos("q_emb", "embedding")} AS cosine
+         |  FROM q JOIN ce ON ce.cell = q.probe_cell AND ce.vec_id != q.q_id),
+         |ranked AS (SELECT q_id, cell, vec_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, cell, vec_id, rank, cosine FROM ranked
+         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin),
+
     // ---- embedding-cosine near-dup pairs: sign-random-projection LSH
     // (4 bands x 3 deterministic hyperplanes) for candidates, exact cosine
     // >= 0.45 verification. All-pairs never materializes — the 100 TB path.

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+import scala.collection.immutable.ListMap
+
+/** Grouped time-series feature extraction — the batch feature-engineering
+  * step behind `q6_forecast_revenue`'s single-series forecast, generalized
+  * to one feature row PER GROUP (market segment) over its monthly revenue
+  * series: length, total, mean, and least-squares trend slope.
+  *
+  * Scale shape: two partial+final aggregations — (seg, month) then seg —
+  * and nothing else; the regression slope comes from the closed-form
+  * normal equation over exact integer sums, so no per-group sort, no
+  * window, no iteration. Group cardinality is bounded (segments), month
+  * index is bounded by the calendar: the second aggregate is trivially
+  * small at any corpus size.
+  *
+  * Cross-engine parity (QueryDef rules): revenue is quantized per month to
+  * INT64 CENTS (exact, order-independent sums); Σx, Σx², Σ(x·y) are exact
+  * BIGINT sums; the final mean/slope cast those exact sums to DOUBLE and
+  * combine them in a fixed expression order — IEEE arithmetic on identical
+  * inputs, bit-identical across engines. */
+object TimeSeries {
+
+  val defs: ListMap[String, QueryDef] = ListMap(
+
+    // ---- per-segment monthly revenue features: n, total, mean, slope ------
+    "ts_features" -> QueryDef(
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val c = Tables.load(s, dir, "customer")
+        val monthly = o.join(c, col("o_custkey") === col("c_custkey"))
+          .selectExpr("c_mktsegment AS seg",
+            "CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m",
+            "CAST(o_totalprice AS DECIMAL(18,2)) AS p")
+          .groupBy("seg", "m")
+          .agg(expr("CAST(SUM(p) * 100 AS BIGINT)").as("rev_c"))
+        monthly.groupBy("seg")
+          .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n_months"),
+            expr("SUM(m)").as("sx"), expr("SUM(m * m)").as("sxx"),
+            expr("SUM(rev_c)").as("sy"), expr("SUM(m * rev_c)").as("sxy"))
+          .selectExpr("seg", "n_months",
+            "CAST(sy AS DOUBLE) / 100.0 AS total_rev",
+            "CAST(sy AS DOUBLE) / 100.0 / n_months AS mean_monthly_rev",
+            """(CAST(n_months AS DOUBLE) * CAST(sxy AS DOUBLE)
+              |  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              | / (CAST(n_months AS DOUBLE) * CAST(sxx AS DOUBLE)
+              |  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 100.0
+              | AS slope_per_month""".stripMargin)
+          .orderBy("seg")
+      },
+      """WITH monthly AS (
+        |  SELECT c_mktsegment AS seg,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2)
+        |SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_months,
+        |  CAST(CAST(SUM(rev_c) AS BIGINT) AS DOUBLE) / 100.0 AS total_rev,
+        |  CAST(CAST(SUM(rev_c) AS BIGINT) AS DOUBLE) / 100.0 / CAST(COUNT(*) AS BIGINT) AS mean_monthly_rev,
+        |  (CAST(COUNT(*) AS DOUBLE) * CAST(CAST(SUM(m * rev_c) AS BIGINT) AS DOUBLE)
+        |    - CAST(CAST(SUM(m) AS BIGINT) AS DOUBLE) * CAST(CAST(SUM(rev_c) AS BIGINT) AS DOUBLE))
+        |  / (CAST(COUNT(*) AS DOUBLE) * CAST(CAST(SUM(m * m) AS BIGINT) AS DOUBLE)
+        |    - CAST(CAST(SUM(m) AS BIGINT) AS DOUBLE) * CAST(CAST(SUM(m) AS BIGINT) AS DOUBLE)) / 100.0
+        |  AS slope_per_month
+        |FROM monthly GROUP BY seg ORDER BY seg""".stripMargin)
+  )
+}

@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import scala.collection.immutable.ListMap
+
+/** Tokenizer-training operators over `documents`: the byte-pair-encoding
+  * merge-table build — the one preprocessing artifact an LLM data pipeline
+  * derives from the corpus itself (the reference has no tokenizer layer;
+  * this extends the engine's LLM-data surface alongside [[TextOps]]).
+  *
+  * Scale design: classic BPE trains on the WORD-FREQUENCY table, not the
+  * corpus — the corpus is touched exactly once (tokenize → explode →
+  * count), a corpus-linear partial+final aggregation, and every merge
+  * iteration then runs over the compact vocabulary (distinct words ×
+  * weight). Per iteration: one partial+final pair count, one
+  * TakeOrdered(1) argmax, and the winning pair applied via a 1-row
+  * broadcast — no driver-side collect, no corpus re-scan, plan depth
+  * bounded by localCheckpoint per round (same recipe as
+  * Graph.pagerank_pages).
+  *
+  * Cross-engine parity: a word's symbol sequence is encoded as a string
+  * with every symbol carrying its OWN leading+trailing space
+  * (" l  o  w "), so applying a merge is a plain non-overlapping
+  * left-to-right `replace(enc, ' l  o ', ' lo ')` — identical semantics in
+  * the JVM and DuckDB, including consecutive-merge cases like "a a a a"
+  * where separator-sharing encodings go wrong. Ties on pair count break by
+  * pair string ascending in both engines (symbols are lowercase alnum, so
+  * byte order == lexicographic order).
+  */
+object Tokenizer {
+
+  private val Steps = 4
+
+  /** Pairs of adjacent symbols from the padded encoding, as "lhs rhs"
+    * keys; symbols never contain spaces so the key splits back safely. */
+  private val pairsExpr =
+    """CASE WHEN size(syms) > 1 THEN
+      |  transform(sequence(1, size(syms) - 1),
+      |    i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))
+      |ELSE array() END""".stripMargin
+
+  val defs: ListMap[String, QueryDef] = ListMap(
+
+    // ---- BPE merge table: 4 merge steps over the corpus word-frequency
+    // table; output = (step, lhs, rhs, merged, pair_count) -------------------
+    "tokenizer_vocab" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        // the ONLY corpus-wide pass: tokenize, explode, count each word
+        val vocab = d
+          .selectExpr(s"explode(${graft.functions.Portable.tokensSql("text")}) AS word")
+          .groupBy("word").agg(count(lit(1)).as("cnt"))
+        var words = vocab.selectExpr("word", "cnt",
+          "concat_ws('', transform(sequence(1, length(word)), i -> concat(' ', substring(word, i, 1), ' '))) AS enc")
+          .localCheckpoint(true)
+        val merges = (1 to Steps).map { step =>
+          val pc = words
+            .withColumn("syms", split(trim(col("enc")), "  "))
+            .select(col("cnt"), explode(expr(pairsExpr)).as("pair"))
+            .groupBy("pair").agg(sum(col("cnt")).as("pair_count"))
+          val best = pc.orderBy(col("pair_count").desc, col("pair").asc).limit(1)
+            .selectExpr("element_at(split(pair, ' '), 1) AS lhs",
+              "element_at(split(pair, ' '), 2) AS rhs", "pair_count")
+            .localCheckpoint(true) // tiny; also pins one winner for both uses
+          words = words.crossJoin(broadcast(best))
+            .selectExpr("word", "cnt",
+              "replace(enc, concat(' ', lhs, '  ', rhs, ' '), concat(' ', lhs, rhs, ' ')) AS enc")
+            .localCheckpoint(true)
+          best.selectExpr(s"CAST($step AS INT) AS step", "lhs", "rhs",
+            "concat(lhs, rhs) AS merged", "pair_count")
+        }
+        merges.reduce(_.unionAll(_)).orderBy("step")
+      },
+      """WITH toks AS (SELECT
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) AS toks
+        |  FROM documents),
+        |vocab AS (SELECT t AS word, COUNT(*)::BIGINT AS cnt
+        |  FROM (SELECT unnest(toks) AS t FROM toks) GROUP BY 1),
+        |w0 AS (SELECT word, cnt,
+        |    list_reduce(list_prepend('', list_transform(range(1, length(word) + 1),
+        |      i -> ' ' || substr(word, i, 1) || ' ')), (a, b) -> a || b) AS enc
+        |  FROM vocab),
+        |p1 AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count FROM (
+        |    SELECT cnt, unnest(list_transform(range(1, len(syms)), i -> syms[i] || ' ' || syms[i+1])) AS pair
+        |    FROM (SELECT cnt, string_split(trim(enc), '  ') AS syms FROM w0)) GROUP BY pair),
+        |b1 AS (SELECT split_part(pair, ' ', 1) AS lhs, split_part(pair, ' ', 2) AS rhs, pair_count
+        |  FROM p1 ORDER BY pair_count DESC, pair LIMIT 1),
+        |w1 AS (SELECT word, cnt,
+        |    replace(enc, ' ' || lhs || '  ' || rhs || ' ', ' ' || lhs || rhs || ' ') AS enc
+        |  FROM w0, b1),
+        |p2 AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count FROM (
+        |    SELECT cnt, unnest(list_transform(range(1, len(syms)), i -> syms[i] || ' ' || syms[i+1])) AS pair
+        |    FROM (SELECT cnt, string_split(trim(enc), '  ') AS syms FROM w1)) GROUP BY pair),
+        |b2 AS (SELECT split_part(pair, ' ', 1) AS lhs, split_part(pair, ' ', 2) AS rhs, pair_count
+        |  FROM p2 ORDER BY pair_count DESC, pair LIMIT 1),
+        |w2 AS (SELECT word, cnt,
+        |    replace(enc, ' ' || lhs || '  ' || rhs || ' ', ' ' || lhs || rhs || ' ') AS enc
+        |  FROM w1, b2),
+        |p3 AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count FROM (
+        |    SELECT cnt, unnest(list_transform(range(1, len(syms)), i -> syms[i] || ' ' || syms[i+1])) AS pair
+        |    FROM (SELECT cnt, string_split(trim(enc), '  ') AS syms FROM w2)) GROUP BY pair),
+        |b3 AS (SELECT split_part(pair, ' ', 1) AS lhs, split_part(pair, ' ', 2) AS rhs, pair_count
+        |  FROM p3 ORDER BY pair_count DESC, pair LIMIT 1),
+        |w3 AS (SELECT word, cnt,
+        |    replace(enc, ' ' || lhs || '  ' || rhs || ' ', ' ' || lhs || rhs || ' ') AS enc
+        |  FROM w2, b3),
+        |p4 AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count FROM (
+        |    SELECT cnt, unnest(list_transform(range(1, len(syms)), i -> syms[i] || ' ' || syms[i+1])) AS pair
+        |    FROM (SELECT cnt, string_split(trim(enc), '  ') AS syms FROM w3)) GROUP BY pair),
+        |b4 AS (SELECT split_part(pair, ' ', 1) AS lhs, split_part(pair, ' ', 2) AS rhs, pair_count
+        |  FROM p4 ORDER BY pair_count DESC, pair LIMIT 1)
+        |SELECT CAST(1 AS INT) AS step, lhs, rhs, lhs || rhs AS merged, pair_count FROM b1
+        |UNION ALL SELECT CAST(2 AS INT), lhs, rhs, lhs || rhs, pair_count FROM b2
+        |UNION ALL SELECT CAST(3 AS INT), lhs, rhs, lhs || rhs, pair_count FROM b3
+        |UNION ALL SELECT CAST(4 AS INT), lhs, rhs, lhs || rhs, pair_count FROM b4
+        |ORDER BY step""".stripMargin)
+  )
+}
