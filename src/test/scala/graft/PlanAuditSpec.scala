@@ -167,6 +167,27 @@ class PlanAuditSpec extends SparkSpec {
       "the per-part average is a partial+final aggregate")
   }
 
+  test("ts_features: two partial+final aggregation stages over pruned scans") {
+    val p = plan("ts_features")
+    assert(nodeIds(p, "HashAggregate").size >= 4,
+      "(seg, month) and seg stages must both be partial+final")
+    assert(p.contains("ReadSchema: struct<o_custkey:bigint,o_totalprice:double,o_orderdate:timestamp_ntz>")
+      || p.contains("ReadSchema: struct<o_custkey:bigint,o_orderdate:timestamp_ntz,o_totalprice:double>"),
+      "orders scan pruned to the three referenced columns")
+    assert(!p.contains("Window "), "slope comes from closed-form sums, never a window")
+  }
+
+  test("ann_ivf_nprobe: centroid assignment broadcasts; corpus never cartesian-joins") {
+    val p = plan("ann_ivf_nprobe")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 4 seed centroids must broadcast")
+    assert(!p.contains("CartesianProduct"), "no unbroadcast all-pairs anywhere")
+    // the probe-selection window runs over <= n_cells rows per query, and
+    // the candidate ranking is the bounded aggregator — neither may plan a
+    // corpus-wide window funnel
+    assert(!p.contains("RunningWindowFunction"))
+  }
+
   test("pagerank iteration: ranks side is a pinned broadcast (edge side carries the only shuffle)") {
     import spark.implicits._
     // the per-round plan is consumed by localCheckpoint inside the query, so
