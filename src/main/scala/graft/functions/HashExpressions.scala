@@ -66,6 +66,27 @@ object HashExpressions {
     seen.toArray
   }
 
+  /** Distinct rolling 8-token window hashes — the exact-substring dedup
+    * unit (a shared window hash ⇒ the two docs share an identical 8-token
+    * span, modulo hash collision at ~1/P). Same fold as [[shingles]] but
+    * width 8 and non-overlap-collapsed via LinkedHashSet. */
+  private[functions] def winHashes8(th: Array[Long]): Array[Long] = {
+    if (th.length < 8) return Array.emptyLongArray
+    val seen = new mutable.LinkedHashSet[Long]
+    var i = 0
+    while (i <= th.length - 8) {
+      var h = 0L
+      var k = 0
+      while (k < 8) {
+        h = (h * 31 + th(i + k)) % P
+        k += 1
+      }
+      seen += h
+      i += 1
+    }
+    seen.toArray
+  }
+
   private[functions] def minhashSig(sh: Array[Long]): Array[Long] = {
     val sig = new Array[Long](16)
     var j = 0
@@ -146,6 +167,8 @@ object HashExpressions {
   def evalSimhash(s: UTF8String): Long = simhash60(tokenHashes(s))
   def evalGram5(s: UTF8String): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(gram5Hashes(s))
+  def evalWinHash8(s: UTF8String): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(winHashes8(tokenHashes(s)))
   def evalCosine(l: ArrayData, r: ArrayData): Double = {
     val a = l.toFloatArray()
     val b = r.toFloatArray()
@@ -310,6 +333,16 @@ object HashExpressions {
     override def prettyName: String = "graft_gram5"
   }
 
+  /** text -> array<long> of distinct rolling 8-token window hashes. */
+  case class WinHash8Expr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = evalWinHash8(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"${Self}.evalWinHash8($c)")
+    override protected def withNewChildInternal(c: Expression): WinHash8Expr = copy(c)
+    override def prettyName: String = "graft_winhash8"
+  }
+
   /** array<float> cosine similarity with the oracle-parity contract:
     * element products in FLOAT, accumulation left-to-right in DOUBLE,
     * final division in DOUBLE — bit-identical to the SQL higher-order-
@@ -365,6 +398,7 @@ object HashExpressions {
     reg.createOrReplaceTempFunction("graft_minhash_sig", es => MinHashSigExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_simhash", es => SimHashExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_gram5", es => Gram5Expr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_winhash8", es => WinHash8Expr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_cosine", es => CosineExpr(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_polyhash", es => PolyHashExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_text_stats", es => TextStatsExpr(es.head), "scala_udf")

@@ -223,6 +223,51 @@ object CorpusOps {
         |SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram
         |ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin),
 
+    // ---- Count-Min-sketch heavy hitters: terms whose SKETCH-estimated
+    // count clears 0.5% of the corpus token total. Scale shape: the
+    // sketch pass is a partial+final fold of the raw token-hash stream
+    // into a constant 4x1024 counter matrix (graft.functions.CountMin) —
+    // nothing token-sized ever shuffles for it; the only shuffle is the
+    // dictionary-sized distinct over terms. The one-row sketch broadcasts
+    // back onto the dictionary and the point estimate (min over 4 rows)
+    // is a pure element_at expression inside codegen. The oracle rebuilds
+    // the identical sketch from exact per-term counts (increment addition
+    // commutes), so estimates — INCLUDING any collision overcounts — are
+    // bit-identical across engines. Spark never computes exact counts:
+    // the output is genuinely sketch-derived. -----------------------------
+    "cms_heavy_hitters" -> QueryDef(
+      (s, dir) => {
+        graft.functions.HashExpressions.register(s)
+        import graft.functions.CountMin
+        import s.implicits._
+        val toks = Tables.load(s, dir, "documents")
+          .select(explode(expr(toksExpr)).as("term"))
+        val sketch = toks.selectExpr("graft_polyhash(term) AS h").as[Long]
+          .select(new CountMin().toColumn).toDF("cms")
+        val dict = toks.distinct()
+          .selectExpr("term", "graft_polyhash(term) AS h")
+        dict.crossJoin(broadcast(sketch))
+          .withColumn("est_c", expr(CountMin.estimateSql("cms", "h")))
+          .filter(expr(s"est_c * 200 >= element_at(cms, ${CountMin.Depth * CountMin.Width + 1})"))
+          .select(col("term"), col("est_c"))
+          .orderBy(col("est_c").desc, col("term"))
+      },
+      s"""WITH toks AS (SELECT unnest($duckToks) AS term FROM documents),
+         |counts AS (SELECT term, COUNT(*)::BIGINT AS c FROM toks GROUP BY term),
+         |hashed AS (SELECT term, c, list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(range(1, length(term) + 1), i -> ascii(substr(term, i, 1))::BIGINT)),
+         |    (h, ch) -> (h * 31 + ch) % ${graft.functions.Portable.P}) AS h
+         |  FROM counts),
+         |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts),
+         |params(d, a, b) AS (VALUES (0, 131, 7), (1, 137, 11), (2, 139, 13), (3, 149, 17)),
+         |tb AS (SELECT term, c, d, ((h * a + b) % ${graft.functions.Portable.P}) % 1024 AS bkt
+         |  FROM hashed CROSS JOIN params),
+         |bsum AS (SELECT d, bkt, CAST(SUM(c) AS BIGINT) AS bc FROM tb GROUP BY d, bkt),
+         |est AS (SELECT t.term, MIN(b.bc) AS est_c
+         |  FROM tb t JOIN bsum b USING (d, bkt) GROUP BY t.term)
+         |SELECT term, est_c FROM est, n WHERE est_c * 200 >= n.n
+         |ORDER BY est_c DESC, term""".stripMargin),
+
     // ---- overlapping chunk explode: 256-char windows, 192-char stride
     // (64 overlap) — the context-window dataloader shape. Start indices
     // 0, 192, 384, …, but a chunk is emitted ONLY while it adds content

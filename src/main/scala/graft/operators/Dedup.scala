@@ -326,6 +326,58 @@ object Dedup {
          |   / (len(g_a) + len(g_b) - len(list_intersect(g_a, g_b))) >= 0.7
          |ORDER BY doc_a, doc_b""".stripMargin),
 
+    // ---- exact-substring dedup (Lee et al. "Deduplicating Training Data"
+    // shape): two docs are substring-duplicates when they share ANY exact
+    // 8-token span. Span identity = rolling 8-token window hash
+    // (graft_winhash8, native codegen'd); candidate generation is
+    // group-by-window-hash, NOT all-pairs. Two scale guards on the window
+    // frequency: df >= 2 keeps only windows that can witness a pair at
+    // all, and df <= 50 drops boilerplate windows whose bucket would fan
+    // out quadratically (the standard stop-window cap — at 100 TB a
+    // navigation header shared by 10^7 docs must not emit 10^14 pairs;
+    // pairs lost to the cap are re-witnessed by their rarer neighbors).
+    // Cost: one corpus-linear explode, one count by hash, one bounded
+    // (<= df^2/2 per bucket) self-join. ------------------------------------
+    "dedup_substring" -> QueryDef(
+      (s, dir) => {
+        graft.functions.HashExpressions.register(s)
+        // distinct within doc by construction (LinkedHashSet in the expr)
+        val ex = Tables.load(s, dir, "documents")
+          .selectExpr("doc_id", "explode(graft_winhash8(text)) AS h")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val hot = ex.join(
+          ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+            .filter("df BETWEEN 2 AND 50")
+            .select(col("h")),
+          "h")
+        // NO unpersist here: the returned frame is lazy, so dropping the
+        // cache now would make the df-filter and both join sides re-derive
+        // the explode at execution. The harness clears cache per query.
+        hot.alias("a").join(hot.alias("b"),
+            expr("a.h = b.h AND a.doc_id < b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .transform(graft.Sorted.byNames(_, "doc_a", "doc_b"))
+      },
+      s"""WITH toks AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) AS toks
+         |  FROM documents),
+         |th AS (SELECT doc_id, list_transform(toks,
+         |  t -> list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(range(1, length(t) + 1), i -> ascii(substr(t, i, 1))::BIGINT)),
+         |    (h, ch) -> (h * 31 + ch) % $P)) AS th
+         |  FROM toks),
+         |wins AS (SELECT doc_id, list_distinct(list_transform(range(1, len(th) - 6),
+         |  i -> list_reduce(list_prepend(0::BIGINT, th[i:i+7]), (h, x) -> (h * 31 + x) % $P))) AS w
+         |  FROM th WHERE len(th) >= 8),
+         |ex AS (SELECT doc_id, unnest(w) AS h FROM wins),
+         |df AS (SELECT h FROM ex GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 50)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+         |FROM ex a JOIN df USING (h) JOIN ex b USING (h)
+         |WHERE a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin),
+
     // ---- benchmark decontamination: flag training docs sharing >= 3
     // distinct 3-token shingles with a held-out evaluation pool (stand-in
     // pool: doc_id % 97 == 0, ~1% of the corpus — in production the pool is

@@ -46,6 +46,49 @@ object Graph {
         (lit(150000L) + coalesce(col("in_mass"), lit(0L))).as("r"))
   }
 
+  /** Directed page-transition edges (src, dst, w=count) from the event
+    * stream — one window pass + one aggregation, shared by every graph
+    * query (reference page chain: RT/app/dwd/BaseLogTask.java:126-135). */
+  private def pageEdges(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.select(get_json_object(col("props"), "$.k").cast(LongType).as("src"),
+        col("user_id"), col("ts"), col("event_id"))
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** One synchronous label-propagation step: each node adopts the label
+    * with the largest total incident edge weight among its neighbors'
+    * current labels, ties to the smallest label. `labels` is
+    * node-domain-sized and explicitly [[broadcast]] (same pinning argument
+    * as [[iterate]]); the argmax is `max(struct(w, -label))` — one
+    * partial+final aggregate, no window. Exposed for PlanAuditSpec. */
+  private[graft] def lpaStep(adj: org.apache.spark.sql.DataFrame,
+                             labels: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    adj.join(broadcast(labels.select(col("page").as("v"), col("lbl"))), "v")
+      .groupBy(col("u"), col("lbl")).agg(sum(col("w")).as("vw"))
+      .groupBy(col("u"))
+      .agg(max(struct(col("vw"), (-col("lbl")).as("nl"))).as("top"))
+      .select(col("u").as("page"), (-col("top.nl")).as("lbl"))
+
+  /** Shared DuckDB CTE chain ending in `edges(src, dst, w)`. */
+  private val duckEdges: String =
+    """ev AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+      |  FROM events),
+      |hops AS (
+      |  SELECT k AS src,
+      |    LEAD(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      |  FROM ev),
+      |edges AS (
+      |  SELECT src, dst, COUNT(*) AS w FROM hops WHERE dst IS NOT NULL
+      |  GROUP BY src, dst)""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
 
     // ---- weighted PageRank, 3 iterations, damping 0.85 --------------------
@@ -60,16 +103,7 @@ object Graph {
     // is deterministic and mirrored by the oracle.
     "pagerank_pages" -> QueryDef(
       (s, dir) => {
-        val ev = Tables.load(s, dir, "events")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        val hops = ev
-          .select(get_json_object(col("props"), "$.k").cast(LongType).as("src"),
-            col("user_id"), col("ts"), col("event_id"))
-          .withColumn("dst", lead(col("src"), 1).over(w))
-          .filter(col("dst").isNotNull)
-        val edges = hops.groupBy(col("src"), col("dst"))
-          .agg(count(lit(1)).as("w"))
+        val edges = pageEdges(s, dir)
         val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("ow"))
         // slim, reused every iteration: (src, dst, w, ow)
         val esrc = edges.join(outw, "src").persist(StorageLevel.MEMORY_AND_DISK)
@@ -85,17 +119,7 @@ object Graph {
         ranks.select(col("page"), col("r").as("rank_scaled"))
           .orderBy(col("rank_scaled").desc, col("page"))
       },
-      """WITH ev AS (
-        |  SELECT user_id, ts, event_id,
-        |    CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
-        |  FROM events),
-        |hops AS (
-        |  SELECT k AS src,
-        |    LEAD(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
-        |  FROM ev),
-        |edges AS (
-        |  SELECT src, dst, COUNT(*) AS w FROM hops WHERE dst IS NOT NULL
-        |  GROUP BY src, dst),
+      s"""WITH $duckEdges,
         |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY src),
         |nodes AS (SELECT DISTINCT src AS page FROM edges
         |          UNION SELECT DISTINCT dst FROM edges),
@@ -116,6 +140,93 @@ object Graph {
         |  LEFT JOIN r2 r ON r.page = e.src LEFT JOIN outw o ON o.src = e.src
         |  GROUP BY n.page)
         |SELECT page, CAST(r AS BIGINT) AS rank_scaled FROM r3
-        |ORDER BY rank_scaled DESC, page""".stripMargin)
+        |ORDER BY rank_scaled DESC, page""".stripMargin),
+
+    // ---- per-node triangle participation counts ---------------------------
+    // Scale shape: canonical orientation (a < b, self-loops dropped) halves
+    // the edge set and makes each triangle enumerable exactly once as
+    // a < b < c: wedge = und ⋈ und on b (the one graph-sized shuffle),
+    // closed by a semi-shaped join back to und on (a, c). Per-node counts
+    // are a partial+final sum over the 3-way unnest of each triangle. On a
+    // skewed power-law graph the production knob is degree-ordered
+    // orientation (low-degree vertex first) — id-orientation is kept here
+    // because the page-id domain is bounded and the oracle replays it
+    // verbatim. No all-pairs product anywhere.
+    "triangle_count" -> QueryDef(
+      (s, dir) => {
+        val und = pageEdges(s, dir)
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .filter(col("a") =!= col("b"))
+          .distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val tri = und.alias("e1")
+          .join(und.alias("e2"), expr("e1.b = e2.a"))
+          .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+          .join(und.alias("e3"), expr("x = e3.a AND z = e3.b"))
+          .select(col("x"), col("y"), col("z"))
+        // lazy result — the und cache must survive until execution (the
+        // harness clears cache per query; eager-checkpoint loops are the
+        // only place an in-builder unpersist is sound)
+        tri.select(explode(array(col("x"), col("y"), col("z"))).as("page"))
+          .groupBy(col("page")).agg(count(lit(1)).as("n_triangles"))
+          .transform(graft.Sorted.byNames(_, "page"))
+      },
+      s"""WITH $duckEdges,
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM edges WHERE src <> dst),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM und e1 JOIN und e2 ON e1.b = e2.a
+         |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |nodes AS (SELECT unnest([x, y, z]) AS page FROM tri)
+         |SELECT page, COUNT(*) AS n_triangles FROM nodes
+         |GROUP BY page ORDER BY page""".stripMargin),
+
+    // ---- weighted label propagation communities (2 sync iterations) -------
+    // Scale shape: adjacency = canonical edges + their reverses with summed
+    // weights, built once and persisted; each iteration is ONE join
+    // (labels ⋈ adjacency on the neighbor side — labels are
+    // node-domain-sized so they broadcast, same reasoning as
+    // pagerank_pages' rank side) + one (node, label) weight sum + one
+    // deterministic argmax via max(struct(w, -label)) — max weight, ties
+    // to the SMALLEST label, bit-identical to the oracle's
+    // row_number(ORDER BY w DESC, label). Integer weights throughout: no
+    // float order-dependence. localCheckpoint bounds plan depth per round.
+    "graph_communities" -> QueryDef(
+      (s, dir) => {
+        val e = pageEdges(s, dir).filter(col("src") =!= col("dst"))
+        val adj = e.select(col("src").as("u"), col("dst").as("v"), col("w"))
+          .union(e.select(col("dst").as("u"), col("src").as("v"), col("w")))
+          .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val nodes = adj.select(col("u").as("page")).distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        var labels = nodes.withColumn("lbl", col("page")).localCheckpoint(true)
+        for (_ <- 1 to 2)
+          labels = lpaStep(adj, labels).localCheckpoint(true)
+        val out = labels.select(col("page"), col("lbl").as("community"))
+          .transform(graft.Sorted.byNames(_, "page"))
+        adj.unpersist()
+        nodes.unpersist()
+        out
+      },
+      s"""WITH $duckEdges,
+         |e AS (SELECT src, dst, w FROM edges WHERE src <> dst),
+         |adj AS (SELECT u, v, CAST(SUM(w) AS BIGINT) AS w FROM (
+         |    SELECT src AS u, dst AS v, w FROM e
+         |    UNION ALL SELECT dst AS u, src AS v, w FROM e)
+         |  GROUP BY u, v),
+         |l0 AS (SELECT DISTINCT u AS page, u AS lbl FROM adj),
+         |v1 AS (SELECT adj.u, l.lbl, CAST(SUM(adj.w) AS BIGINT) AS vw
+         |  FROM adj JOIN l0 l ON l.page = adj.v GROUP BY adj.u, l.lbl),
+         |l1 AS (SELECT u AS page, lbl FROM (
+         |    SELECT u, lbl, ROW_NUMBER() OVER (PARTITION BY u ORDER BY vw DESC, lbl) AS rn
+         |    FROM v1) WHERE rn = 1),
+         |v2 AS (SELECT adj.u, l.lbl, CAST(SUM(adj.w) AS BIGINT) AS vw
+         |  FROM adj JOIN l1 l ON l.page = adj.v GROUP BY adj.u, l.lbl),
+         |l2 AS (SELECT u AS page, lbl FROM (
+         |    SELECT u, lbl, ROW_NUMBER() OVER (PARTITION BY u ORDER BY vw DESC, lbl) AS rn
+         |    FROM v2) WHERE rn = 1)
+         |SELECT page, lbl AS community FROM l2 ORDER BY page""".stripMargin)
   )
 }

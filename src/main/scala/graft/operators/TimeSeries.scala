@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import scala.collection.immutable.ListMap
 
@@ -65,6 +66,59 @@ object TimeSeries {
         |  / (CAST(COUNT(*) AS DOUBLE) * CAST(CAST(SUM(m * m) AS BIGINT) AS DOUBLE)
         |    - CAST(CAST(SUM(m) AS BIGINT) AS DOUBLE) * CAST(CAST(SUM(m) AS BIGINT) AS DOUBLE)) / 100.0
         |  AS slope_per_month
-        |FROM monthly GROUP BY seg ORDER BY seg""".stripMargin)
+        |FROM monthly GROUP BY seg ORDER BY seg""".stripMargin),
+
+    // ---- per-segment monthly anomaly flags: |y - mean| > 2 sigma ----------
+    // Scale shape: the same (seg, month) partial+final agg as ts_features,
+    // then per-seg stats (5 rows) BROADCAST back onto the monthly frame —
+    // no window, no second corpus pass. Cross-engine parity: the z-test is
+    // evaluated as the equivalent PURE-INTEGER inequality
+    //   (n*y - S)^2 > 4 * (n*Q - S^2)      (z^2 > 4, scaled by n^2)
+    // over exact cent sums, in DECIMAL(38,0) on Spark / HUGEINT in DuckDB —
+    // (n*y)^2 exceeds int64 beyond sf0.01, so 128-bit integer headroom is
+    // the at-scale design, not a convenience. No floats anywhere until the
+    // presentation column.
+    "ts_anomaly" -> QueryDef(
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val c = Tables.load(s, dir, "customer")
+        val monthly = o.join(c, col("o_custkey") === col("c_custkey"))
+          .selectExpr("c_mktsegment AS seg",
+            "CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m",
+            "CAST(o_totalprice AS DECIMAL(18,2)) AS p")
+          .groupBy("seg", "m")
+          .agg(expr("CAST(SUM(p) * 100 AS BIGINT)").as("rev_c"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val stats = monthly.groupBy("seg")
+          .agg(expr("CAST(COUNT(*) AS DECIMAL(38,0))").as("n"),
+            expr("CAST(SUM(rev_c) AS DECIMAL(38,0))").as("s_sum"),
+            expr("SUM(CAST(rev_c AS DECIMAL(38,0)) * rev_c)").as("q_sum"))
+        // lazy result — keep the monthly cache alive for execution (the
+        // harness clears cache per query)
+        monthly.join(broadcast(stats), "seg")
+          .filter("""(n * rev_c - s_sum) * (n * rev_c - s_sum)
+                    | > 4 * (n * q_sum - s_sum * s_sum)""".stripMargin)
+          .selectExpr("seg", "m",
+            "CAST(rev_c AS DOUBLE) / 100.0 AS rev",
+            "CAST(CASE WHEN n * rev_c > s_sum THEN 1 ELSE -1 END AS INT) AS direction")
+          .orderBy("seg", "m")
+      },
+      """WITH monthly AS (
+        |  SELECT c_mktsegment AS seg,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT seg, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(rev_c) AS HUGEINT) AS s_sum,
+        |    SUM(CAST(rev_c AS HUGEINT) * rev_c) AS q_sum
+        |  FROM monthly GROUP BY seg)
+        |SELECT seg, m, CAST(rev_c AS DOUBLE) / 100.0 AS rev,
+        |  CAST(CASE WHEN n * rev_c > s_sum THEN 1 ELSE -1 END AS INT) AS direction
+        |FROM monthly JOIN stats USING (seg)
+        |WHERE (n * rev_c - s_sum) * (n * rev_c - s_sum)
+        |    > 4 * (n * q_sum - s_sum * s_sum)
+        |ORDER BY seg, m""".stripMargin)
   )
 }

@@ -205,6 +205,62 @@ class PlanAuditSpec extends SparkSpec {
     assert(bx.exists(_.contains("r#")), s"broadcast side should be ranks(page, r), got: $bx")
   }
 
+  test("dedup_substring: window-hash equi-join, never all-pairs; counts partial+final") {
+    val p = plan("dedup_substring")
+    assert(!p.contains("CartesianProduct"),
+      "candidate generation must be group-by-window-hash, not a cross product")
+    assert(p.contains("InMemoryRelation"),
+      "the exploded (doc, window-hash) frame is persisted — computed once, read by df-filter and both join sides")
+    assert(nodeIds(p, "HashAggregate").size >= 4,
+      "df count and pair count must both be partial+final aggregates")
+  }
+
+  test("triangle_count: oriented edge set persisted; closure is equi-joins only") {
+    val p = plan("triangle_count")
+    assert(!p.contains("CartesianProduct"), "triangle closure must be equi-joins")
+    assert(p.contains("InMemoryRelation"),
+      "the canonical a<b edge set is persisted and reused by all three join roles")
+    assert(nodeIds(p, "HashAggregate").size >= 2,
+      "per-node triangle count is partial+final")
+  }
+
+  test("lpa step: labels side is a pinned broadcast; argmax is window-free") {
+    import spark.implicits._
+    val adj = Seq((1L, 2L, 3L), (2L, 1L, 3L)).toDF("u", "v", "w")
+    val labels = Seq((1L, 1L), (2L, 2L)).toDF("page", "lbl")
+    val p = graft.operators.Graph.lpaStep(adj, labels)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), "vote join must broadcast the node-domain-sized labels")
+    assert(!p.contains("Window ["), "argmax is max(struct(...)), not a ranking window")
+    // the struct-valued max buffer is not HashAggregate-able, so the argmax
+    // stage plans as ObjectHashAggregate / SortAggregate — still partial+final
+    val aggs = nodeIds(p, "HashAggregate") ++ nodeIds(p, "ObjectHashAggregate") ++
+      nodeIds(p, "SortAggregate")
+    assert(aggs.size >= 4, s"vote sum and argmax are each partial+final, got $aggs")
+  }
+
+  test("ts_anomaly: per-seg stats broadcast back; no window, monthly frame from cache") {
+    val p = plan("ts_anomaly")
+    assert(p.contains("BroadcastHashJoin"), "5-row stats frame must broadcast onto monthly")
+    assert(!p.contains("Window ["), "the z-test is a broadcast join + filter, not a window")
+    assert(p.contains("InMemoryRelation"),
+      "monthly frame is persisted — stats and flag passes must not re-aggregate orders")
+  }
+
+  test("cms_heavy_hitters: sketch folds partial+final; estimate is a broadcast lookup") {
+    val p = plan("cms_heavy_hitters")
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row sketch joins back as a broadcast, never a cartesian")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the sketch row must broadcast onto the term dictionary")
+    // the typed Array[Long] buffer plans as ObjectHashAggregate/SortAggregate —
+    // partial+final means map tasks reduce their slice before anything shuffles
+    val aggs = nodeIds(p, "ObjectHashAggregate") ++ nodeIds(p, "SortAggregate")
+    assert(aggs.size >= 2, s"sketch build must be partial+final, got $aggs")
+    assert(!p.toLowerCase.contains("count(distinct"),
+      "no exact per-term counting anywhere — the output is sketch-derived")
+  }
+
   test("decontaminate_overlap: benchmark shingle pool broadcasts; corpus side never shuffles text") {
     val p = plan("decontaminate_overlap")
     assert(p.contains("BroadcastHashJoin"), "pool join should broadcast the benchmark grams")

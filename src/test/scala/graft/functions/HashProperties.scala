@@ -66,6 +66,25 @@ object HashProperties extends Properties("graft.hash") {
       g.toSeq.distinct.length == g.length
   }
 
+  property("winHashes8 distinct, bounded by n_tokens-7, modulus-bounded") =
+    forAll(text) { s =>
+      val w = HashExpressions.winHashes8(th(s))
+      w.length <= math.max(th(s).length - 7, 0) &&
+        w.forall(h => h >= 0 && h < HashExpressions.P) &&
+        w.toSeq.distinct.length == w.length
+    }
+
+  property("winHashes8: shared 8-token span => shared window hash") =
+    forAll(text, text) { (pre, post) =>
+      // force an 8-token span and embed it in two different contexts
+      val span = (1 to 8).map(i => s"w${i}x").mkString(" ")
+      val d1 = s"$pre $span $post"
+      val d2 = s"$post $span $pre"
+      val w1 = HashExpressions.winHashes8(th(d1)).toSet
+      val w2 = HashExpressions.winHashes8(th(d2)).toSet
+      w1.intersect(w2).nonEmpty
+    }
+
   property("jaccard symmetry on gram sets") = forAll(text, text) { (s1, s2) =>
     val a = HashExpressions.gram5Hashes(UTF8String.fromString(s1)).toSet
     val b = HashExpressions.gram5Hashes(UTF8String.fromString(s2)).toSet
