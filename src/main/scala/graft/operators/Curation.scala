@@ -120,6 +120,97 @@ object Curation {
          |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
          |FROM comp ORDER BY doc_id""".stripMargin),
 
+    // ---- cluster-canonical selection: within each near-dup cluster keep
+    // the HIGHEST-QUALITY member (text_quality's exact score), not the
+    // min-id — the production curation rule (dedup_clusters answers "what
+    // is duplicated"; this answers "which copy enters the training mix").
+    // Scale shape: clusters (near-dup docs only — orders of magnitude
+    // smaller than the corpus) broadcast onto the documents scan, so text
+    // stats are computed map-side for cluster MEMBERS only; the winner is
+    // a window-free max(struct(quality, -doc_id)) argmax — one
+    // partial+final aggregate, ties to the smaller doc_id. Quality formula
+    // is shared verbatim with text_quality (TextOps.sparkQualitySql /
+    // duckQualitySql): identical IEEE double from identical integers on
+    // both engines, so the argmax order is bit-identical. -------------------
+    "dedup_keep_best" -> QueryDef(
+      (s, dir) => {
+        graft.functions.HashExpressions.register(s)
+        val pairs = Dedup.defs("dedup_minhash").fn(s, dir).select("doc_a", "doc_b")
+        val clusters = connectedComponents(pairs)
+        Tables.load(s, dir, "documents")
+          .join(broadcast(clusters), "doc_id")
+          .selectExpr("doc_id", "cluster_id", "cluster_size",
+            "graft_text_stats(text) AS st")
+          .selectExpr("doc_id", "cluster_id", "cluster_size",
+            s"${TextOps.sparkQualitySql} AS quality")
+          .groupBy(col("cluster_id"), col("cluster_size"))
+          .agg(max(struct(col("quality"), (-col("doc_id")).as("nd"))).as("top"))
+          .selectExpr("cluster_id", "cluster_size", "-top.nd AS kept_doc",
+            "top.quality AS kept_quality",
+            "cluster_size - 1 AS n_dropped")
+          .transform(graft.Sorted.byNames(_, "cluster_id"))
+      },
+      s"""WITH RECURSIVE ${Dedup.duckPairsCtes},
+         |cedges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |           UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |walk(id, label) AS (
+         |  SELECT DISTINCT src, src FROM cedges
+         |  UNION
+         |  SELECT e.dst, w.label FROM walk w JOIN cedges e ON e.src = w.id),
+         |comp AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY id),
+         |sized AS (SELECT doc_id, cluster_id,
+         |    CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+         |  FROM comp),
+         |qt AS (SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) AS toks
+         |  FROM documents),
+         |q AS (SELECT doc_id, ${TextOps.duckQualitySql} AS quality FROM qt),
+         |ranked AS (SELECT s.cluster_id, s.cluster_size, s.doc_id, q.quality,
+         |    ROW_NUMBER() OVER (PARTITION BY s.cluster_id
+         |                       ORDER BY q.quality DESC, s.doc_id) AS rn
+         |  FROM sized s JOIN q USING (doc_id))
+         |SELECT cluster_id, cluster_size, doc_id AS kept_doc, quality AS kept_quality,
+         |  cluster_size - 1 AS n_dropped
+         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin),
+
+    // ---- leakage-safe train/val/test split: the split key is the near-dup
+    // CLUSTER canonical id, not the doc id — two near-duplicate documents
+    // can never straddle train and test (the eval-contamination failure
+    // mode of naive per-doc hashing; singletons canonicalize to
+    // themselves). Same overflow-safe portable hash as sample_stratified,
+    // 90/5/5. Scale shape: clusters (near-dup docs only) broadcast onto
+    // the corpus scan as a left join; split assignment is then map-side
+    // integer arithmetic — no corpus shuffle at all. -----------------------
+    "split_leakage_safe" -> QueryDef(
+      (s, dir) => {
+        val pairs = Dedup.defs("dedup_minhash").fn(s, dir).select("doc_a", "doc_b")
+        val clusters = connectedComponents(pairs)
+          .select(col("doc_id"), col("cluster_id"))
+        Tables.load(s, dir, "documents").select(col("doc_id"))
+          .join(broadcast(clusters), Seq("doc_id"), "left")
+          .selectExpr("doc_id", "coalesce(cluster_id, doc_id) AS canon")
+          .selectExpr("doc_id", "canon",
+            s"((canon % 999983L) * ${MIX}L + 7919L) % 100 AS b")
+          .selectExpr("doc_id", "canon",
+            "CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split")
+          .transform(graft.Sorted.byNames(_, "doc_id"))
+      },
+      s"""WITH RECURSIVE ${Dedup.duckPairsCtes},
+         |sedges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |           UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |swalk(id, label) AS (
+         |  SELECT DISTINCT src, src FROM sedges
+         |  UNION
+         |  SELECT e.dst, w.label FROM swalk w JOIN sedges e ON e.src = w.id),
+         |scomp AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM swalk GROUP BY id),
+         |canon AS (SELECT d.doc_id, COALESCE(s.cluster_id, d.doc_id) AS canon
+         |  FROM documents d LEFT JOIN scomp s ON s.doc_id = d.doc_id),
+         |bkt AS (SELECT doc_id, canon,
+         |    ((canon % 999983) * $MIX + 7919) % 100 AS b FROM canon)
+         |SELECT doc_id, canon,
+         |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+         |FROM bkt ORDER BY doc_id""".stripMargin),
+
     // ---- deterministic stratified sampling: per-language keep rates via
     // portable int64 hashing — reproducible across engines and runs, no RNG
     // state. Map-side only (zero shuffle); at 100 TB this is the shape of

@@ -142,6 +142,52 @@ object Graph {
         |SELECT page, CAST(r AS BIGINT) AS rank_scaled FROM r3
         |ORDER BY rank_scaled DESC, page""".stripMargin),
 
+    // ---- BFS reachability levels (3 hops from the minimum page id) --------
+    // Scale shape: the frontier and visited sets are node-domain-bounded,
+    // so both broadcast — per hop the DIRECTED edge table sees one
+    // broadcast-join probe (map-side) and the only shuffle is the
+    // node-bounded distinct; the not-yet-visited filter is a broadcast
+    // left-anti join. localCheckpoint after each hop bounds plan depth
+    // exactly like the PageRank/LPA loops. Level count is fixed (3), so
+    // the oracle unrolls the same frontier algebra as plain CTEs. ----------
+    "graph_bfs_levels" -> QueryDef(
+      (s, dir) => {
+        val edges = pageEdges(s, dir).select(col("src"), col("dst"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val src0 = edges.agg(least(min(col("src")), min(col("dst"))).as("page"))
+        var visited = src0.withColumn("level", lit(0L)).localCheckpoint(true)
+        var frontier = visited.select(col("page"))
+        for (k <- 1 to 3) {
+          val next = edges
+            .join(broadcast(frontier), edges("src") === frontier("page"))
+            .select(col("dst").as("page")).distinct()
+            .join(broadcast(visited.select(col("page"))), Seq("page"), "left_anti")
+            .withColumn("level", lit(k.toLong))
+            .localCheckpoint(true)
+          visited = visited.union(next).localCheckpoint(true)
+          frontier = next.select(col("page"))
+        }
+        edges.unpersist()
+        visited.transform(graft.Sorted.byNames(_, "page"))
+      },
+      s"""WITH $duckEdges,
+         |v0 AS (SELECT least((SELECT MIN(src) FROM edges),
+         |                    (SELECT MIN(dst) FROM edges)) AS page,
+         |               CAST(0 AS BIGINT) AS level),
+         |l1 AS (SELECT DISTINCT e.dst AS page, CAST(1 AS BIGINT) AS level
+         |  FROM edges e JOIN v0 ON e.src = v0.page
+         |  WHERE e.dst NOT IN (SELECT page FROM v0)),
+         |v1 AS (SELECT * FROM v0 UNION ALL SELECT * FROM l1),
+         |l2 AS (SELECT DISTINCT e.dst AS page, CAST(2 AS BIGINT) AS level
+         |  FROM edges e JOIN l1 ON e.src = l1.page
+         |  WHERE e.dst NOT IN (SELECT page FROM v1)),
+         |v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM l2),
+         |l3 AS (SELECT DISTINCT e.dst AS page, CAST(3 AS BIGINT) AS level
+         |  FROM edges e JOIN l2 ON e.src = l2.page
+         |  WHERE e.dst NOT IN (SELECT page FROM v2)),
+         |v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM l3)
+         |SELECT page, level FROM v3 ORDER BY page""".stripMargin),
+
     // ---- per-node triangle participation counts ---------------------------
     // Scale shape: canonical orientation (a < b, self-loops dropped) halves
     // the edge set and makes each triangle enumerable exactly once as

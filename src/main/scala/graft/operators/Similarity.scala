@@ -372,6 +372,88 @@ object Similarity {
         |      i -> abs(CAST(q[i] AS DOUBLE) * (maxabs / 127.0)
         |             - CAST(embedding[i] AS DOUBLE)))),
         |    (a, b) -> greatest(a, b)) AS max_err
-        |FROM q ORDER BY vec_id""".stripMargin)
+        |FROM q ORDER BY vec_id""".stripMargin),
+
+    // ---- k-means (2 Lloyd iterations, k=4) over the embedding corpus ------
+    // The IVF TRAINING step ann_ivf_probe's content-derived cells assume:
+    // seed with the 4 deterministic centroids, then assign -> update twice,
+    // and emit the final assignment. Scale shape per round: assignment is a
+    // k x N broadcast score + window-free argmax (one partial+final agg);
+    // the update is a posexplode to (cell, dim) rows — one corpus-linear
+    // shuffle bounded by k*64 groups — and centroids re-enter as a
+    // broadcast. localCheckpoint bounds plan depth like every iterative op
+    // here. Cross-engine parity: float sums are order-dependent, so the
+    // update accumulates floor(x * 2^20) scaled int64 (exact, commutative);
+    // the mean returns to double (sum/n/2^20 — identical IEEE op sequence
+    // both sides) and is cast to FLOAT, so round-2 cosines see bit-identical
+    // centroids. Empty cells would drop (fixture cells are all populated);
+    // production keeps the stale centroid via a left join — documented, not
+    // needed at any tested SF. --------------------------------------------
+    "embedding_kmeans" -> QueryDef(
+      (s, dir) => {
+        graft.functions.HashExpressions.register(s)
+        val emb = Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        var cents = emb.filter(col("vec_id") < 4)
+          .selectExpr("vec_id AS c_id", "embedding AS c_emb")
+        for (_ <- 1 to 2) {
+          val asg = emb.crossJoin(broadcast(cents))
+            .selectExpr("vec_id", "c_id", "graft_cosine(c_emb, embedding) AS sim")
+            .groupBy(col("vec_id"))
+            .agg(max(struct(col("sim"), (-col("c_id")).as("nc"))).as("m"))
+            .select(col("vec_id"), (-col("m.nc")).as("cell"))
+          cents = emb.join(asg, "vec_id")
+            .select(col("cell"), posexplode(col("embedding")))
+            .selectExpr("cell", "pos AS dim",
+              "CAST(floor(CAST(col AS DOUBLE) * 1048576) AS BIGINT) AS q")
+            .groupBy(col("cell"), col("dim"))
+            .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+            .selectExpr("cell", "dim", "CAST(sq AS DOUBLE) / n / 1048576 AS comp")
+            .groupBy(col("cell"))
+            .agg(expr("transform(array_sort(collect_list(struct(dim, comp)))," +
+              " s -> CAST(s.comp AS FLOAT))").as("c_emb"))
+            .selectExpr("cell AS c_id", "c_emb")
+            .localCheckpoint(true)
+        }
+        // final assignment under the round-2 centroids; emb cache stays for
+        // this lazy frame (the harness clears cache per query)
+        emb.crossJoin(broadcast(cents))
+          .selectExpr("vec_id", "c_id", "graft_cosine(c_emb, embedding) AS sim")
+          .groupBy(col("vec_id"))
+          .agg(max(struct(col("sim"), (-col("c_id")).as("nc"))).as("m"))
+          .select(col("vec_id"), (-col("m.nc")).as("cell"), col("m.sim").as("sim"))
+          .transform(graft.Sorted.byNames(_, "vec_id"))
+      }, {
+        def round(cin: String, n: Int): String = {
+          s"""s$n AS (SELECT e.vec_id, c.c_id, ${duckCos("c_emb", "embedding")} AS sim
+             |  FROM embeddings e CROSS JOIN $cin c),
+             |a$n AS (SELECT vec_id, c_id AS cell FROM (
+             |    SELECT vec_id, c_id,
+             |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
+             |    FROM s$n) WHERE rn = 1),
+             |u$n AS (SELECT a.cell,
+             |    UNNEST(range(1, 65)) AS dim,
+             |    UNNEST(list_transform(range(1, 65),
+             |      j -> CAST(floor(e.embedding[j]::DOUBLE * 1048576) AS BIGINT))) AS q
+             |  FROM a$n a JOIN embeddings e USING (vec_id)),
+             |g$n AS (SELECT cell, dim, CAST(SUM(q) AS BIGINT) AS sq, COUNT(*) AS n
+             |  FROM u$n GROUP BY cell, dim),
+             |c${n + 1} AS (SELECT cell AS c_id,
+             |    list(CAST(sq::DOUBLE / n / 1048576 AS FLOAT) ORDER BY dim) AS c_emb
+             |  FROM g$n GROUP BY cell)""".stripMargin
+        }
+        s"""WITH c0 AS (SELECT vec_id AS c_id, embedding AS c_emb
+           |  FROM embeddings WHERE vec_id < 4),
+           |${round("c0", 0)},
+           |${round("c1", 1)},
+           |sf AS (SELECT e.vec_id, c.c_id, ${duckCos("c_emb", "embedding")} AS sim
+           |  FROM embeddings e CROSS JOIN c2 c),
+           |af AS (SELECT vec_id, c_id AS cell, sim FROM (
+           |    SELECT vec_id, c_id, sim,
+           |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
+           |    FROM sf) WHERE rn = 1)
+           |SELECT vec_id, cell, sim FROM af ORDER BY vec_id""".stripMargin
+      })
   )
 }

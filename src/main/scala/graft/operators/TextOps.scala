@@ -24,8 +24,28 @@ object TextOps {
 
   private def scoreSql(lang: String): String =
     s"size(filter(toks, t -> array_contains(${arrLit(stop(lang))}, t)))"
-  private def duckScoreSql(lang: String): String =
+  // private[operators]: dedup_keep_best's oracle reuses the exact quality
+  // formula — one definition, impossible to desynchronize
+  private[operators] def duckScoreSql(lang: String): String =
     s"len(list_filter(toks, t -> list_contains(${listLit(stop(lang))}, t)))"
+
+  /** The text_quality score formula over a token-list column named `toks`
+    * (DuckDB side) — shared verbatim with dedup_keep_best's oracle. */
+  private[operators] val duckQualitySql: String =
+    s"""CASE WHEN len(toks) > 0 THEN
+       |  least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.4
+       |  + CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.3
+       |  + CAST(${duckScoreSql("en")} AS DOUBLE) / len(toks) * 0.3
+       |ELSE 0.0 END""".stripMargin
+
+  /** Spark twin of [[duckQualitySql]] over a graft_text_stats struct
+    * column named `st`. */
+  private[operators] val sparkQualitySql: String =
+    """CASE WHEN st.n_tokens > 0 THEN
+      |  least(CAST(st.n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+      |  + CAST(st.n_uniq AS DOUBLE) / st.n_tokens * 0.3
+      |  + CAST(st.s_en AS DOUBLE) / st.n_tokens * 0.3
+      |ELSE CAST(0 AS DOUBLE) END""".stripMargin
 
   val defs: ListMap[String, QueryDef] = ListMap(
 

@@ -261,6 +261,30 @@ class PlanAuditSpec extends SparkSpec {
       "no exact per-term counting anywhere — the output is sketch-derived")
   }
 
+  test("dedup_keep_best: clusters broadcast onto the corpus scan; winner argmax is window-free") {
+    val p = plan("dedup_keep_best")
+    assert(p.contains("BroadcastHashJoin"),
+      "the near-dup cluster table (tiny) must broadcast onto documents")
+    assert(!p.contains("Window ["),
+      "per-cluster winner is max(struct(quality, -doc_id)), not a ranking window")
+  }
+
+  test("split_leakage_safe: cluster left-join broadcasts; split assignment is map-side") {
+    val p = plan("split_leakage_safe")
+    assert(p.contains("BroadcastHashJoin"), "cluster canonical ids broadcast onto the corpus")
+    assert(!p.contains("Window ["), "split hashing is pure row-local arithmetic")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("embedding_kmeans: final assignment is a broadcast score + window-free argmax") {
+    val p = plan("embedding_kmeans")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "k centroids must broadcast — assignment is k x N map-side")
+    assert(!p.contains("Window ["),
+      "argmax is max(struct(sim, -c_id)), not a per-vector ranking window")
+    assert(!p.contains("CartesianProduct"), "the only product is the broadcast k-row score")
+  }
+
   test("decontaminate_overlap: benchmark shingle pool broadcasts; corpus side never shuffles text") {
     val p = plan("decontaminate_overlap")
     assert(p.contains("BroadcastHashJoin"), "pool join should broadcast the benchmark grams")
