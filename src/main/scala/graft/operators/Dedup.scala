@@ -68,11 +68,16 @@ object Dedup {
   /** Shared DuckDB CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — the
     * verified MinHash near-dup pair set; composed by dedup_minhash,
     * dedup_keep_list and Curation.dedup_clusters oracles. */
-  private[operators] def duckPairsCtes: String =
+  /** Shingles + 16-lane MinHash signature CTEs ending in `sig(doc_id, sh,
+    * sig)` — shared by [[duckPairsCtes]] and Multimodal's b-bit pHash. */
+  private[operators] def duckSigCtes: String =
     s"""$duckShingles,
        |sig AS (SELECT doc_id, sh, list_transform(range(0, 16), j -> list_min(list_transform(sh,
        |  x -> (x * ($MIX + 40503 * j) + 98765432 + 1234577 * j) % $P61))) AS sig
-       |  FROM sh),
+       |  FROM sh)""".stripMargin
+
+  private[operators] def duckPairsCtes: String =
+    s"""$duckSigCtes,
        |bands AS (SELECT doc_id, b.band AS band,
        |   concat_ws('_', sig[b.band * 4 + 1], sig[b.band * 4 + 2], sig[b.band * 4 + 3], sig[b.band * 4 + 4]) AS key
        |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b),

@@ -177,6 +177,37 @@ object Extras {
       },
       """SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
         |  COUNT(*) AS cnt
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // ---- join-key skew diagnostic: the "do I need salting/AQE skew
+    // handling?" report an operator team runs BEFORE a 100 TB join. One
+    // combiner-friendly per-key count (the only corpus-linear shuffle),
+    // then every statistic — mean, p50/p99, max, top-heaviest keys,
+    // max/mean skew ratio — is computed on the KEY-DOMAIN-sized count
+    // frame, which is orders of magnitude smaller than the input. Exact
+    // percentiles are fine at key-domain size (the corpus-sized variant
+    // is approx_percentiles' sketch). ------------------------------------
+    "skew_profile" -> QueryDef(
+      (s, dir) => {
+        val counts = Tables.load(s, dir, "events")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+        counts.agg(
+            count(lit(1)).as("n_keys"),
+            sum(col("cnt")).as("n_rows"),
+            max(col("cnt")).as("max_cnt"),
+            expr("percentile(cnt, array(0.5D, 0.99D))").as("pcts"),
+            max(struct(col("cnt"), col("user_id"))).as("heaviest"))
+          .selectExpr("n_keys", "n_rows", "max_cnt",
+            "pcts[0] AS p50_cnt", "pcts[1] AS p99_cnt",
+            "heaviest.user_id AS heaviest_key",
+            "CAST(max_cnt AS DOUBLE) * n_keys / n_rows AS skew_ratio")
+      },
+      """WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id)
+        |SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |  MAX(cnt) AS max_cnt,
+        |  quantile_cont(cnt, 0.5) AS p50_cnt, quantile_cont(cnt, 0.99) AS p99_cnt,
+        |  (MAX(struct_pack(cnt := cnt, u := user_id))).u AS heaviest_key,
+        |  CAST(MAX(cnt) AS DOUBLE) * COUNT(*) / CAST(SUM(cnt) AS BIGINT) AS skew_ratio
+        |FROM c""".stripMargin)
   )
 }

@@ -225,6 +225,50 @@ object Multimodal {
         |  FROM m WHERE len >= 16)
         |SELECT doc_id, COUNT(*) AS n_frames, MAX(off) AS last_offset,
         |  CAST(SUM(16) AS BIGINT) AS total_frame_bytes
-        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // ---- perceptual-hash duplicate grouping over media ------------------
+    // The production image-dedup shape: per-media 60-bit pHash, then
+    // GROUP BY (media_type, phash) — a map pass plus ONE combiner-friendly
+    // aggregation, no self-join, output linear in media count (the same
+    // scalable output form as dedup_exact). The stub pHash is b-bit
+    // MinHash: 4 low bits from each of 15 signature lanes (60 bits -- the simhash60 headroom rule: lane 15 at shift 60 would overflow int64) over the
+    // codec-derived payload, so near-identical payloads collide
+    // (per-lane match ≈ jaccard) while unrelated media agree with
+    // probability ≈ (j + (1-j)/16)^16 ≈ 4e-5 even on this deliberately
+    // self-similar fixture corpus. A real DCT pHash drops in without
+    // touching the grouping; two stub designs were REJECTED first —
+    // byte-histogram thresholds and 16-bit parities both collapsed on the
+    // shared-vocabulary fixture (every same-type pair collided /
+    // 25% of pairs within radius 2). Hamming-radius banding at a wider
+    // hash is the recall knob; its plumbing is dedup_simhash_pairs'. ------
+    "multimodal_phash_dedup" -> QueryDef(
+      (s, dir) => {
+        graft.functions.HashExpressions.register(s)
+        mediaTable(s, dir).toDF()
+          .selectExpr("doc_id", "media_type", "decode(content, 'UTF-8') AS payload")
+          // same >= 3-token guard as the MinHash family (empty shingle
+          // sets have no signature on either engine)
+          .filter("size(graft_token_hashes(payload)) >= 3")
+          .selectExpr("doc_id", "media_type", "graft_minhash_sig(payload) AS sig")
+          .selectExpr("doc_id", "media_type",
+            """aggregate(sequence(0, 14), 0L,
+              |  (a, j) -> a + shiftleft(element_at(sig, CAST(j AS INT) + 1) % 16,
+              |                          CAST(j AS INT) * 4)) AS phash""".stripMargin)
+          .groupBy(col("media_type"), col("phash"))
+          .agg(count(lit(1)).as("group_size"), min(col("doc_id")).as("canonical_id"))
+          .filter(col("group_size") >= 2)
+          .transform(graft.Sorted.byNames(_, "media_type", "phash"))
+      },
+      s"""WITH ${Dedup.duckSigCtes},
+         |ph AS (SELECT doc_id,
+         |    ['image','audio','video'][(doc_id % 3)::INT + 1] AS media_type,
+         |    list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 15),
+         |      j -> (sig[j::INT + 1] % 16) << (j::INT * 4))), (a, v) -> a + v) AS phash
+         |  FROM sig)
+         |SELECT media_type, phash, COUNT(*) AS group_size,
+         |  MIN(doc_id) AS canonical_id
+         |FROM ph GROUP BY media_type, phash HAVING COUNT(*) >= 2
+         |ORDER BY media_type, phash""".stripMargin)
   )
 }

@@ -285,6 +285,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "the only product is the broadcast k-row score")
   }
 
+  test("multimodal_phash_dedup: map + one combiner aggregation, no self-join") {
+    val p = plan("multimodal_phash_dedup")
+    assert(!p.contains("Join"), "phash grouping must not self-join — output is GROUPS, not pairs")
+    assert(nodeIds(p, "HashAggregate").size >= 2, "group-by must be partial+final")
+  }
+
+  test("skew_profile: per-key count is partial+final; stats run on the key-domain frame") {
+    val p = plan("skew_profile")
+    // two aggregations (per-key count, then global stats incl. exact
+    // percentile) — the count must be combiner-friendly
+    val aggs = nodeIds(p, "HashAggregate") ++ nodeIds(p, "ObjectHashAggregate") ++
+      nodeIds(p, "SortAggregate")
+    assert(aggs.size >= 4, s"both stages partial+final, got $aggs")
+    assert(!p.contains("Window ["), "no window anywhere — stats are aggregates")
+  }
+
   test("decontaminate_overlap: benchmark shingle pool broadcasts; corpus side never shuffles text") {
     val p = plan("decontaminate_overlap")
     assert(p.contains("BroadcastHashJoin"), "pool join should broadcast the benchmark grams")
