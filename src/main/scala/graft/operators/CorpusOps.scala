@@ -223,6 +223,62 @@ object CorpusOps {
         |SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram
         |ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin),
 
+    // ---- content-defined chunking (the storage-dedup/CDC shape): cut
+    // after every position whose rolling 16-char hash ≡ 0 (mod 64), so
+    // chunk boundaries move WITH the content — an insertion early in a
+    // document shifts fixed-stride chunk_text chunks (every downstream
+    // hash changes) but leaves all CDC chunks after the next boundary
+    // intact, which is what makes chunk-level dedup of revisioned corpora
+    // work. Expected chunk ~64 chars here (demo modulus). Map-side explode
+    // only, no shuffle before the presentation sort; verified per-chunk by
+    // md5 exactly like chunk_text. ----------------------------------------
+    "chunk_content_defined" -> QueryDef(
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .filter(col("n_chars") >= 1)
+          .selectExpr("doc_id", "text", "length(text) AS n")
+          // boundary positions i (char index, 1-based, i >= 16): rolling
+          // hash of chars [i-15 .. i] — the descending-sequence guard is
+          // the chunk_text precedent
+          .selectExpr("doc_id", "text", "n",
+            s"""concat(array(1), transform(
+               |  filter(CASE WHEN n >= 16 THEN sequence(16, n) ELSE array() END,
+               |    i -> aggregate(sequence(i - 15, i),
+               |           bigint(0),
+               |           (h, j) -> (h * 31 + ascii(substring(text, CAST(j AS INT), 1))) % ${graft.functions.Portable.P}L)
+               |         % 64 = 0),
+               |  i -> CAST(i + 1 AS INT))) AS starts""".stripMargin)
+          .selectExpr("doc_id", "text", "n", "starts",
+            "posexplode(starts) AS (k, cstart)")
+          .selectExpr("doc_id", "text", "k AS chunk_idx", "cstart",
+            "IF(k + 1 < size(starts), element_at(starts, k + 2) - 1, n) AS cend")
+          .filter("cend >= cstart")
+          .selectExpr("doc_id", "chunk_idx",
+            "CAST(cend - cstart + 1 AS BIGINT) AS chunk_len",
+            "md5(substring(text, cstart, cend - cstart + 1)) AS chunk_md5")
+          .transform(Sorted.byNames(_, "doc_id", "chunk_idx"))
+      },
+      s"""WITH b AS (SELECT doc_id, text, length(text) AS n,
+         |    list_prepend(1, list_transform(
+         |      list_filter(range(16, length(text) + 1),
+         |        i -> list_reduce(list_prepend(0::BIGINT,
+         |               list_transform(range(i - 15, i + 1),
+         |                 j -> ascii(substr(text, j::INT, 1))::BIGINT)),
+         |               (h, c) -> (h * 31 + c) % ${graft.functions.Portable.P}) % 64 = 0),
+         |      i -> i::INT + 1)) AS starts
+         |  FROM documents WHERE n_chars >= 1),
+         |k AS (SELECT doc_id, text, n, starts,
+         |    unnest(range(1, len(starts) + 1)) AS kk FROM b),
+         |c AS (SELECT doc_id, kk - 1 AS chunk_idx, starts[kk::INT] AS cstart,
+         |    CASE WHEN kk < len(starts) THEN starts[kk::INT + 1] - 1 ELSE n END AS cend,
+         |    text
+         |  FROM k)
+         |SELECT doc_id, chunk_idx,
+         |  CAST(cend - cstart + 1 AS BIGINT) AS chunk_len,
+         |  md5(substr(text, cstart, cend - cstart + 1)) AS chunk_md5
+         |FROM c WHERE cend >= cstart
+         |ORDER BY doc_id, chunk_idx""".stripMargin),
+
     // ---- Count-Min-sketch heavy hitters: terms whose SKETCH-estimated
     // count clears 0.5% of the corpus token total. Scale shape: the
     // sketch pass is a partial+final fold of the raw token-hash stream

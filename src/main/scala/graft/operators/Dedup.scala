@@ -383,6 +383,94 @@ object Dedup {
          |WHERE a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin),
 
+    // ---- asymmetric containment dedup (excerpt/quote detection): doc A is
+    // CONTAINED in doc B when >= 80% of A's informative 8-token windows
+    // (df ∈ [2, 50] — boilerplate windows excluded from numerator AND
+    // denominator) also appear in B, and A is properly smaller
+    // (|W(A)| <= 0.8 |W(B)|), so near-dups stay dedup_minhash's business
+    // and this op reports true excerpts. Jaccard misses these pairs by
+    // construction (an excerpt in a 100× larger doc has jaccard ~0.01).
+    // The fixture's near-dups are all FULL salted copies (verified: every
+    // containment>=0.8 pair is similar-size), so a deterministic excerpt
+    // pool is materialized in-query — docs with doc_id % 37 == 0 donate a
+    // 300-char middle slice as doc_id + 10^7 (the decontaminate_overlap
+    // stand-in precedent; in production the excerpt side is the corpus
+    // itself). Same candidate machinery as dedup_substring —
+    // group-by-window-hash with the stop-window cap, one corpus-linear
+    // explode, bounded self-join; per-doc window counts come off the same
+    // cached frame. The 0.8 threshold absorbs the <= 2 boundary windows a
+    // mid-token slice mints. ----------------------------------------------
+    "dedup_containment" -> QueryDef(
+      (s, dir) => {
+        graft.functions.HashExpressions.register(s)
+        val docs = Tables.load(s, dir, "documents")
+        val corpus = docs.selectExpr("doc_id", "text")
+          .unionAll(docs.filter("doc_id % 37 = 0 AND n_chars >= 400")
+            .selectExpr("doc_id + 10000000 AS doc_id", "substring(text, 101, 300) AS text"))
+        val ex = corpus
+          .selectExpr("doc_id", "explode(graft_winhash8(text)) AS h")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val hot = ex.join(
+          ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+            .filter("df BETWEEN 2 AND 50")
+            .select(col("h")),
+          "h").persist(StorageLevel.MEMORY_AND_DISK)
+        // denominators from the UNFILTERED window sets: the df >= 2 cut
+        // deletes source-unique windows, which would collapse the excerpt/
+        // source size asymmetry (wa == wb) and bias containment to 1.0 for
+        // both sides; with true counts the metric is a conservative lower
+        // bound (boilerplate windows count against, never for)
+        val wc = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("w"))
+        val shared = hot.alias("a").join(hot.alias("b"),
+            expr("a.h = b.h AND a.doc_id < b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("n_shared"))
+        // lazy result — both caches feed the executed plan
+        shared
+          .join(wc.selectExpr("doc_id AS doc_a", "w AS wa"), "doc_a")
+          .join(wc.selectExpr("doc_id AS doc_b", "w AS wb"), "doc_b")
+          .filter("least(wa, wb) * 10 <= greatest(wa, wb) * 8")
+          .selectExpr(
+            "IF(wa <= wb, doc_a, doc_b) AS contained_doc",
+            "IF(wa <= wb, doc_b, doc_a) AS container_doc",
+            "n_shared",
+            "CAST(n_shared AS DOUBLE) / least(wa, wb) AS containment")
+          .filter("containment >= 0.8")
+          .transform(graft.Sorted.byNames(_, "contained_doc", "container_doc"))
+      },
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 10000000, substr(text, 101, 300)
+         |  FROM documents WHERE doc_id % 37 = 0 AND n_chars >= 400),
+         |toks AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) AS toks
+         |  FROM corpus),
+         |th AS (SELECT doc_id, list_transform(toks,
+         |  t -> list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(range(1, length(t) + 1), i -> ascii(substr(t, i, 1))::BIGINT)),
+         |    (h, ch) -> (h * 31 + ch) % $P)) AS th
+         |  FROM toks),
+         |wins AS (SELECT doc_id, list_distinct(list_transform(range(1, len(th) - 6),
+         |  i -> list_reduce(list_prepend(0::BIGINT, th[i:i+7]), (h, x) -> (h * 31 + x) % $P))) AS w
+         |  FROM th WHERE len(th) >= 8),
+         |ex AS (SELECT doc_id, unnest(w) AS h FROM wins),
+         |hot AS (SELECT ex.doc_id, ex.h FROM ex
+         |  JOIN (SELECT h FROM ex GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 50) df USING (h)),
+         |wc AS (SELECT doc_id, COUNT(*) AS w FROM ex GROUP BY doc_id),
+         |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+         |  FROM hot a JOIN hot b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sized AS (SELECT doc_a, doc_b, n_shared, ca.w AS wa, cb.w AS wb
+         |  FROM shared JOIN wc ca ON ca.doc_id = doc_a JOIN wc cb ON cb.doc_id = doc_b
+         |  WHERE least(ca.w, cb.w) * 10 <= greatest(ca.w, cb.w) * 8)
+         |SELECT CASE WHEN wa <= wb THEN doc_a ELSE doc_b END AS contained_doc,
+         |  CASE WHEN wa <= wb THEN doc_b ELSE doc_a END AS container_doc,
+         |  n_shared,
+         |  CAST(n_shared AS DOUBLE) / least(wa, wb) AS containment
+         |FROM sized
+         |WHERE CAST(n_shared AS DOUBLE) / least(wa, wb) >= 0.8
+         |ORDER BY contained_doc, container_doc""".stripMargin),
+
     // ---- benchmark decontamination: flag training docs sharing >= 3
     // distinct 3-token shingles with a held-out evaluation pool (stand-in
     // pool: doc_id % 97 == 0, ~1% of the corpus — in production the pool is

@@ -179,6 +179,44 @@ object Extras {
         |  COUNT(*) AS cnt
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
+    // ---- robust-stats winsorization: clip event values to the per-type
+    // [p05, p95] band and report raw vs winsorized sums — the outlier
+    // containment step before any mean-based feature. Scale shape: one
+    // exact-percentile pass per type (at corpus scale swap in
+    // approx_percentile — same plan shape), the tiny (type, lo, hi) frame
+    // broadcasts back, clipping is map-side, and the clipped sum is exact
+    // decimal quantization (salted_agg's parity rule) so the
+    // order-dependent double-sum trap never appears. -----------------------
+    "winsorize_values" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+        val bounds = ev.groupBy(col("event_type"))
+          .agg(expr("percentile(value, array(0.05D, 0.95D))").as("b"))
+          .selectExpr("event_type", "b[0] AS lo", "b[1] AS hi")
+        ev.join(broadcast(bounds), "event_type")
+          .selectExpr("event_type", "value", "lo", "hi",
+            "least(greatest(value, lo), hi) AS w")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(value < lo AS BIGINT)")).as("n_clipped_low"),
+            sum(expr("CAST(value > hi AS BIGINT)")).as("n_clipped_high"),
+            expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").as("sum_raw"),
+            expr("CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE)").as("sum_winsorized"),
+            first(col("lo")).as("p05"), first(col("hi")).as("p95"))
+          .orderBy("event_type")
+      },
+      """WITH b AS (SELECT event_type,
+        |    quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+        |  CAST(SUM(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_raw,
+        |  CAST(SUM(CAST(least(greatest(value, lo), hi) AS DECIMAL(18,6))) AS DOUBLE) AS sum_winsorized,
+        |  ANY_VALUE(lo) AS p05, ANY_VALUE(hi) AS p95
+        |FROM events JOIN b USING (event_type)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+
     // ---- join-key skew diagnostic: the "do I need salting/AQE skew
     // handling?" report an operator team runs BEFORE a 100 TB join. One
     // combiner-friendly per-key count (the only corpus-linear shuffle),

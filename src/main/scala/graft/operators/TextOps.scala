@@ -287,6 +287,56 @@ object TextOps {
         |      ORDER BY tf.tf * 1000000000 // df.df DESC, tf.term) AS rk
         |  FROM tf JOIN df USING (term))
         |SELECT doc_id, CAST(rk AS INT) AS rk, term, tf, score
-        |FROM scored WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)
+        |FROM scored WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin),
+
+    // ---- corpus-bigram fluency score: per-doc mean conditional bigram
+    // probability under the corpus's own bigram model — the cheap
+    // language-model quality signal (a doc of common transitions scores
+    // high, word salad scores low). No transcendentals: instead of mean
+    // log-prob, each P(w2|w1) = c12/c1 is floor-scaled to int
+    // (c12·10⁶ div c1 — floor div in both engines) and summed EXACTLY, so
+    // the one double division at the end is order-independent. Scale
+    // shape: one corpus-linear bigram explode (persisted, feeds model and
+    // scoring), model + prefix tables are vocab-bounded and broadcast
+    // back, per-doc fold is partial+final. Headroom: c12 ≤ 10¹² at 100 TB
+    // keeps c12·10⁶ < 2⁶³. ------------------------------------------------
+    "lm_bigram_score" -> QueryDef(
+      (s, dir) => {
+        val bg = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')").as("ts"))
+          .filter("size(ts) >= 2")
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(2, size(ts)), i -> struct(ts[i-2] AS w1, concat(ts[i-2], ' ', ts[i-1]) AS big))")).as("b"))
+          .selectExpr("doc_id", "b.w1 AS w1", "b.big AS big")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val model = bg.groupBy(col("big")).agg(count(lit(1)).as("c12"))
+        val prefix = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+        // lazy result — bg cache feeds model, prefix AND the scoring join
+        bg.join(broadcast(model), "big")
+          .join(broadcast(prefix), "w1")
+          .selectExpr("doc_id", "c12 * 1000000L div c1 AS q")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sq"))
+          .selectExpr("doc_id", "n_bigrams",
+            "CAST(sq AS DOUBLE) / (n_bigrams * 1000000) AS fluency")
+          .transform(graft.Sorted.byNames(_, "doc_id"))
+      },
+      s"""WITH toks AS (SELECT doc_id, $duckToksFluency AS ts FROM documents),
+         |bg AS (SELECT doc_id,
+         |    unnest(list_transform(range(2, len(ts) + 1), i -> ts[i-1])) AS w1,
+         |    unnest(list_transform(range(2, len(ts) + 1), i -> ts[i-1] || ' ' || ts[i])) AS big
+         |  FROM toks WHERE len(ts) >= 2),
+         |model AS (SELECT big, COUNT(*) AS c12 FROM bg GROUP BY big),
+         |prefix AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+         |q AS (SELECT doc_id, c12 * 1000000 // c1 AS q
+         |  FROM bg JOIN model USING (big) JOIN prefix USING (w1))
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1000000) AS fluency
+         |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
+
+  // one tokenization contract with the bigram fluency oracle above
+  private def duckToksFluency: String =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)"
 }

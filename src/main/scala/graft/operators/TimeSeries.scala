@@ -68,6 +68,53 @@ object TimeSeries {
         |  AS slope_per_month
         |FROM monthly GROUP BY seg ORDER BY seg""".stripMargin),
 
+    // ---- per-segment month-of-year seasonality index ----------------------
+    // idx(seg, moy) = avg revenue of calendar month moy across years
+    //               / avg monthly revenue of the segment overall.
+    // Scale shape: the same (seg, month) partial+final agg as ts_features,
+    // one (seg, moy) fold (<= 12 rows/seg) and one seg fold (5 rows)
+    // broadcast back. Parity: the index is computed as ONE double division
+    // of two exact int64 products — (sum_m * n_all) / (n_m * sum_all) —
+    // no intermediate float accumulation anywhere. Headroom: cent-sums
+    // ~1e11 x 84 months stays far under 2^63. ------------------------------
+    "ts_seasonality" -> QueryDef(
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val c = Tables.load(s, dir, "customer")
+        val monthly = o.join(c, col("o_custkey") === col("c_custkey"))
+          .selectExpr("c_mktsegment AS seg",
+            "CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m",
+            "CAST(month(o_orderdate) AS BIGINT) AS moy",
+            "CAST(o_totalprice AS DECIMAL(18,2)) AS p")
+          .groupBy("seg", "m", "moy")
+          .agg(expr("CAST(SUM(p) * 100 AS BIGINT)").as("rev_c"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val perMoy = monthly.groupBy("seg", "moy")
+          .agg(sum(col("rev_c")).as("sum_m"), count(lit(1)).as("n_m"))
+        val perSeg = monthly.groupBy("seg")
+          .agg(sum(col("rev_c")).as("sum_all"), count(lit(1)).as("n_all"))
+        // lazy result — monthly cache feeds both aggs (harness clears it)
+        perMoy.join(broadcast(perSeg), "seg")
+          .selectExpr("seg", "moy", "n_m AS n_months",
+            "CAST(sum_m * n_all AS DOUBLE) / (n_m * sum_all) AS seasonal_idx")
+          .orderBy("seg", "moy")
+      },
+      """WITH monthly AS (
+        |  SELECT c_mktsegment AS seg,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+        |    CAST(month(o_orderdate) AS BIGINT) AS moy,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2, 3),
+        |per_moy AS (SELECT seg, moy, CAST(SUM(rev_c) AS BIGINT) AS sum_m,
+        |    COUNT(*) AS n_m FROM monthly GROUP BY seg, moy),
+        |per_seg AS (SELECT seg, CAST(SUM(rev_c) AS BIGINT) AS sum_all,
+        |    COUNT(*) AS n_all FROM monthly GROUP BY seg)
+        |SELECT seg, moy, n_m AS n_months,
+        |  CAST(sum_m * n_all AS DOUBLE) / (n_m * sum_all) AS seasonal_idx
+        |FROM per_moy JOIN per_seg USING (seg)
+        |ORDER BY seg, moy""".stripMargin),
+
     // ---- per-segment monthly anomaly flags: |y - mean| > 2 sigma ----------
     // Scale shape: the same (seg, month) partial+final agg as ts_features,
     // then per-seg stats (5 rows) BROADCAST back onto the monthly frame —

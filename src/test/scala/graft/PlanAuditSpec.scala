@@ -301,6 +301,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window ["), "no window anywhere — stats are aggregates")
   }
 
+  test("dedup_containment: window-hash equi-joins only; exploded frame cached once") {
+    val p = plan("dedup_containment")
+    assert(!p.contains("CartesianProduct"), "candidates come from the window-hash group, never all-pairs")
+    assert(p.contains("InMemoryRelation"),
+      "the exploded (doc, window-hash) frame is persisted — df filter, counts and both join roles read it")
+    assert(nodeIds(p, "HashAggregate").size >= 4, "df, window counts and pair counts all partial+final")
+  }
+
+  test("chunk_content_defined: map-side explode, no join, no window") {
+    val p = plan("chunk_content_defined")
+    assert(!p.contains("Join"), "CDC chunking is row-local — boundaries come from the row's own text")
+    assert(!p.contains("Window ["), "no ranking anywhere")
+  }
+
+  test("ts_seasonality: segment totals broadcast back onto the month-of-year frame") {
+    val p = plan("ts_seasonality")
+    assert(p.contains("BroadcastHashJoin"), "the 5-row per-segment frame must broadcast")
+    assert(!p.contains("Window ["), "the index is a join of two aggregates, not a window")
+    assert(p.contains("InMemoryRelation"), "monthly frame cached — both folds read it")
+  }
+
+  test("winsorize_values: bounds broadcast; clip + clipped sum run map-side then partial+final") {
+    val p = plan("winsorize_values")
+    assert(p.contains("BroadcastHashJoin"), "the (type, lo, hi) frame must broadcast")
+    assert(!p.contains("Window ["))
+    val aggs = nodeIds(p, "HashAggregate") ++ nodeIds(p, "ObjectHashAggregate") ++
+      nodeIds(p, "SortAggregate")
+    assert(aggs.size >= 4, s"percentile pass and winsorized pass each partial+final, got $aggs")
+  }
+
+  test("lm_bigram_score: model and prefix tables broadcast; bigram frame cached once") {
+    val p = plan("lm_bigram_score")
+    assert(nodeIds(p, "BroadcastHashJoin").size >= 2,
+      "both vocab-bounded model tables must broadcast onto the scoring pass")
+    assert(p.contains("InMemoryRelation"),
+      "the corpus bigram explode is persisted — model, prefix and scoring all read it")
+    assert(!p.contains("Window ["))
+  }
+
   test("decontaminate_overlap: benchmark shingle pool broadcasts; corpus side never shuffles text") {
     val p = plan("decontaminate_overlap")
     assert(p.contains("BroadcastHashJoin"), "pool join should broadcast the benchmark grams")
