@@ -87,6 +87,35 @@ object HashExpressions {
     seen.toArray
   }
 
+  /** Content-defined chunk boundary positions: 1-based char indices i
+    * (i >= 16) where the polynomial hash of chars [i-15 .. i] (base 31
+    * mod P) ≡ 0 (mod 64). Rabin-Karp incremental update — one multiply,
+    * one subtract, one add per char instead of a 16-step refold; modular
+    * arithmetic makes the rolled value IDENTICAL to the direct fold the
+    * DuckDB oracle computes. */
+  private[functions] def cdcBounds(s: UTF8String): Array[Int] = {
+    val str = s.toString
+    val n = str.length
+    if (n < 16) return Array.emptyIntArray
+    // 31^15 mod P, for removing the outgoing char
+    var pow = 1L
+    var k = 0
+    while (k < 15) { pow = pow * 31 % P; k += 1 }
+    val out = mutable.ArrayBuilder.make[Int]
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      h = (h * 31 + str.charAt(i).toInt) % P
+      if (i >= 16) {
+        // remove char i-16 (it has weight 31^15 after the incoming shift)
+        h = (h - str.charAt(i - 16).toInt * pow % P * 31 % P + P * 31) % P
+      }
+      if (i >= 15 && h % 64 == 0) out += i + 1
+      i += 1
+    }
+    out.result()
+  }
+
   private[functions] def minhashSig(sh: Array[Long]): Array[Long] = {
     val sig = new Array[Long](16)
     var j = 0
@@ -169,6 +198,8 @@ object HashExpressions {
     UnsafeArrayData.fromPrimitiveArray(gram5Hashes(s))
   def evalWinHash8(s: UTF8String): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(winHashes8(tokenHashes(s)))
+  def evalCdcBounds(s: UTF8String): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(cdcBounds(s))
   def evalCosine(l: ArrayData, r: ArrayData): Double = {
     val a = l.toFloatArray()
     val b = r.toFloatArray()
@@ -343,6 +374,17 @@ object HashExpressions {
     override def prettyName: String = "graft_winhash8"
   }
 
+  /** text -> array<int> of 1-based content-defined chunk boundary
+    * positions (rolling 16-char hash ≡ 0 mod 64). */
+  case class CdcBoundsExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = evalCdcBounds(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"${Self}.evalCdcBounds($c)")
+    override protected def withNewChildInternal(c: Expression): CdcBoundsExpr = copy(c)
+    override def prettyName: String = "graft_cdc_bounds"
+  }
+
   /** array<float> cosine similarity with the oracle-parity contract:
     * element products in FLOAT, accumulation left-to-right in DOUBLE,
     * final division in DOUBLE — bit-identical to the SQL higher-order-
@@ -399,6 +441,7 @@ object HashExpressions {
     reg.createOrReplaceTempFunction("graft_simhash", es => SimHashExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_gram5", es => Gram5Expr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_winhash8", es => WinHash8Expr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_cdc_bounds", es => CdcBoundsExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_cosine", es => CosineExpr(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_polyhash", es => PolyHashExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_text_stats", es => TextStatsExpr(es.head), "scala_udf")

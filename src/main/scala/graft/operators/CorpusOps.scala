@@ -234,20 +234,17 @@ object CorpusOps {
     // md5 exactly like chunk_text. ----------------------------------------
     "chunk_content_defined" -> QueryDef(
       (s, dir) => {
+        graft.functions.HashExpressions.register(s)
         Tables.load(s, dir, "documents")
           .filter(col("n_chars") >= 1)
           .selectExpr("doc_id", "text", "length(text) AS n")
-          // boundary positions i (char index, 1-based, i >= 16): rolling
-          // hash of chars [i-15 .. i] — the descending-sequence guard is
-          // the chunk_text precedent
+          // boundary positions from the native Rabin-Karp expression — the
+          // SQL-lambda refold form (aggregate inside filter, O(n*16)
+          // interpreted) measured 52 s at sf0.1 vs ~1 s native; the oracle
+          // keeps the direct refold, which modular arithmetic makes
+          // value-identical to the rolled hash
           .selectExpr("doc_id", "text", "n",
-            s"""concat(array(1), transform(
-               |  filter(CASE WHEN n >= 16 THEN sequence(16, n) ELSE array() END,
-               |    i -> aggregate(sequence(i - 15, i),
-               |           bigint(0),
-               |           (h, j) -> (h * 31 + ascii(substring(text, CAST(j AS INT), 1))) % ${graft.functions.Portable.P}L)
-               |         % 64 = 0),
-               |  i -> CAST(i + 1 AS INT))) AS starts""".stripMargin)
+            "concat(array(1), transform(graft_cdc_bounds(text), i -> i + 1)) AS starts")
           .selectExpr("doc_id", "text", "n", "starts",
             "posexplode(starts) AS (k, cstart)")
           .selectExpr("doc_id", "text", "k AS chunk_idx", "cstart",

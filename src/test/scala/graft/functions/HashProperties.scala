@@ -85,6 +85,18 @@ object HashProperties extends Properties("graft.hash") {
       w1.intersect(w2).nonEmpty
     }
 
+  property("cdcBounds: rolled hash == direct 16-char refold at every boundary") =
+    forAll(text) { s =>
+      val bounds = HashExpressions.cdcBounds(UTF8String.fromString(s)).toSet
+      val direct = (16 to s.length).filter { i =>
+        var h = 0L
+        var j = i - 16
+        while (j < i) { h = (h * 31 + s.charAt(j).toInt) % HashExpressions.P; j += 1 }
+        h % 64 == 0
+      }.toSet
+      bounds == direct
+    }
+
   property("jaccard symmetry on gram sets") = forAll(text, text) { (s1, s2) =>
     val a = HashExpressions.gram5Hashes(UTF8String.fromString(s1)).toSet
     val b = HashExpressions.gram5Hashes(UTF8String.fromString(s2)).toSet
