@@ -142,6 +142,38 @@ object Graph {
         |SELECT page, CAST(r AS BIGINT) AS rank_scaled FROM r3
         |ORDER BY rank_scaled DESC, page""".stripMargin),
 
+    // ---- per-page degree/strength profile ---------------------------------
+    // The first report run on any new graph (and the input to the
+    // degree-ordered orientation knob triangle_count documents): distinct
+    // in/out neighbor counts and in/out edge weight per page. Scale shape:
+    // the edge table is built once; out- and in-side folds are partial+
+    // final over (src)/(dst) — node-domain-sized outputs — joined
+    // full-outer so sources-only and sinks-only pages both appear. ---------
+    "graph_degree_stats" -> QueryDef(
+      (s, dir) => {
+        val edges = pageEdges(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+        val out = edges.groupBy(col("src").as("page"))
+          .agg(count(lit(1)).as("out_deg"), sum(col("w")).as("out_w"))
+        val in = edges.groupBy(col("dst").as("page"))
+          .agg(count(lit(1)).as("in_deg"), sum(col("w")).as("in_w"))
+        // lazy result — edge cache feeds both folds (harness clears it)
+        out.join(in, Seq("page"), "full_outer")
+          .selectExpr("page",
+            "coalesce(out_deg, 0L) AS out_deg", "coalesce(out_w, 0L) AS out_w",
+            "coalesce(in_deg, 0L) AS in_deg", "coalesce(in_w, 0L) AS in_w")
+          .transform(graft.Sorted.byNames(_, "page"))
+      },
+      s"""WITH $duckEdges,
+         |outs AS (SELECT src AS page, COUNT(*) AS out_deg, CAST(SUM(w) AS BIGINT) AS out_w
+         |  FROM edges GROUP BY src),
+         |ins AS (SELECT dst AS page, COUNT(*) AS in_deg, CAST(SUM(w) AS BIGINT) AS in_w
+         |  FROM edges GROUP BY dst)
+         |SELECT COALESCE(o.page, i.page) AS page,
+         |  COALESCE(out_deg, 0) AS out_deg, COALESCE(out_w, 0) AS out_w,
+         |  COALESCE(in_deg, 0) AS in_deg, COALESCE(in_w, 0) AS in_w
+         |FROM outs o FULL OUTER JOIN ins i ON o.page = i.page
+         |ORDER BY page""".stripMargin),
+
     // ---- BFS reachability levels (3 hops from the minimum page id) --------
     // Scale shape: the frontier and visited sets are node-domain-bounded,
     // so both broadcast — per hop the DIRECTED edge table sees one

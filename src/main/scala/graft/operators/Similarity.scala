@@ -374,6 +374,63 @@ object Similarity {
         |    (a, b) -> greatest(a, b)) AS max_err
         |FROM q ORDER BY vec_id""".stripMargin),
 
+    // ---- IVF recall evaluation: the index-quality report ------------------
+    // recall@3 of ann_ivf_probe's cell-restricted answers against the
+    // exact brute-force top-3 for the same 8 queries — the measurement a
+    // production ANN deployment runs before trusting an index (and the
+    // number the nprobe knob exists to raise). Scale shape: the truth pass
+    // is the deliberate exact scan (broadcast 8 queries x corpus,
+    // bounded-TopK fold); the comparison joins two <= 24-row frames.
+    // Queries with zero overlap keep their row via the left join. ----------
+    "ann_recall_report" -> QueryDef(
+      (s, dir) => {
+        graft.functions.HashExpressions.register(s)
+        val emb = Tables.load(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 8)
+          .selectExpr("vec_id AS q_id", "embedding AS q_emb")
+        val truthScored = broadcast(q).join(emb, expr("vec_id != q_id"))
+          .selectExpr("q_id", "vec_id", "graft_cosine(q_emb, embedding) AS cosine")
+        val truth = topKPerQuery(truthScored, 3)
+          .select(col("q_id"), col("vec_id"))
+        val ivf = defs("ann_ivf_probe").fn(s, dir)
+          .select(col("q_id"), col("vec_id"), lit(1).as("m"))
+        truth.join(ivf, Seq("q_id", "vec_id"), "left")
+          .groupBy(col("q_id"))
+          .agg(count(col("m")).as("n_hits"))
+          .selectExpr("q_id", "n_hits", "CAST(n_hits AS DOUBLE) / 3 AS recall_at_3")
+          .orderBy("q_id")
+      },
+      s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb
+         |  FROM embeddings WHERE vec_id < 4),
+         |sc AS (SELECT e.vec_id, c.c_id,
+         |    ${duckCos("c_emb", "embedding")} AS sim
+         |  FROM embeddings e CROSS JOIN cents c),
+         |asg AS (SELECT vec_id, c_id AS cell FROM (
+         |    SELECT vec_id, c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
+         |    FROM sc) WHERE rn = 1),
+         |ce AS (SELECT e.vec_id, e.embedding, a.cell
+         |  FROM embeddings e JOIN asg a USING (vec_id)),
+         |q AS (SELECT vec_id AS q_id, cell AS q_cell, embedding AS q_emb
+         |  FROM ce WHERE vec_id < 8),
+         |iscored AS (SELECT q_id, vec_id, ${duckCos("q_emb", "embedding")} AS cosine
+         |  FROM q JOIN ce ON cell = q_cell AND vec_id != q_id),
+         |ivf AS (SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+         |    FROM iscored) WHERE rank <= 3),
+         |tscored AS (SELECT q.q_id, e.vec_id,
+         |    ${duckCos("q_emb", "embedding")} AS cosine
+         |  FROM q JOIN embeddings e ON e.vec_id != q.q_id),
+         |truth AS (SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+         |    FROM tscored) WHERE rank <= 3)
+         |SELECT t.q_id, COUNT(i.vec_id) AS n_hits,
+         |  CAST(COUNT(i.vec_id) AS DOUBLE) / 3 AS recall_at_3
+         |FROM truth t LEFT JOIN ivf i ON i.q_id = t.q_id AND i.vec_id = t.vec_id
+         |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin),
+
     // ---- k-means (2 Lloyd iterations, k=4) over the embedding corpus ------
     // The IVF TRAINING step ann_ivf_probe's content-derived cells assume:
     // seed with the 4 deterministic centroids, then assign -> update twice,

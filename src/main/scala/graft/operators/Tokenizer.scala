@@ -42,39 +42,44 @@ object Tokenizer {
       |    i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))
       |ELSE array() END""".stripMargin
 
-  val defs: ListMap[String, QueryDef] = ListMap(
+  /** The training loop shared by `tokenizer_vocab` (emits the merge
+    * table) and `tokenizer_apply` (emits the post-merge word encodings):
+    * one corpus pass for word frequencies, then Steps rounds of pair
+    * count + argmax + broadcast-applied merge over the vocabulary. */
+  private def train(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
+    val d = Tables.load(s, dir, "documents")
+    // the ONLY corpus-wide pass: tokenize, explode, count each word
+    val vocab = d
+      .selectExpr(s"explode(${graft.functions.Portable.tokensSql("text")}) AS word")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    var words = vocab.selectExpr("word", "cnt",
+      "concat_ws('', transform(sequence(1, length(word)), i -> concat(' ', substring(word, i, 1), ' '))) AS enc")
+      .localCheckpoint(true)
+    val merges = (1 to Steps).map { step =>
+      val pc = words
+        .withColumn("syms", split(trim(col("enc")), "  "))
+        .select(col("cnt"), explode(expr(pairsExpr)).as("pair"))
+        .groupBy("pair").agg(sum(col("cnt")).as("pair_count"))
+      val best = pc.orderBy(col("pair_count").desc, col("pair").asc).limit(1)
+        .selectExpr("element_at(split(pair, ' '), 1) AS lhs",
+          "element_at(split(pair, ' '), 2) AS rhs", "pair_count")
+        .localCheckpoint(true) // tiny; also pins one winner for both uses
+      words = words.crossJoin(broadcast(best))
+        .selectExpr("word", "cnt",
+          "replace(enc, concat(' ', lhs, '  ', rhs, ' '), concat(' ', lhs, rhs, ' ')) AS enc")
+        .localCheckpoint(true)
+      best.selectExpr(s"CAST($step AS INT) AS step", "lhs", "rhs",
+        "concat(lhs, rhs) AS merged", "pair_count")
+    }
+    (words, merges)
+  }
 
-    // ---- BPE merge table: 4 merge steps over the corpus word-frequency
-    // table; output = (step, lhs, rhs, merged, pair_count) -------------------
-    "tokenizer_vocab" -> QueryDef(
-      (s, dir) => {
-        val d = Tables.load(s, dir, "documents")
-        // the ONLY corpus-wide pass: tokenize, explode, count each word
-        val vocab = d
-          .selectExpr(s"explode(${graft.functions.Portable.tokensSql("text")}) AS word")
-          .groupBy("word").agg(count(lit(1)).as("cnt"))
-        var words = vocab.selectExpr("word", "cnt",
-          "concat_ws('', transform(sequence(1, length(word)), i -> concat(' ', substring(word, i, 1), ' '))) AS enc")
-          .localCheckpoint(true)
-        val merges = (1 to Steps).map { step =>
-          val pc = words
-            .withColumn("syms", split(trim(col("enc")), "  "))
-            .select(col("cnt"), explode(expr(pairsExpr)).as("pair"))
-            .groupBy("pair").agg(sum(col("cnt")).as("pair_count"))
-          val best = pc.orderBy(col("pair_count").desc, col("pair").asc).limit(1)
-            .selectExpr("element_at(split(pair, ' '), 1) AS lhs",
-              "element_at(split(pair, ' '), 2) AS rhs", "pair_count")
-            .localCheckpoint(true) // tiny; also pins one winner for both uses
-          words = words.crossJoin(broadcast(best))
-            .selectExpr("word", "cnt",
-              "replace(enc, concat(' ', lhs, '  ', rhs, ' '), concat(' ', lhs, rhs, ' ')) AS enc")
-            .localCheckpoint(true)
-          best.selectExpr(s"CAST($step AS INT) AS step", "lhs", "rhs",
-            "concat(lhs, rhs) AS merged", "pair_count")
-        }
-        merges.reduce(_.unionAll(_)).orderBy("step")
-      },
-      """WITH toks AS (SELECT
+  /** Shared oracle CTE chain: word vocab, padded encodings w0..w3 and
+    * merge winners b1..b4 — `tokenizer_vocab` reads the winners,
+    * `tokenizer_apply` extends to the post-merge w4 encodings. */
+  private val duckTrain: String =
+    """toks AS (SELECT
         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) AS toks
         |  FROM documents),
         |vocab AS (SELECT t AS word, COUNT(*)::BIGINT AS cnt
@@ -111,11 +116,58 @@ object Tokenizer {
         |    SELECT cnt, unnest(list_transform(range(1, len(syms)), i -> syms[i] || ' ' || syms[i+1])) AS pair
         |    FROM (SELECT cnt, string_split(trim(enc), '  ') AS syms FROM w3)) GROUP BY pair),
         |b4 AS (SELECT split_part(pair, ' ', 1) AS lhs, split_part(pair, ' ', 2) AS rhs, pair_count
-        |  FROM p4 ORDER BY pair_count DESC, pair LIMIT 1)
+        |  FROM p4 ORDER BY pair_count DESC, pair LIMIT 1)""".stripMargin
+
+  val defs: ListMap[String, QueryDef] = ListMap(
+
+    // ---- BPE merge table: 4 merge steps over the corpus word-frequency
+    // table; output = (step, lhs, rhs, merged, pair_count) -------------------
+    "tokenizer_vocab" -> QueryDef(
+      (s, dir) => train(s, dir)._2.reduce(_.unionAll(_)).orderBy("step"),
+      s"""WITH $duckTrain
         |SELECT CAST(1 AS INT) AS step, lhs, rhs, lhs || rhs AS merged, pair_count FROM b1
         |UNION ALL SELECT CAST(2 AS INT), lhs, rhs, lhs || rhs, pair_count FROM b2
         |UNION ALL SELECT CAST(3 AS INT), lhs, rhs, lhs || rhs, pair_count FROM b3
         |UNION ALL SELECT CAST(4 AS INT), lhs, rhs, lhs || rhs, pair_count FROM b4
-        |ORDER BY step""".stripMargin)
+        |ORDER BY step""".stripMargin),
+
+    // ---- apply the learned merges: encode every document with the
+    // trained vocabulary and report the compression the tokenizer buys.
+    // Scale shape: the trained word->encoding table is VOCABULARY-sized
+    // and broadcasts onto the corpus token stream (one corpus-linear
+    // explode, the same single pass training took); per-doc symbol counts
+    // are a partial+final fold. This is the encode step of the BPE story —
+    // train (tokenizer_vocab) then apply, both driver-checked. ------------
+    "tokenizer_apply" -> QueryDef(
+      (s, dir) => {
+        val words = train(s, dir)._1 // (word, cnt, enc) after all merges
+        Tables.load(s, dir, "documents")
+          .selectExpr("doc_id",
+            s"explode(${graft.functions.Portable.tokensSql("text")}) AS word")
+          .join(broadcast(words.selectExpr("word",
+            "size(split(trim(enc), '  ')) AS ns", "length(word) AS wl")), "word")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("ns")).as("n_symbols"),
+            sum(col("wl")).as("n_token_chars"))
+          .selectExpr("doc_id", "n_words", "n_symbols", "n_token_chars",
+            "CAST(n_token_chars AS DOUBLE) / n_symbols AS chars_per_symbol")
+          .transform(graft.Sorted.byNames(_, "doc_id"))
+      },
+      s"""WITH $duckTrain,
+         |w4 AS (SELECT word, cnt,
+         |    replace(enc, ' ' || lhs || '  ' || rhs || ' ', ' ' || lhs || rhs || ' ') AS enc
+         |  FROM w3, b4),
+         |dtoks AS (SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) AS ts
+         |  FROM documents),
+         |dw AS (SELECT doc_id, unnest(ts) AS word FROM dtoks),
+         |enc AS (SELECT word, len(string_split(trim(enc), '  ')) AS ns, length(word) AS wl FROM w4)
+         |SELECT doc_id, COUNT(*) AS n_words,
+         |  CAST(SUM(ns) AS BIGINT) AS n_symbols,
+         |  CAST(SUM(wl) AS BIGINT) AS n_token_chars,
+         |  CAST(CAST(SUM(wl) AS BIGINT) AS DOUBLE) / CAST(SUM(ns) AS BIGINT) AS chars_per_symbol
+         |FROM dw JOIN enc USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 }

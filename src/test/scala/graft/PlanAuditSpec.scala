@@ -340,6 +340,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window ["))
   }
 
+  test("tokenizer_apply: trained vocab broadcasts onto the corpus token stream") {
+    val p = plan("tokenizer_apply")
+    assert(p.contains("BroadcastHashJoin"),
+      "the word->encoding table is vocabulary-sized and must broadcast")
+    assert(!p.contains("Window ["))
+    assert(nodeIds(p, "HashAggregate").size >= 2, "per-doc symbol fold is partial+final")
+  }
+
+  test("graph_degree_stats: edge table cached once; both degree folds partial+final") {
+    val p = plan("graph_degree_stats")
+    assert(p.contains("InMemoryRelation"),
+      "the edge table feeds the out-side and in-side folds from cache")
+    assert(nodeIds(p, "HashAggregate").size >= 4, "out and in folds each partial+final")
+  }
+
+  test("ann_recall_report: truth pass uses the bounded TopK fold, not a window funnel") {
+    val p = plan("ann_recall_report")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 8 query vectors broadcast over the corpus for the exact truth scan")
+  }
+
   test("decontaminate_overlap: benchmark shingle pool broadcasts; corpus side never shuffles text") {
     val p = plan("decontaminate_overlap")
     assert(p.contains("BroadcastHashJoin"), "pool join should broadcast the benchmark grams")
