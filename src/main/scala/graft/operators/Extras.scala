@@ -179,6 +179,85 @@ object Extras {
         |  COUNT(*) AS cnt
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
+    // ---- CDC upsert compaction: latest state per key ----------------------
+    // The materialize-a-changelog shape (the batch twin of CdcRouter's
+    // streaming upserts): one window-free argmax per key via
+    // max(struct(ts, event_id, payload...)) — a single partial+final
+    // aggregate with constant state per key, vs the row_number window that
+    // shuffles EVERY version into one reducer per key. event_id breaks
+    // same-microsecond ties deterministically on both engines. ------------
+    "cdc_latest_state" -> QueryDef(
+      (s, dir) => {
+        Tables.load(s, dir, "events")
+          .selectExpr("user_id", "unix_micros(ts) AS ts_us", "event_id",
+            "event_type", "CAST(value AS DECIMAL(18,6)) AS v")
+          .groupBy(col("user_id"))
+          .agg(max(struct(col("ts_us"), col("event_id"), col("event_type"), col("v"))).as("m"),
+            count(lit(1)).as("n_versions"))
+          .selectExpr("user_id", "m.ts_us AS ts_us", "m.event_id AS event_id",
+            "m.event_type AS event_type", "CAST(m.v AS DOUBLE) AS value",
+            "n_versions")
+          .orderBy("user_id")
+      },
+      """SELECT user_id,
+        |  (MAX(struct_pack(ts_us := epoch_us(ts), event_id := event_id,
+        |                   event_type := event_type,
+        |                   v := CAST(value AS DECIMAL(18,6))))).ts_us AS ts_us,
+        |  (MAX(struct_pack(ts_us := epoch_us(ts), event_id := event_id,
+        |                   event_type := event_type,
+        |                   v := CAST(value AS DECIMAL(18,6))))).event_id AS event_id,
+        |  (MAX(struct_pack(ts_us := epoch_us(ts), event_id := event_id,
+        |                   event_type := event_type,
+        |                   v := CAST(value AS DECIMAL(18,6))))).event_type AS event_type,
+        |  CAST((MAX(struct_pack(ts_us := epoch_us(ts), event_id := event_id,
+        |                   event_type := event_type,
+        |                   v := CAST(value AS DECIMAL(18,6))))).v AS DOUBLE) AS value,
+        |  COUNT(*) AS n_versions
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    // ---- incremental aggregate maintenance (the materialized-view /
+    // Lambda batch-layer shape): yesterday's per-(type, day) PARTIAL
+    // aggregates merge with today's raw delta WITHOUT rescanning history —
+    // re-aggregation over partials is sound because sum/count are
+    // commutative monoids (the same algebra partial+final shuffles rely
+    // on). The fixture derives "history" (all but the last day) and
+    // "delta" (the last day) from events; in production history is a
+    // stored table and this query is the nightly refresh. ------------------
+    "incremental_agg_merge" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.load(s, dir, "events")
+          .selectExpr("event_type", "CAST(to_date(ts) AS STRING) AS d",
+            "CAST(value AS DECIMAL(18,6)) AS v")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val maxD = ev.agg(max(col("d")).as("mx"))
+        val hist = ev.join(broadcast(maxD), expr("d < mx"))
+          .groupBy(col("event_type"), col("d"))
+          .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+        val delta = ev.join(broadcast(maxD), expr("d = mx"))
+          .groupBy(col("event_type"), col("d"))
+          .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+        // merge of partials: one union + re-agg over (type, day) partial rows
+        hist.unionAll(delta)
+          .groupBy(col("event_type"))
+          .agg(expr("CAST(SUM(sv) AS DOUBLE)").as("sum_value"),
+            sum(col("cnt")).as("n_events"),
+            count(lit(1)).as("n_partials"),
+            max(col("d")).as("latest_day"))
+          .orderBy("event_type")
+      },
+      """WITH ev AS (SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+        |    CAST(value AS DECIMAL(18,6)) AS v FROM events),
+        |mx AS (SELECT MAX(d) AS mx FROM ev),
+        |hist AS (SELECT event_type, d, SUM(v) AS sv, COUNT(*) AS cnt
+        |  FROM ev, mx WHERE d < mx GROUP BY event_type, d),
+        |delta AS (SELECT event_type, d, SUM(v) AS sv, COUNT(*) AS cnt
+        |  FROM ev, mx WHERE d = mx GROUP BY event_type, d),
+        |u AS (SELECT * FROM hist UNION ALL SELECT * FROM delta)
+        |SELECT event_type, CAST(SUM(sv) AS DOUBLE) AS sum_value,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_events,
+        |  COUNT(*) AS n_partials, MAX(d) AS latest_day
+        |FROM u GROUP BY event_type ORDER BY event_type""".stripMargin),
+
     // ---- robust-stats winsorization: clip event values to the per-type
     // [p05, p95] band and report raw vs winsorized sums — the outlier
     // containment step before any mean-based feature. Scale shape: one

@@ -68,6 +68,63 @@ object TimeSeries {
         |  AS slope_per_month
         |FROM monthly GROUP BY seg ORDER BY seg""".stripMargin),
 
+    // ---- per-segment next-month OLS forecast ------------------------------
+    // ŷ(t+1) = a + b·(max_month + 1) from the SAME closed-form sums as
+    // ts_features — features→forecast with no second corpus pass beyond
+    // the (seg, month) agg. Parity: b, a, ŷ are three double expressions
+    // written identically on both engines over exact BIGINT sums; no
+    // float accumulation anywhere. ----------------------------------------
+    "ts_forecast_grouped" -> QueryDef(
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val c = Tables.load(s, dir, "customer")
+        val monthly = o.join(c, col("o_custkey") === col("c_custkey"))
+          .selectExpr("c_mktsegment AS seg",
+            "CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m",
+            "CAST(o_totalprice AS DECIMAL(18,2)) AS p")
+          .groupBy("seg", "m")
+          .agg(expr("CAST(SUM(p) * 100 AS BIGINT)").as("rev_c"))
+        monthly.groupBy("seg")
+          .agg(expr("CAST(COUNT(*) AS BIGINT)").as("n"),
+            expr("SUM(m)").as("sx"), expr("SUM(m * m)").as("sxx"),
+            expr("SUM(rev_c)").as("sy"), expr("SUM(m * rev_c)").as("sxy"),
+            expr("MAX(m)").as("mx"))
+          .selectExpr("seg", "n", "sx", "sy", "mx",
+            """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              |  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              | / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              |  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b""".stripMargin)
+          .selectExpr("seg", "mx + 1 AS target_month", "b",
+            "(CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS a")
+          .selectExpr("seg", "target_month",
+            "b / 100.0 AS slope_per_month",
+            "(a + b * CAST(target_month AS DOUBLE)) / 100.0 AS forecast_rev")
+          .orderBy("seg")
+      },
+      """WITH monthly AS (
+        |  SELECT c_mktsegment AS seg,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |sums AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(m) AS BIGINT) AS sx, CAST(SUM(m * m) AS BIGINT) AS sxx,
+        |    CAST(SUM(rev_c) AS BIGINT) AS sy, CAST(SUM(m * rev_c) AS BIGINT) AS sxy,
+        |    MAX(m) AS mx
+        |  FROM monthly GROUP BY seg),
+        |bb AS (SELECT seg, n, sx, sy, mx,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b
+        |  FROM sums),
+        |aa AS (SELECT seg, mx + 1 AS target_month, b,
+        |    (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS a
+        |  FROM bb)
+        |SELECT seg, target_month, b / 100.0 AS slope_per_month,
+        |  (a + b * CAST(target_month AS DOUBLE)) / 100.0 AS forecast_rev
+        |FROM aa ORDER BY seg""".stripMargin),
+
     // ---- per-segment month-of-year seasonality index ----------------------
     // idx(seg, moy) = avg revenue of calendar month moy across years
     //               / avg monthly revenue of the segment overall.

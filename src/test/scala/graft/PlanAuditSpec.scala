@@ -362,6 +362,23 @@ class PlanAuditSpec extends SparkSpec {
       "the 8 query vectors broadcast over the corpus for the exact truth scan")
   }
 
+  test("cdc_latest_state: per-key argmax is one aggregate, not a version-window funnel") {
+    val p = plan("cdc_latest_state")
+    assert(!p.contains("Window ["),
+      "latest-per-key must be max(struct(...)) — constant state per key, no all-versions shuffle per reducer")
+    val aggs = nodeIds(p, "HashAggregate") ++ nodeIds(p, "ObjectHashAggregate") ++
+      nodeIds(p, "SortAggregate")
+    assert(aggs.size >= 2, s"partial+final, got $aggs")
+  }
+
+  test("incremental_agg_merge: history and delta re-aggregate from cached partials") {
+    val p = plan("incremental_agg_merge")
+    assert(p.contains("InMemoryRelation"), "the event projection is cached — both branches read it")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row max-day frame must broadcast into both branch filters")
+    assert(!p.contains("Window ["))
+  }
+
   test("decontaminate_overlap: benchmark shingle pool broadcasts; corpus side never shuffles text") {
     val p = plan("decontaminate_overlap")
     assert(p.contains("BroadcastHashJoin"), "pool join should broadcast the benchmark grams")
