@@ -431,6 +431,59 @@ object Similarity {
          |FROM truth t LEFT JOIN ivf i ON i.q_id = t.q_id AND i.vec_id = t.vec_id
          |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin),
 
+    // ---- product quantization encode (4 subspaces x 16 dims, k=2) ---------
+    // THE 100 TB embedding-compression shape: each vector stores 4 small
+    // codes (here 4 bits total) instead of 64 floats; ANN then scans codes
+    // with per-subspace lookup tables. Codebook = the seed subvectors of
+    // vec_id 0/1 (per-subspace k-means refinement is embedding_kmeans
+    // composed per subspace — deliberately not repeated here); encoding is
+    // argmin L2^2 per subspace, ties to the smaller centroid id. Scale
+    // shape: the codebook is a ONE-ROW broadcast and encoding is pure
+    // map-side lambda arithmetic — no explode, no shuffle before the
+    // presentation sort; err is the summed reconstruction L2^2 in a fixed
+    // fold order (float->double casts exact, identical IEEE sequence both
+    // engines). ------------------------------------------------------------
+    "embedding_pq" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val cb = emb.filter(col("vec_id") < 2)
+          .agg(max(when(col("vec_id") === 0, col("embedding"))).as("e0"),
+            max(when(col("vec_id") === 1, col("embedding"))).as("e1"))
+        def dist(j: Int, c: String) =
+          s"""aggregate(sequence(1, 16), CAST(0 AS DOUBLE), (a, i) ->
+             |  a + (CAST(element_at(embedding, ${16 * j} + CAST(i AS INT)) AS DOUBLE)
+             |       - CAST(element_at($c, ${16 * j} + CAST(i AS INT)) AS DOUBLE))
+             |    * (CAST(element_at(embedding, ${16 * j} + CAST(i AS INT)) AS DOUBLE)
+             |       - CAST(element_at($c, ${16 * j} + CAST(i AS INT)) AS DOUBLE)))""".stripMargin
+        val dists = (0 until 4).flatMap(j =>
+          Seq(s"${dist(j, "e0")} AS d${j}0", s"${dist(j, "e1")} AS d${j}1"))
+        emb.crossJoin(broadcast(cb))
+          .selectExpr(Seq("vec_id") ++ dists: _*)
+          .selectExpr(Seq("vec_id") ++
+            (0 until 4).map(j => s"CAST(IF(d${j}0 <= d${j}1, 0, 1) AS INT) AS code$j") ++
+            Seq((0 until 4).map(j => s"IF(d${j}0 <= d${j}1, d${j}0, d${j}1)")
+              .mkString("((", " + ", ")") + ") AS err"): _*)
+          .transform(graft.Sorted.byNames(_, "vec_id"))
+      }, {
+        def ddist(j: Int, c: String) =
+          s"""list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 17), i ->
+             |  (CAST(embedding[${16 * j} + i::INT] AS DOUBLE) - CAST($c[${16 * j} + i::INT] AS DOUBLE))
+             |  * (CAST(embedding[${16 * j} + i::INT] AS DOUBLE) - CAST($c[${16 * j} + i::INT] AS DOUBLE)))),
+             |  (a, b) -> a + b)""".stripMargin
+        val dd = (0 until 4).flatMap(j =>
+          Seq(s"${ddist(j, "e0")} AS d${j}0", s"${ddist(j, "e1")} AS d${j}1")).mkString(",\n")
+        s"""WITH cb AS (SELECT
+           |    (SELECT embedding FROM embeddings WHERE vec_id = 0) AS e0,
+           |    (SELECT embedding FROM embeddings WHERE vec_id = 1) AS e1),
+           |d AS (SELECT vec_id,
+           |$dd
+           |  FROM embeddings, cb)
+           |SELECT vec_id,
+           |  ${(0 until 4).map(j => s"CAST(CASE WHEN d${j}0 <= d${j}1 THEN 0 ELSE 1 END AS INT) AS code$j").mkString(",\n  ")},
+           |  ((${(0 until 4).map(j => s"CASE WHEN d${j}0 <= d${j}1 THEN d${j}0 ELSE d${j}1 END").mkString(" + ")})) AS err
+           |FROM d ORDER BY vec_id""".stripMargin
+      }),
+
     // ---- k-means (2 Lloyd iterations, k=4) over the embedding corpus ------
     // The IVF TRAINING step ann_ivf_probe's content-derived cells assume:
     // seed with the 4 deterministic centroids, then assign -> update twice,

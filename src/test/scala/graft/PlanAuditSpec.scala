@@ -379,6 +379,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window ["))
   }
 
+  test("embedding_pq: one-row codebook broadcast; encoding is shuffle-free map arithmetic") {
+    val p = plan("embedding_pq")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the codebook row must broadcast")
+    assert(!p.contains("Window ["))
+    assert(!nodeIds(p, "HashAggregate").exists(_ => p.contains("Exchange hashpartitioning")) ||
+      !p.contains("Exchange hashpartitioning"),
+      "no shuffle before the presentation sort — encoding is map-side")
+  }
+
   test("decontaminate_overlap: benchmark shingle pool broadcasts; corpus side never shuffles text") {
     val p = plan("decontaminate_overlap")
     assert(p.contains("BroadcastHashJoin"), "pool join should broadcast the benchmark grams")
