@@ -276,6 +276,59 @@ object CorpusOps {
          |FROM c WHERE cend >= cstart
          |ORDER BY doc_id, chunk_idx""".stripMargin),
 
+    // ---- cross-document repeated-passage report: the consumer CDC
+    // chunking exists for — because boundaries are content-defined, a
+    // passage repeated across documents (or document revisions) lands in
+    // byte-identical chunks regardless of surrounding edits, so repeated
+    // passages are found by a plain GROUP BY chunk_md5 — no pairwise
+    // comparison at all. Output: chunks seen in >= 2 docs with doc and
+    // occurrence counts. Scale shape: map-side chunk explode + ONE
+    // combiner-friendly aggregation; output is bounded by the repeated-
+    // chunk set. ----------------------------------------------------------
+    "chunk_dedup" -> QueryDef(
+      (s, dir) => {
+        graft.functions.HashExpressions.register(s)
+        Tables.load(s, dir, "documents")
+          .filter(col("n_chars") >= 1)
+          .selectExpr("doc_id", "text", "length(text) AS n")
+          .selectExpr("doc_id", "text", "n",
+            "concat(array(1), transform(graft_cdc_bounds(text), i -> i + 1)) AS starts")
+          .selectExpr("doc_id", "text", "n", "starts", "posexplode(starts) AS (k, cstart)")
+          .selectExpr("doc_id", "text",
+            "IF(k + 1 < size(starts), element_at(starts, k + 2) - 1, n) AS cend", "cstart")
+          .filter("cend >= cstart")
+          .selectExpr("doc_id",
+            "md5(substring(text, cstart, cend - cstart + 1)) AS chunk_md5",
+            "CAST(cend - cstart + 1 AS BIGINT) AS chunk_len")
+          .groupBy(col("chunk_md5"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_occurrences"),
+            max(col("chunk_len")).as("chunk_len"))
+          .filter(col("n_docs") >= 2)
+          .transform(Sorted.byNames(_, "chunk_md5"))
+      },
+      """WITH b AS (SELECT doc_id, text, length(text) AS n,
+        |    list_prepend(1, list_transform(
+        |      list_filter(range(16, length(text) + 1),
+        |        i -> list_reduce(list_prepend(0::BIGINT,
+        |               list_transform(range(i - 15, i + 1),
+        |                 j -> ascii(substr(text, j::INT, 1))::BIGINT)),
+        |               (h, c) -> (h * 31 + c) % 1000000007) % 64 = 0),
+        |      i -> i::INT + 1)) AS starts
+        |  FROM documents WHERE n_chars >= 1),
+        |k AS (SELECT doc_id, text, n, starts,
+        |    unnest(range(1, len(starts) + 1)) AS kk FROM b),
+        |c AS (SELECT doc_id, starts[kk::INT] AS cstart,
+        |    CASE WHEN kk < len(starts) THEN starts[kk::INT + 1] - 1 ELSE n END AS cend,
+        |    text FROM k),
+        |ch AS (SELECT doc_id, md5(substr(text, cstart, cend - cstart + 1)) AS chunk_md5,
+        |    CAST(cend - cstart + 1 AS BIGINT) AS chunk_len
+        |  FROM c WHERE cend >= cstart)
+        |SELECT chunk_md5, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  COUNT(*) AS n_occurrences, MAX(chunk_len) AS chunk_len
+        |FROM ch GROUP BY chunk_md5 HAVING COUNT(DISTINCT doc_id) >= 2
+        |ORDER BY chunk_md5""".stripMargin),
+
     // ---- Count-Min-sketch heavy hitters: terms whose SKETCH-estimated
     // count clears 0.5% of the corpus token total. Scale shape: the
     // sketch pass is a partial+final fold of the raw token-hash stream

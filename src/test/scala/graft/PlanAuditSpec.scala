@@ -389,6 +389,13 @@ class PlanAuditSpec extends SparkSpec {
       "no shuffle before the presentation sort — encoding is map-side")
   }
 
+  test("chunk_dedup: repeated passages via one combiner aggregation, no pairwise join") {
+    val p = plan("chunk_dedup")
+    assert(!p.contains("Join"), "repeated-passage detection is GROUP BY chunk_md5 — no pair join")
+    val aggs = nodeIds(p, "HashAggregate") ++ nodeIds(p, "ObjectHashAggregate")
+    assert(aggs.size >= 2, s"chunk grouping must be partial+final, got $aggs")
+  }
+
   test("decontaminate_overlap: benchmark shingle pool broadcasts; corpus side never shuffles text") {
     val p = plan("decontaminate_overlap")
     assert(p.contains("BroadcastHashJoin"), "pool join should broadcast the benchmark grams")
