@@ -260,6 +260,57 @@ object Graph {
          |SELECT page, COUNT(*) AS n_triangles FROM nodes
          |GROUP BY page ORDER BY page""".stripMargin),
 
+    // ---- link prediction: neighbor-set jaccard for unconnected pairs ------
+    // score(u,v) = |N(u) ∩ N(v)| / |N(u) ∪ N(v)| over the undirected
+    // graph, for pairs NOT already connected — the classic missing-edge
+    // predictor. No neighbor SETS are ever materialized: the intersection
+    // is a wedge COUNT (u—m—v through each shared middle, one graph-sized
+    // equi-join), the union is du + dv − shared from the degree table, and
+    // existing edges drop via a left-anti join. Wedge cost is Σ deg(m)² —
+    // on power-law graphs cap or sample hub middles (the triangle_count
+    // orientation argument); the bounded page domain here needs neither.
+    // Top-20 via TakeOrdered, ties (sim, u, v) deterministic. --------------
+    "graph_jaccard_neighbors" -> QueryDef(
+      (s, dir) => {
+        val und = pageEdges(s, dir)
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .filter(col("a") =!= col("b"))
+          .distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val nb = und.select(col("a").as("m"), col("b").as("n"))
+          .union(und.select(col("b").as("m"), col("a").as("n")))
+        val deg = nb.groupBy(col("n").as("page")).agg(count(lit(1)).as("d"))
+        val shared = nb.alias("x").join(nb.alias("y"),
+            expr("x.m = y.m AND x.n < y.n"))
+          .select(col("x.n").as("u"), col("y.n").as("v"))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("shared"))
+        // lazy result — und cache feeds nb twice plus the anti-join side
+        shared
+          .join(und, expr("u = a AND v = b"), "left_anti")
+          .join(deg.selectExpr("page AS u", "d AS du"), "u")
+          .join(deg.selectExpr("page AS v", "d AS dv"), "v")
+          .selectExpr("u", "v", "shared",
+            "CAST(shared AS DOUBLE) / (du + dv - shared) AS jaccard")
+          .orderBy(col("jaccard").desc, col("u"), col("v"))
+          .limit(20)
+      },
+      s"""WITH $duckEdges,
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM edges WHERE src <> dst),
+         |nb AS (SELECT a AS m, b AS n FROM und UNION ALL SELECT b, a FROM und),
+         |deg AS (SELECT n AS page, COUNT(*) AS d FROM nb GROUP BY n),
+         |shared AS (SELECT x.n AS u, y.n AS v, COUNT(*) AS shared
+         |  FROM nb x JOIN nb y ON x.m = y.m AND x.n < y.n
+         |  GROUP BY 1, 2),
+         |unconnected AS (SELECT u, v, shared FROM shared
+         |  WHERE NOT EXISTS (SELECT 1 FROM und WHERE a = u AND b = v))
+         |SELECT u, v, shared,
+         |  CAST(shared AS DOUBLE) / (du.d + dv.d - shared) AS jaccard
+         |FROM unconnected
+         |JOIN deg du ON du.page = u JOIN deg dv ON dv.page = v
+         |ORDER BY jaccard DESC, u, v LIMIT 20""".stripMargin),
+
     // ---- weighted label propagation communities (2 sync iterations) -------
     // Scale shape: adjacency = canonical edges + their reverses with summed
     // weights, built once and persisted; each iteration is ONE join

@@ -100,6 +100,16 @@ class PlanAuditSpec extends SparkSpec {
     val mh = plan("simhash_fingerprint")
     assert(mh.contains("graft_simhash"))
     assert("\\[codegen id : \\d+\\]".r.findFirstIn(mh).isDefined)
+    // round-6 expressions: the rolling window-hash and CDC boundary scans
+    // must also stay inside codegen (the interpreted-lambda CDC form
+    // measured 52 s vs 0.6 s at sf0.1 — this assertion pins the fix)
+    val cdc = plan("chunk_content_defined")
+    assert(cdc.contains("graft_cdc_bounds"))
+    assert("\\[codegen id : \\d+\\]".r.findFirstIn(cdc).isDefined,
+      "graft_cdc_bounds must run inside whole-stage codegen")
+    val ws = plan("dedup_substring")
+    assert(ws.contains("graft_winhash8"))
+    assert("\\[codegen id : \\d+\\]".r.findFirstIn(ws).isDefined)
   }
 
   test("ann top-k: bounded TopK aggregation is partial+final (no all-rows window shuffle)") {
