@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.Portable
+
+/** Golden vectors for the cluster-consuming curation operators over a
+  * crafted corpus: one near-dup pair where the HIGHER-QUALITY member is
+  * NOT the min-id (so keep-best provably differs from min-id selection),
+  * plus singletons, plus an exact-copy pair in the same media class for
+  * the pHash grouping. */
+class DedupGoldenSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 80 tokens: BELOW the 100-token saturation of text_quality's length
+  // term, so the 8 extra tokens raise doc 2's quality strictly
+  private val base = (1 to 40).map(i => s"tok$i word$i").mkString(" ")
+  // superset doc: same text plus fresh tokens — jaccard vs base 0.907
+  // (well over the 0.8 gate) but MORE tokens and MORE distinct tokens,
+  // so text_quality scores it strictly higher. Token choice matters: the
+  // affine minhash permutations share one near-wrap point (x ~ P61/a), so
+  // a new shingle hashing just above it would claim EVERY lane minimum at
+  // once and break banding recall — these extras were checked to leave
+  // all 4 band keys intact (an "extra1..8" suffix did not).
+  private val richer = base + " " + (1 to 8).map(i => s"x0y$i").mkString(" ")
+
+  private def fixture(): String = {
+    val dir = tmpDir("dedupgold")
+    Seq(
+      (1L, base, "en", "web"),
+      (2L, richer, "en", "web"),                       // near-dup of 1, higher quality
+      (3L, "an unrelated short document about graphs", "en", "web"),
+      (6L, "an unrelated short document about graphs", "en", "web")) // exact copy of 3, same media class (both % 3 == 0)
+      .map { case (id, t, l, src) => (id, t, l, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("dedup_keep_best: the higher-quality member wins, not the min id") {
+    val dir = fixture()
+    val out = graft.SparkEntry.queries("dedup_keep_best")(spark, dir)
+      .selectExpr("cluster_id", "cluster_size", "kept_doc", "n_dropped")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 2L, 1L), (3L, 2L, 3L, 1L)),
+      s"cluster {1,2} must keep richer doc 2 (min-id selection would keep 1); " +
+        s"the exact-copy cluster {3,6} ties to min id 3; got $out")
+  }
+
+  test("split_leakage_safe: cluster members share the canonical id and split; singletons self-canonical") {
+    val dir = fixture()
+    val out = graft.SparkEntry.queries("split_leakage_safe")(spark, dir)
+      .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
+    val byDoc = out.map(r => r._1 -> r).toMap
+    assert(byDoc(1L)._2 == 1L && byDoc(2L)._2 == 1L,
+      s"near-dups 1 and 2 canonicalize to cluster id 1, got $out")
+    assert(byDoc(1L)._3 == byDoc(2L)._3, "near-dups can never straddle splits")
+    // exact copies 3 and 6 are ALSO minhash near-dups -> same canon
+    assert(byDoc(3L)._2 == 3L && byDoc(6L)._2 == 3L && byDoc(3L)._3 == byDoc(6L)._3)
+    // the split matches the documented hash, computed independently here
+    def split(canon: Long): String = {
+      val b = ((canon % 999983L) * Portable.MIX + 7919L) % 100L
+      if (b < 90) "train" else if (b < 95) "val" else "test"
+    }
+    out.foreach { case (_, canon, s) => assert(s == split(canon)) }
+  }
+
+  test("multimodal_phash_dedup: exact copies in one media class form one group") {
+    val dir = fixture()
+    val out = graft.SparkEntry.queries("multimodal_phash_dedup")(spark, dir)
+      .selectExpr("media_type", "group_size", "canonical_id")
+      .as[(String, Long, Long)].collect().toSeq
+    // docs 3 and 6 are byte-identical and both doc_id % 3 == 0 ('image');
+    // docs 1 and 2 differ in media class (1 -> audio, 2 -> video) so their
+    // near-dup hashes cannot group across classes
+    assert(out == Seq(("image", 2L, 3L)), s"got $out")
+  }
+}
