@@ -120,7 +120,7 @@ object HashExpressions {
     val sig = new Array[Long](16)
     var j = 0
     while (j < 16) {
-      val a = MIX + 40503L * j
+      val a = MIX + Portable.LANE * j
       val b = 98765432L + 1234577L * j
       var best = Long.MaxValue
       var i = 0

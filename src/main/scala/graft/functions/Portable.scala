@@ -19,6 +19,16 @@ object Portable {
   /** Knuth multiplicative constant for bit mixing. */
   val MIX: Long = 2654435761L
 
+  /** MinHash lane-multiplier step. The round-6 DedupGoldenSpec exposed
+    * that the original tiny step (40503) left every lane's multiplier
+    * a_j ~ MIX, so all 16 permutations shared one wrap point near
+    * x = P61/MIX and a single new shingle hashing just above it claimed
+    * EVERY lane minimum at once — banding recall collapsed for
+    * mid-jaccard pairs. A step of ~4.1e8 spreads a_j over [2.65e9,
+    * 8.79e9] (wrap points 8.7e8 down to 2.6e8, all distinct), restoring
+    * lane independence while keeping x*a_j < 2^63 for x < P. */
+  val LANE: Long = 409000007L
+
   /** THE content-identity digest, shared by every layer that answers "have
     * I seen this document before": the batch exact-dedup family
     * (`dedup_exact`, `dedup_incremental`, `dedup_keep_list`) and the

@@ -73,7 +73,7 @@ object Dedup {
   private[operators] def duckSigCtes: String =
     s"""$duckShingles,
        |sig AS (SELECT doc_id, sh, list_transform(range(0, 16), j -> list_min(list_transform(sh,
-       |  x -> (x * ($MIX + 40503 * j) + 98765432 + 1234577 * j) % $P61))) AS sig
+       |  x -> (x * ($MIX + ${graft.functions.Portable.LANE} * j) + 98765432 + 1234577 * j) % $P61))) AS sig
        |  FROM sh)""".stripMargin
 
   private[operators] def duckPairsCtes: String =
@@ -150,7 +150,7 @@ object Dedup {
       },
       s"""WITH $duckShingles,
          |sig AS (SELECT doc_id, sh, list_transform(range(0, 16), j -> list_min(list_transform(sh,
-         |  x -> (x * ($MIX + 40503 * j) + 98765432 + 1234577 * j) % $P61))) AS sig
+         |  x -> (x * ($MIX + ${graft.functions.Portable.LANE} * j) + 98765432 + 1234577 * j) % $P61))) AS sig
          |  FROM sh),
          |bands AS (SELECT doc_id, b.band AS band,
          |   concat_ws('_', sig[b.band * 4 + 1], sig[b.band * 4 + 2], sig[b.band * 4 + 3], sig[b.band * 4 + 4]) AS key
@@ -238,7 +238,7 @@ object Dedup {
       },
       s"""WITH $duckShingles,
          |sig AS (SELECT doc_id, sh, list_transform(range(0, 16), j -> list_min(list_transform(sh,
-         |  x -> (x * ($MIX + 40503 * j) + 98765432 + 1234577 * j) % $P61))) AS sig
+         |  x -> (x * ($MIX + ${graft.functions.Portable.LANE} * j) + 98765432 + 1234577 * j) % $P61))) AS sig
          |  FROM sh),
          |bands AS (SELECT doc_id, b.band AS band,
          |   concat_ws('_', sig[b.band * 4 + 1], sig[b.band * 4 + 2], sig[b.band * 4 + 3], sig[b.band * 4 + 4]) AS key
@@ -544,7 +544,7 @@ object Dedup {
       },
       s"""WITH $duckShingles,
          |sig AS (SELECT doc_id, sh, list_transform(range(0, 16), j -> list_min(list_transform(sh,
-         |  x -> (x * ($MIX + 40503 * j) + 98765432 + 1234577 * j) % $P61))) AS sig
+         |  x -> (x * ($MIX + ${graft.functions.Portable.LANE} * j) + 98765432 + 1234577 * j) % $P61))) AS sig
          |  FROM sh),
          |bands AS (SELECT doc_id, b.band AS band,
          |   concat_ws('_', sig[b.band * 4 + 1], sig[b.band * 4 + 2], sig[b.band * 4 + 3], sig[b.band * 4 + 4]) AS key

@@ -13,8 +13,24 @@ class CacheHygieneSpec extends SparkSpec {
 
   private def cachedRddCount: Int = spark.sparkContext.getPersistentRDDs.size
 
-  test("clearCache frees every persist a query leaves behind (bench/verify contract)") {
+  /** Suites share one forked-JVM session, and earlier suites' eager
+    * localCheckpoints (the graph/curation golden specs) live OUTSIDE the
+    * CacheManager — clearCache cannot touch them and only the
+    * ContextCleaner frees them once GC'd. Drain with the same bounded
+    * poll the second test uses, so this suite asserts its OWN hygiene,
+    * not its predecessors' GC timing. */
+  private def drainToZero(): Unit = {
     spark.catalog.clearCache()
+    val deadline = System.nanoTime() + 15_000_000_000L
+    while (cachedRddCount > 0 && System.nanoTime() < deadline) {
+      System.gc()
+      Thread.sleep(200)
+    }
+  }
+
+  test("clearCache frees every persist a query leaves behind (bench/verify contract)") {
+    drainToZero()
+    assert(cachedRddCount == 0, s"stragglers survived the drain: $cachedRddCount")
     // dedup_minhash persists both its signature table and Sorted's result
     SparkEntry.queries("dedup_minhash")(spark, dir).collect()
     assert(cachedRddCount > 0, "expected the query to register persisted plans")
@@ -25,6 +41,7 @@ class CacheHygieneSpec extends SparkSpec {
 
   test("connectedComponents leaves no CacheManager entries (localCheckpoint blocks are GC-reclaimed)") {
     spark.catalog.clearCache()
+    drainToZero()
     SparkEntry.queries("dedup_clusters")(spark, dir).collect()
     spark.catalog.clearCache()
     // localCheckpoint blocks live outside the CacheManager and are freed by

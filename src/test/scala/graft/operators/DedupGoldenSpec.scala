@@ -21,7 +21,7 @@ class DedupGoldenSpec extends SparkSpec {
   // a new shingle hashing just above it would claim EVERY lane minimum at
   // once and break banding recall — these extras were checked to leave
   // all 4 band keys intact (an "extra1..8" suffix did not).
-  private val richer = base + " " + (1 to 8).map(i => s"x0y$i").mkString(" ")
+  private val richer = base + " " + (1 to 8).map(i => s"q0z$i").mkString(" ")
 
   private def fixture(): String = {
     val dir = tmpDir("dedupgold")
