@@ -85,6 +85,25 @@ object HashProperties extends Properties("graft.hash") {
       w1.intersect(w2).nonEmpty
     }
 
+  property("minhash banding recall: j~0.9 superset pairs band-collide (lane decorrelation guard)") = {
+    // regression guard for the Portable.LANE fix: under the old tiny lane
+    // step every permutation shared one wrap point and pairs like these
+    // missed ALL bands systematically. Seeded, not forAll: recall is a
+    // distributional claim (theory ~99% at j ~ 0.9; biased-permutation
+    // reality measured 56/60), so assert a floor over a fixed sample.
+    val rnd = new scala.util.Random(7)
+    def sigOf(s: String) =
+      HashExpressions.evalMinhashSig(UTF8String.fromString(s)).toLongArray()
+    val hits = (1 to 30).count { _ =>
+      val base = Seq.fill(80)(s"w${rnd.nextInt(1000000)}").mkString(" ")
+      val richer = base + " " + Seq.fill(8)(s"e${rnd.nextInt(1000000)}").mkString(" ")
+      val (a, b) = (sigOf(base), sigOf(richer))
+      (0 until 4).exists(band =>
+        (0 until 4).forall(i => a(band * 4 + i) == b(band * 4 + i)))
+    }
+    Prop(hits >= 25) :| s"banding found $hits/30 near-dup pairs (floor 25)"
+  }
+
   property("cdcBounds: rolled hash == direct 16-char refold at every boundary") =
     forAll(text) { s =>
       val bounds = HashExpressions.cdcBounds(UTF8String.fromString(s)).toSet
