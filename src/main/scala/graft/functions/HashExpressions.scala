@@ -95,9 +95,14 @@ object HashExpressions {
     * DuckDB oracle computes. */
   private[functions] def cdcBounds(s: UTF8String): Array[Int] = {
     val str = s.toString
-    val n = str.length
+    // positions and hash units are CODE POINTS, not UTF-16 chars: the
+    // consumers (Spark SQL substring/length and DuckDB substr/ascii) both
+    // index code points, so char-unit positions would misalign every
+    // chunk after the first supplementary-plane character (review find)
+    val cps = str.codePoints().toArray
+    val n = cps.length
     if (n < 16) return Array.emptyIntArray
-    // 31^15 mod P, for removing the outgoing char
+    // 31^15 mod P, for removing the outgoing code point
     var pow = 1L
     var k = 0
     while (k < 15) { pow = pow * 31 % P; k += 1 }
@@ -105,10 +110,10 @@ object HashExpressions {
     var h = 0L
     var i = 0
     while (i < n) {
-      h = (h * 31 + str.charAt(i).toInt) % P
+      h = (h * 31 + cps(i)) % P
       if (i >= 16) {
-        // remove char i-16 (it has weight 31^15 after the incoming shift)
-        h = (h - str.charAt(i - 16).toInt * pow % P * 31 % P + P * 31) % P
+        // remove code point i-16 (weight 31^15 after the incoming shift)
+        h = (h - cps(i - 16).toLong * pow % P * 31 % P + P * 31) % P
       }
       if (i >= 15 && h % 64 == 0) out += i + 1
       i += 1

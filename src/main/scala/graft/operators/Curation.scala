@@ -306,9 +306,12 @@ object Curation {
     "curate_corpus" -> QueryDef(
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
-        val canon = d.groupBy(md5(col("text")).as("digest"))
+        // the ONE content-identity digest (Portable.contentDigest) — the
+        // dedup family and streaming intake all canonicalize on it, and a
+        // future digest change must move every layer together
+        val canon = d.groupBy(graft.functions.Portable.contentDigest.as("digest"))
           .agg(min(col("doc_id")).as("canonical_id"))
-        d.withColumn("digest", md5(col("text")))
+        d.withColumn("digest", graft.functions.Portable.contentDigest)
           .join(canon, "digest")
           .filter(col("doc_id") === col("canonical_id")) // exact-dup canonical
           .filter(col("lang") === "en")

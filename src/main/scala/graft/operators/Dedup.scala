@@ -148,10 +148,7 @@ object Dedup {
           .filter("jaccard >= 0.8")
           .transform(graft.Sorted.byNames(_, "doc_a", "doc_b"))
       },
-      s"""WITH $duckShingles,
-         |sig AS (SELECT doc_id, sh, list_transform(range(0, 16), j -> list_min(list_transform(sh,
-         |  x -> (x * ($MIX + ${graft.functions.Portable.LANE} * j) + 98765432 + 1234577 * j) % $P61))) AS sig
-         |  FROM sh),
+      s"""WITH $duckSigCtes,
          |bands AS (SELECT doc_id, b.band AS band,
          |   concat_ws('_', sig[b.band * 4 + 1], sig[b.band * 4 + 2], sig[b.band * 4 + 3], sig[b.band * 4 + 4]) AS key
          |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b),
@@ -236,10 +233,7 @@ object Dedup {
           .selectExpr("doc_id", "CAST(dropped IS NULL AS INT) AS keep")
           .transform(graft.Sorted.byNames(_, "doc_id"))
       },
-      s"""WITH $duckShingles,
-         |sig AS (SELECT doc_id, sh, list_transform(range(0, 16), j -> list_min(list_transform(sh,
-         |  x -> (x * ($MIX + ${graft.functions.Portable.LANE} * j) + 98765432 + 1234577 * j) % $P61))) AS sig
-         |  FROM sh),
+      s"""WITH $duckSigCtes,
          |bands AS (SELECT doc_id, b.band AS band,
          |   concat_ws('_', sig[b.band * 4 + 1], sig[b.band * 4 + 2], sig[b.band * 4 + 3], sig[b.band * 4 + 4]) AS key
          |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b),
@@ -542,10 +536,7 @@ object Dedup {
             (col("exact_dup") === 0 && col("near_dup") === 0).cast("int"))
           .transform(graft.Sorted.byNames(_, "doc_id"))
       },
-      s"""WITH $duckShingles,
-         |sig AS (SELECT doc_id, sh, list_transform(range(0, 16), j -> list_min(list_transform(sh,
-         |  x -> (x * ($MIX + ${graft.functions.Portable.LANE} * j) + 98765432 + 1234577 * j) % $P61))) AS sig
-         |  FROM sh),
+      s"""WITH $duckSigCtes,
          |bands AS (SELECT doc_id, b.band AS band,
          |   concat_ws('_', sig[b.band * 4 + 1], sig[b.band * 4 + 2], sig[b.band * 4 + 3], sig[b.band * 4 + 4]) AS key
          |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b),

@@ -88,22 +88,21 @@ object TextOps {
         graft.functions.HashExpressions.register(s)
         Tables.load(s, dir, "documents")
           .selectExpr("doc_id", "n_chars", "graft_text_stats(text) AS st")
-          .selectExpr("doc_id", "n_chars", "st.n_punct AS n_punct",
+          .selectExpr("doc_id", "n_chars", "st", "st.n_punct AS n_punct",
             "st.n_tokens AS n_tokens",
             "st.n_uniq AS n_uniq",
             "st.s_en AS n_stop",
             "st.sum_len AS sum_len")
           // zero-token docs (all punctuation / empty) must score 0, not
-          // throw DIVIDE_BY_ZERO under ANSI — same guard as text_repetition
+          // throw DIVIDE_BY_ZERO under ANSI — same guard as text_repetition.
+          // quality comes from the ONE shared formula (sparkQualitySql) that
+          // dedup_keep_best's argmax also uses — a diverging inline copy
+          // here would silently change which cluster member wins there.
           .selectExpr("doc_id", "n_chars", "n_tokens", "n_uniq", "n_punct",
             "CASE WHEN n_tokens > 0 THEN CAST(sum_len AS DOUBLE) / n_tokens ELSE CAST(0 AS DOUBLE) END AS avg_token_len",
             "CASE WHEN n_tokens > 0 THEN CAST(n_uniq AS DOUBLE) / n_tokens ELSE CAST(0 AS DOUBLE) END AS uniq_ratio",
             "CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE CAST(0 AS DOUBLE) END AS stop_ratio",
-            """CASE WHEN n_tokens > 0 THEN
-              |   least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
-              |   + CAST(n_uniq AS DOUBLE) / n_tokens * 0.3
-              |   + CAST(n_stop AS DOUBLE) / n_tokens * 0.3
-              | ELSE CAST(0 AS DOUBLE) END AS quality""".stripMargin)
+            s"$sparkQualitySql AS quality")
           .transform(graft.Sorted.byNames(_, "doc_id"))
       },
       s"""WITH t AS (SELECT doc_id, n_chars,
@@ -113,17 +112,14 @@ object TextOps {
          |m AS (SELECT doc_id, n_chars, n_punct,
          |  len(toks) AS n_tokens, len(list_distinct(toks)) AS n_uniq,
          |  ${duckScoreSql("en")} AS n_stop,
-         |  list_reduce(list_prepend(0::BIGINT, list_transform(toks, t -> length(t)::BIGINT)), (a, b) -> a + b) AS sum_len
+         |  list_reduce(list_prepend(0::BIGINT, list_transform(toks, t -> length(t)::BIGINT)), (a, b) -> a + b) AS sum_len,
+         |  $duckQualitySql AS quality
          |  FROM t)
          |SELECT doc_id, n_chars, n_tokens, n_uniq, n_punct,
          |  CASE WHEN n_tokens > 0 THEN CAST(sum_len AS DOUBLE) / n_tokens ELSE 0.0 END AS avg_token_len,
          |  CASE WHEN n_tokens > 0 THEN CAST(n_uniq AS DOUBLE) / n_tokens ELSE 0.0 END AS uniq_ratio,
          |  CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio,
-         |  CASE WHEN n_tokens > 0 THEN
-         |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
-         |    + CAST(n_uniq AS DOUBLE) / n_tokens * 0.3
-         |    + CAST(n_stop AS DOUBLE) / n_tokens * 0.3
-         |  ELSE 0.0 END AS quality
+         |  quality
          |FROM m ORDER BY doc_id""".stripMargin),
 
     // ---- token counting: whitespace split, alnum-word extraction, and a

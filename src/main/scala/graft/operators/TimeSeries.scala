@@ -45,11 +45,15 @@ object TimeSeries {
           .selectExpr("seg", "n_months",
             "CAST(sy AS DOUBLE) / 100.0 AS total_rev",
             "CAST(sy AS DOUBLE) / 100.0 / n_months AS mean_monthly_rev",
-            """(CAST(n_months AS DOUBLE) * CAST(sxy AS DOUBLE)
-              |  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-              | / (CAST(n_months AS DOUBLE) * CAST(sxx AS DOUBLE)
-              |  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 100.0
-              | AS slope_per_month""".stripMargin)
+            // n_months == 1 makes the normal-equation denominator exactly
+            // zero (m^2 - m^2): guard to slope 0 instead of NaN/engine-
+            // dependent division-by-zero (review find)
+            """CASE WHEN n_months > 1 THEN
+              |  (CAST(n_months AS DOUBLE) * CAST(sxy AS DOUBLE)
+              |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              |  / (CAST(n_months AS DOUBLE) * CAST(sxx AS DOUBLE)
+              |   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 100.0
+              |ELSE CAST(0 AS DOUBLE) END AS slope_per_month""".stripMargin)
           .orderBy("seg")
       },
       """WITH monthly AS (
@@ -61,11 +65,12 @@ object TimeSeries {
         |SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_months,
         |  CAST(CAST(SUM(rev_c) AS BIGINT) AS DOUBLE) / 100.0 AS total_rev,
         |  CAST(CAST(SUM(rev_c) AS BIGINT) AS DOUBLE) / 100.0 / CAST(COUNT(*) AS BIGINT) AS mean_monthly_rev,
-        |  (CAST(COUNT(*) AS DOUBLE) * CAST(CAST(SUM(m * rev_c) AS BIGINT) AS DOUBLE)
-        |    - CAST(CAST(SUM(m) AS BIGINT) AS DOUBLE) * CAST(CAST(SUM(rev_c) AS BIGINT) AS DOUBLE))
-        |  / (CAST(COUNT(*) AS DOUBLE) * CAST(CAST(SUM(m * m) AS BIGINT) AS DOUBLE)
-        |    - CAST(CAST(SUM(m) AS BIGINT) AS DOUBLE) * CAST(CAST(SUM(m) AS BIGINT) AS DOUBLE)) / 100.0
-        |  AS slope_per_month
+        |  CASE WHEN COUNT(*) > 1 THEN
+        |    (CAST(COUNT(*) AS DOUBLE) * CAST(CAST(SUM(m * rev_c) AS BIGINT) AS DOUBLE)
+        |      - CAST(CAST(SUM(m) AS BIGINT) AS DOUBLE) * CAST(CAST(SUM(rev_c) AS BIGINT) AS DOUBLE))
+        |    / (CAST(COUNT(*) AS DOUBLE) * CAST(CAST(SUM(m * m) AS BIGINT) AS DOUBLE)
+        |      - CAST(CAST(SUM(m) AS BIGINT) AS DOUBLE) * CAST(CAST(SUM(m) AS BIGINT) AS DOUBLE)) / 100.0
+        |  ELSE 0.0 END AS slope_per_month
         |FROM monthly GROUP BY seg ORDER BY seg""".stripMargin),
 
     // ---- per-segment next-month OLS forecast ------------------------------
@@ -90,10 +95,14 @@ object TimeSeries {
             expr("SUM(rev_c)").as("sy"), expr("SUM(m * rev_c)").as("sxy"),
             expr("MAX(m)").as("mx"))
           .selectExpr("seg", "n", "sx", "sy", "mx",
-            """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-              |  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-              | / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-              |  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b""".stripMargin)
+            // single-month segments get slope 0 (constant forecast), not a
+            // 0/0 NaN — same guard as ts_features
+            """CASE WHEN n > 1 THEN
+              |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              |  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              |   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              |ELSE CAST(0 AS DOUBLE) END AS b""".stripMargin)
           .selectExpr("seg", "mx + 1 AS target_month", "b",
             "(CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS a")
           .selectExpr("seg", "target_month",
@@ -113,10 +122,12 @@ object TimeSeries {
         |    MAX(m) AS mx
         |  FROM monthly GROUP BY seg),
         |bb AS (SELECT seg, n, sx, sy, mx,
-        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b
+        |    CASE WHEN n > 1 THEN
+        |      (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    ELSE 0.0 END AS b
         |  FROM sums),
         |aa AS (SELECT seg, mx + 1 AS target_month, b,
         |    (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS a

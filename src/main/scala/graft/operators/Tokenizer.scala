@@ -65,10 +65,16 @@ object Tokenizer {
         .selectExpr("element_at(split(pair, ' '), 1) AS lhs",
           "element_at(split(pair, ' '), 2) AS rhs", "pair_count")
         .localCheckpoint(true) // tiny; also pins one winner for both uses
-      words = words.crossJoin(broadcast(best))
-        .selectExpr("word", "cnt",
-          "replace(enc, concat(' ', lhs, '  ', rhs, ' '), concat(' ', lhs, rhs, ' ')) AS enc")
-        .localCheckpoint(true)
+      // pair exhaustion guard: if no mergeable pair remains, best is EMPTY
+      // and the cross join would annihilate the vocabulary — leaving
+      // tokenizer_apply to encode against zero words (total silent data
+      // loss, review find). Skip the application; the merges frame for
+      // this step is empty anyway, which tokenizer_vocab already handles.
+      if (!best.isEmpty)
+        words = words.crossJoin(broadcast(best))
+          .selectExpr("word", "cnt",
+            "replace(enc, concat(' ', lhs, '  ', rhs, ' '), concat(' ', lhs, rhs, ' ')) AS enc")
+          .localCheckpoint(true)
       best.selectExpr(s"CAST($step AS INT) AS step", "lhs", "rhs",
         "concat(lhs, rhs) AS merged", "pair_count")
     }
@@ -94,24 +100,27 @@ object Tokenizer {
         |b1 AS (SELECT split_part(pair, ' ', 1) AS lhs, split_part(pair, ' ', 2) AS rhs, pair_count
         |  FROM p1 ORDER BY pair_count DESC, pair LIMIT 1),
         |w1 AS (SELECT word, cnt,
-        |    replace(enc, ' ' || lhs || '  ' || rhs || ' ', ' ' || lhs || rhs || ' ') AS enc
-        |  FROM w0, b1),
+        |    CASE WHEN lhs IS NULL THEN enc
+        |         ELSE replace(enc, ' ' || lhs || '  ' || rhs || ' ', ' ' || lhs || rhs || ' ') END AS enc
+        |  FROM w0 LEFT JOIN b1 ON TRUE),
         |p2 AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count FROM (
         |    SELECT cnt, unnest(list_transform(range(1, len(syms)), i -> syms[i] || ' ' || syms[i+1])) AS pair
         |    FROM (SELECT cnt, string_split(trim(enc), '  ') AS syms FROM w1)) GROUP BY pair),
         |b2 AS (SELECT split_part(pair, ' ', 1) AS lhs, split_part(pair, ' ', 2) AS rhs, pair_count
         |  FROM p2 ORDER BY pair_count DESC, pair LIMIT 1),
         |w2 AS (SELECT word, cnt,
-        |    replace(enc, ' ' || lhs || '  ' || rhs || ' ', ' ' || lhs || rhs || ' ') AS enc
-        |  FROM w1, b2),
+        |    CASE WHEN lhs IS NULL THEN enc
+        |         ELSE replace(enc, ' ' || lhs || '  ' || rhs || ' ', ' ' || lhs || rhs || ' ') END AS enc
+        |  FROM w1 LEFT JOIN b2 ON TRUE),
         |p3 AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count FROM (
         |    SELECT cnt, unnest(list_transform(range(1, len(syms)), i -> syms[i] || ' ' || syms[i+1])) AS pair
         |    FROM (SELECT cnt, string_split(trim(enc), '  ') AS syms FROM w2)) GROUP BY pair),
         |b3 AS (SELECT split_part(pair, ' ', 1) AS lhs, split_part(pair, ' ', 2) AS rhs, pair_count
         |  FROM p3 ORDER BY pair_count DESC, pair LIMIT 1),
         |w3 AS (SELECT word, cnt,
-        |    replace(enc, ' ' || lhs || '  ' || rhs || ' ', ' ' || lhs || rhs || ' ') AS enc
-        |  FROM w2, b3),
+        |    CASE WHEN lhs IS NULL THEN enc
+        |         ELSE replace(enc, ' ' || lhs || '  ' || rhs || ' ', ' ' || lhs || rhs || ' ') END AS enc
+        |  FROM w2 LEFT JOIN b3 ON TRUE),
         |p4 AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count FROM (
         |    SELECT cnt, unnest(list_transform(range(1, len(syms)), i -> syms[i] || ' ' || syms[i+1])) AS pair
         |    FROM (SELECT cnt, string_split(trim(enc), '  ') AS syms FROM w3)) GROUP BY pair),
@@ -156,8 +165,9 @@ object Tokenizer {
       },
       s"""WITH $duckTrain,
          |w4 AS (SELECT word, cnt,
-         |    replace(enc, ' ' || lhs || '  ' || rhs || ' ', ' ' || lhs || rhs || ' ') AS enc
-         |  FROM w3, b4),
+         |    CASE WHEN lhs IS NULL THEN enc
+         |         ELSE replace(enc, ' ' || lhs || '  ' || rhs || ' ', ' ' || lhs || rhs || ' ') END AS enc
+         |  FROM w3 LEFT JOIN b4 ON TRUE),
          |dtoks AS (SELECT doc_id,
          |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) AS ts
          |  FROM documents),

@@ -40,7 +40,12 @@ object StreamingHeavyHitters {
         .selectExpr("explode(filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')) AS term")
         .selectExpr("graft_polyhash(term) AS h").as[Long]
         .select(agg.toColumn).head()
-      sketch = agg.merge(sketch, partial)
+      // merge into a COPY, then publish: CountMin.merge mutates its first
+      // argument in place, so merging the live array would let a
+      // concurrent heavyHitters()/totalTokens reader observe a torn
+      // sketch (some counters updated, others not) despite the volatile
+      // reference — copy-on-write gives readers snapshot isolation
+      sketch = agg.merge(sketch.clone(), partial)
     }
 
     def totalTokens: Long = sketch(CountMin.Depth * CountMin.Width)

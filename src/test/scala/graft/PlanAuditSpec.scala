@@ -394,9 +394,9 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       "the codebook row must broadcast")
     assert(!p.contains("Window ["))
-    assert(!nodeIds(p, "HashAggregate").exists(_ => p.contains("Exchange hashpartitioning")) ||
-      !p.contains("Exchange hashpartitioning"),
-      "no shuffle before the presentation sort — encoding is map-side")
+    // the only exchange allowed is the presentation sort's range partition
+    assert(!p.contains("Exchange hashpartitioning"),
+      "no hash shuffle anywhere — encoding is map-side")
   }
 
   test("chunk_dedup: repeated passages via one combiner aggregation, no pairwise join") {

@@ -104,13 +104,21 @@ object HashProperties extends Properties("graft.hash") {
     Prop(hits >= 25) :| s"banding found $hits/30 near-dup pairs (floor 25)"
   }
 
-  property("cdcBounds: rolled hash == direct 16-char refold at every boundary") =
-    forAll(text) { s =>
+  // exercises the supplementary-plane path: code-point positions, not
+  // UTF-16 char positions (an emoji is 2 chars but ONE position)
+  private val textWithAstral: Gen[String] =
+    Gen.zip(text, Gen.listOf(Gen.oneOf("", "😀"))).map {
+      case (s, emo) => emo.mkString + s + emo.headOption.getOrElse("")
+    }
+
+  property("cdcBounds: rolled hash == direct 16-codepoint refold at every boundary") =
+    forAll(textWithAstral) { s =>
+      val cps = s.codePoints().toArray
       val bounds = HashExpressions.cdcBounds(UTF8String.fromString(s)).toSet
-      val direct = (16 to s.length).filter { i =>
+      val direct = (16 to cps.length).filter { i =>
         var h = 0L
         var j = i - 16
-        while (j < i) { h = (h * 31 + s.charAt(j).toInt) % HashExpressions.P; j += 1 }
+        while (j < i) { h = (h * 31 + cps(j)) % HashExpressions.P; j += 1 }
         h % 64 == 0
       }.toSet
       bounds == direct

@@ -53,4 +53,16 @@ class TokenizerSpec extends SparkSpec {
       .as[(Int, String, String, String, Long)].collect().toSeq
     assert(out == Seq((1, "a", "b", "ab", 2L)))
   }
+
+  test("tokenizer_apply survives pair exhaustion: every doc still encoded") {
+    // steps 3-4 find no pairs; before the exhaustion guard the empty
+    // winner's cross join annihilated the vocabulary and apply returned
+    // ZERO rows for the whole corpus
+    val dir = fixture(Seq((1L, "ab ab"), (2L, "cd")))
+    val out = graft.SparkEntry.queries("tokenizer_apply")(spark, dir)
+      .selectExpr("doc_id", "n_words", "n_symbols", "chars_per_symbol")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 2L, 2L, 2.0), (2L, 1L, 1L, 2.0)),
+      s"both docs fully encoded under the merges that DID exist, got $out")
+  }
 }

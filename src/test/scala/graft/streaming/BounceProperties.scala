@@ -39,10 +39,15 @@ object BounceProperties extends Properties("BounceDetect") {
     case (ts, false) => page(ts)
   }
 
+  // a REAL permutation: Gen.pick(n, xs) with n == xs.size is reservoir
+  // sampling whose replacement branch never fires, so it returns indices
+  // in ORIGINAL order — the old form compared run(batch) with itself
+  // (review find, verified against scalacheck bytecode). Seeded Fisher-
+  // Yates actually reorders.
   private val shuffledGen: Gen[(List[LogEvent], List[LogEvent])] = for {
     batch <- batchGen
-    perm <- Gen.const(batch).flatMap(b => Gen.pick(b.size, b.indices).map(_.toList))
-  } yield (batch, perm.map(batch))
+    seed <- Gen.choose(Long.MinValue, Long.MaxValue)
+  } yield (batch, new scala.util.Random(seed).shuffle(batch))
 
   /** Run one batch through the real operator with fresh state; returns
     * (emitted bounces, parked entry, its timeout timestamp). */
