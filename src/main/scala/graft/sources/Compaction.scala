@@ -55,6 +55,12 @@ object Compaction {
       require(fs.rename(bak, p), s"failed to restore parked backup $bak -> $p")
     }
     require(fs.getFileStatus(p).isDirectory, s"not a directory: $dir")
+    // a crash BETWEEN a successful promote and the backup delete leaves a
+    // stale full copy parked at bak while dir is healthy; the no-op path
+    // below would then never reach the cleanup, leaking a whole partition
+    // copy forever — and a later retention delete of dir would let the
+    // recovery branch resurrect deleted data from it (review find)
+    if (fs.exists(bak)) fs.delete(bak, true)
     val files = dataFiles(fs, p)
     val before = files.length
     val n = math.max(1, math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toInt)

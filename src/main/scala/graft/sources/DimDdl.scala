@@ -60,10 +60,27 @@ object DimDdl {
     val pk = Option(sinkPk).filter(_.nonEmpty).getOrElse("id")
     val target = s"$SchemaName.`$sinkTable`"
     val dataCols = spark.table(target).columns.filter(_ != "pk_bucket")
-    val incoming = batch
-      .select(dataCols.toIndexedSeq.map(c => element_at(col("data_pruned"), c).as(c)): _*)
+    // try_element_at: the table's column set accretes via config (and the
+    // pk may be prepended by ensureTable), so a batch row's map can lack
+    // any of them — under ANSI mode plain element_at would kill the batch;
+    // the intended value for an absent key is null
+    val incoming0 = batch
+      .select(dataCols.toIndexedSeq.map(c =>
+        expr(s"try_element_at(data_pruned, '$c')").as(c)): _*)
       .filter(col(pk).isNotNull) // a dim row without its pk is undeliverable
-      .dropDuplicates(pk)
+    // deterministic last-write-wins: dropDuplicates keeps an ARBITRARY
+    // within-batch row (and a replay can keep a different one, leaving the
+    // store divergent across retries). Rank by the full payload — the same
+    // replay-stable intra-batch order CdcRouter.processBatch uses.
+    val payloadOrder = dataCols.toIndexedSeq.filter(_ != pk) match {
+      case Seq() => Seq(org.apache.spark.sql.functions.lit(1).asc)
+      case cs => cs.map(c => col(c).desc_nulls_last)
+    }
+    val winner = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(pk)).orderBy(payloadOrder: _*)
+    val incoming = incoming0
+      .withColumn("__rn", row_number().over(winner)).filter(col("__rn") === 1)
+      .drop("__rn")
       .withColumn("pk_bucket", bucketOf(col(pk)))
     // bucket ids, not data: bounded by NumBuckets, safe to collect
     val touched = incoming.select("pk_bucket").distinct()
@@ -76,8 +93,17 @@ object DimDdl {
       .unionByName(incoming)
       .select((dataCols.toIndexedSeq :+ "pk_bucket").map(col): _*) // insertInto is positional
     // stage to a scratch dir (Spark cannot overwrite partitions it is
-    // reading) — O(touched buckets) I/O, not O(table)
-    val scratch = java.nio.file.Files.createTempDirectory("dim_upsert").toString
+    // reading) — O(touched buckets) I/O, not O(table). The scratch lives
+    // on the SHARED FileSystem next to the warehouse (a driver-local
+    // java.nio temp dir breaks on a multi-node cluster: executors would
+    // write file:// paths on their own machines — review find; same
+    // discipline as Compaction's dot-prefixed scratch)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val scratchPath = new org.apache.hadoop.fs.Path(
+      warehouse, s".dim_upsert_${sinkTable}_${System.nanoTime()}")
+    val fs = scratchPath.getFileSystem(hconf)
+    val scratch = scratchPath.toString
     merged.write.mode("overwrite").parquet(scratch)
     // session conf, not writer option: insertInto ignores the per-write
     // partitionOverwriteMode option on catalog tables
@@ -91,15 +117,8 @@ object DimDdl {
         case None => spark.conf.unset(key)
       }
       // a long-running CDC stream calls upsert every micro-batch: the
-      // scratch copy must not accumulate in the temp filesystem. The walk
-      // stream holds an open directory handle until closed — with one call
-      // per micro-batch those would pile up until GC, so close it explicitly.
-      import java.nio.file.{Files, Path}
-      import java.util.Comparator
-      scala.util.Using.resource(Files.walk(Path.of(scratch))) { walk =>
-        walk.sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p))
-      }
+      // scratch copy must not accumulate on the shared filesystem
+      fs.delete(scratchPath, true)
     }
   }
 }

@@ -53,7 +53,15 @@ object BounceDetect {
     pending match {
       case Some(p) =>
         state.update(p)
-        state.setTimeoutTimestamp(p.ts + BounceWindowMs)
+        // clamp to just past the current watermark: registering a timeout
+        // AT or BEFORE the watermark throws IllegalArgumentException and
+        // kills the query — reachable via a straggler entry whose 10 s
+        // window already elapsed (watermark >= ts + 10 s). The clamp fires
+        // the timeout in the next batch instead: the entry had no
+        // successor inside its window, so the immediate bounce emission is
+        // exactly the right answer, just delivered late.
+        val wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(math.max(p.ts + BounceWindowMs, wm + 1))
       case None if state.exists => state.remove()
       case None =>
     }

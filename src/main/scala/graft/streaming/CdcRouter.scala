@@ -43,7 +43,14 @@ object CdcRouter {
         map_filter(col("data_map"), (k, _) => array_contains(col("cols"), k)))
       .select(col("database"), col("table"), col("type"),
         col("sink_type"), col("sink_table"), col("sink_pk"),
-        to_json(col("data_pruned")).as("data"), col("data_pruned"))
+        to_json(col("data_pruned")).as("data"), col("data_pruned"),
+        // pk from the UNPRUNED envelope: a config whose sink_columns list
+        // omits the pk (DimDdl.ensureTable explicitly supports it by
+        // prepending the column) leaves no pk key in data_pruned — under
+        // ANSI mode element_at would kill the micro-batch, and with ANSI
+        // off every dim row would collapse onto pk NULL. try_element_at
+        // keeps a malformed envelope a null-pk row, not a query failure.
+        expr("try_element_at(data_map, sink_pk)").as("pk"))
 
   /** One micro-batch of routing: facts appended per-topic (partitioned by
     * sink_table ≈ dynamic-topic Kafka sink), dims upserted by primary key
@@ -67,10 +74,10 @@ object CdcRouter {
       // deterministic winner (the reference has Kafka offset order; a file
       // batch does not) — rank by payload for a stable, replay-identical
       // intra-batch order, and let dimSnapshot take the highest
-      val dimSeq = Window.partitionBy(col("sink_table"),
-        element_at(col("data_pruned"), col("sink_pk"))).orderBy(col("data"))
+      val dimSeq = Window.partitionBy(col("sink_table"), col("pk"))
+        .orderBy(col("data"))
       val dims = routed.filter(col("sink_type") === "hbase")
-        .select(col("sink_table"), element_at(col("data_pruned"), col("sink_pk")).as("pk"),
+        .select(col("sink_table"), col("pk"),
           col("data"), lit(batchId).as("batch_id"),
           row_number().over(dimSeq).as("seq"))
       dims.write.mode("append").partitionBy("sink_table").parquet(s"$outDir/dims_log")

@@ -45,13 +45,18 @@ object LogSchema {
       hasStart: Boolean,
       ts: Long)
 
-  /** Project the parsed envelope to the typed shape (null-safe). */
+  /** Project the parsed envelope to the typed shape (null-safe). A
+    * malformed JSON line parses to an all-null struct; LogEvent.ts is a
+    * primitive Long, so a null ts would kill the typed decode of every
+    * stateful pipeline built on this — drop such rows instead (the
+    * reference's dirty-data side-output drops them too). */
   def toEvents(parsed: DataFrame): DataFrame =
-    parsed.select(
-      col("common.mid").as("mid"),
-      coalesce(col("common.is_new"), lit("")).as("isNew"),
-      coalesce(col("page.page_id"), lit("")).as("pageId"),
-      coalesce(col("page.last_page_id"), lit("")).as("lastPageId"),
-      col("start").isNotNull.as("hasStart"),
-      col("ts"))
+    parsed.filter(col("ts").isNotNull && col("common.mid").isNotNull)
+      .select(
+        col("common.mid").as("mid"),
+        coalesce(col("common.is_new"), lit("")).as("isNew"),
+        coalesce(col("page.page_id"), lit("")).as("pageId"),
+        coalesce(col("page.last_page_id"), lit("")).as("lastPageId"),
+        col("start").isNotNull.as("hasStart"),
+        col("ts"))
 }

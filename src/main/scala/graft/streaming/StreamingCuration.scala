@@ -30,7 +30,12 @@ object StreamingCuration {
       .withColumn("n_tokens", expr("CAST(size(toks) AS BIGINT)"))
       .withColumn("uniq_ratio", expr(
         "CASE WHEN size(toks) > 0 THEN CAST(size(array_distinct(toks)) AS DOUBLE) / size(toks) ELSE CAST(0 AS DOUBLE) END"))
-      .withColumn("keep", col("n_tokens").between(3, 5000) && col("uniq_ratio") >= 0.2)
+      // coalesce(false): for text=null every ratio is null and a raw null
+      // keep would fail BOTH the kept filter and the NOT-kept filter —
+      // the doc would vanish from the audit trail entirely instead of
+      // landing in rejected (review find)
+      .withColumn("keep", coalesce(
+        col("n_tokens").between(3, 5000) && col("uniq_ratio") >= 0.2, lit(false)))
       .drop("toks")
 
   /** One micro-batch: quality-score, gate against the historical corpus
@@ -112,7 +117,13 @@ object StreamingCuration {
       historical: Option[BloomFilter] = None): StreamingQuery = {
     val histB = historical.map(spark.sparkContext.broadcast(_))
     val deduped = raw
-      .withColumn("digest", digestCol)
+      // null text digests to null, and dropDuplicatesWithinWatermark would
+      // collapse EVERY null-text doc in the horizon into one surviving
+      // row, hiding the rest from the rejected audit log — give each a
+      // distinct per-doc sentinel digest instead (they can never be
+      // content-duplicates of anything)
+      .withColumn("digest",
+        coalesce(digestCol, concat(lit("null-text-"), col("doc_id"))))
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("digest")
     deduped.writeStream

@@ -26,13 +26,53 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamingHeavyHitters {
 
-  /** Driver-held running sketch, merged once per micro-batch. */
-  final class Tracker extends Serializable {
+  /** Driver-held running sketch, merged once per micro-batch.
+    *
+    * Failure semantics (review find): the streaming query checkpoints its
+    * OFFSETS, so a bare in-memory sketch would silently lose all pre-crash
+    * counts on restart (offsets resume, batches never replay) and
+    * double-count a batch replayed after an uncommitted attempt. With
+    * `stateDir` set the tracker is exactly-once across both: the sketch +
+    * last-applied batch id persist atomically (write-temp + rename on the
+    * shared FileSystem) after every merge, a fresh Tracker restores them,
+    * and `update` skips any batch id at or below the restored one. */
+  final class Tracker(stateDir: Option[String] = None) extends Serializable {
     val agg = new CountMin()
     @volatile var sketch: Array[Long] = agg.zero
+    @volatile private var lastBatchId: Long = -1L
 
-    /** Fold one micro-batch of documents (column `text`) into the sketch. */
-    def update(batch: DataFrame): Unit = {
+    restore()
+
+    private def statePath = new org.apache.hadoop.fs.Path(stateDir.get, "cms_state.bin")
+
+    private def restore(): Unit = stateDir.foreach { _ =>
+      val fs = statePath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      if (fs.exists(statePath)) {
+        val in = new java.io.DataInputStream(fs.open(statePath))
+        try {
+          lastBatchId = in.readLong()
+          sketch = Array.fill(CountMin.Depth * CountMin.Width + 1)(in.readLong())
+        } finally in.close()
+      }
+    }
+
+    private def persist(): Unit = stateDir.foreach { _ =>
+      val fs = statePath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val tmp = statePath.suffix(".tmp")
+      val out = new java.io.DataOutputStream(fs.create(tmp, true))
+      try {
+        out.writeLong(lastBatchId)
+        sketch.foreach(out.writeLong)
+      } finally out.close()
+      fs.delete(statePath, false)
+      require(fs.rename(tmp, statePath), s"could not publish $statePath")
+    }
+
+    /** Fold one micro-batch of documents (column `text`) into the sketch.
+      * `batchId >= 0` enables replay idempotence (skip already-applied
+      * ids); the default -1 applies unconditionally (ad-hoc batch use). */
+    def update(batch: DataFrame, batchId: Long = -1L): Unit = {
+      if (batchId >= 0 && batchId <= lastBatchId) return // replayed batch
       val s = batch.sparkSession
       graft.functions.HashExpressions.register(s)
       import s.implicits._
@@ -46,6 +86,7 @@ object StreamingHeavyHitters {
       // sketch (some counters updated, others not) despite the volatile
       // reference — copy-on-write gives readers snapshot isolation
       sketch = agg.merge(sketch.clone(), partial)
+      if (batchId >= 0) { lastBatchId = batchId; persist() }
     }
 
     def totalTokens: Long = sketch(CountMin.Depth * CountMin.Width)
@@ -66,12 +107,13 @@ object StreamingHeavyHitters {
     }
   }
 
-  /** Wire a document stream into a tracker via foreachBatch. */
+  /** Wire a document stream into a tracker via foreachBatch (batch ids
+    * flow through so the tracker's replay/restart guarantees hold). */
   def start(stream: Dataset[_], tracker: Tracker, checkpointDir: String): StreamingQuery =
     stream.toDF().writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        tracker.update(batch.toDF())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        tracker.update(batch.toDF(), batchId)
       }
       .start()
 }

@@ -35,10 +35,17 @@ object UniqueVisits {
       .sortBy(_.ts)
     var lastDt = state.getOption.getOrElse("")
     var maxTs = 0L
+    // STRICTLY-GREATER day comparison (ISO strings order lexicographically):
+    // a cross-batch straggler from an already-emitted earlier day must not
+    // re-emit that day NOR regress the state — `!=` did both, inflating the
+    // day's UV and then double-emitting the next current-day entry (review
+    // find). The trade: a genuinely-first earlier-day entry arriving after
+    // a later day was emitted is suppressed — an undercount of at most one
+    // straggler visit vs the old systematic double-count.
     val out = entries.filter { e =>
       if (e.ts > maxTs) maxTs = e.ts
       val dt = dayOf(e.ts)
-      if (dt != lastDt) { lastDt = dt; true } else false
+      if (dt > lastDt) { lastDt = dt; true } else false
     }
     if (lastDt.nonEmpty && maxTs > 0L) {
       state.update(lastDt)

@@ -54,4 +54,22 @@ class StreamingHeavyHittersSpec extends SparkSpec {
     tracker.update(Seq.fill(50)("alpha beta gamma delta").toDF("text"))
     assert(tracker.sketch.length == CountMin.Depth * CountMin.Width + 1)
   }
+
+  test("replayed batch ids are idempotent and a restarted tracker restores the sketch") {
+    val stateDir = tmpDir("shhstate")
+    val t1 = new StreamingHeavyHitters.Tracker(Some(stateDir))
+    t1.update(b1.toDF("text"), batchId = 0L)
+    val afterB1 = t1.sketch.toSeq
+    // a replay of the committed batch must be a no-op, not a double count
+    t1.update(b1.toDF("text"), batchId = 0L)
+    assert(t1.sketch.toSeq == afterB1, "replayed batch must not double-count")
+    t1.update(b2.toDF("text"), batchId = 1L)
+    // crash/restart: a fresh tracker on the same state dir resumes exactly
+    val t2 = new StreamingHeavyHitters.Tracker(Some(stateDir))
+    assert(t2.sketch.toSeq == t1.sketch.toSeq,
+      "restored sketch must be bit-identical to the pre-restart state")
+    t2.update(b2.toDF("text"), batchId = 1L) // replay across restart
+    assert(t2.sketch.toSeq == t1.sketch.toSeq)
+    assert(t2.totalTokens == (b1 ++ b2).flatMap(_.split(" ")).count(_.nonEmpty).toLong)
+  }
 }
