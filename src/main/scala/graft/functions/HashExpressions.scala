@@ -161,17 +161,22 @@ object HashExpressions {
     out
   }
 
-  /** Distinct rolling char-5-gram hashes of the ASCII-lowercased string. */
+  /** Distinct rolling char-5-gram hashes of the lowercased string.
+    * CODE POINTS, not UTF-16 units, and Unicode simple lowercase — the
+    * dedup_ngram_jaccard oracle walks ascii(substr(lower(text), i, 1)),
+    * i.e. one code point per position with DuckDB's lower() (review
+    * find: the old ASCII-only fold left 'É' unfolded and split astral
+    * chars into two surrogates). Full case folding (e.g. U+0130 mapping
+    * to two code points) stays out of contract on both engines. */
   private[functions] def gram5Hashes(s: UTF8String): Array[Long] = {
     val str = s.toString
-    val n = str.length
+    val cps = str.codePoints().toArray
+    val n = cps.length
     if (n < 5) return Array.emptyLongArray
     val codes = new Array[Long](n)
     var i = 0
     while (i < n) {
-      var c = str.charAt(i)
-      if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
-      codes(i) = c.toInt
+      codes(i) = Character.toLowerCase(cps(i)).toLong
       i += 1
     }
     val seen = new mutable.LinkedHashSet[Long]
@@ -229,12 +234,16 @@ object HashExpressions {
   /** Raw-character polynomial hash (base 31 mod P) over the UNlowered
     * string — the whole-document fingerprint arithmetic. */
   def evalPolyHash(s: UTF8String): Long = {
+    // CODE POINTS (the oracle folds ascii(substr(text, i, 1)) — one code
+    // point per position); UTF-16 units would hash an astral char as two
+    // surrogates and break fingerprint parity (review find)
     val str = s.toString
     var h = 0L
     var i = 0
     while (i < str.length) {
-      h = (h * 31 + str.charAt(i).toInt) % P
-      i += 1
+      val cp = str.codePointAt(i)
+      h = (h * 31 + cp) % P
+      i += Character.charCount(cp)
     }
     h
   }
@@ -268,11 +277,18 @@ object HashExpressions {
     }
     var i = 0
     while (i < str.length) {
-      val c0 = str.charAt(i)
+      // advance by CODE POINT: the n_punct oracle is length() of a
+      // regexp_replace'd string, which counts code points — an astral
+      // char must count once, not twice (review find)
+      val cp = str.codePointAt(i)
+      val c0 = if (cp < 128) cp.toChar else ' '
       val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
-      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c) else flush()
-      if (!((c0 >= 'a' && c0 <= 'z') || (c0 >= '0' && c0 <= '9') || c0 == ' ')) nPunct += 1
-      i += 1
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
+      else flush()
+      val isAlnumOrSpace =
+        (cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9') || cp == ' '
+      if (!isAlnumOrSpace) nPunct += 1
+      i += Character.charCount(cp)
     }
     flush()
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](

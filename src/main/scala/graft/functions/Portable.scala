@@ -57,9 +57,15 @@ object Portable {
        | t -> aggregate(transform(sequence(1, length(t)), i -> bigint(ascii(substring(t, i, 1)))),
        |   bigint(0), (h, ch) -> (h * 31 + ch) % ${P}L))""".stripMargin
 
-  /** 3-token shingle hashes from a token-hash array column name. */
+  /** 3-token shingle hashes from a token-hash array column name. The
+    * short-doc guard must be a CASE, not sequence(1, greatest(n, 0)):
+    * Spark's sequence STEPS DOWN when start > stop, so sequence(1, 0) is
+    * [1, 0] and element_at(th, 0) throws INVALID_INDEX_OF_ZERO (review
+    * find; the native ShingleSetExpr path was never affected). */
   def shingleSql(th: String): String =
-    s"""array_distinct(transform(sequence(1, greatest(size($th) - 2, 0)),
+    s"""array_distinct(transform(
+       | CASE WHEN size($th) >= 3 THEN sequence(1, size($th) - 2)
+       |      ELSE CAST(array() AS array<int>) END,
        | i -> ((element_at($th, i) * 31 + element_at($th, i + 1)) % ${P}L * 31
        |        + element_at($th, i + 2)) % ${P}L))""".stripMargin
 }

@@ -467,8 +467,8 @@ object Analytics {
     // total shipped quantity exceeds 50% of a correlated average ------------
     "q21_correlated_subquery" -> QueryDef(
       (s, dir) => {
-        Tables.load(s, dir, "lineitem").createOrReplaceTempView(s"cs_lineitem")
-        Tables.load(s, dir, "part").createOrReplaceTempView(s"cs_part")
+        Tables.load(s, dir, "lineitem").createOrReplaceTempView("cs_lineitem")
+        Tables.load(s, dir, "part").createOrReplaceTempView("cs_part")
         s.sql(
           """SELECT p_partkey, p_brand
             |FROM cs_part
@@ -511,8 +511,8 @@ object Analytics {
     // ---- IN-subquery with aggregate HAVING (semi-join after agg) ----------
     "q23_in_subquery" -> QueryDef(
       (s, dir) => {
-        Tables.load(s, dir, "lineitem").createOrReplaceTempView(s"in_lineitem")
-        Tables.load(s, dir, "orders").createOrReplaceTempView(s"in_orders")
+        Tables.load(s, dir, "lineitem").createOrReplaceTempView("in_lineitem")
+        Tables.load(s, dir, "orders").createOrReplaceTempView("in_orders")
         s.sql(
           """SELECT o_orderpriority, COUNT(*) AS n
             |FROM in_orders
@@ -592,11 +592,10 @@ object Analytics {
     "q27_first_last" -> QueryDef(
       (s, dir) => {
         val o = Tables.load(s, dir, "orders")
-        val w = org.apache.spark.sql.expressions.Window
+        val w = Window
           .partitionBy(col("o_custkey"))
           .orderBy(col("o_orderdate"), col("o_orderkey"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         o.select(col("o_custkey"), col("o_orderkey"),
             first(col("o_totalprice")).over(w).as("first_price"),
             last(col("o_totalprice")).over(w).as("last_price"),

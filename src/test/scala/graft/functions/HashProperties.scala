@@ -124,6 +124,21 @@ object HashProperties extends Properties("graft.hash") {
       bounds == direct
     }
 
+  property("polyhash folds code points: an astral char is ONE term, not two surrogates") = {
+    val cps = "a😀b".codePoints().toArray // a 😀 b -> [97, 128512, 98]
+    val expected = cps.foldLeft(0L)((h, cp) => (h * 31 + cp) % HashExpressions.P)
+    Prop(HashExpressions.evalPolyHash(UTF8String.fromString("a😀b")) == expected)
+  }
+
+  property("gram5 folds lowercased code points (É -> é, astral chars one position)") = {
+    val s = "École😀x" // École😀x: 8 code points -> 4 grams
+    val cps = s.codePoints().map(Character.toLowerCase).toArray
+    val expected = (0 to cps.length - 5).map { i =>
+      (i until i + 5).foldLeft(0L)((h, k) => (h * 31 + cps(k)) % HashExpressions.P)
+    }.distinct.toSet
+    Prop(HashExpressions.gram5Hashes(UTF8String.fromString(s)).toSet == expected)
+  }
+
   property("jaccard symmetry on gram sets") = forAll(text, text) { (s1, s2) =>
     val a = HashExpressions.gram5Hashes(UTF8String.fromString(s1)).toSet
     val b = HashExpressions.gram5Hashes(UTF8String.fromString(s2)).toSet
