@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Sorted, Tables}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import scala.collection.immutable.ListMap
 
@@ -346,8 +347,13 @@ object CorpusOps {
         graft.functions.HashExpressions.register(s)
         import graft.functions.CountMin
         import s.implicits._
+        // persisted: the exploded term stream feeds BOTH the sketch fold and
+        // the dictionary distinct — without this the corpus is scanned,
+        // regex-tokenized and exploded twice per run (the dominant cost at
+        // scale; same shape as boilerplate_flag's persisted shingle frame)
         val toks = Tables.load(s, dir, "documents")
           .select(explode(expr(toksExpr)).as("term"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
         val sketch = toks.selectExpr("graft_polyhash(term) AS h").as[Long]
           .select(new CountMin().toColumn).toDF("cms")
         val dict = toks.distinct()

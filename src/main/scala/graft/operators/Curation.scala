@@ -34,10 +34,13 @@ object Curation {
     // the configured parallelism.)
     val spKey = "spark.sql.shuffle.partitions"
     val prevSp = sess.conf.get(spKey)
-    val nEdges = edges.count()
-    val p = math.max(1L, math.min(prevSp.toLong, nEdges / 100000L + 1L)).toInt
-    sess.conf.set(spKey, p.toString)
     try {
+      // inside the try: the count is the first job over the persisted edge
+      // frame, so its failure (or a non-numeric conf value) must reach the
+      // finally and unpersist, same as a failed propagation round
+      val nEdges = edges.count()
+      val p = math.max(1L, math.min(prevSp.toLong, nEdges / 100000L + 1L)).toInt
+      sess.conf.set(spKey, p.toString)
       var labels: DataFrame = edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id"))
       // min-label propagation strictly decreases sum(label) until fixpoint,

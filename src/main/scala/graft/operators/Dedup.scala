@@ -76,13 +76,24 @@ object Dedup {
        |  x -> (x * ($MIX + ${graft.functions.Portable.LANE} * j) + 98765432 + 1234577 * j) % $P61))) AS sig
        |  FROM sh)""".stripMargin
 
+  /** Banding CTE over `sig` — 4 bands x 4 lanes, the LSH recall knob.
+    * ONE definition: a band-count/width retune (the dae9541 class of
+    * change) must move every oracle that bands, or a stale copy silently
+    * desynchronizes an oracle from the Spark plan it checks. */
+  private[operators] val duckBandsCte: String =
+    """bands AS (SELECT doc_id, b.band AS band,
+      |   concat_ws('_', sig[b.band * 4 + 1], sig[b.band * 4 + 2], sig[b.band * 4 + 3], sig[b.band * 4 + 4]) AS key
+      |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b)""".stripMargin
+
+  /** In-bucket candidate pairs (doc_a < doc_b) from [[duckBandsCte]]. */
+  private[operators] val duckCandCte: String =
+    """cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
+
   private[operators] def duckPairsCtes: String =
     s"""$duckSigCtes,
-       |bands AS (SELECT doc_id, b.band AS band,
-       |   concat_ws('_', sig[b.band * 4 + 1], sig[b.band * 4 + 2], sig[b.band * 4 + 3], sig[b.band * 4 + 4]) AS key
-       |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b),
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |$duckBandsCte,
+       |$duckCandCte,
        |pairs AS (SELECT doc_a, doc_b,
        |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
        |   / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
@@ -149,11 +160,8 @@ object Dedup {
           .transform(graft.Sorted.byNames(_, "doc_a", "doc_b"))
       },
       s"""WITH $duckSigCtes,
-         |bands AS (SELECT doc_id, b.band AS band,
-         |   concat_ws('_', sig[b.band * 4 + 1], sig[b.band * 4 + 2], sig[b.band * 4 + 3], sig[b.band * 4 + 4]) AS key
-         |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |$duckBandsCte,
+         |$duckCandCte
          |SELECT doc_a, doc_b,
          |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
          |   / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
@@ -234,11 +242,8 @@ object Dedup {
           .transform(graft.Sorted.byNames(_, "doc_id"))
       },
       s"""WITH $duckSigCtes,
-         |bands AS (SELECT doc_id, b.band AS band,
-         |   concat_ws('_', sig[b.band * 4 + 1], sig[b.band * 4 + 2], sig[b.band * 4 + 3], sig[b.band * 4 + 4]) AS key
-         |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |$duckBandsCte,
+         |$duckCandCte,
          |dup AS (SELECT DISTINCT doc_b AS doc_id
          |  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
          |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
@@ -537,9 +542,7 @@ object Dedup {
           .transform(graft.Sorted.byNames(_, "doc_id"))
       },
       s"""WITH $duckSigCtes,
-         |bands AS (SELECT doc_id, b.band AS band,
-         |   concat_ws('_', sig[b.band * 4 + 1], sig[b.band * 4 + 2], sig[b.band * 4 + 3], sig[b.band * 4 + 4]) AS key
-         |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b),
+         |$duckBandsCte,
          |cand AS (SELECT DISTINCT a.doc_id AS b_id, b.doc_id AS h_id
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
          |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),

@@ -75,11 +75,16 @@ object Graph {
       .agg(max(struct(col("vw"), (-col("lbl")).as("nl"))).as("top"))
       .select(col("u").as("page"), (-col("top.nl")).as("lbl"))
 
-  /** Shared DuckDB CTE chain ending in `edges(src, dst, w)`. */
+  /** Shared DuckDB CTE chain ending in `edges(src, dst, w)`. The extract
+    * must not couple to ONE exact JSON serialization: Spark parses props
+    * with get_json_object (any valid JSON), so the oracle regex allows
+    * optional whitespace after the colon, and NULLIF keeps a props row
+    * WITHOUT `k` a NULL src (matching Spark) instead of a hard
+    * CAST('' AS BIGINT) error. */
   private val duckEdges: String =
     """ev AS (
       |  SELECT user_id, ts, event_id,
-      |    CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+      |    CAST(NULLIF(regexp_extract(props, '"k":\s*([0-9]+)', 1), '') AS BIGINT) AS k
       |  FROM events),
       |hops AS (
       |  SELECT k AS src,

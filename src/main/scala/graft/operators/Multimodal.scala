@@ -72,9 +72,12 @@ object Multimodal {
   def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
     import s.implicits._
     Tables.load(s, dir, "documents")
+      // coalesce: a NULL-text document must become EMPTY media bytes, not a
+      // null array that NPEs inside the codec kernels executor-side (the
+      // oracles wrap documents with the same coalesce)
       .selectExpr("doc_id",
         "element_at(array('image','audio','video'), CAST(doc_id % 3 AS INT) + 1) AS media_type",
-        "encode(text, 'UTF-8') AS content")
+        "encode(coalesce(text, ''), 'UTF-8') AS content")
       .as[MediaRow]
   }
 
@@ -151,7 +154,7 @@ object Multimodal {
         |    list_reduce(list_prepend(0::BIGINT,
         |      list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))::BIGINT)),
         |      (acc, b) -> (acc * 31 + b) % 1000000007) AS checksum
-        |  FROM documents)
+        |  FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents))
         |SELECT doc_id, media_type, byte_len,
         |  64 + (checksum % 1024)::INT AS width,
         |  64 + ((checksum // 1024) % 1024)::INT AS height,
@@ -175,7 +178,7 @@ object Multimodal {
         |  SELECT doc_id, length(text) AS n,
         |    list_transform(range(1, length(text) + 1),
         |      i -> ascii(substr(text, i, 1)) // 16) AS bins
-        |  FROM documents),
+        |  FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)),
         |hist AS (
         |  SELECT doc_id,
         |    list_transform(range(0, 16),
@@ -197,7 +200,7 @@ object Multimodal {
       """WITH m AS (
         |  SELECT doc_id, length(text) AS n,
         |    greatest(1, (length(text) + 63) // 64) AS stride
-        |  FROM documents),
+        |  FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)),
         |walk AS (
         |  SELECT doc_id, n, stride,
         |    range(1, n + 1, stride) AS idx
@@ -220,7 +223,7 @@ object Multimodal {
             sum(length(col("frame_bytes")).cast("long")).as("total_frame_bytes"))
           .orderBy("doc_id")
       },
-      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
+      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS len FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)),
         |f AS (SELECT doc_id, unnest(range(0, greatest(len - 16 + 1, 0), 64)) AS off, len
         |  FROM m WHERE len >= 16)
         |SELECT doc_id, COUNT(*) AS n_frames, MAX(off) AS last_offset,

@@ -124,7 +124,11 @@ object Retrieval {
             "graft_cosine(q_emb, embedding) AS cosine", s"$dotSql AS dot")
           .persist(StorageLevel.MEMORY_AND_DISK) // feeds BOTH rankings once
         def ranked(scoreCol: String, rankName: String): DataFrame =
-          scored.groupBy(col("q_id"))
+          // NULL score drops BEFORE the udaf (the tuple encoder would decode
+          // it as 0.0); NaN is dropped inside TopK. The oracle's ra/rb
+          // subselects mirror both with NOT coalesce(isnan(..), TRUE).
+          scored.filter(col(scoreCol).isNotNull)
+            .groupBy(col("q_id"))
             .agg(topkUdaf(20)(col(scoreCol), col("vec_id")).as("top"))
             .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
             .select(col("q_id"), col("t._2").as("vec_id"),
@@ -156,11 +160,11 @@ object Retrieval {
            |ra AS (SELECT q_id, vec_id, rank_a FROM (
            |  SELECT q_id, vec_id,
            |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank_a
-           |  FROM scored) WHERE rank_a <= 20),
+           |  FROM scored WHERE NOT coalesce(isnan(cosine), TRUE)) WHERE rank_a <= 20),
            |rb AS (SELECT q_id, vec_id, rank_b FROM (
            |  SELECT q_id, vec_id,
            |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot DESC, vec_id) AS rank_b
-           |  FROM scored) WHERE rank_b <= 20),
+           |  FROM scored WHERE NOT coalesce(isnan(dot), TRUE)) WHERE rank_b <= 20),
            |fused AS (
            |  SELECT COALESCE(ra.q_id, rb.q_id) AS q_id,
            |    COALESCE(ra.vec_id, rb.vec_id) AS vec_id,

@@ -23,27 +23,37 @@ import scala.collection.immutable.ListMap
   */
 object Similarity {
 
-  private val dotSql =
-    "aggregate(zip_with(q_emb, embedding, (x, y) -> double(x * y)), double(0), (a, b) -> a + b)"
-  private val qNormSql =
-    "aggregate(transform(q_emb, x -> double(x * x)), double(0), (a, b) -> a + b)"
   private val eNormSql =
     "aggregate(transform(embedding, x -> double(x * x)), double(0), (a, b) -> a + b)"
 
   /** DuckDB cosine between two named float-array columns — the same
-    * float-multiply / double-accumulate parity contract as graft_cosine. */
+    * float-multiply / double-accumulate parity contract as graft_cosine.
+    * Dimension comes from len() of the first column, NOT a hard-coded 64:
+    * a fixture regenerated at another dim must move both engines together
+    * (graft_cosine already adapts; a mismatched pair is NaN there and a
+    * NULL-poisoned reduce here — both dropped by the ranked-CTE NaN/NULL
+    * guard below). */
   private def duckCos(a: String, b: String): String = {
     def dot(x: String, y: String) =
-      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> ($x[i] * $y[i])::DOUBLE)), (u, v) -> u + v)"
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($x) + 1), i -> ($x[i] * $y[i])::DOUBLE)), (u, v) -> u + v)"
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
   }
 
   private val duckDot =
-    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> (q_emb[i] * embedding[i])::DOUBLE)), (a, b) -> a + b)"
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q_emb) + 1), i -> (q_emb[i] * embedding[i])::DOUBLE)), (a, b) -> a + b)"
   private val duckQNorm =
-    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> (q_emb[i] * q_emb[i])::DOUBLE)), (a, b) -> a + b)"
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q_emb) + 1), i -> (q_emb[i] * q_emb[i])::DOUBLE)), (a, b) -> a + b)"
   private val duckENorm =
-    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), i -> (embedding[i] * embedding[i])::DOUBLE)), (a, b) -> a + b)"
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(embedding) + 1), i -> (embedding[i] * embedding[i])::DOUBLE)), (a, b) -> a + b)"
+
+  /** The oracle-side mirror of [[graft.functions.TopK]]'s NaN drop: a
+    * zero-norm vector's cosine is 0/0 = NaN, which BOTH engines order
+    * FIRST under `ORDER BY cosine DESC` — but TopK discards it (its
+    * comparator is not total under NaN), so every ROW_NUMBER-ranked oracle
+    * must discard it too or the two top-k sets diverge on the first
+    * degenerate vector. NULL (length-mismatch poisoning, null embedding)
+    * falls out of the same predicate. */
+  private val duckRankable = "NOT coalesce(isnan(cosine), TRUE)"
 
   /** Scale-safe top-k per query via the bounded [[graft.functions.TopK]]
     * Aggregator: ONE partial+final aggregation — every map task reduces its
@@ -61,6 +71,11 @@ object Similarity {
       Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
     val keyCols = ("q_id" +: groupCols).map(col)
     scored
+      // NULL score (null embedding input) must drop BEFORE the udaf: the
+      // tuple encoder decodes a null Double as 0.0, which would rank a
+      // degenerate row as a real 0-cosine neighbor; NaN is dropped inside
+      // TopK itself. The oracle mirrors both via duckRankable.
+      .filter(col("cosine").isNotNull)
       .groupBy(keyCols: _*)
       .agg(topk(col("cosine"), col("vec_id")).as("top"))
       .select(keyCols :+ posexplode(col("top")).as(Seq("pos", "t")): _*)
@@ -94,7 +109,7 @@ object Similarity {
          |ranked AS (
          |  SELECT q_id, vec_id, cosine,
          |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
-         |  FROM scored)
+         |  FROM scored WHERE $duckRankable)
          |SELECT q_id, vec_id, rank, cosine FROM ranked
          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
 
@@ -122,7 +137,7 @@ object Similarity {
          |ranked AS (
          |  SELECT q_id, vec_id, label, cosine,
          |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
-         |  FROM scored)
+         |  FROM scored WHERE $duckRankable)
          |SELECT q_id, vec_id, label, rank, cosine FROM ranked
          |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin),
 
@@ -179,7 +194,7 @@ object Similarity {
          |  FROM q JOIN ce ON cell = q_cell AND vec_id != q_id),
          |ranked AS (SELECT q_id, cell, vec_id, cosine,
          |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
-         |  FROM scored)
+         |  FROM scored WHERE $duckRankable)
          |SELECT q_id, cell, vec_id, rank, cosine FROM ranked
          |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin),
 
@@ -248,7 +263,7 @@ object Similarity {
          |  FROM q JOIN ce ON ce.cell = q.probe_cell AND ce.vec_id != q.q_id),
          |ranked AS (SELECT q_id, cell, vec_id, cosine,
          |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
-         |  FROM scored)
+         |  FROM scored WHERE $duckRankable)
          |SELECT q_id, cell, vec_id, rank, cosine FROM ranked
          |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin),
 
@@ -418,14 +433,14 @@ object Similarity {
          |ivf AS (SELECT q_id, vec_id FROM (
          |    SELECT q_id, vec_id,
          |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
-         |    FROM iscored) WHERE rank <= 3),
+         |    FROM iscored WHERE $duckRankable) WHERE rank <= 3),
          |tscored AS (SELECT q.q_id, e.vec_id,
          |    ${duckCos("q_emb", "embedding")} AS cosine
          |  FROM q JOIN embeddings e ON e.vec_id != q.q_id),
          |truth AS (SELECT q_id, vec_id FROM (
          |    SELECT q_id, vec_id,
          |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
-         |    FROM tscored) WHERE rank <= 3)
+         |    FROM tscored WHERE $duckRankable) WHERE rank <= 3)
          |SELECT t.q_id, COUNT(i.vec_id) AS n_hits,
          |  CAST(COUNT(i.vec_id) AS DOUBLE) / 3 AS recall_at_3
          |FROM truth t LEFT JOIN ivf i ON i.q_id = t.q_id AND i.vec_id = t.vec_id
