@@ -24,7 +24,14 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $t failed: ${Option(e.getMessage).getOrElse("").take(120)}")
       })
-    val names = SparkEntry.queries.keys.toSeq
+    // optional comma-separated subset for local iteration (the driver sets
+    // nothing and measures the full registry)
+    val names = sys.env.get("SPARK_GRAFT_BENCH_QUERIES") match {
+      case Some(f) =>
+        val want = f.split(',').map(_.trim).filter(_.nonEmpty).toSet
+        SparkEntry.queries.keys.toSeq.filter(want)
+      case None => SparkEntry.queries.keys.toSeq
+    }
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     val gcs = scala.collection.mutable.Map.empty[String, List[Double]]

@@ -213,19 +213,23 @@ object Similarity {
         val emb = Tables.load(s, dir, "embeddings")
         val cents = emb.filter(col("vec_id") < 4)
           .selectExpr("vec_id AS c_id", "embedding AS c_emb")
-        // centroid sims persisted slim: feeds the data-side argmax
-        // assignment AND the query-side top-2 probe ranking
-        val centSim = emb.crossJoin(broadcast(cents))
+        def centSim(of: DataFrame): DataFrame = of.crossJoin(broadcast(cents))
           .selectExpr("vec_id", "c_id", "graft_cosine(c_emb, embedding) AS sim")
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val assigned = centSim
+        // persist the N-row ASSIGNMENT, not the 4N-row similarity frame:
+        // assignment feeds both the cell join and the final cell re-attach,
+        // while the probe ranking only needs the 8 query vectors' sims —
+        // recomputing those 32 cosines is free, caching 4x the corpus to
+        // share them is not (measured 1.9x vs the recorded median before
+        // this change). Same argmax expression both paths -> bit-identical.
+        val assigned = centSim(emb)
           .groupBy(col("vec_id"))
           .agg(max(struct(col("sim"), (-col("c_id")).as("nc"))).as("m"))
           .select(col("vec_id"), (-col("m.nc")).as("cell"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
         val cellEmb = emb.join(assigned, "vec_id")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("c_id"))
-        val probes = centSim.filter(col("vec_id") < 8)
+        val probes = centSim(emb.filter(col("vec_id") < 8))
           .withColumn("probe", row_number().over(w))
           .filter(col("probe") <= 2)
           .selectExpr("vec_id AS q_id", "c_id AS probe_cell")
