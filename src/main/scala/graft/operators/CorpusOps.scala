@@ -412,6 +412,50 @@ object CorpusOps {
         |SELECT doc_id, i AS chunk_idx,
         |  CAST(length(substr(text, i * 192 + 1, 256)) AS BIGINT) AS chunk_len,
         |  md5(substr(text, i * 192 + 1, 256)) AS chunk_md5
-        |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin)
+        |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin),
+
+    // ---- DSIR-style importance resampling: rank documents by how much
+    // their token distribution resembles a TARGET slice (here lang='en')
+    // relative to the full corpus — the data-selection recipe of Xie et
+    // al.'s DSIR, with hashed-ngram likelihood ratios simplified to
+    // per-token integer ratio weights so both engines agree bitwise
+    // (w = tc*1e6 div sc is exact; the float log-likelihood sum is
+    // order-dependent and engine-divergent). Scale shape: ONE tokenize +
+    // explode pass persisted; both frequency tables are partial+final
+    // aggs over it (vocab-sized results); weights re-enter as a
+    // dictionary-sized broadcast onto the same persisted stream (swap to
+    // a shuffle join on term if the vocab outgrows the broadcast
+    // threshold — still dictionary-sized); per-doc score is one
+    // partial+final sum; top-50 is TakeOrderedAndProject. Docs with zero
+    // tokens have no token rows and drop from the ranking on both
+    // engines. ------------------------------------------------------------
+    "sample_importance" -> QueryDef(
+      (s, dir) => {
+        val toks = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), explode(expr(toksExpr)).as("term"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val src = toks.groupBy(col("term")).agg(count(lit(1)).as("sc"))
+        val tgt = toks.filter(col("lang") === "en")
+          .groupBy(col("term")).agg(count(lit(1)).as("tc"))
+        val weights = src.join(tgt, Seq("term"), "left")
+          .selectExpr("term", "(coalesce(tc, 0L) * 1000000L) div sc AS w")
+        toks.join(broadcast(weights), "term")
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(sum(col("w")).as("score"), count(lit(1)).as("n_toks"))
+          .selectExpr("doc_id", "lang", "n_toks", "score",
+            "score div n_toks AS score_per_tok")
+          .orderBy(col("score_per_tok").desc, col("doc_id"))
+          .limit(50)
+      },
+      s"""WITH toks AS (SELECT doc_id, lang, unnest($duckToks) AS term FROM documents),
+         |src AS (SELECT term, COUNT(*)::BIGINT AS sc FROM toks GROUP BY term),
+         |tgt AS (SELECT term, COUNT(*)::BIGINT AS tc FROM toks WHERE lang = 'en' GROUP BY term),
+         |w AS (SELECT src.term, (coalesce(tc, 0) * 1000000) // sc AS w
+         |  FROM src LEFT JOIN tgt USING (term)),
+         |scored AS (SELECT doc_id, lang,
+         |    CAST(SUM(w.w) AS BIGINT) AS score, COUNT(*) AS n_toks
+         |  FROM toks JOIN w USING (term) GROUP BY doc_id, lang)
+         |SELECT doc_id, lang, n_toks, score, score // n_toks AS score_per_tok
+         |FROM scored ORDER BY score_per_tok DESC, doc_id LIMIT 50""".stripMargin)
   )
 }

@@ -583,6 +583,61 @@ object Similarity {
            |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
            |    FROM sf) WHERE rn = 1)
            |SELECT vec_id, cell, sim FROM af ORDER BY vec_id""".stripMargin
-      })
+      }),
+
+    // ---- SemDeDup-style semantic dedup: coarse cells (the same
+    // content-derived seed assignment as ann_ivf_probe), exact cosine
+    // pairing ONLY inside a cell, and of any pair >= 0.45 the larger
+    // vec_id drops (min-id canonical, same rule as dedup_keep_list).
+    // This is the SECOND standard embedding-dedup shape next to
+    // dedup_embedding_cosine's global SRP-LSH banding: the quadratic
+    // term is per-cell — production sizes k ~ sqrt(N) so each cell stays
+    // bounded and the cell join is an equi-shuffle on the cell id, never
+    // an all-pairs product. The cell frame is persisted once and feeds
+    // the a-side, the b-side, and the final keep join. NaN cosines
+    // (zero-norm vectors) compare greater than the threshold in BOTH
+    // engines — consistent, same contract as dedup_embedding_cosine. ------
+    "dedup_semantic" -> QueryDef(
+      (s, dir) => {
+        graft.functions.HashExpressions.register(s)
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents = emb.filter(col("vec_id") < 4)
+          .selectExpr("vec_id AS c_id", "embedding AS c_emb")
+        val assigned = emb.crossJoin(broadcast(cents))
+          .selectExpr("vec_id", "c_id", "graft_cosine(c_emb, embedding) AS sim")
+          .groupBy(col("vec_id"))
+          .agg(max(struct(col("sim"), (-col("c_id")).as("nc"))).as("m"))
+          .select(col("vec_id"), (-col("m.nc")).as("cell"))
+        val ce = emb.join(assigned, "vec_id")
+          .select(col("vec_id"), col("cell"), col("embedding"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val a = ce.selectExpr("cell", "vec_id AS id_a", "embedding AS q_emb")
+        val b = ce.selectExpr("cell", "vec_id AS id_b", "embedding")
+        val drops = a.join(b, "cell")
+          .filter(col("id_a") < col("id_b"))
+          .selectExpr("id_b", "graft_cosine(q_emb, embedding) AS cosine")
+          .filter("cosine >= 0.45")
+          .selectExpr("id_b AS vec_id", "1 AS dropped").distinct()
+        ce.join(drops, Seq("vec_id"), "left")
+          .selectExpr("vec_id", "cell", "CAST(dropped IS NULL AS INT) AS keep")
+          .transform(graft.Sorted.byNames(_, "vec_id"))
+      },
+      s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb
+         |  FROM embeddings WHERE vec_id < 4),
+         |sc AS (SELECT e.vec_id, c.c_id,
+         |    ${duckCos("c_emb", "embedding")} AS sim
+         |  FROM embeddings e CROSS JOIN cents c),
+         |asg AS (SELECT vec_id, c_id AS cell FROM (
+         |    SELECT vec_id, c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
+         |    FROM sc) WHERE rn = 1),
+         |ce AS (SELECT e.vec_id, e.embedding, a.cell
+         |  FROM embeddings e JOIN asg a USING (vec_id)),
+         |drops AS (SELECT DISTINCT b.vec_id
+         |  FROM ce a JOIN ce b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.45)
+         |SELECT ce.vec_id, ce.cell, CAST(d.vec_id IS NULL AS INT) AS keep
+         |FROM ce LEFT JOIN drops d ON ce.vec_id = d.vec_id
+         |ORDER BY ce.vec_id""".stripMargin)
   )
 }

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.{SparkSpec, SparkEntry}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Hand-computed golden vectors for the round-6 semantic-selection pair:
+  * `sample_importance` (DSIR-style integer likelihood-ratio ranking) and
+  * `dedup_semantic` (SemDeDup-style in-cell cosine dedup). The miniature
+  * fixtures are shaped like the driver parquet so the registered queries
+  * run unmodified; every expected number below is derived by hand in the
+  * comments, so a regression in the weight arithmetic, the cell
+  * assignment tie-break, or the keep rule fails with an exact diff.
+  */
+class SemanticOpsSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    val d = tmpDir("semops")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    // token frequencies: cat corpus=3 (d0:1, d1:2) en=1; dog corpus=2 en=2;
+    // fish corpus=3 (d1:1, d3:2) en=0
+    val docs = Seq(
+      Row(0L, "cat dog", "en", "s", 7L),
+      Row(1L, "cat cat fish", "de", "s", 12L),
+      Row(2L, "dog", "en", "s", 3L),
+      Row(3L, "fish fish", "de", "s", 9L))
+    spark.createDataFrame(spark.sparkContext.parallelize(docs, 1), docSchema)
+      .write.parquet(s"$d/documents.parquet")
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    // 2-d geometry: v0..v3 are the four seed centroids (the axes); v4/v5/v7
+    // sit close to one axis each (cosine ~0.995 / 0.8 to it), v6 is exactly
+    // between c1 and c2 (cosine 1/sqrt2 to both — the tie must go to the
+    // SMALLER centroid id, cell 1)
+    val embs = Seq(
+      Row(0L, Seq(1.0f, 0.0f), 0),
+      Row(1L, Seq(0.0f, 1.0f), 0),
+      Row(2L, Seq(-1.0f, 0.0f), 1),
+      Row(3L, Seq(0.0f, -1.0f), 1),
+      Row(4L, Seq(1.0f, 0.1f), 0),
+      Row(5L, Seq(0.1f, 1.0f), 0),
+      Row(6L, Seq(-1.0f, 1.0f), 1),
+      Row(7L, Seq(0.6f, -0.8f), 1))
+    spark.createDataFrame(spark.sparkContext.parallelize(embs, 1), embSchema)
+      .write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("sample_importance: integer ratio weights, exact scores, rank order") {
+    // w(cat) = 1*1e6 div 3 = 333333; w(dog) = 2*1e6 div 2 = 1000000;
+    // w(fish) = 0*1e6 div 3 = 0
+    // d0: 333333 + 1000000 = 1333333 over 2 toks -> per_tok 666666
+    // d1: 2*333333 + 0     =  666666 over 3 toks -> per_tok 222222
+    // d2: 1000000          over 1 tok            -> per_tok 1000000
+    // d3: 0                over 2 toks           -> per_tok 0
+    val rows = run("sample_importance").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == Seq(
+      (2L, "en", 1L, 1000000L, 1000000L),
+      (0L, "en", 2L, 1333333L, 666666L),
+      (1L, "de", 3L, 666666L, 222222L),
+      (3L, "de", 2L, 0L, 0L)))
+  }
+
+  test("dedup_semantic: in-cell pairs drop the larger id; ties assign to the smaller centroid") {
+    // cells: v4 -> 0 (cos ~0.995 to c0), v5 -> 1, v6 -> 1 (TIE c1/c2 at
+    // 1/sqrt2 -> smaller c_id), v7 -> 3 (cos 0.8 to c3 beats 0.6 to c0)
+    // in-cell pairs >= 0.45: (0,4)=0.995, (1,5)=0.995, (1,6)=0.707,
+    // (5,6)=0.63, (3,7)=0.8 -> drops = {4,5,6,7}; centroids all keep
+    val rows = run("dedup_semantic").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.toSeq == Seq(
+      (0L, 0L, 1), (1L, 1L, 1), (2L, 2L, 1), (3L, 3L, 1),
+      (4L, 0L, 0), (5L, 1L, 0), (6L, 1L, 0), (7L, 3L, 0)))
+  }
+}
