@@ -411,4 +411,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "pool join should broadcast the benchmark grams")
     assert(p.toLowerCase.contains("partial_count"), "overlap count is partial+final")
   }
+
+  test("sample_importance: one persisted token pass, dictionary broadcast, TakeOrdered top-k") {
+    val p = plan("sample_importance")
+    assert(nodeIds(p, "InMemoryRelation").nonEmpty,
+      "the tokenize+explode pass must be persisted (it feeds three consumers)")
+    assert(nodeIds(p, "BroadcastHashJoin").size >= 2,
+      "the vocab-sized weight table (and the freq-table join) must broadcast")
+    assert(nodeIds(p, "HashAggregate").size >= 6,
+      "three aggregations (target freq, corpus freq, per-doc score), each partial+final")
+    assert(nodeIds(p, "TakeOrderedAndProject").nonEmpty,
+      "top-50 must be TakeOrderedAndProject, never a global sort")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dedup_semantic: centroids broadcast, in-cell pairing is an equi-join, cell frame cached") {
+    val p = plan("dedup_semantic")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 4 seed centroids must broadcast for assignment")
+    assert(nodeIds(p, "InMemoryRelation").nonEmpty,
+      "the cell frame is persisted (feeds both pair sides and the keep join)")
+    // the per-cell pairing must plan as an equi-join ON the cell id (SMJ or
+    // shuffled/broadcast hash) — a CartesianProduct would mean the id_a <
+    // id_b predicate leaked into the join condition as the only key
+    assert(!p.contains("CartesianProduct"), "in-cell pairing must join on cell, never all-pairs")
+  }
 }
