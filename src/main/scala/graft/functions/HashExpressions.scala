@@ -40,16 +40,22 @@ object HashExpressions {
     var i = 0
     val n = str.length
     while (i < n) {
-      var c = str.charAt(i)
-      if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
-      val alnum = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      // CODE POINTS + Unicode simple lowercase, then the ASCII token
+      // class — the oracle tokenizes lower(text), and a few non-ASCII
+      // code points lower into [a-z] (U+212A KELVIN SIGN -> 'k'); an
+      // ASCII-only fold would split tokens the oracle keeps intact
+      // (review find). Anything still >= 128 after lowering separates
+      // on both engines ([^a-z0-9] covers it).
+      val cp = str.codePointAt(i)
+      val lc = Character.toLowerCase(cp)
+      val alnum = (lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9')
       if (alnum) {
-        h = (h * 31 + c.toInt) % P
+        h = (h * 31 + lc) % P
         inTok = true
       } else if (inTok) {
         out += h; h = 0L; inTok = false
       }
-      i += 1
+      i += Character.charCount(cp)
     }
     if (inTok) out += h
     out.result()
@@ -281,8 +287,12 @@ object HashExpressions {
       // regexp_replace'd string, which counts code points — an astral
       // char must count once, not twice (review find)
       val cp = str.codePointAt(i)
-      val c0 = if (cp < 128) cp.toChar else ' '
-      val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+      // Unicode simple lowercase FIRST, then the ASCII token class: the
+      // oracle tokenizes lower(text), and a few non-ASCII code points
+      // lower into [a-z] (U+212A KELVIN SIGN -> 'k') — an ASCII-only
+      // fold would split tokens the oracle keeps intact (review find)
+      val lc = Character.toLowerCase(cp)
+      val c = if (lc < 128) lc.toChar else ' '
       if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
       else flush()
       val isAlnumOrSpace =

@@ -46,26 +46,17 @@ object Portable {
   def tokensSql(c: String): String =
     s"filter(split(lower($c), '[^a-z0-9]+'), t -> length(t) > 0)"
 
-  /** Char-level polynomial hash (base 31 mod P) of a string SQL expression. */
-  def polyHashSql(c: String): String =
-    s"""aggregate(transform(sequence(1, length($c)), i -> bigint(ascii(substring($c, i, 1)))),
-       | bigint(0), (h, ch) -> (h * 31 + ch) % ${P}L)""".stripMargin
+  /** THE DuckDB twin of [[tokensSql]] — one definition for the ~9 oracles
+    * that tokenize (TextOps, Retrieval, Tokenizer, CorpusOps): the "one
+    * tokenization contract" the operator comments rely on was previously
+    * enforced only by convention across verbatim copies, and editing any
+    * one copy would silently desynchronize that oracle from the rest. */
+  def duckToksSql(c: String): String =
+    s"list_filter(string_split_regex(lower($c), '[^a-z0-9]+'), t -> length(t) > 0)"
 
   /** Token-hash array: polyHash applied to each token. */
   def tokenHashesSql(c: String): String =
     s"""transform(${tokensSql(c)},
        | t -> aggregate(transform(sequence(1, length(t)), i -> bigint(ascii(substring(t, i, 1)))),
        |   bigint(0), (h, ch) -> (h * 31 + ch) % ${P}L))""".stripMargin
-
-  /** 3-token shingle hashes from a token-hash array column name. The
-    * short-doc guard must be a CASE, not sequence(1, greatest(n, 0)):
-    * Spark's sequence STEPS DOWN when start > stop, so sequence(1, 0) is
-    * [1, 0] and element_at(th, 0) throws INVALID_INDEX_OF_ZERO (review
-    * find; the native ShingleSetExpr path was never affected). */
-  def shingleSql(th: String): String =
-    s"""array_distinct(transform(
-       | CASE WHEN size($th) >= 3 THEN sequence(1, size($th) - 2)
-       |      ELSE CAST(array() AS array<int>) END,
-       | i -> ((element_at($th, i) * 31 + element_at($th, i + 1)) % ${P}L * 31
-       |        + element_at($th, i + 2)) % ${P}L))""".stripMargin
 }

@@ -16,9 +16,14 @@ import scala.collection.immutable.ListMap
   *
   * Cross-engine float parity (QueryDef rules): BM25's idf is the RATIONAL
   * form (N - df + 0.5)/(df + 0.5) — the classic log() around it is a
-  * transcendental whose libm results differ across engines, and a
-  * monotone transform doesn't change the ranking. Every double step is a
-  * single IEEE op in the same parenthesization as the oracle SQL.
+  * transcendental whose libm results differ across engines. NOTE the
+  * substitution is monotone PER TERM but the multi-term SUM is not
+  * ranking-equivalent to log-idf BM25 (a very rare term's untamed
+  * rational idf can outvote several moderate log-idfs): what this
+  * operator pins — on both engines identically — is the rational-idf
+  * variant itself, chosen for bit-exact cross-engine parity. Every
+  * double step is a single IEEE op in the same parenthesization as the
+  * oracle SQL.
   */
 object Retrieval {
 
@@ -40,8 +45,14 @@ object Retrieval {
        | * ((CAST(tf$i AS DOUBLE) * 2.2::DOUBLE)
        |    / (CAST(tf$i AS DOUBLE) + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE) + 0.75::DOUBLE * (CAST(dl AS DOUBLE) / avgdl))))""".stripMargin
 
-  private val duckToks =
-    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)"
+  private val duckToks = Portable.duckToksSql("text")
+
+  /** Left-assoc sum of the per-term score fragments — ONE builder for both
+    * engines so adding a Terms entry can never silently drop out of the
+    * score on one side (review find: the sum was hardcoded to 3 summands
+    * while tf/df were Terms-driven). */
+  private def sumChain(f: Int => String): String =
+    Terms.indices.map(f).reduceLeft((a, b) => s"($a + $b)")
 
   /** Shared TopK udaf instance builder (bounded top-k per group — one
     * partial+final aggregation, ≤ k state per group; see
@@ -79,28 +90,26 @@ object Retrieval {
           .withColumn("avgdl", expr("CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)"))
         slim.crossJoin(broadcast(stats))
           .selectExpr("doc_id", "dl",
-            s"(${score(0)} + ${score(1)}) + ${score(2)} AS score")
+            s"${sumChain(score)} AS score")
           .filter(col("score") > 0d)
           .orderBy(col("score").desc, col("doc_id"))
           .limit(15)
       },
       s"""WITH slim AS (
          |  SELECT doc_id, len(toks) AS dl,
-         |    len(list_filter(toks, t -> t = 'spark')) AS tf0,
-         |    len(list_filter(toks, t -> t = 'join')) AS tf1,
-         |    len(list_filter(toks, t -> t = 'window')) AS tf2
+         |    ${Terms.zipWithIndex.map { case (t, i) =>
+             s"len(list_filter(toks, x -> x = '$t')) AS tf$i" }.mkString(",\n         |    ")}
          |  FROM (SELECT doc_id, $duckToks AS toks FROM documents)),
          |stats AS (
          |  SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl,
-         |    CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
-         |    CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
-         |    CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+         |    ${Terms.indices.map(i =>
+             s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i").mkString(",\n         |    ")},
          |    CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
          |  FROM slim)
          |SELECT doc_id, dl,
-         |  (${duckScore(0)} + ${duckScore(1)}) + ${duckScore(2)} AS score
+         |  ${sumChain(duckScore)} AS score
          |FROM slim CROSS JOIN stats
-         |WHERE (${duckScore(0)} + ${duckScore(1)}) + ${duckScore(2)} > 0
+         |WHERE ${sumChain(duckScore)} > 0
          |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin),
 
     // ---- reciprocal-rank fusion of a cosine ranking and a dot-product

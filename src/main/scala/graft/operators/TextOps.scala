@@ -17,13 +17,9 @@ object TextOps {
 
   private val stop = graft.functions.Stopwords.lists
 
-  private def arrLit(xs: Seq[String]): String =
-    xs.map(x => s"'$x'").mkString("array(", ", ", ")")
   private def listLit(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
-  private def scoreSql(lang: String): String =
-    s"size(filter(toks, t -> array_contains(${arrLit(stop(lang))}, t)))"
   // private[operators]: dedup_keep_best's oracle reuses the exact quality
   // formula — one definition, impossible to desynchronize
   private[operators] def duckScoreSql(lang: String): String =
@@ -68,7 +64,7 @@ object TextOps {
           .transform(graft.Sorted.byNames(_, "doc_id"))
       },
       s"""WITH t AS (SELECT doc_id, lang AS labeled_lang,
-         |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) AS toks
+         |  ${Portable.duckToksSql("text")} AS toks
          |  FROM documents),
          |sc AS (SELECT doc_id, labeled_lang,
          |  ${duckScoreSql("en")} AS s_en, ${duckScoreSql("es")} AS s_es,
@@ -106,7 +102,7 @@ object TextOps {
           .transform(graft.Sorted.byNames(_, "doc_id"))
       },
       s"""WITH t AS (SELECT doc_id, n_chars,
-         |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) AS toks,
+         |  ${Portable.duckToksSql("text")} AS toks,
          |  length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct
          |  FROM documents),
          |m AS (SELECT doc_id, n_chars, n_punct,
@@ -124,21 +120,25 @@ object TextOps {
 
     // ---- token counting: whitespace split, alnum-word extraction, and a
     // BPE-ish segmentation (letter runs | digit runs | punctuation runs —
-    // the pre-merge word-splitting shape of GPT-style tokenizers) -----------
+    // the pre-merge word-splitting shape of GPT-style tokenizers).
+    // Whitespace is the EXPLICIT class [ \t\n\f\r], not \s: Java's \s
+    // includes vertical tab U+000B while RE2's excludes it, so the \s
+    // shorthand silently diverges across engines on a VT (review find;
+    // same class pinned in text_normalize). ---------------------------------
     "token_counts" -> QueryDef(
       (s, dir) => {
         Tables.load(s, dir, "documents")
           .selectExpr("doc_id", "source",
-            "size(filter(split(text, '\\\\s+'), t -> length(t) > 0)) AS n_ws_tokens",
+            "size(filter(split(text, '[ \\\\t\\\\n\\\\f\\\\r]+'), t -> length(t) > 0)) AS n_ws_tokens",
             "size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS n_re_tokens",
-            "size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]+', 0)) AS n_bpe_tokens",
+            "size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \\\\t\\\\n\\\\f\\\\r]+', 0)) AS n_bpe_tokens",
             "n_chars")
           .transform(graft.Sorted.byNames(_, "doc_id"))
       },
       """SELECT doc_id, source,
-        | len(list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0)) AS n_ws_tokens,
+        | len(list_filter(string_split_regex(text, '[ \t\n\f\r]+'), t -> length(t) > 0)) AS n_ws_tokens,
         | len(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS n_re_tokens,
-        | len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+', 0)) AS n_bpe_tokens,
+        | len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\f\r]+', 0)) AS n_bpe_tokens,
         | n_chars
         |FROM documents ORDER BY doc_id""".stripMargin),
 
@@ -151,13 +151,13 @@ object TextOps {
         graft.functions.HashExpressions.register(s)
         Tables.load(s, dir, "documents")
           .selectExpr("doc_id",
-            "trim(regexp_replace(lower(text), '\\\\s+', ' ')) AS norm")
+            "trim(regexp_replace(lower(text), '[ \\\\t\\\\n\\\\f\\\\r]+', ' ')) AS norm")
           .selectExpr("doc_id", "length(norm) AS norm_len",
             "graft_polyhash(norm) AS norm_fp")
           .transform(graft.Sorted.byNames(_, "doc_id"))
       },
       s"""WITH n AS (
-         |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+         |  SELECT doc_id, trim(regexp_replace(lower(text), '[ \\t\\n\\f\\r]+', ' ', 'g')) AS norm
          |  FROM documents)
          |SELECT doc_id, length(norm) AS norm_len,
          |  list_reduce(list_prepend(0::BIGINT,
@@ -185,7 +185,7 @@ object TextOps {
          |   (h, ch) -> (h * 31 + ch) % ${Portable.P}) AS fp,
          | list_reduce(list_prepend(0::BIGINT,
          |   list_transform(
-         |     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)[1:8],
+         |     ${Portable.duckToksSql("text")}[1:8],
          |     t -> list_reduce(list_prepend(0::BIGINT,
          |       list_transform(range(1, length(t) + 1), i -> ascii(substr(t, i, 1))::BIGINT)),
          |       (h, ch) -> (h * 31 + ch) % ${Portable.P}))),
@@ -224,8 +224,8 @@ object TextOps {
           // sampling executes the array work twice (QueryDef scaladoc)
           .transform(graft.Sorted.byNames(_, "doc_id"))
       },
-      """WITH t AS (SELECT doc_id,
-        |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) AS toks
+      s"""WITH t AS (SELECT doc_id,
+        |  ${Portable.duckToksSql("text")} AS toks
         |  FROM documents),
         |b AS (SELECT doc_id, toks,
         |  list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i + 1]) AS bigrams
@@ -272,8 +272,8 @@ object TextOps {
           .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("score"))
           .orderBy("doc_id", "rk")
       },
-      """WITH toks AS (SELECT doc_id,
-        |  unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)) AS term
+      s"""WITH toks AS (SELECT doc_id,
+        |  unnest(${Portable.duckToksSql("text")}) AS term
         |  FROM documents),
         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
@@ -293,14 +293,14 @@ object TextOps {
     // (c12·10⁶ div c1 — floor div in both engines) and summed EXACTLY, so
     // the one double division at the end is order-independent. Scale
     // shape: one corpus-linear bigram explode (persisted, feeds model and
-    // scoring), model + prefix tables are vocab-bounded and broadcast
-    // back, per-doc fold is partial+final. Headroom: c12 ≤ 10¹² at 100 TB
+    // scoring); the prefix table is vocab-bounded and broadcasts back,
+    // while the model is PAIR-keyed and therefore shuffle-joins. Headroom: c12 ≤ 10¹² at 100 TB
     // keeps c12·10⁶ < 2⁶³. ------------------------------------------------
     "lm_bigram_score" -> QueryDef(
       (s, dir) => {
         val bg = Tables.load(s, dir, "documents")
           .select(col("doc_id"),
-            expr("filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')").as("ts"))
+            expr(Portable.tokensSql("text")).as("ts"))
           .filter("size(ts) >= 2")
           .select(col("doc_id"), explode(expr(
             "transform(sequence(2, size(ts)), i -> struct(ts[i-2] AS w1, concat(ts[i-2], ' ', ts[i-1]) AS big))")).as("b"))
@@ -308,8 +308,12 @@ object TextOps {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val model = bg.groupBy(col("big")).agg(count(lit(1)).as("c12"))
         val prefix = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-        // lazy result — bg cache feeds model, prefix AND the scoring join
-        bg.join(broadcast(model), "big")
+        // lazy result — bg cache feeds model, prefix AND the scoring join.
+        // model is keyed by distinct token PAIR (grows toward vocab² on a
+        // real corpus) so it must NOT broadcast — the shuffle join on `big`
+        // is the scale-safe plan; prefix is unigram-keyed (vocab-bounded)
+        // and broadcasts
+        bg.join(model, "big")
           .join(broadcast(prefix), "w1")
           .selectExpr("doc_id", "c12 * 1000000L div c1 AS q")
           .groupBy(col("doc_id"))
@@ -332,7 +336,7 @@ object TextOps {
          |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 
-  // one tokenization contract with the bigram fluency oracle above
-  private def duckToksFluency: String =
-    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)"
+  // one tokenization contract with the shared fragment (the fluency
+  // oracle composes it like every other oracle in this file)
+  private def duckToksFluency: String = Portable.duckToksSql("text")
 }

@@ -147,4 +147,21 @@ object HashProperties extends Properties("graft.hash") {
       else x.intersect(y).size.toDouble / x.union(y).size
     j(a, b) == j(b, a) && j(a, a) == 1.0
   }
+
+  property("tokenizer kernels lower per code point: KELVIN SIGN joins its token as 'k'") = {
+    // lower(KELVIN + 'elvin x') == 'kelvin x' on both engines; an
+    // ASCII-only fold would treat the sign as a separator and tokenize
+    // ['elvin', 'x']. n_punct legitimately differs (the oracle counts
+    // punct on the RAW text, where the sign is non-alnum), so compare
+    // the token-derived fields only.
+    val kelvin = UTF8String.fromString(new String(Character.toChars(0x212A)) + "elvin x")
+    val plain = UTF8String.fromString("kelvin x")
+    def tokStats(s: UTF8String): (Int, Int, Long) = {
+      val r = HashExpressions.evalTextStats(s)
+      (r.getInt(0), r.getInt(1), r.getLong(6)) // n_tokens, n_uniq, sum_len
+    }
+    Prop(HashExpressions.tokenHashes(kelvin).toSeq ==
+      HashExpressions.tokenHashes(plain).toSeq) &&
+      Prop(tokStats(kelvin) == tokStats(plain))
+  }
 }
