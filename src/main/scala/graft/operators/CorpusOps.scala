@@ -51,8 +51,7 @@ object CorpusOps {
   // (boilerplate shingles, bigrams) — same shape as TextOps' oracles
   private val toksExpr =
     "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
-  private val duckToks =
-    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)"
+  private val duckToks = graft.functions.Portable.duckToksSql("text")
 
   val defs: ListMap[String, QueryDef] = ListMap(
 

@@ -165,7 +165,7 @@ object Curation {
          |    CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
          |  FROM comp),
          |qt AS (SELECT doc_id,
-         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) AS toks
+         |    ${graft.functions.Portable.duckToksSql("text")} AS toks
          |  FROM documents),
          |q AS (SELECT doc_id, ${TextOps.duckQualitySql} AS quality FROM qt),
          |ranked AS (SELECT s.cluster_id, s.cluster_size, s.doc_id, q.quality,
@@ -327,13 +327,13 @@ object Curation {
           .filter(col("uniq_ratio") >= 0.2)
           .orderBy("doc_id")
       },
-      """WITH canon AS (
+      s"""WITH canon AS (
         |  SELECT md5(text) AS digest, MIN(doc_id) AS canonical_id
         |  FROM documents GROUP BY 1),
         |kept AS (
         |  SELECT doc_id,
         |    len(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS n_tokens,
-        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) AS toks
+        |    ${graft.functions.Portable.duckToksSql("text")} AS toks
         |  FROM documents JOIN canon ON md5(text) = digest
         |  WHERE doc_id = canonical_id AND lang = 'en')
         |SELECT doc_id, n_tokens,

@@ -103,7 +103,7 @@ object Dedup {
 
   private val duckShingles: String =
     s"""toks AS (SELECT doc_id,
-       |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) AS toks
+       |  ${graft.functions.Portable.duckToksSql("text")} AS toks
        |  FROM documents),
        |th AS (SELECT doc_id, list_transform(toks,
        |  t -> list_reduce(list_prepend(0::BIGINT,
@@ -174,7 +174,7 @@ object Dedup {
     "simhash_fingerprint" -> QueryDef(
       (s, dir) => simhashFp(s, dir).orderBy("doc_id"),
       s"""WITH toks AS (SELECT doc_id,
-         |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) AS toks
+         |  ${graft.functions.Portable.duckToksSql("text")} AS toks
          |  FROM documents),
          |th AS (SELECT doc_id, list_transform(toks,
          |  t -> list_reduce(list_prepend(0::BIGINT,
@@ -205,7 +205,7 @@ object Dedup {
           .transform(graft.Sorted.byNames(_, "doc_a", "doc_b"))
       },
       s"""WITH toks AS (SELECT doc_id,
-         |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) AS toks
+         |  ${graft.functions.Portable.duckToksSql("text")} AS toks
          |  FROM documents),
          |th AS (SELECT doc_id, list_transform(toks,
          |  t -> list_reduce(list_prepend(0::BIGINT,
@@ -365,7 +365,7 @@ object Dedup {
           .transform(graft.Sorted.byNames(_, "doc_a", "doc_b"))
       },
       s"""WITH toks AS (SELECT doc_id,
-         |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) AS toks
+         |  ${graft.functions.Portable.duckToksSql("text")} AS toks
          |  FROM documents),
          |th AS (SELECT doc_id, list_transform(toks,
          |  t -> list_reduce(list_prepend(0::BIGINT,
@@ -442,7 +442,7 @@ object Dedup {
          |  UNION ALL SELECT doc_id + 10000000, substr(text, 101, 300)
          |  FROM documents WHERE doc_id % 37 = 0 AND n_chars >= 400),
          |toks AS (SELECT doc_id,
-         |  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) AS toks
+         |  ${graft.functions.Portable.duckToksSql("text")} AS toks
          |  FROM corpus),
          |th AS (SELECT doc_id, list_transform(toks,
          |  t -> list_reduce(list_prepend(0::BIGINT,

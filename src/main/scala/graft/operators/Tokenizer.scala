@@ -85,8 +85,8 @@ object Tokenizer {
     * merge winners b1..b4 — `tokenizer_vocab` reads the winners,
     * `tokenizer_apply` extends to the post-merge w4 encodings. */
   private val duckTrain: String =
-    """toks AS (SELECT
-        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) AS toks
+    s"""toks AS (SELECT
+        |    ${graft.functions.Portable.duckToksSql("text")} AS toks
         |  FROM documents),
         |vocab AS (SELECT t AS word, COUNT(*)::BIGINT AS cnt
         |  FROM (SELECT unnest(toks) AS t FROM toks) GROUP BY 1),
@@ -169,7 +169,7 @@ object Tokenizer {
          |         ELSE replace(enc, ' ' || lhs || '  ' || rhs || ' ', ' ' || lhs || rhs || ' ') END AS enc
          |  FROM w3 LEFT JOIN b4 ON TRUE),
          |dtoks AS (SELECT doc_id,
-         |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0) AS ts
+         |    ${graft.functions.Portable.duckToksSql("text")} AS ts
          |  FROM documents),
          |dw AS (SELECT doc_id, unnest(ts) AS word FROM dtoks),
          |enc AS (SELECT word, len(string_split(trim(enc), '  ')) AS ns, length(word) AS wl FROM w4)
