@@ -5,14 +5,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the ONE session factory (GraftSession) so the bench measures the
+    // same configuration the library tells users to deploy — the four
+    // entrypoints had hand-rolled near-identical builders that drifted
+    val spark = GraftSession.build(Some(s"local[$cpus]"), cpus.toInt, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (codegen, parquet footers) so the first timed query
     // doesn't absorb one-time init cost. Failure-tolerant: a missing or
@@ -49,24 +45,11 @@ object Bench {
       val fn = SparkEntry.queries(name)
       val gc0 = gcMillis
       val t0 = System.nanoTime()
-      // Materialize EVERY output column — count() lets Catalyst prune the
-      // projections away, under-timing map-only queries. The hash-agg keeps
-      // all columns live while letting the optimizer drop the final
-      // presentation sort (whose range-sampling would re-execute the query).
-      // head(), NOT count(): a count on top is itself an aggregate, and
-      // column pruning would strip the hash (and everything under it) right
-      // back out. bit_xor, NOT sum: summing full-range int64 hashes
-      // overflows under ANSI mode (and the resulting exception would
-      // silently demote the query to the slower noop fallback). Fallback
-      // to a noop write only for output types hash() can't take.
+      // the timed action lives in BenchAction (shared with ColdProbe so
+      // probe timings stay comparable by construction)
       val failed: Option[String] =
-        try {
-          val df = fn(spark, sfDir)
-          try { df.selectExpr("bit_xor(xxhash64(struct(*))) AS h").head(); None }
-          catch { case _: Throwable =>
-            df.write.format("noop").mode("overwrite").save(); None
-          }
-        } catch { case e: Throwable =>
+        try { BenchAction.run(fn(spark, sfDir)); None }
+        catch { case e: Throwable =>
           // keep messages short: they ride on the bounded stdout JSON line
           Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(80)}")
         }
@@ -85,14 +68,7 @@ object Bench {
       spark.catalog.clearCache()
       System.gc()
     }
-    // true median: average the middle pair on even counts (with reps=2, or
-    // one failed rep out of 4, taking the upper-middle would systematically
-    // bias recorded baselines upward)
-    def median(xs: List[Double]): Double = {
-      val s = xs.sorted
-      val n = s.size
-      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
-    }
+    def median(xs: List[Double]): Double = BenchAction.median(xs)
     // Locale.ROOT: the f-interpolator formats with the JVM default locale,
     // and a comma-decimal locale (de_DE, fr_FR) would emit 0,123 — not JSON
     def jnum(d: Double): String =
@@ -113,7 +89,9 @@ object Bench {
     val errJson = (errShown.map { case (k, v) => jstr(k) + ":" + jstr(v) } ++
       (if (errs.size > 3) Seq(jstr("_omitted") + ":" + jstr(s"${errs.size - 3} more")) else Nil))
       .mkString("{", ",", "}")
-    val gcJson = names.filter(gcs(_).nonEmpty)
+    // a query with ANY failed rep is excluded here too — a clean-looking
+    // partial gc median next to its -1 in `queries` would read as success
+    val gcJson = names.filter(n => gcs(n).nonEmpty && !errs.contains(n))
       .map(n => jstr(n) + ":" + jnum(median(gcs(n)))).mkString("{", ",", "}")
     val total = perQuery.collect { case (_, v) if v >= 0 => v }.sum
     // The driver records a 2000-char stdout TAIL (measured in
@@ -125,7 +103,7 @@ object Bench {
     // full per-query + gc maps go to (a) bench_times.json on disk and
     // (b) stderr, which the driver tails separately.
     val fullLine =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"gc_sec":$gcJson,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"gc_sec":$gcJson,"errors":$errJson,"reps":$reps,"sf":${jstr(sfDir)}}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_times.json")
     try {
       java.nio.file.Files.write(
@@ -135,7 +113,7 @@ object Bench {
       System.err.println(s"[bench] could not write $detailPath: ${Option(e.getMessage).getOrElse("").take(120)}")
     }
     System.err.println(fullLine)
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":${names.size},"ok":${names.size - errs.size},"errors":$errJson,"reps":$reps,"sf":"$sfDir","detail":"$detailPath"}""")
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":${names.size},"ok":${names.size - errs.size},"errors":$errJson,"reps":$reps,"sf":${jstr(sfDir)},"detail":${jstr(detailPath)}}""")
     spark.stop()
   }
 }

@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Plan inspector: prints the formatted physical plan for the named queries
   * (or a default set) against a given sf dir. Usage:
   *   tools/run.sh graft.Explain /root/testdata/sf0.01 q1_pricing_summary ...
@@ -15,14 +13,7 @@ object Explain {
         "q28_asof_join", "dedup_ngram_jaccard",
         "salted_agg", "tfidf_top_terms", "pack_sequences",
         "embedding_quantize", "decontaminate_overlap", "q30_correlated_sub")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.build(Some("local[4]"), 4, "graft-explain")
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n========== $n ==========")

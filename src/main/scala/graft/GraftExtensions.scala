@@ -2,9 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-
-import graft.functions.HashExpressions._
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 /** Library-grade session integration: injects every graft_* native function
   * at session-build time via the standard extensions mechanism —
@@ -21,21 +19,13 @@ import graft.functions.HashExpressions._
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def inject(e: SparkSessionExtensions, name: String,
-      builder: Seq[Expression] => Expression): Unit =
-    e.injectFunction((FunctionIdentifier(name),
-      new ExpressionInfo("graft.functions.HashExpressions", name),
-      builder))
-
-  override def apply(e: SparkSessionExtensions): Unit = {
-    inject(e, "graft_token_hashes", es => TokenHashesExpr(es.head))
-    inject(e, "graft_shingles", es => ShingleSetExpr(es.head))
-    inject(e, "graft_minhash_sig", es => MinHashSigExpr(es.head))
-    inject(e, "graft_simhash", es => SimHashExpr(es.head))
-    inject(e, "graft_gram5", es => Gram5Expr(es.head))
-    inject(e, "graft_cosine", es => CosineExpr(es.head, es(1)))
-    inject(e, "graft_polyhash", es => PolyHashExpr(es.head))
-    inject(e, "graft_text_stats", es => TextStatsExpr(es.head))
-    inject(e, "graft_srp12", es => Srp12Expr(es.head))
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    // the ONE builder list shared with HashExpressions.register — the two
+    // registration paths can no longer drift (review find: this class had
+    // silently fallen two functions behind the temp-function path)
+    graft.functions.HashExpressions.builders.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.HashExpressions", name),
+        builder))
+    }
 }

@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -9,19 +8,17 @@ object Verify {
     // arg restricts the run to a comma-separated query subset.
     val (sfDir, outDir, only) = args match {
       case Array(a, b)    => (a, b, Set.empty[String])
-      case Array(a, b, f) => (a, b, f.split(',').toSet)
+      // trim + drop empties, same as Bench's subset contract: a space after
+      // a comma would otherwise silently SKIP that query (and its oracle
+      // row), reading as a pass
+      case Array(a, b, f) => (a, b, f.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      case _ =>
+        System.err.println("usage: graft.Verify <sfDir> <outDir> [query,query,...]")
+        sys.exit(2)
     }
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      // events.parquet stores timestamp[ns]; surface as long, Tables.load
-      // converts to microsecond timestamps (matching DuckDB's ns->us read).
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the ONE session factory — nanosAsLong etc. live there (events.parquet
+    // stores timestamp[ns]; Tables.load converts to microsecond timestamps)
+    val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
     // clear the ENTIRE out dir up front: stale parquet from a previous run
     // must never survive into this run's compare — the per-query overwrite

@@ -462,20 +462,41 @@ object HashExpressions {
     override def prettyName: String = "graft_srp12"
   }
 
+  /** ONE (name, arity, builder) list serving BOTH registration paths —
+    * the per-session temp-function [[register]] and the cluster-wide
+    * [[graft.GraftExtensions]]. A function added here reaches both
+    * automatically (review find: the extensions path had silently fallen
+    * two functions behind this list). Builders are arity-checked so a
+    * wrong-arity SQL call fails analysis with a clear message instead of
+    * an IndexOutOfBoundsException from `es(1)`. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = {
+    def checked(name: String, arity: Int)(b: Seq[Expression] => Expression): (String, Seq[Expression] => Expression) =
+      name -> { es =>
+        if (es.length != arity)
+          throw new IllegalArgumentException(
+            s"$name requires exactly $arity argument(s), got ${es.length}")
+        b(es)
+      }
+    Seq(
+      checked("graft_token_hashes", 1)(es => TokenHashesExpr(es.head)),
+      checked("graft_shingles", 1)(es => ShingleSetExpr(es.head)),
+      checked("graft_minhash_sig", 1)(es => MinHashSigExpr(es.head)),
+      checked("graft_simhash", 1)(es => SimHashExpr(es.head)),
+      checked("graft_gram5", 1)(es => Gram5Expr(es.head)),
+      checked("graft_winhash8", 1)(es => WinHash8Expr(es.head)),
+      checked("graft_cdc_bounds", 1)(es => CdcBoundsExpr(es.head)),
+      checked("graft_cosine", 2)(es => CosineExpr(es.head, es(1))),
+      checked("graft_polyhash", 1)(es => PolyHashExpr(es.head)),
+      checked("graft_text_stats", 1)(es => TextStatsExpr(es.head)),
+      checked("graft_srp12", 1)(es => Srp12Expr(es.head)))
+  }
+
   /** Register all graft_* functions for use in selectExpr/spark.sql.
     * Idempotent per session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_token_hashes", es => TokenHashesExpr(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_shingles", es => ShingleSetExpr(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_minhash_sig", es => MinHashSigExpr(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_simhash", es => SimHashExpr(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_gram5", es => Gram5Expr(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_winhash8", es => WinHash8Expr(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_cdc_bounds", es => CdcBoundsExpr(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_cosine", es => CosineExpr(es.head, es(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_polyhash", es => PolyHashExpr(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_text_stats", es => TextStatsExpr(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_srp12", es => Srp12Expr(es.head), "scala_udf")
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
   }
 }

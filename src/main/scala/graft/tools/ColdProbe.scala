@@ -1,7 +1,6 @@
 package graft.tools
 
 import graft.{SparkEntry, Tables}
-import org.apache.spark.sql.SparkSession
 
 /** Scratch probe: COLD-cache timing of the bench action for named queries
   * against an arbitrary table dir — `clearCache` + GC before each query,
@@ -9,17 +8,14 @@ import org.apache.spark.sql.SparkSession
   * whole registry. Usage: ColdProbe <sfDir> <query>[,<query>...] [reps] */
 object ColdProbe {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: graft.tools.ColdProbe <sfDir> <query>[,<query>...] [reps]")
+      sys.exit(2)
+    }
     val Array(sfDir, names, rest @ _*) = args
     val reps = rest.headOption.map(_.toInt).getOrElse(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.GraftSession.build(Some(s"local[$cpus]"), cpus.toInt, "graft-coldprobe")
     spark.sparkContext.setLogLevel("ERROR")
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).count())
     names.split(",").foreach { name =>
@@ -27,18 +23,13 @@ object ColdProbe {
       val times = (1 to reps).map { _ =>
         spark.catalog.clearCache(); System.gc()
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).selectExpr("bit_xor(xxhash64(struct(*))) AS h").head()
-        catch { case _: Throwable =>
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        }
+        // the SHARED timed action + median (graft.BenchAction): identical
+        // to graft.Bench by construction, not by hand-copied convention
+        graft.BenchAction.run(fn(spark, sfDir))
         (System.nanoTime() - t0) / 1e9
       }.sorted
       spark.catalog.clearCache()
-      // true median (average the middle pair on even counts) — same
-      // discipline as graft.Bench, no upper-middle bias
-      val med =
-        if (times.size % 2 == 1) times(times.size / 2)
-        else (times(times.size / 2 - 1) + times(times.size / 2)) / 2.0
+      val med = graft.BenchAction.median(times)
       println(f"$name%s cold_median=$med%.2f runs=${times.map(t => f"$t%.2f").mkString(",")}")
     }
     spark.stop()
