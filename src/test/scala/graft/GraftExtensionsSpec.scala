@@ -33,6 +33,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(r.getLong(0) != 0L)
       assert(r.getInt(1) == 2) // shingles of 4 tokens = 2 distinct 3-grams
       assert(r.getDouble(2) == 1.0)
+      // EVERY builder resolves through the extensions path — the review
+      // find was exactly this drift (the extension shipped 9 of 11
+      // functions); resolving each name pins the shared-list fix
+      graft.functions.HashExpressions.builders.foreach { case (name, _) =>
+        val arity = if (name == "graft_cosine") 2 else 1
+        val args = Seq.fill(arity)("'x'").mkString(", ")
+        // analysis only — no execution needed to prove resolution
+        spark.sql(s"SELECT $name($args)").queryExecution.analyzed
+      }
+      // wrong arity fails analysis with the builder's message, not an
+      // IndexOutOfBoundsException
+      val e = intercept[Exception](
+        spark.sql("SELECT graft_cosine(array(1.0f))").queryExecution.analyzed)
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("requires exactly 2 argument")),
+        s"unexpected failure shape: $e")
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
