@@ -503,6 +503,144 @@ object Similarity {
            |FROM d ORDER BY vec_id""".stripMargin
       }),
 
+    // ---- IVF+PQ ADC search: the full 100 TB ANN index composed ------------
+    // ann_ivf_nprobe's probes (top-2 cells per query) scanned with
+    // embedding_pq's codes via Asymmetric Distance Computation: per query
+    // a 4x2 lookup table of exact subspace L2^2 distances to the codebook
+    // (a ONE-ROW broadcast, same as embedding_pq), so scoring a data
+    // vector inside a probed cell is 4 table lookups + 3 adds on its
+    // 4 codes — the full float vector is never read in the scan phase.
+    // The ADC top-8 shortlist per query (bounded TopK aggregator over the
+    // NEGATED distance — exact IEEE sign flip, so -adc DESC == adc ASC)
+    // is then exactly re-ranked with true cosines, emitting top-3.
+    // Scale shape: cells prune the corpus (nprobe x N / n_cells codes
+    // scanned), codes are 4 ints instead of 64 floats (the 16x I/O story
+    // PQ exists for), the LUT and codebook broadcast, the exact re-rank
+    // touches <= 8 vectors per query. Parity: every LUT/ADC double is the
+    // same fixed-order IEEE sequence as embedding_pq's dist columns. ------
+    "ann_ivf_pq" -> QueryDef(
+      (s, dir) => {
+        graft.functions.HashExpressions.register(s)
+        val emb = Tables.load(s, dir, "embeddings")
+        val cents = emb.filter(col("vec_id") < 4)
+          .selectExpr("vec_id AS c_id", "embedding AS c_emb")
+        def centSim(of: DataFrame): DataFrame = of.crossJoin(broadcast(cents))
+          .selectExpr("vec_id", "c_id", "graft_cosine(c_emb, embedding) AS sim")
+        // rank-1 cell assignment — same argmax expression as ann_ivf_nprobe
+        val assigned = centSim(emb)
+          .groupBy(col("vec_id"))
+          .agg(max(struct(col("sim"), (-col("c_id")).as("nc"))).as("m"))
+          .select(col("vec_id"), (-col("m.nc")).as("cell"))
+        val cb = emb.filter(col("vec_id") < 2)
+          .agg(max(when(col("vec_id") === 0, col("embedding"))).as("e0"),
+            max(when(col("vec_id") === 1, col("embedding"))).as("e1"))
+        def dist(v: String, j: Int, c: String) =
+          s"""aggregate(sequence(1, 16), CAST(0 AS DOUBLE), (a, i) ->
+             |  a + (CAST(element_at($v, ${16 * j} + CAST(i AS INT)) AS DOUBLE)
+             |       - CAST(element_at($c, ${16 * j} + CAST(i AS INT)) AS DOUBLE))
+             |    * (CAST(element_at($v, ${16 * j} + CAST(i AS INT)) AS DOUBLE)
+             |       - CAST(element_at($c, ${16 * j} + CAST(i AS INT)) AS DOUBLE)))""".stripMargin
+        val dcols = (0 until 4).flatMap(j =>
+          Seq(s"${dist("embedding", j, "e0")} AS d${j}0", s"${dist("embedding", j, "e1")} AS d${j}1"))
+        // the PQ-coded corpus: (vec_id, cell, code0..code3) — this is the
+        // frame a production index PERSISTS; the float vectors are gone
+        val codes = emb.crossJoin(broadcast(cb))
+          .selectExpr(Seq("vec_id") ++ dcols: _*)
+          .selectExpr(Seq("vec_id") ++
+            (0 until 4).map(j => s"CAST(IF(d${j}0 <= d${j}1, 0, 1) AS INT) AS code$j"): _*)
+          .join(assigned, "vec_id")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("c_id"))
+        val probes = centSim(emb.filter(col("vec_id") < 8))
+          .withColumn("probe", row_number().over(w))
+          .filter(col("probe") <= 2)
+          .selectExpr("vec_id AS q_id", "c_id AS probe_cell")
+        // per-query ADC lookup table: 4 subspaces x 2 centroids = 8 doubles
+        val lcols = (0 until 4).flatMap(j =>
+          Seq(s"${dist("embedding", j, "e0")} AS l${j}0", s"${dist("embedding", j, "e1")} AS l${j}1"))
+        val qlut = emb.filter(col("vec_id") < 8)
+          .crossJoin(broadcast(cb))
+          .selectExpr(Seq("vec_id AS q_id") ++ lcols: _*)
+          .join(probes, "q_id")
+        val adc = (0 until 4).map(j => s"IF(code$j = 0, l${j}0, l${j}1)").mkString(" + ")
+        val shortScored = broadcast(qlut)
+          .join(codes, expr("cell = probe_cell AND vec_id != q_id"))
+          .selectExpr("q_id", "vec_id", s"($adc) AS adc")
+        // bounded top-8 by ADC distance ASC (negate for the DESC aggregator)
+        val cand = topKPerQuery(shortScored.withColumn("cosine", -col("adc")), 8)
+          .selectExpr("q_id", "vec_id", "-cosine AS adc")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val qe = emb.filter(col("vec_id") < 8)
+          .selectExpr("vec_id AS q_id", "embedding AS q_emb")
+        val rescored = cand
+          .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+          .join(broadcast(qe), "q_id")
+          .selectExpr("q_id", "vec_id", "graft_cosine(q_emb, embedding) AS cosine")
+        topKPerQuery(rescored, 3)
+          .join(cand, Seq("q_id", "vec_id"))
+          .select(col("q_id"), col("vec_id"), col("rank"), col("adc"), col("cosine"))
+          .orderBy("q_id", "rank")
+      }, {
+        def ddist(v: String, j: Int, c: String) =
+          s"""list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 17), i ->
+             |  (CAST($v[${16 * j} + i::INT] AS DOUBLE) - CAST($c[${16 * j} + i::INT] AS DOUBLE))
+             |  * (CAST($v[${16 * j} + i::INT] AS DOUBLE) - CAST($c[${16 * j} + i::INT] AS DOUBLE)))),
+             |  (a, b) -> a + b)""".stripMargin
+        val dd = (0 until 4).flatMap(j =>
+          Seq(s"${ddist("embedding", j, "e0")} AS d${j}0",
+            s"${ddist("embedding", j, "e1")} AS d${j}1")).mkString(",\n")
+        val ll = (0 until 4).flatMap(j =>
+          Seq(s"${ddist("embedding", j, "e0")} AS l${j}0",
+            s"${ddist("embedding", j, "e1")} AS l${j}1")).mkString(",\n")
+        val dadc = (0 until 4)
+          .map(j => s"CASE WHEN code$j = 0 THEN l${j}0 ELSE l${j}1 END").mkString(" + ")
+        s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb
+           |  FROM embeddings WHERE vec_id < 4),
+           |sc AS (SELECT e.vec_id, c.c_id,
+           |    ${duckCos("c_emb", "embedding")} AS sim
+           |  FROM embeddings e CROSS JOIN cents c),
+           |asg AS (SELECT vec_id, c_id AS cell FROM (
+           |    SELECT vec_id, c_id,
+           |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
+           |    FROM sc) WHERE rn = 1),
+           |probes AS (SELECT vec_id AS q_id, c_id AS probe_cell FROM (
+           |    SELECT vec_id, c_id,
+           |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
+           |    FROM sc WHERE vec_id < 8) WHERE rn <= 2),
+           |cb AS (SELECT
+           |    (SELECT embedding FROM embeddings WHERE vec_id = 0) AS e0,
+           |    (SELECT embedding FROM embeddings WHERE vec_id = 1) AS e1),
+           |dcodes AS (SELECT vec_id,
+           |$dd
+           |  FROM embeddings, cb),
+           |codes AS (SELECT c.vec_id,
+           |    ${(0 until 4).map(j =>
+              s"CAST(CASE WHEN d${j}0 <= d${j}1 THEN 0 ELSE 1 END AS INT) AS code$j")
+              .mkString(",\n    ")},
+           |    a.cell
+           |  FROM dcodes c JOIN asg a USING (vec_id)),
+           |qlut AS (SELECT vec_id AS q_id,
+           |$ll
+           |  FROM embeddings, cb WHERE vec_id < 8),
+           |scored AS (SELECT q.q_id, c.vec_id, ($dadc) AS adc
+           |  FROM qlut q JOIN probes p ON p.q_id = q.q_id
+           |  JOIN codes c ON c.cell = p.probe_cell AND c.vec_id != q.q_id),
+           |short AS (SELECT q_id, vec_id, adc FROM (
+           |    SELECT q_id, vec_id, adc,
+           |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc ASC, vec_id) AS rn
+           |    FROM scored WHERE NOT coalesce(isnan(adc), TRUE)) WHERE rn <= 8),
+           |rescored AS (SELECT s.q_id, s.vec_id, s.adc,
+           |    ${duckCos("q_emb", "embedding")} AS cosine
+           |  FROM short s JOIN embeddings e ON e.vec_id = s.vec_id
+           |  JOIN (SELECT vec_id AS qv, embedding AS q_emb
+           |        FROM embeddings WHERE vec_id < 8) q ON q.qv = s.q_id),
+           |ranked AS (SELECT q_id, vec_id, adc, cosine,
+           |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+           |  FROM rescored WHERE $duckRankable)
+           |SELECT q_id, vec_id, rank, adc, cosine FROM ranked
+           |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+      }),
+
     // ---- k-means (2 Lloyd iterations, k=4) over the embedding corpus ------
     // The IVF TRAINING step ann_ivf_probe's content-derived cells assume:
     // seed with the 4 deterministic centroids, then assign -> update twice,

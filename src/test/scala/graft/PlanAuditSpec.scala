@@ -198,6 +198,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("RunningWindowFunction"))
   }
 
+  test("ann_ivf_pq: codebook and LUT broadcast; ADC scan is never cartesian or windowed") {
+    val p = plan("ann_ivf_pq")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row codebook and the per-query LUT frame must broadcast")
+    assert(!p.contains("CartesianProduct"), "no unbroadcast all-pairs anywhere")
+    // ADC shortlist and exact re-rank both use the bounded aggregator —
+    // neither may plan a corpus-wide per-query window funnel
+    assert(!p.contains("RunningWindowFunction"))
+    // the cell scan reads PQ codes joined on the cell id — an equi or
+    // broadcast join; the only Generate nodes allowed are TopK's <= k
+    // posexplodes, never a data-sized plain explode
+    assert(!p.contains("Generate explode("),
+      "no data-sized explode in the ADC path")
+  }
+
   test("pagerank iteration: ranks side is a pinned broadcast (edge side carries the only shuffle)") {
     import spark.implicits._
     // the per-round plan is consumed by localCheckpoint inside the query, so
