@@ -9,19 +9,28 @@ import scala.collection.immutable.ListMap
 /** Multimodal columns: image/audio/video as opaque `binary` columns with
   * typed metadata, plus decode / feature-extract / frame-sample plumbing.
   *
-  * The decode step is a clearly-marked STUB (no image/audio codecs in this
-  * container): `FakeCodec` derives deterministic pseudo-metadata and
-  * pseudo-features from the bytes. Everything around it — the binary
-  * schema, the batched `mapPartitions` shape (the Scala analog of a
-  * vectorized/Pandas UDF: one iterator per partition, amortized setup, no
-  * per-row driver involvement), the explode of sampled frames, and the
-  * partitioning — is real and is what matters at 100 TB: media bytes stay
-  * in executors, metadata flows as narrow typed columns, and the expensive
-  * decode is a map-side single pass.
+  * IMAGE rows decode for REAL: `imageTable` builds genuine 24-bit BMP
+  * files (hand-rolled header + bottom-up BGR pixel rows, pixels derived
+  * deterministically from the document text) and `BmpCodec` decodes them
+  * with the in-JDK `javax.imageio.ImageIO` — no stub, no external jars.
+  * The oracle recomputes the expected pixels from the same derivation, so
+  * a bug anywhere in the encode→decode round trip (header layout, row
+  * order, padding, channel order) breaks the hash compare.
+  *
+  * AUDIO/VIDEO decode remains a clearly-marked stub (`FakeCodec` — the
+  * container has no media codecs): deterministic pseudo-metadata from the
+  * bytes. Everything around both codecs — the binary schema, the batched
+  * `mapPartitions` shape (the Scala analog of a vectorized/Pandas UDF:
+  * one iterator per partition, amortized setup, no per-row driver
+  * involvement), the explode of sampled frames, and the partitioning — is
+  * real and is what matters at 100 TB: media bytes stay in executors,
+  * metadata flows as narrow typed columns, and the expensive decode is a
+  * map-side single pass.
   *
   * The media table is derived deterministically from `documents` (the
-  * fixtures ship no binary table): content = UTF-8 bytes of `text`,
-  * media_type = doc_id % 3 -> image|audio|video.
+  * fixtures ship no binary table): content = UTF-8 bytes of `text` (raw
+  * byte-walk ops: resize/frames/phash) or a real BMP built from them
+  * (decode ops), media_type = doc_id % 3 -> image|audio|video.
   */
 object Multimodal {
 
@@ -39,9 +48,105 @@ object Multimodal {
   /** Sampled frame: offset + a slice of bytes. */
   case class Frame(doc_id: Long, frame_no: Int, offset: Int, frame_bytes: Array[Byte])
 
-  /** STUB codec — deterministic fakes in place of real decoders (???
-    * boundary). Swap `decodeMeta`/`decodeFeatures` for javacv/ffmpeg etc.
-    * in a real deployment; signatures and batch shape stay identical. */
+  /** REAL image codec: hand-rolled 24-bit BMP encoder + `javax.imageio`
+    * decoder (both in-JDK). Pixel channel values are a deterministic
+    * function of the source text bytes — value at flat index
+    * k = (y*w + x)*3 + c (row-major top-down, channels R,G,B) is
+    * byte[k mod len] — which the DuckDB oracle replays independently, so
+    * the decoded width/height/pixel checksum verify the full container
+    * round trip, not just the arithmetic. */
+  object BmpCodec {
+    private val MOD = 1000000007L
+
+    /** Deterministic image dimensions from doc_id (4..16 x 4..14). */
+    def dims(docId: Long): (Int, Int) =
+      ((4 + docId % 13).toInt, (4 + (docId / 13) % 11).toInt)
+
+    /** Channel value source: source byte at k mod len (0 when empty). */
+    def pixelFn(text: Array[Byte]): Int => Int =
+      k => if (text.isEmpty) 0 else text(k % text.length) & 0xff
+
+    /** 24bpp BMP: 54-byte header, bottom-up rows, BGR, 4-byte row pad. */
+    def encodeBmp(w: Int, h: Int, v: Int => Int): Array[Byte] = {
+      val rowBytes = w * 3
+      val pad = (4 - rowBytes % 4) % 4
+      val imageSize = (rowBytes + pad) * h
+      val b = java.nio.ByteBuffer.allocate(54 + imageSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(54 + imageSize)
+        .putInt(0).putInt(54)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .putInt(0).putInt(imageSize).putInt(2835).putInt(2835)
+        .putInt(0).putInt(0)
+      var y = h - 1 // bottom row first
+      while (y >= 0) {
+        var x = 0
+        while (x < w) {
+          val k = (y * w + x) * 3
+          b.put(v(k + 2).toByte).put(v(k + 1).toByte).put(v(k).toByte)
+          x += 1
+        }
+        var p = 0
+        while (p < pad) { b.put(0.toByte); p += 1 }
+        y -= 1
+      }
+      b.array()
+    }
+
+    private def decode(r: MediaRow): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.content))
+      require(img != null, s"ImageIO could not decode media for doc ${r.doc_id}")
+      img
+    }
+
+    /** Real decode: width/height from the decoder, checksum = polynomial
+      * fold over decoded R,G,B channel values in row-major scan order. */
+    def decodeMeta(r: MediaRow): MediaMeta = {
+      val img = decode(r)
+      var acc = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          acc = (acc * 31 + ((rgb >> 16) & 0xff)) % MOD
+          acc = (acc * 31 + ((rgb >> 8) & 0xff)) % MOD
+          acc = (acc * 31 + (rgb & 0xff)) % MOD
+          x += 1
+        }
+        y += 1
+      }
+      MediaMeta(r.doc_id, r.media_type, r.content.length,
+        img.getWidth, img.getHeight, duration_ms = 0L, checksum = acc)
+    }
+
+    /** 16-bin histogram over decoded channel values (v / 16), normalized
+      * by the channel count w*h*3. */
+    def decodeFeatures(r: MediaRow): MediaFeatures = {
+      val img = decode(r)
+      val hist = new Array[Double](16)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          hist(((rgb >> 16) & 0xff) / 16) += 1.0
+          hist(((rgb >> 8) & 0xff) / 16) += 1.0
+          hist((rgb & 0xff) / 16) += 1.0
+          x += 1
+        }
+        y += 1
+      }
+      val n = img.getWidth * img.getHeight * 3
+      MediaFeatures(r.doc_id, hist.map(_ / n))
+    }
+  }
+
+  /** STUB codec — deterministic fakes in place of real AUDIO/VIDEO
+    * decoders (the ??? boundary; image rows use the real [[BmpCodec]]).
+    * Swap `decodeMeta`/`decodeFeatures` for javacv/ffmpeg etc. in a real
+    * deployment; signatures and batch shape stay identical. */
   object FakeCodec {
     def decodeMeta(r: MediaRow): MediaMeta = {
       var h = 0L
@@ -81,20 +186,49 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  /** Image rows as REAL BMP files (executor-side encode — the bytes never
+    * visit the driver), decodable by [[BmpCodec]]/ImageIO. */
+  def imageTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .filter("doc_id % 3 = 0")
+      .selectExpr("doc_id", "encode(coalesce(text, ''), 'UTF-8') AS raw")
+      .as[(Long, Array[Byte])]
+      .map { case (id, raw) =>
+        val (w, h) = BmpCodec.dims(id)
+        MediaRow(id, "image", BmpCodec.encodeBmp(w, h, BmpCodec.pixelFn(raw)))
+      }
+  }
+
+  /** The decode-facing media table: real BMPs for image rows, raw bytes
+    * for audio/video (whose codecs are the stub). The byte-walk operators
+    * (resize/frames/phash) keep reading [[mediaTable]]'s raw bytes. */
+  def decodableMediaTable(s: SparkSession, dir: String): Dataset[MediaRow] =
+    imageTable(s, dir).unionByName(
+      mediaTable(s, dir).filter(col("media_type") =!= "image"))
+
   /** Batched decode: one codec instance per partition (the expensive-setup
-    * pattern of a vectorized UDF), metadata out as typed columns. */
+    * pattern of a vectorized UDF), metadata out as typed columns. Image
+    * rows go through the REAL ImageIO decoder; audio/video use the stub. */
   def decodeAll(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition setup would init the real codec here
-      rows.map(FakeCodec.decodeMeta)
+      // per-partition setup for the real codec happens here (ImageIO
+      // plugin lookup is JVM-global and thread-safe; nothing to init)
+      rows.map(r =>
+        if (r.media_type == "image") BmpCodec.decodeMeta(r)
+        else FakeCodec.decodeMeta(r))
     }
   }
 
-  /** Batched feature extraction (fixed-width vectors for the ANN surface). */
+  /** Batched feature extraction (fixed-width vectors for the ANN surface):
+    * real decoded-pixel histograms for images, stub byte histograms for
+    * audio/video. */
   def featuresAll(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(FakeCodec.decodeFeatures))
+    media.mapPartitions(_.map(r =>
+      if (r.media_type == "image") BmpCodec.decodeFeatures(r)
+      else FakeCodec.decodeFeatures(r)))
   }
 
   /** Resized media: deterministic stub "thumbnail" (every stride-th byte,
@@ -136,57 +270,98 @@ object Multimodal {
 
   val defs: ListMap[String, QueryDef] = ListMap(
 
-    // ---- metadata decode over binary columns (stub codec; plumbing real).
-    // Oracle replays the checksum arithmetic over the same UTF-8 bytes. ----
+    // ---- metadata decode over binary columns. IMAGE rows: real BMP decode
+    // via javax.imageio — the oracle recomputes width/height (dims formula),
+    // byte_len (BMP container size incl. row padding) and the checksum over
+    // the EXPECTED pixels (byte k mod len derivation), so the container
+    // round trip is verified end to end. Audio/video: stub codec, oracle
+    // replays the byte arithmetic over the same UTF-8 bytes. ---------------
     "multimodal_meta" -> QueryDef(
       (s, dir) => {
-        decodeAll(mediaTable(s, dir)).toDF()
+        decodeAll(decodableMediaTable(s, dir)).toDF()
           .select(col("doc_id"), col("media_type"), col("byte_len"),
             col("width"), col("height"), col("duration_ms"), col("checksum"))
           .transform(graft.Sorted.byNames(_, "doc_id"))
       },
-      """WITH h AS (
+      """WITH imgsrc AS (
+        |  SELECT doc_id, coalesce(text, '') AS text,
+        |    4 + (doc_id % 13) AS w, 4 + ((doc_id // 13) % 11) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |imeta AS (
+        |  SELECT doc_id, 'image' AS media_type,
+        |    (54 + (3 * w + ((4 - (3 * w) % 4) % 4)) * h)::INT AS byte_len,
+        |    w::INT AS width, h::INT AS height, 0::BIGINT AS duration_ms,
+        |    -- expected pixels: channel value at flat index k is the source
+        |    -- byte at k mod len (ASCII corpus: bytes == code points)
+        |    list_reduce(list_prepend(0::BIGINT, list_transform(range(0, w * h * 3),
+        |      k -> (CASE WHEN length(text) = 0 THEN 0
+        |                 ELSE ascii(substr(text, ((k % length(text)) + 1)::INT, 1)) END)::BIGINT)),
+        |      (acc, b) -> (acc * 31 + b) % 1000000007) AS checksum
+        |  FROM imgsrc),
+        |fake AS (
         |  SELECT doc_id,
         |    ['image','audio','video'][(doc_id % 3)::INT + 1] AS media_type,
         |    octet_length(encode(text))::INT AS byte_len,
-        |    -- ASCII corpus: UTF-8 bytes == code points, so the byte-wise
-        |    -- checksum is the char-wise polynomial hash
         |    list_reduce(list_prepend(0::BIGINT,
         |      list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))::BIGINT)),
         |      (acc, b) -> (acc * 31 + b) % 1000000007) AS checksum
-        |  FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents))
-        |SELECT doc_id, media_type, byte_len,
-        |  64 + (checksum % 1024)::INT AS width,
-        |  64 + ((checksum // 1024) % 1024)::INT AS height,
-        |  CASE WHEN media_type = 'image' THEN 0 ELSE 1000 + checksum % 60000 END AS duration_ms,
-        |  checksum
-        |FROM h ORDER BY doc_id""".stripMargin),
+        |  FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents
+        |        WHERE doc_id % 3 != 0))
+        |SELECT doc_id, media_type, byte_len, width, height, duration_ms, checksum
+        |FROM (
+        |  SELECT * FROM imeta
+        |  UNION ALL
+        |  SELECT doc_id, media_type, byte_len,
+        |    64 + (checksum % 1024)::INT AS width,
+        |    64 + ((checksum // 1024) % 1024)::INT AS height,
+        |    (1000 + checksum % 60000)::BIGINT AS duration_ms,
+        |    checksum
+        |  FROM fake)
+        |ORDER BY doc_id""".stripMargin),
 
-    // ---- feature extraction: 16-bin byte histogram. The histogram is
-    // deterministic byte math over the ASCII corpus, so the oracle replays
-    // it char-wise: bin = ascii // 16, f_b = count_b / max(len, 1), and
-    // f_sum is the same left-fold over bins 0..15 (IEEE-identical). --------
+    // ---- feature extraction: 16-bin histogram. IMAGE rows: histogram over
+    // REAL decoded pixel channel values (bin = v // 16, normalized by the
+    // channel count w*h*3) — oracle recomputes from the expected-pixel
+    // derivation. Audio/video: stub byte histogram, oracle replays
+    // char-wise: bin = ascii // 16, f_b = count_b / max(len, 1). f_sum is
+    // the same left-fold over bins 0..15 both branches (IEEE-identical). --
     "multimodal_features" -> QueryDef(
       (s, dir) => {
-        featuresAll(mediaTable(s, dir)).toDF()
+        featuresAll(decodableMediaTable(s, dir)).toDF()
           .selectExpr("doc_id", "round(features[0], 6) AS f0",
             "round(features[15], 6) AS f15",
             "round(aggregate(features, double(0), (a, x) -> a + x), 6) AS f_sum")
           .transform(graft.Sorted.byNames(_, "doc_id"))
       },
-      """WITH ch AS (
+      """WITH imgsrc AS (
+        |  SELECT doc_id, coalesce(text, '') AS text,
+        |    4 + (doc_id % 13) AS w, 4 + ((doc_id // 13) % 11) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |ibins AS (
+        |  SELECT doc_id, w * h * 3 AS m,
+        |    list_transform(range(0, w * h * 3),
+        |      k -> (CASE WHEN length(text) = 0 THEN 0
+        |                 ELSE ascii(substr(text, ((k % length(text)) + 1)::INT, 1)) END) // 16) AS bins
+        |  FROM imgsrc),
+        |ifeat AS (
+        |  SELECT doc_id, list_transform(range(0, 16),
+        |      b -> len(list_filter(bins, x -> x = b))::DOUBLE / m) AS f
+        |  FROM ibins),
+        |ch AS (
         |  SELECT doc_id, length(text) AS n,
         |    list_transform(range(1, length(text) + 1),
         |      i -> ascii(substr(text, i, 1)) // 16) AS bins
-        |  FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)),
+        |  FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents
+        |        WHERE doc_id % 3 != 0)),
         |hist AS (
         |  SELECT doc_id,
         |    list_transform(range(0, 16),
         |      b -> len(list_filter(bins, x -> x = b))::DOUBLE / greatest(n, 1)) AS f
-        |  FROM ch)
+        |  FROM ch),
+        |allf AS (SELECT doc_id, f FROM ifeat UNION ALL SELECT doc_id, f FROM hist)
         |SELECT doc_id, round(f[1], 6) AS f0, round(f[16], 6) AS f15,
         |  round(list_reduce(list_prepend(0.0::DOUBLE, f), (a, b) -> a + b), 6) AS f_sum
-        |FROM hist ORDER BY doc_id""".stripMargin),
+        |FROM allf ORDER BY doc_id""".stripMargin),
 
     // ---- resize: deterministic byte downsample (stub kernel; real
     // executor-side single-pass shape). Oracle replays the stride walk
