@@ -25,6 +25,14 @@ object Bench {
     val names = sys.env.get("SPARK_GRAFT_BENCH_QUERIES") match {
       case Some(f) =>
         val want = f.split(',').map(_.trim).filter(_.nonEmpty).toSet
+        // a typo'd name silently disappearing from the run would read as a
+        // successful measurement of that query — fail loudly instead
+        val unknown = want -- SparkEntry.queries.keySet
+        if (unknown.nonEmpty) {
+          System.err.println(
+            s"[bench] unknown queries in SPARK_GRAFT_BENCH_QUERIES: ${unknown.toSeq.sorted.mkString(",")}")
+          sys.exit(2)
+        }
         SparkEntry.queries.keys.toSeq.filter(want)
       case None => SparkEntry.queries.keys.toSeq
     }
@@ -41,6 +49,18 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
     }
+    // machine-load forensics: record /proc/loadavg at run start and end
+    // plus the run's total JVM GC time, so a uniformly-slow bench (busy
+    // machine, registry-growth GC pressure) is self-explaining in
+    // bench_times.json instead of needing after-the-fact guesswork
+    def loadAvg: String =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+        .split(" ").take(3).mkString(",")
+      catch { case _: Throwable => "" }
+    val loadStart = loadAvg
+    val gcRunStart = gcMillis
     for (_ <- 1 to reps; name <- names) {
       val fn = SparkEntry.queries(name)
       val gc0 = gcMillis
@@ -103,7 +123,7 @@ object Bench {
     // full per-query + gc maps go to (a) bench_times.json on disk and
     // (b) stderr, which the driver tails separately.
     val fullLine =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"gc_sec":$gcJson,"errors":$errJson,"reps":$reps,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"gc_sec":$gcJson,"errors":$errJson,"reps":$reps,"sf":${jstr(sfDir)},"loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadAvg)},"gc_total_sec":${jnum((gcMillis - gcRunStart) / 1e3)}}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_times.json")
     try {
       java.nio.file.Files.write(

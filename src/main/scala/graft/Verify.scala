@@ -16,6 +16,14 @@ object Verify {
         System.err.println("usage: graft.Verify <sfDir> <outDir> [query,query,...]")
         sys.exit(2)
     }
+    // a typo'd subset name silently vanishing from the run (and from
+    // oracle_sql.json) would read as a verified pass — fail loudly instead
+    val unknown = only -- SparkEntry.queries.keySet
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"[verify] unknown queries requested: ${unknown.toSeq.sorted.mkString(",")}")
+      sys.exit(2)
+    }
     // the ONE session factory — nanosAsLong etc. live there (events.parquet
     // stores timestamp[ns]; Tables.load converts to microsecond timestamps)
     val spark = GraftSession.local()

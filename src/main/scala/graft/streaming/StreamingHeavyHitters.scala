@@ -33,9 +33,10 @@ object StreamingHeavyHitters {
     * counts on restart (offsets resume, batches never replay) and
     * double-count a batch replayed after an uncommitted attempt. With
     * `stateDir` set the tracker is exactly-once across both: the sketch +
-    * last-applied batch id persist atomically (write-temp + rename on the
-    * shared FileSystem) after every merge, a fresh Tracker restores them,
-    * and `update` skips any batch id at or below the restored one. */
+    * last-applied batch id persist atomically (write-temp + atomic
+    * rename-with-overwrite on the shared FileSystem — no delete window)
+    * after every merge, a fresh Tracker restores them, and `update` skips
+    * any batch id at or below the restored one. */
   final class Tracker(stateDir: Option[String] = None) extends Serializable {
     val agg = new CountMin()
     @volatile var sketch: Array[Long] = agg.zero
@@ -45,8 +46,17 @@ object StreamingHeavyHitters {
 
     private def statePath = new org.apache.hadoop.fs.Path(stateDir.get, "cms_state.bin")
 
+    /** The session's Hadoop configuration (object-store credentials,
+      * fs.defaultFS overrides), not a bare `new Configuration()` — the
+      * tracker lives on the driver, where an active session is always
+      * available; the bare default is only the sessionless-test fallback. */
+    private def fsConf: org.apache.hadoop.conf.Configuration =
+      SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+        .map(_.sparkContext.hadoopConfiguration)
+        .getOrElse(new org.apache.hadoop.conf.Configuration())
+
     private def restore(): Unit = stateDir.foreach { _ =>
-      val fs = statePath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val fs = statePath.getFileSystem(fsConf)
       if (fs.exists(statePath)) {
         val in = new java.io.DataInputStream(fs.open(statePath))
         try {
@@ -57,15 +67,23 @@ object StreamingHeavyHitters {
     }
 
     private def persist(): Unit = stateDir.foreach { _ =>
-      val fs = statePath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val conf = fsConf
+      val fs = statePath.getFileSystem(conf)
       val tmp = statePath.suffix(".tmp")
       val out = new java.io.DataOutputStream(fs.create(tmp, true))
       try {
         out.writeLong(lastBatchId)
         sketch.foreach(out.writeLong)
       } finally out.close()
-      fs.delete(statePath, false)
-      require(fs.rename(tmp, statePath), s"could not publish $statePath")
+      // publish with NO window: rename-with-overwrite is atomic on HDFS
+      // and posix local FS, so a valid state file exists at statePath at
+      // every instant — a crash mid-publish leaves either the old or the
+      // new state, never nothing (the delete-then-rename form had a gap
+      // that lost the sketch while the streaming checkpoint advanced)
+      val q = fs.makeQualified(statePath)
+      org.apache.hadoop.fs.FileContext.getFileContext(q.toUri, conf)
+        .rename(fs.makeQualified(tmp), q,
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
 
     /** Fold one micro-batch of documents (column `text`) into the sketch.

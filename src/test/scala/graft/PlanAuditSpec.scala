@@ -356,10 +356,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(aggs.size >= 4, s"percentile pass and winsorized pass each partial+final, got $aggs")
   }
 
-  test("lm_bigram_score: model and prefix tables broadcast; bigram frame cached once") {
+  test("lm_bigram_score: prefix broadcasts, model joins equi (scale plan); bigram frame cached once") {
     val p = plan("lm_bigram_score")
-    assert(nodeIds(p, "BroadcastHashJoin").size >= 2,
-      "both vocab-bounded model tables must broadcast onto the scoring pass")
+    // the prefix table is unigram-keyed (vocab-bounded) and pinned with an
+    // explicit broadcast() — that one must always broadcast
+    assert(nodeIds(p, "BroadcastHashJoin").size >= 1,
+      "the vocab-bounded prefix table must broadcast onto the scoring pass")
+    // the MODEL table is pair-keyed (grows toward vocab^2 on a real
+    // corpus) and is deliberately NOT pinned: its intended scale plan is
+    // the shuffle equi-join on `big`. At fixture scale auto-broadcast may
+    // pick a broadcast anyway — fine; what the audit pins is that it can
+    // never degrade past an equi-join
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the model join must stay an equi-join (shuffle or broadcast), never all-pairs")
     assert(p.contains("InMemoryRelation"),
       "the corpus bigram explode is persisted — model, prefix and scoring all read it")
     assert(!p.contains("Window ["))
