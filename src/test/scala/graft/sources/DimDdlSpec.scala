@@ -53,6 +53,31 @@ class DimDdlSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("forced replay of an upsert batch leaves the dim table identical") {
+    dropClean("dim_replay_t")
+    DimDdl.ensureTable(spark, "dim_replay_t", "id,name,birthday", "id")
+    val t = s"${DimDdl.SchemaName}.`dim_replay_t`"
+    DimDdl.upsert(spark, "dim_replay_t", "id",
+      batch(("u1", "alice", "1990-01-01"), ("u2", "bob", "1991-01-01")))
+    // the batch that will replay, including an intra-batch pk conflict
+    // (two writes to u3) whose winner must be replay-stable
+    val b1 = batch(("u1", "alice2", "1990-01-01"),
+      ("u3", "carol-x", "1992-01-01"), ("u3", "carol-y", "1992-01-01"))
+    DimDdl.upsert(spark, "dim_replay_t", "id", b1)
+    def rows(): Seq[String] = spark.table(t).collect().map(_.toString).toSeq.sorted
+    val before = rows()
+    // forced replay: the same micro-batch re-runs after a failure between
+    // the upsert and the streaming checkpoint commit — the keyed overwrite
+    // must converge to the same rows (same winners, same buckets)
+    DimDdl.upsert(spark, "dim_replay_t", "id", b1)
+    assert(rows() == before, "replayed upsert changed the dim table")
+    val byId = spark.table(t).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byId == Map("u1" -> "alice2", "u2" -> "bob", "u3" -> "carol-y"),
+      "payload-ranked intra-batch winner must be deterministic across replays")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("incremental upsert rewrites only the touched pk-buckets' files") {
     dropClean("dim_incr_t")
     DimDdl.ensureTable(spark, "dim_incr_t", "id,name,birthday", "id")

@@ -78,6 +78,33 @@ class CdcRouterSpec extends SparkSpec {
       "the replayed batch regenerates the same (data, seq) set and collapses")
   }
 
+  test("dim-side replay: forced micro-batch re-runs leave the dim snapshot identical") {
+    val out = tmpDir("cdcdimreplay")
+    val b0 = CdcRouter.parse(Seq(
+      cdc("user_info", "insert", """{"id":"u1","name":"alice","birthday":"1990-01-01"}"""),
+      cdc("user_info", "insert", """{"id":"u2","name":"bob","birthday":"1991-01-01"}""")).toDF("value"))
+    CdcRouter.processBatch(b0, configDf, out, 0L)
+    val b1 = CdcRouter.parse(Seq(
+      cdc("user_info", "update", """{"id":"u1","name":"alice2","birthday":"1990-01-01"}""")).toDF("value"))
+    CdcRouter.processBatch(b1, configDf, out, 1L)
+    def snapshot(): Seq[String] =
+      CdcRouter.dimSnapshot(spark, out).collect().map(_.toString).toSeq.sorted
+    val before = snapshot()
+
+    // forced replay of the LATEST batch (failure between sink write and
+    // checkpoint commit): the log gains duplicate (batch_id, seq) rows but
+    // the keyed last-write-wins view must not move
+    CdcRouter.processBatch(b1, configDf, out, 1L)
+    assert(snapshot() == before, "replaying the latest batch changed the snapshot")
+
+    // forced replay of an OLDER batch (re-delivery after restart): its
+    // rows rank below batch 1 for u1, so the snapshot still must not move
+    CdcRouter.processBatch(b0, configDf, out, 0L)
+    assert(snapshot() == before, "replaying an older batch changed the snapshot")
+    assert(spark.read.parquet(s"$out/dims_log").count() == 6,
+      "the at-least-once log itself does keep the replayed duplicates")
+  }
+
   test("dim upsert: last write per primary key wins across batches") {
     val out = tmpDir("cdcrouter")
     val b0 = CdcRouter.parse(Seq(
