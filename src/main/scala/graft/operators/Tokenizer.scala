@@ -32,7 +32,12 @@ import scala.collection.immutable.ListMap
   */
 object Tokenizer {
 
-  private val Steps = 4
+  /** Merge-table depth. 16 is production-shaped (a real tokenizer runs
+    * thousands of rounds of exactly this loop; each round's cost profile —
+    * one vocab-sized pair count, one argmax, one broadcast apply — is
+    * already the steady state at step 16). The exhaustion guard below
+    * makes any Steps value safe on degenerate corpora. */
+  private val Steps = 16
 
   /** Pairs of adjacent symbols from the padded encoding, as "lhs rhs"
     * keys; symbols never contain spaces so the key splits back safely. */
@@ -81,63 +86,49 @@ object Tokenizer {
     (words, merges)
   }
 
-  /** Shared oracle CTE chain: word vocab, padded encodings w0..w3 and
-    * merge winners b1..b4 — `tokenizer_vocab` reads the winners,
-    * `tokenizer_apply` extends to the post-merge w4 encodings. */
+  /** One generated oracle round n: pair counts over w(n-1), winner b(n),
+    * post-merge encodings w(n). GENERATED, not hand-unrolled, so the
+    * oracle's depth always equals [[Steps]] by construction. The w/b CTEs
+    * are MATERIALIZED: each is referenced twice (the next round's pair
+    * count AND the next encoding / final select), so default CTE inlining
+    * would duplicate the whole prefix chain per reference — 2^Steps scans
+    * of `documents` (observed as an fd-exhaustion failure at Steps=16). */
+  private def duckStep(n: Int): String =
+    s"""p$n AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count FROM (
+       |    SELECT cnt, unnest(list_transform(range(1, len(syms)), i -> syms[i] || ' ' || syms[i+1])) AS pair
+       |    FROM (SELECT cnt, string_split(trim(enc), '  ') AS syms FROM w${n - 1})) GROUP BY pair),
+       |b$n AS MATERIALIZED (SELECT split_part(pair, ' ', 1) AS lhs, split_part(pair, ' ', 2) AS rhs, pair_count
+       |  FROM p$n ORDER BY pair_count DESC, pair LIMIT 1),
+       |w$n AS MATERIALIZED (SELECT word, cnt,
+       |    CASE WHEN lhs IS NULL THEN enc
+       |         ELSE replace(enc, ' ' || lhs || '  ' || rhs || ' ', ' ' || lhs || rhs || ' ') END AS enc
+       |  FROM w${n - 1} LEFT JOIN b$n ON TRUE)""".stripMargin
+
+  /** Shared oracle CTE chain: word vocab, padded encodings w0..w(Steps)
+    * and merge winners b1..b(Steps) — `tokenizer_vocab` reads the
+    * winners, `tokenizer_apply` reads the final encodings. */
   private val duckTrain: String =
     s"""toks AS (SELECT
         |    ${graft.functions.Portable.duckToksSql("text")} AS toks
         |  FROM documents),
         |vocab AS (SELECT t AS word, COUNT(*)::BIGINT AS cnt
         |  FROM (SELECT unnest(toks) AS t FROM toks) GROUP BY 1),
-        |w0 AS (SELECT word, cnt,
+        |w0 AS MATERIALIZED (SELECT word, cnt,
         |    list_reduce(list_prepend('', list_transform(range(1, length(word) + 1),
         |      i -> ' ' || substr(word, i, 1) || ' ')), (a, b) -> a || b) AS enc
         |  FROM vocab),
-        |p1 AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count FROM (
-        |    SELECT cnt, unnest(list_transform(range(1, len(syms)), i -> syms[i] || ' ' || syms[i+1])) AS pair
-        |    FROM (SELECT cnt, string_split(trim(enc), '  ') AS syms FROM w0)) GROUP BY pair),
-        |b1 AS (SELECT split_part(pair, ' ', 1) AS lhs, split_part(pair, ' ', 2) AS rhs, pair_count
-        |  FROM p1 ORDER BY pair_count DESC, pair LIMIT 1),
-        |w1 AS (SELECT word, cnt,
-        |    CASE WHEN lhs IS NULL THEN enc
-        |         ELSE replace(enc, ' ' || lhs || '  ' || rhs || ' ', ' ' || lhs || rhs || ' ') END AS enc
-        |  FROM w0 LEFT JOIN b1 ON TRUE),
-        |p2 AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count FROM (
-        |    SELECT cnt, unnest(list_transform(range(1, len(syms)), i -> syms[i] || ' ' || syms[i+1])) AS pair
-        |    FROM (SELECT cnt, string_split(trim(enc), '  ') AS syms FROM w1)) GROUP BY pair),
-        |b2 AS (SELECT split_part(pair, ' ', 1) AS lhs, split_part(pair, ' ', 2) AS rhs, pair_count
-        |  FROM p2 ORDER BY pair_count DESC, pair LIMIT 1),
-        |w2 AS (SELECT word, cnt,
-        |    CASE WHEN lhs IS NULL THEN enc
-        |         ELSE replace(enc, ' ' || lhs || '  ' || rhs || ' ', ' ' || lhs || rhs || ' ') END AS enc
-        |  FROM w1 LEFT JOIN b2 ON TRUE),
-        |p3 AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count FROM (
-        |    SELECT cnt, unnest(list_transform(range(1, len(syms)), i -> syms[i] || ' ' || syms[i+1])) AS pair
-        |    FROM (SELECT cnt, string_split(trim(enc), '  ') AS syms FROM w2)) GROUP BY pair),
-        |b3 AS (SELECT split_part(pair, ' ', 1) AS lhs, split_part(pair, ' ', 2) AS rhs, pair_count
-        |  FROM p3 ORDER BY pair_count DESC, pair LIMIT 1),
-        |w3 AS (SELECT word, cnt,
-        |    CASE WHEN lhs IS NULL THEN enc
-        |         ELSE replace(enc, ' ' || lhs || '  ' || rhs || ' ', ' ' || lhs || rhs || ' ') END AS enc
-        |  FROM w2 LEFT JOIN b3 ON TRUE),
-        |p4 AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count FROM (
-        |    SELECT cnt, unnest(list_transform(range(1, len(syms)), i -> syms[i] || ' ' || syms[i+1])) AS pair
-        |    FROM (SELECT cnt, string_split(trim(enc), '  ') AS syms FROM w3)) GROUP BY pair),
-        |b4 AS (SELECT split_part(pair, ' ', 1) AS lhs, split_part(pair, ' ', 2) AS rhs, pair_count
-        |  FROM p4 ORDER BY pair_count DESC, pair LIMIT 1)""".stripMargin
+        |${(1 to Steps).map(duckStep).mkString(",\n")}""".stripMargin
 
   val defs: ListMap[String, QueryDef] = ListMap(
 
-    // ---- BPE merge table: 4 merge steps over the corpus word-frequency
-    // table; output = (step, lhs, rhs, merged, pair_count) -------------------
+    // ---- BPE merge table: Steps merge rounds over the corpus
+    // word-frequency table; output = (step, lhs, rhs, merged, pair_count) ----
     "tokenizer_vocab" -> QueryDef(
       (s, dir) => train(s, dir)._2.reduce(_.unionAll(_)).orderBy("step"),
       s"""WITH $duckTrain
-        |SELECT CAST(1 AS INT) AS step, lhs, rhs, lhs || rhs AS merged, pair_count FROM b1
-        |UNION ALL SELECT CAST(2 AS INT), lhs, rhs, lhs || rhs, pair_count FROM b2
-        |UNION ALL SELECT CAST(3 AS INT), lhs, rhs, lhs || rhs, pair_count FROM b3
-        |UNION ALL SELECT CAST(4 AS INT), lhs, rhs, lhs || rhs, pair_count FROM b4
+        |${(1 to Steps).map(n =>
+           s"SELECT CAST($n AS INT) AS step, lhs, rhs, lhs || rhs AS merged, pair_count FROM b$n")
+           .mkString("\nUNION ALL ")}
         |ORDER BY step""".stripMargin),
 
     // ---- apply the learned merges: encode every document with the
@@ -164,15 +155,11 @@ object Tokenizer {
           .transform(graft.Sorted.byNames(_, "doc_id"))
       },
       s"""WITH $duckTrain,
-         |w4 AS (SELECT word, cnt,
-         |    CASE WHEN lhs IS NULL THEN enc
-         |         ELSE replace(enc, ' ' || lhs || '  ' || rhs || ' ', ' ' || lhs || rhs || ' ') END AS enc
-         |  FROM w3 LEFT JOIN b4 ON TRUE),
          |dtoks AS (SELECT doc_id,
          |    ${graft.functions.Portable.duckToksSql("text")} AS ts
          |  FROM documents),
          |dw AS (SELECT doc_id, unnest(ts) AS word FROM dtoks),
-         |enc AS (SELECT word, len(string_split(trim(enc), '  ')) AS ns, length(word) AS wl FROM w4)
+         |enc AS (SELECT word, len(string_split(trim(enc), '  ')) AS ns, length(word) AS wl FROM w$Steps)
          |SELECT doc_id, COUNT(*) AS n_words,
          |  CAST(SUM(ns) AS BIGINT) AS n_symbols,
          |  CAST(SUM(wl) AS BIGINT) AS n_token_chars,

@@ -30,7 +30,10 @@ class TokenizerSpec extends SparkSpec {
       (2, "t", "he", "the", 8L),
       (3, "the", "n", "then", 3L),
       // "a t" vs "c a" tie at 2 -> "a t" first
-      (4, "a", "t", "at", 2L)))
+      (4, "a", "t", "at", 2L),
+      // this corpus trains to exhaustion before the step budget: "c at"
+      // merges at step 5 and steps 6..Steps contribute no rows
+      (5, "c", "at", "cat", 2L)))
   }
 
   test("consecutive merges inside one word: 'aaaa' becomes two 'aa' symbols, then one 'aaaa'") {
