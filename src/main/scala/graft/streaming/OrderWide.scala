@@ -108,35 +108,104 @@ object OrderWide {
     *  - spu / category3 / trademark names (209-251).
     * Missing dim rows pass through as nulls (the async lookup's no-hit
     * behavior). Dims are the all-varchar shape of FIXTURES.md §B.6. */
-  def enrich(wide: DataFrame, dims: Dims, asOfDate: String): DataFrame = {
-    val u = wide
-      .join(broadcast(dims.user), col("user_id") === dims.user("uid"), "left")
+  def enrich(wide: DataFrame, dims: Dims, asOfDate: String): DataFrame =
+    enrichWith(wide, dims, asOfDate,
+      (l, d, lk, dk, _) => l.join(broadcast(d), col(lk) === d(dk), "left").drop(dk))
+
+  /** The enrichment flow parameterized over the dim-join primitive, so the
+    * broadcast path and the point-lookup path share ONE copy of the
+    * derived-column logic (age, renames, the sku_name override) and cannot
+    * drift. `joiner(left, dimFrame, leftKey, dimKey, table)` must append
+    * the dim's non-key columns, null-filled when the dim row is absent. */
+  private def enrichWith(wide: DataFrame, dims: Dims, asOfDate: String,
+      joiner: (DataFrame, DataFrame, String, String, String) => DataFrame): DataFrame = {
+    val u = joiner(wide, dims.user, "user_id", "uid", "dim_user_info")
       .withColumn("user_age",
         floor(months_between(lit(asOfDate).cast("date"), col("birthday")) / 12).cast("int"))
       .withColumnRenamed("gender", "user_gender")
-      .drop("uid", "birthday")
-    val p = u
-      .join(broadcast(dims.province), col("province_id") === dims.province("pid"), "left")
+      .drop("birthday")
+    val p = joiner(u, dims.province, "province_id", "pid", "dim_base_province")
       .withColumnRenamed("iso_code", "province_iso_code")
       .withColumnRenamed("area_code", "province_area_code")
       .withColumnRenamed("iso_3166_2", "province_3166_2_code")
-      .drop("pid")
-    val skuJoined = p
-      .join(broadcast(dims.sku), col("sku_id") === dims.sku("skid"), "left")
+    val skuJoined = joiner(p, dims.sku, "sku_id", "skid", "dim_sku_info")
     val sk = (if (p.columns.contains("sku_name"))
         // reference overwrites sku_name from DIM_SKU_INFO when the dim row
         // exists, keeps the detail's value otherwise
         skuJoined.withColumn("sku_name", coalesce(col("dim_sku_name"), col("sku_name")))
       else skuJoined.withColumnRenamed("dim_sku_name", "sku_name"))
-      .drop("dim_sku_name", "skid")
-    sk
-      .join(broadcast(dims.spu), col("spu_id") === dims.spu("spid"), "left")
-      .drop("spid")
-      .join(broadcast(dims.category3), col("category3_id") === dims.category3("c3id"), "left")
-      .drop("c3id")
-      .join(broadcast(dims.trademark), col("tm_id") === dims.trademark("tmid"), "left")
-      .drop("tmid")
+      .drop("dim_sku_name")
+    val s1 = joiner(sk, dims.spu, "spu_id", "spid", "dim_spu_info")
+    val s2 = joiner(s1, dims.category3, "category3_id", "c3id", "dim_base_category3")
+    joiner(s2, dims.trademark, "tm_id", "tmid", "dim_base_trademark")
   }
+
+  /** External point-lookup dim client — the interface of the reference's
+    * per-row dim fetch (DimUtil.java:31-87: Redis cache else Phoenix point
+    * query). `get` returns the dim row's NON-KEY column values in the dim
+    * schema's field order, or None for a missing key. Implementations wrap
+    * an external KV/SQL store (HBase, JDBC) and may assume a fresh
+    * instance per partition task (the reference's per-operator client). */
+  trait DimClient extends Serializable {
+    def get(table: String, key: Any): Option[Seq[Any]]
+  }
+
+  /** Per-row point-lookup LEFT join through a bounded per-partition LRU —
+    * the documented fallback for dims too LARGE to broadcast (SCALE.md):
+    * broadcast-per-batch is strictly better whenever the dim fits, but a
+    * billion-row dim cannot ship to every executor, and this path touches
+    * only the keys the batch actually contains, caching repeats (skewed
+    * fact keys hit the LRU, the reference's Redis role). The dim FRAME
+    * contributes only its schema (names/types — including the appended
+    * columns' types and the key type the fact key is cast to); all rows
+    * come from the client. Assumes unique dim keys (the primary-key
+    * contract Phoenix enforces in the reference); a broadcast join over a
+    * key-duplicated dim would instead multiply fact rows. */
+  def lookupJoin(left: DataFrame, leftKey: String, dim: DataFrame, dimKey: String,
+      table: String, client: DimClient, cacheSize: Int = 10000): DataFrame = {
+    // appended columns are nullable regardless of the dim schema's flags:
+    // a missing dim row null-fills them (exactly what a left join does to
+    // the build side's nullability)
+    val dimFields = dim.schema.fields.filter(_.name != dimKey)
+      .map(_.copy(nullable = true))
+    val outSchema = StructType(left.schema.fields ++ dimFields)
+    val n = left.schema.size
+    val misses = Seq.fill(dimFields.length)(null)
+    // cast the fact key to the dim key's type ONCE, plan-side, so the
+    // executor-side cache key equals what the store indexes (e.g. a string
+    // pk dim looked up by a bigint fact column)
+    val in = left.withColumn("__lk", col(leftKey).cast(dim.schema(dimKey).dataType))
+    in.mapPartitions { rows =>
+      // per-partition bounded LRU (access-ordered), one client per task —
+      // the reference's 24 h Redis TTL collapses to "batch lifetime":
+      // dims re-read per micro-batch means a cache never outlives a batch
+      val cache = new java.util.LinkedHashMap[Any, Option[Seq[Any]]](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[Any, Option[Seq[Any]]]): Boolean = size() > cacheSize
+      }
+      rows.map { row =>
+        val key = row.get(n)
+        val hit =
+          if (key == null) None // null fact key joins nothing (=== parity)
+          else {
+            val cached = cache.get(key)
+            if (cached != null) cached
+            else { val v = client.get(table, key); cache.put(key, v); v }
+          }
+        org.apache.spark.sql.Row.fromSeq(
+          row.toSeq.take(n) ++ hit.getOrElse(misses))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** [[enrich]] with every broadcast replaced by [[lookupJoin]] — identical
+    * output by construction (same [[enrichWith]] column flow, proven
+    * equal-on-fixture in OrderWideSpec). Use when a dim exceeds broadcast
+    * capacity; mix-and-match per dim in a custom flow if only one does. */
+  def enrichPointLookup(wide: DataFrame, dims: Dims, client: DimClient,
+      asOfDate: String, cacheSize: Int = 10000): DataFrame =
+    enrichWith(wide, dims, asOfDate,
+      (l, d, lk, dk, table) => lookupJoin(l, lk, d, dk, table, client, cacheSize))
 
   /** Final projection to the complete 34-field OrderWide surface
     * (RT/bean/OrderWide.java:16-51, field order preserved).

@@ -95,6 +95,52 @@ class OrderWideSpec extends SparkSpec {
     assert(m("tm_name") == "Apple")
   }
 
+  test("point-lookup enrichment (mapPartitions + LRU) matches the broadcast path exactly") {
+    // KV view of the same fixture dims: key -> non-key values in schema
+    // order (what an external HBase/Phoenix/JDBC store would return)
+    def kv(df: org.apache.spark.sql.DataFrame, key: String): Map[Any, Seq[Any]] = {
+      val ki = df.columns.indexOf(key)
+      df.collect().map(r => r.get(ki) -> r.toSeq.patch(ki, Nil, 1)).toMap
+    }
+    val dims = refDims
+    val stores = Map(
+      "dim_user_info" -> kv(dims.user, "uid"),
+      "dim_base_province" -> kv(dims.province, "pid"),
+      "dim_sku_info" -> kv(dims.sku, "skid"),
+      "dim_spu_info" -> kv(dims.spu, "spid"),
+      "dim_base_category3" -> kv(dims.category3, "c3id"),
+      "dim_base_trademark" -> kv(dims.trademark, "tmid"))
+    val calls = spark.sparkContext.longAccumulator("dim-lookups")
+    val client = new OrderWide.DimClient {
+      def get(table: String, key: Any): Option[Seq[Any]] = {
+        calls.add(1); stores(table).get(key)
+      }
+    }
+
+    // hit rows + an all-miss row (nulls must match the left-join nulls)
+    val wide = Seq((1L, 11L, 3L, 5L), (2L, 11L, 3L, 5L), (3L, 99L, 98L, 97L))
+      .toDF("id", "user_id", "province_id", "sku_id")
+    val viaBroadcast = OrderWide.enrich(wide, dims, asOfDate = "2024-01-01")
+    val viaLookup = OrderWide.enrichPointLookup(wide, dims, client, asOfDate = "2024-01-01")
+    assert(viaLookup.schema.map(f => (f.name, f.dataType)) ==
+      viaBroadcast.schema.map(f => (f.name, f.dataType)))
+    assert(viaLookup.orderBy("id").collect().toSeq ==
+      viaBroadcast.orderBy("id").collect().toSeq,
+      "the two dim-join strategies must produce identical rows")
+
+    // LRU effectiveness: 100 same-key facts in one partition -> exactly one
+    // store call per dim table (the other 99 per dim hit the cache)
+    calls.reset()
+    val skewed = spark.range(0, 100)
+      .selectExpr("id", "11L AS user_id", "3L AS province_id", "5L AS sku_id")
+      .coalesce(1)
+    val n = OrderWide.enrichPointLookup(skewed.toDF(), dims, client,
+      asOfDate = "2024-01-01").count()
+    assert(n == 100)
+    assert(calls.value == 6L,
+      s"expected 1 store call per dim table via the LRU, got ${calls.value}")
+  }
+
   test("missing dim rows pass through as nulls (left join, skip-on-null parity)") {
     val wide = Seq((1L, 99L, 98L, 97L, 96L, 95L, 94L))
       .toDF("id", "user_id", "province_id", "sku_id", "spu_id", "category3_id", "tm_id")
