@@ -278,7 +278,26 @@ object Dedup {
                | struct(2 AS tag, array_min(transform(g, x -> (x * ${MIX}L + 12345L) % ${P61}L)) AS mv))) AS k""".stripMargin)
           .selectExpr("doc_id", "lang", "band", "k.tag AS tag", "k.mv AS mv")
           .distinct()
-        val cand = bucketed.alias("a").join(bucketed.alias("b"),
+        // Bucket-depth cap, the min-gram analogue of the substring
+        // family's stop-window guard (df BETWEEN 2 AND 50, below): a
+        // globally-small boilerplate gram hash becomes the min of a large
+        // doc population, and that one bucket's self-join is df^2/2
+        // verify-and-discard work (measured: a corpus whose copies share
+        // word-internal grams pushed the verify stage to 208 s at 10x —
+        // pure false-positive volume, every candidate below threshold).
+        // df >= 2 drops pairless singleton buckets; df <= 50 bounds any
+        // bucket to <= 1225 candidate pairs. A true pair is lost only
+        // when ALL its shared keys (2 bands x 2 independent permutations)
+        // are over-crowded; the second permutation re-draws the min, so
+        // the added miss stays within the 9% banding budget at j >= 0.7.
+        // The groupBy, the cap join, and the candidate self-join all key
+        // on (lang, band, tag, mv) — one shuffle partitioning, reused.
+        val depthOk = bucketed.groupBy(col("lang"), col("band"), col("tag"), col("mv"))
+          .agg(count(lit(1)).as("df"))
+          .filter("df BETWEEN 2 AND 50")
+          .select(col("lang"), col("band"), col("tag"), col("mv"))
+        val capped = bucketed.join(depthOk, Seq("lang", "band", "tag", "mv"))
+        val cand = capped.alias("a").join(capped.alias("b"),
             expr("a.lang = b.lang AND a.band = b.band AND a.tag = b.tag AND a.mv = b.mv AND a.doc_id < b.doc_id"))
           .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b")
           .distinct()
@@ -316,9 +335,12 @@ object Dedup {
          |   {'tag': 2, 'mv': list_min(list_transform(g, x -> (x * $MIX + 12345) % $P61))}]) AS k
          |  FROM b1),
          |bucketed AS (SELECT DISTINCT doc_id, lang, band, k.tag AS tag, k.mv AS mv FROM b2),
+         |bc AS (SELECT lang, band, tag, mv FROM bucketed
+         |  GROUP BY lang, band, tag, mv HAVING count(*) BETWEEN 2 AND 50),
+         |capped AS (SELECT b.* FROM bucketed b JOIN bc USING (lang, band, tag, mv)),
          |cand AS (SELECT DISTINCT doc_a, doc_b, ga.g AS g_a, gb.g AS g_b FROM (
          |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |    FROM bucketed a JOIN bucketed b
+         |    FROM capped a JOIN capped b
          |      ON a.lang = b.lang AND a.band = b.band AND a.tag = b.tag AND a.mv = b.mv
          |     AND a.doc_id < b.doc_id)
          |  JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b)

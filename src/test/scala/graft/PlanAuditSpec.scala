@@ -240,6 +240,19 @@ class PlanAuditSpec extends SparkSpec {
       "df count and pair count must both be partial+final aggregates")
   }
 
+  test("dedup_ngram_jaccard: bucket-depth cap is partial+final; all joins equi") {
+    val p = plan("dedup_ngram_jaccard")
+    assert(!p.contains("CartesianProduct"),
+      "min-gram LSH candidates must come from bucket equi-joins, never all-pairs")
+    // the df BETWEEN 2 AND 50 bucket cap: a two-stage count over the
+    // bucket key, feeding the join that gates the candidate self-join —
+    // without it one boilerplate min-gram bucket is df^2/2 verify work
+    assert(nodeIds(p, "HashAggregate").size >= 2,
+      "the bucket-depth count must be a partial+final aggregate")
+    assert(p.contains("count(1)"),
+      "the depth cap's count must appear in the plan (the cap is load-bearing at scale)")
+  }
+
   test("triangle_count: oriented edge set persisted; closure is equi-joins only") {
     val p = plan("triangle_count")
     assert(!p.contains("CartesianProduct"), "triangle closure must be equi-joins")
