@@ -24,6 +24,22 @@ import scala.collection.immutable.ListMap
   */
 object Dedup {
 
+  /** Affine permutations for the ngram-jaccard min-gram LSH: 4 bands × 2
+    * rows (r = 2). One shared table generates BOTH engines' arithmetic,
+    * so the Spark expressions and the DuckDB oracle cannot drift. Gram
+    * hashes are < P ≈ 2^30 and a ≤ MIX + 55433 ≈ 2.66e9, so x*a + b
+    * ≤ 2.7e18 < 2^63 on both engines.
+    *
+    * The permuted value is reduced mod P (NOT P61): with x < P the
+    * product a*x ≤ 2.7e18 wraps P61 ≈ 2.3e18 at most once, leaving the
+    * map near-MONOTONE in x — every "independent" permutation then picks
+    * the same minimal gram, bands collide identically, and r = 2 silently
+    * degenerates to a single-min match (measured: candidate counts
+    * identical to the digit across schemes). Mod P the product wraps
+    * ~2.6e9 times, so per-band minima are genuinely independent. */
+  private val ngramPerms: IndexedSeq[(Long, Long)] =
+    (0 until 8).map(j => (MIX + 7919L * j, 12345L + 999331L * j))
+
   /** doc_id + 16-permutation MinHash signature, computed ONCE and persisted.
     * The tokenize→shingle→16-permutation chain is the expensive part of every
     * MinHash query; without persistence the band self-join re-derives it
@@ -265,18 +281,27 @@ object Dedup {
           .selectExpr("doc_id", "lang", "n_chars", "graft_gram5(text) AS g")
         // candidate pairs stay slim (ids only) through the dedup shuffle;
         // the heavy gram arrays are joined back only for surviving pairs.
-        // Block key = (lang, length band, min-gram LSH): two min-hash
-        // permutations of the gram set — docs with jaccard j share a given
-        // permutation's min with probability >= j, so the miss rate at the
-        // 0.7 threshold is <= (1-0.7)^2 = 9% while cutting the all-pairs-
-        // within-band product (~1.2M pairs at sf0.1) to near-collisions only.
-        val bucketed = d.selectExpr("doc_id", "lang", "g",
-            "explode(array(CAST(n_chars / 100 AS BIGINT), CAST((n_chars + 50) / 100 AS BIGINT))) AS band")
-          .selectExpr("doc_id", "lang", "band",
-            s"""explode(array(
-               | struct(1 AS tag, array_min(g) AS mv),
-               | struct(2 AS tag, array_min(transform(g, x -> (x * ${MIX}L + 12345L) % ${P61}L)) AS mv))) AS k""".stripMargin)
-          .selectExpr("doc_id", "lang", "band", "k.tag AS tag", "k.mv AS mv")
+        // Block key = (lang, length band, min-gram LSH) with r = 2
+        // banding: each of 4 bands keys on the PAIR of set-minima under
+        // two independent affine permutations, OR'd across bands.
+        // Collision probability at jaccard j is 1 - (1 - j^2)^4: 93% at
+        // the 0.7 threshold (miss 6.8%) — and the reason for r = 2 is
+        // candidate VOLUME, the scale knob for verify cost: the old
+        // single-min OR-of-2 admitted half of all j = 0.3 pairs
+        // (1-(1-j)^2 = 0.51; measured 3.8M size-pruned candidates for
+        // 4.5k true pairs on a 500k-doc corpus), while pairing minima
+        // drops j = 0.3 admission to 0.31 and j = 0.1 noise to 0.04.
+        val sigExprs = ngramPerms.zipWithIndex.map { case ((a, b), j) =>
+          s"array_min(transform(g, x -> (x * ${a}L + ${b}L) % ${P}L)) AS mv$j"
+        }
+        val bandStructs = (0 until 4).map(bq =>
+          s"struct(${bq + 1} AS tag, mv${2 * bq} AS mva, mv${2 * bq + 1} AS mvb)").mkString(", ")
+        val bucketed = d
+          .selectExpr(Seq("doc_id", "lang", "n_chars") ++ sigExprs: _*)
+          .selectExpr(Seq("doc_id", "lang") ++ (0 until 8).map(j => s"mv$j") :+
+            "explode(array(CAST(n_chars / 100 AS BIGINT), CAST((n_chars + 50) / 100 AS BIGINT))) AS band": _*)
+          .selectExpr("doc_id", "lang", "band", s"explode(array($bandStructs)) AS k")
+          .selectExpr("doc_id", "lang", "band", "k.tag AS tag", "k.mva AS mva", "k.mvb AS mvb")
           .distinct()
         // Bucket-depth cap, the min-gram analogue of the substring
         // family's stop-window guard (df BETWEEN 2 AND 50, below): a
@@ -287,18 +312,19 @@ object Dedup {
         // pure false-positive volume, every candidate below threshold).
         // df >= 2 drops pairless singleton buckets; df <= 50 bounds any
         // bucket to <= 1225 candidate pairs. A true pair is lost only
-        // when ALL its shared keys (2 bands x 2 independent permutations)
-        // are over-crowded; the second permutation re-draws the min, so
-        // the added miss stays within the 9% banding budget at j >= 0.7.
+        // when ALL its shared keys (2 length-bands x 4 LSH bands) are
+        // over-crowded; each band re-draws both minima independently, so
+        // the added miss stays within the banding budget at j >= 0.7.
         // The groupBy, the cap join, and the candidate self-join all key
-        // on (lang, band, tag, mv) — one shuffle partitioning, reused.
-        val depthOk = bucketed.groupBy(col("lang"), col("band"), col("tag"), col("mv"))
+        // on (lang, band, tag, mva, mvb) — one shuffle partitioning, reused.
+        val bKey = Seq("lang", "band", "tag", "mva", "mvb")
+        val depthOk = bucketed.groupBy(bKey.map(col): _*)
           .agg(count(lit(1)).as("df"))
           .filter("df BETWEEN 2 AND 50")
-          .select(col("lang"), col("band"), col("tag"), col("mv"))
-        val capped = bucketed.join(depthOk, Seq("lang", "band", "tag", "mv"))
+          .select(bKey.map(col): _*)
+        val capped = bucketed.join(depthOk, bKey)
         val cand = capped.alias("a").join(capped.alias("b"),
-            expr("a.lang = b.lang AND a.band = b.band AND a.tag = b.tag AND a.mv = b.mv AND a.doc_id < b.doc_id"))
+            expr(bKey.map(c => s"a.$c = b.$c").mkString(" AND ") + " AND a.doc_id < b.doc_id"))
           .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b")
           .distinct()
         // size-compatibility prefilter: jaccard >= 0.7 forces
@@ -310,9 +336,14 @@ object Dedup {
           .join(sizes.selectExpr("doc_id AS doc_b", "sz AS sz_b"), "doc_b")
           .filter("least(sz_a, sz_b) * 1.7 >= 0.7 * (sz_a + sz_b)")
           .select(col("doc_a"), col("doc_b"))
+        // gram hashes are < P < 2^31, so the verify join-back ships them
+        // as INT32 — an injective cast that halves the per-pair shuffle
+        // bytes (a hot doc's array is replicated into every one of its
+        // candidate pairs, so array width is THE verify-cost constant)
+        val slim = d.selectExpr("doc_id", "transform(g, x -> CAST(x AS INT)) AS g")
         pruned
-          .join(d.selectExpr("doc_id AS doc_a", "g AS g_a"), "doc_a")
-          .join(d.selectExpr("doc_id AS doc_b", "g AS g_b"), "doc_b")
+          .join(slim.selectExpr("doc_id AS doc_a", "g AS g_a"), "doc_a")
+          .join(slim.selectExpr("doc_id AS doc_b", "g AS g_b"), "doc_b")
           .selectExpr("doc_a", "doc_b",
             "size(array_intersect(g_a, g_b)) AS inter", "size(g_a) AS sa", "size(g_b) AS sb")
           .selectExpr("doc_a", "doc_b",
@@ -331,17 +362,23 @@ object Dedup {
          |b1 AS (SELECT doc_id, lang, g, unnest([n_chars // 100, (n_chars + 50) // 100]) AS band
          |  FROM g),
          |b2 AS (SELECT doc_id, lang, band, unnest([
-         |   {'tag': 1, 'mv': list_min(g)},
-         |   {'tag': 2, 'mv': list_min(list_transform(g, x -> (x * $MIX + 12345) % $P61))}]) AS k
+         |   ${(0 until 4).map { bq =>
+              val (a1, c1) = ngramPerms(2 * bq); val (a2, c2) = ngramPerms(2 * bq + 1)
+              s"{'tag': ${bq + 1}, " +
+                s"'mva': list_min(list_transform(g, x -> (x * $a1 + $c1) % $P)), " +
+                s"'mvb': list_min(list_transform(g, x -> (x * $a2 + $c2) % $P))}"
+            }.mkString(",\n   ")}]) AS k
          |  FROM b1),
-         |bucketed AS (SELECT DISTINCT doc_id, lang, band, k.tag AS tag, k.mv AS mv FROM b2),
-         |bc AS (SELECT lang, band, tag, mv FROM bucketed
-         |  GROUP BY lang, band, tag, mv HAVING count(*) BETWEEN 2 AND 50),
-         |capped AS (SELECT b.* FROM bucketed b JOIN bc USING (lang, band, tag, mv)),
+         |bucketed AS (SELECT DISTINCT doc_id, lang, band,
+         |  k.tag AS tag, k.mva AS mva, k.mvb AS mvb FROM b2),
+         |bc AS (SELECT lang, band, tag, mva, mvb FROM bucketed
+         |  GROUP BY lang, band, tag, mva, mvb HAVING count(*) BETWEEN 2 AND 50),
+         |capped AS (SELECT b.* FROM bucketed b JOIN bc USING (lang, band, tag, mva, mvb)),
          |cand AS (SELECT DISTINCT doc_a, doc_b, ga.g AS g_a, gb.g AS g_b FROM (
          |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |    FROM capped a JOIN capped b
-         |      ON a.lang = b.lang AND a.band = b.band AND a.tag = b.tag AND a.mv = b.mv
+         |      ON a.lang = b.lang AND a.band = b.band AND a.tag = b.tag
+         |     AND a.mva = b.mva AND a.mvb = b.mvb
          |     AND a.doc_id < b.doc_id)
          |  JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b)
          |SELECT doc_a, doc_b,
