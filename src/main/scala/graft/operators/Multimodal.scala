@@ -9,23 +9,34 @@ import scala.collection.immutable.ListMap
 /** Multimodal columns: image/audio/video as opaque `binary` columns with
   * typed metadata, plus decode / feature-extract / frame-sample plumbing.
   *
-  * IMAGE rows decode for REAL: `imageTable` builds genuine 24-bit BMP
-  * files (hand-rolled header + bottom-up BGR pixel rows, pixels derived
-  * deterministically from the document text) and `BmpCodec` decodes them
-  * with the in-JDK `javax.imageio.ImageIO` — no stub, no external jars.
-  * The oracle recomputes the expected pixels from the same derivation, so
-  * a bug anywhere in the encode→decode round trip (header layout, row
-  * order, padding, channel order) breaks the hash compare.
+  * ALL THREE modalities decode for REAL through in-JDK decoders — no
+  * stub, no external jars:
+  *  - IMAGE: `imageTable` builds genuine 24-bit BMP files (hand-rolled
+  *    header + bottom-up BGR pixel rows) and `BmpCodec` decodes them with
+  *    `javax.imageio.ImageIO`.
+  *  - AUDIO: `audioTable` builds canonical RIFF/WAVE files (PCM16LE mono
+  *    8 kHz) and `WavCodec` decodes them with
+  *    `javax.sound.sampled.AudioSystem`, assembling samples per the
+  *    decoder-reported format.
+  *  - VIDEO: `videoTable` builds RIFF/AVI containers (`hdrl`/`strl`/
+  *    `movi`, uncompressed DIB frames in `00db` chunks) and `AviCodec`
+  *    parses the chunk tree and decodes each frame through the ImageIO
+  *    BMP reader.
+  * Pixel/sample payloads derive deterministically from the document
+  * text, and every oracle recomputes the expected values from the same
+  * derivation — so a bug anywhere in an encode→decode round trip
+  * (header layout, chunk sizes, row order, padding, channel order,
+  * endianness) breaks the hash compare.
   *
-  * AUDIO/VIDEO decode remains a clearly-marked stub (`FakeCodec` — the
-  * container has no media codecs): deterministic pseudo-metadata from the
-  * bytes. Everything around both codecs — the binary schema, the batched
+  * The plumbing around the codecs — the binary schema, the batched
   * `mapPartitions` shape (the Scala analog of a vectorized/Pandas UDF:
   * one iterator per partition, amortized setup, no per-row driver
   * involvement), the explode of sampled frames, and the partitioning — is
-  * real and is what matters at 100 TB: media bytes stay in executors,
-  * metadata flows as narrow typed columns, and the expensive decode is a
-  * map-side single pass.
+  * what matters at 100 TB: media bytes stay in executors, metadata flows
+  * as narrow typed columns, and the expensive decode is a map-side
+  * single pass. A production deployment swaps these containers for
+  * JPEG/MP3/MP4 codec libraries; signatures and batch shape stay
+  * identical.
   *
   * The media table is derived deterministically from `documents` (the
   * fixtures ship no binary table): content = UTF-8 bytes of `text` (raw
@@ -143,32 +154,291 @@ object Multimodal {
     }
   }
 
-  /** STUB codec — deterministic fakes in place of real AUDIO/VIDEO
-    * decoders (the ??? boundary; image rows use the real [[BmpCodec]]).
-    * Swap `decodeMeta`/`decodeFeatures` for javacv/ffmpeg etc. in a real
-    * deployment; signatures and batch shape stay identical. */
-  object FakeCodec {
-    def decodeMeta(r: MediaRow): MediaMeta = {
-      var h = 0L
-      var i = 0
-      while (i < r.content.length) {
-        h = (h * 31 + (r.content(i) & 0xff)) % 1000000007L
-        i += 1
-      }
-      MediaMeta(r.doc_id, r.media_type, r.content.length,
-        width = 64 + (h % 1024).toInt, height = 64 + ((h / 1024) % 1024).toInt,
-        duration_ms = if (r.media_type == "image") 0L else 1000L + h % 60000L,
-        checksum = h)
+  /** REAL audio codec: hand-rolled canonical RIFF/WAVE container (44-byte
+    * header, PCM 16-bit signed little-endian, mono, 8 kHz) decoded with
+    * the in-JDK `javax.sound.sampled.AudioSystem` — no stub, no external
+    * jars. Sample k is an injective map of source byte k onto the full
+    * signed 16-bit range (b*257 - 32768: 0 -> -32768, 255 -> 32767), so
+    * the DuckDB oracle replays decoded-sample arithmetic from the text
+    * and a bug anywhere in the header/endianness/sample-assembly path
+    * breaks the hash compare. */
+  object WavCodec {
+    private val MOD = 1000000007L
+    val SampleRate = 8000
+
+    def sampleFn(text: Array[Byte]): Int => Int =
+      k => ((text(k) & 0xff) * 257) - 32768
+
+    /** Canonical 44-byte RIFF/WAVE header + PCM16LE mono frames. */
+    def encodeWav(samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(SampleRate).putInt(SampleRate * 2) // byte rate
+        .putShort(2).putShort(16) // block align, bits
+      b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(b.putShort)
+      b.array()
     }
 
+    /** Real decode through AudioSystem; samples assembled per the
+      * REPORTED format (endianness included), not assumed. */
+    private def readSamples(r: MediaRow): (Array[Int], Long) = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.content))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"unexpected WAV format for doc ${r.doc_id}: $fmt")
+        val bytes = in.readAllBytes()
+        val n = bytes.length / 2
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          out(i) =
+            if (fmt.isBigEndian) (bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)
+            else (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)
+          i += 1
+        }
+        (out, fmt.getSampleRate.toLong)
+      } finally in.close()
+    }
+
+    /** width/height 0 (no raster), duration from frame count / rate,
+      * checksum = polynomial fold over unsigned sample values. */
+    def decodeMeta(r: MediaRow): MediaMeta = {
+      val (s, rate) = readSamples(r)
+      var acc = 0L
+      var i = 0
+      while (i < s.length) { acc = (acc * 31 + (s(i) + 32768)) % MOD; i += 1 }
+      MediaMeta(r.doc_id, r.media_type, r.content.length, width = 0, height = 0,
+        duration_ms = s.length.toLong * 1000L / rate, checksum = acc)
+    }
+
+    /** 16-bin histogram over unsigned sample values (v / 4096), normalized
+      * by the frame count. */
     def decodeFeatures(r: MediaRow): MediaFeatures = {
+      val (s, _) = readSamples(r)
       val hist = new Array[Double](16)
       var i = 0
-      while (i < r.content.length) {
-        hist((r.content(i) & 0xff) / 16) += 1.0
-        i += 1
+      while (i < s.length) { hist((s(i) + 32768) / 4096) += 1.0; i += 1 }
+      val n = math.max(s.length, 1)
+      MediaFeatures(r.doc_id, hist.map(_ / n))
+    }
+  }
+
+  /** REAL video codec: hand-rolled RIFF/AVI container (the public
+    * `hdrl`/`strl`/`movi` layout: `avih` + `strh`/`strf` stream headers,
+    * uncompressed 24-bit DIB frames in `00db` chunks), parsed back by a
+    * RIFF chunk walk and each frame decoded through the in-JDK ImageIO
+    * BMP reader (14-byte BITMAPFILEHEADER + the stream's
+    * BITMAPINFOHEADER + chunk payload = a complete BMP). Frame pixels
+    * derive from the source text (frame f, flat channel k -> byte at
+    * (f*7919 + k) mod len), which the oracle replays, so header layout,
+    * chunk sizes, frame order, row order and channel order are all under
+    * the hash compare. */
+  object AviCodec {
+    private val MOD = 1000000007L
+    val Fps = 5
+
+    def frameCount(docId: Long): Int = (2 + docId % 4).toInt
+
+    /** Deterministic frame dimensions from doc_id (4..12 x 4..10). */
+    def dims(docId: Long): (Int, Int) =
+      ((4 + docId % 9).toInt, (4 + (docId / 9) % 7).toInt)
+
+    /** Channel value at (frame f, flat index k), row-major top-down
+      * R,G,B — byte at (f*7919 + k) mod len (0 when empty). */
+    def pixelFn(text: Array[Byte]): (Int, Int) => Int =
+      (f, k) => if (text.isEmpty) 0 else text((f * 7919 + k) % text.length) & 0xff
+
+    private def dibBytes(w: Int, h: Int, f: Int, v: (Int, Int) => Int): Array[Byte] = {
+      val rowBytes = w * 3
+      val pad = (4 - rowBytes % 4) % 4
+      val b = java.nio.ByteBuffer.allocate((rowBytes + pad) * h)
+      var y = h - 1 // bottom-up, BGR — the DIB raster layout BmpCodec uses
+      while (y >= 0) {
+        var x = 0
+        while (x < w) {
+          val k = (y * w + x) * 3
+          b.put(v(f, k + 2).toByte).put(v(f, k + 1).toByte).put(v(f, k).toByte)
+          x += 1
+        }
+        var p = 0
+        while (p < pad) { b.put(0.toByte); p += 1 }
+        y -= 1
       }
-      val n = math.max(r.content.length, 1)
+      b.array()
+    }
+
+    private def bmpInfoHeader(w: Int, h: Int, dibSize: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(40)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .putInt(0).putInt(dibSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      b.array()
+    }
+
+    /** Container size: 224 header bytes + F x (8 + dib) — asserted by the
+      * oracle's byte_len replay. */
+    def encodeAvi(docId: Long, text: Array[Byte]): Array[Byte] = {
+      val (w, h) = dims(docId)
+      val frames = frameCount(docId)
+      val v = pixelFn(text)
+      val rowBytes = w * 3
+      val dibSize = (rowBytes + (4 - rowBytes % 4) % 4) * h
+      val moviSize = 4 + frames * (8 + dibSize)
+      val hdrlSize = 4 + (8 + 56) + (8 + (4 + (8 + 56) + (8 + 40)))
+      val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+      val b = java.nio.ByteBuffer.allocate(8 + riffSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def cc(s: String): Unit = b.put(s.getBytes("US-ASCII"))
+      cc("RIFF"); b.putInt(riffSize); cc("AVI ")
+      cc("LIST"); b.putInt(hdrlSize); cc("hdrl")
+      cc("avih"); b.putInt(56)
+      b.putInt(1000000 / Fps).putInt(0).putInt(0).putInt(0) // usec/frame
+        .putInt(frames).putInt(0).putInt(1).putInt(dibSize + 8)
+        .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+      cc("LIST"); b.putInt(4 + (8 + 56) + (8 + 40)); cc("strl")
+      cc("strh"); b.putInt(56)
+      cc("vids"); cc("DIB ")
+      b.putInt(0).putInt(0).putInt(0)  // flags, prio/lang, initial
+        .putInt(1).putInt(Fps)         // scale, rate
+        .putInt(0).putInt(frames).putInt(dibSize).putInt(0).putInt(0)
+        .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+      cc("strf"); b.putInt(40); b.put(bmpInfoHeader(w, h, dibSize))
+      cc("LIST"); b.putInt(moviSize); cc("movi")
+      var f = 0
+      while (f < frames) {
+        cc("00db"); b.putInt(dibSize); b.put(dibBytes(w, h, f, v))
+        f += 1
+      }
+      b.array()
+    }
+
+    /** Parsed stream: the strf BITMAPINFOHEADER, strh timing, and each
+      * frame decoded to a BufferedImage via ImageIO. */
+    case class AviStream(width: Int, height: Int, scale: Int, rate: Int,
+        frames: Vector[java.awt.image.BufferedImage])
+
+    def parseAvi(r: MediaRow): AviStream = {
+      val b = java.nio.ByteBuffer.wrap(r.content)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def cc(): String = {
+        val a = new Array[Byte](4); b.get(a); new String(a, "US-ASCII")
+      }
+      require(cc() == "RIFF" && { b.getInt; cc() == "AVI " },
+        s"not a RIFF/AVI container for doc ${r.doc_id}")
+      var strf: Array[Byte] = null
+      var scale = 1
+      var rate = Fps
+      val frames = Vector.newBuilder[Array[Byte]]
+      def walk(end: Int): Unit =
+        while (b.position() < end) {
+          val id = cc()
+          val size = b.getInt
+          val next = b.position() + size + (size & 1) // RIFF pads to even
+          id match {
+            case "LIST" => cc(); walk(next) // recurse into hdrl/strl/movi
+            case "strh" =>
+              b.position(b.position() + 20) // fccType..initialFrames
+              scale = b.getInt; rate = b.getInt
+            case "strf" =>
+              strf = new Array[Byte](size); b.get(strf)
+            case "00db" | "00dc" =>
+              val data = new Array[Byte](size); b.get(data); frames += data
+            case _ => // avih etc: not needed
+          }
+          b.position(next)
+        }
+      walk(r.content.length)
+      require(strf != null && strf.length >= 40, s"no strf header for doc ${r.doc_id}")
+      val sb = java.nio.ByteBuffer.wrap(strf).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val w = sb.getInt(4)
+      val h = sb.getInt(8)
+      val imgs = frames.result().map { dib =>
+        // a complete BMP = 14-byte file header + the stream's info header
+        // + the chunk payload; decoded by the real in-JDK BMP reader
+        val bmp = java.nio.ByteBuffer.allocate(14 + strf.length + dib.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bmp.put('B'.toByte).put('M'.toByte)
+          .putInt(14 + strf.length + dib.length).putInt(0).putInt(14 + strf.length)
+        bmp.put(strf).put(dib)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bmp.array()))
+        require(img != null, s"ImageIO could not decode an AVI frame for doc ${r.doc_id}")
+        img
+      }
+      AviStream(w, h, scale, rate, imgs)
+    }
+
+    /** Per-frame checksum: polynomial fold over one decoded frame's R,G,B
+      * channels in row-major scan order (acc reset per frame). */
+    def frameChecksum(img: java.awt.image.BufferedImage): Long = {
+      var acc = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          acc = (acc * 31 + ((rgb >> 16) & 0xff)) % MOD
+          acc = (acc * 31 + ((rgb >> 8) & 0xff)) % MOD
+          acc = (acc * 31 + (rgb & 0xff)) % MOD
+          x += 1
+        }
+        y += 1
+      }
+      acc
+    }
+
+    /** width/height from the stream header, duration from frame count and
+      * strh timing, checksum = polynomial fold over every frame's decoded
+      * R,G,B channels in frame order, row-major scan order. */
+    def decodeMeta(r: MediaRow): MediaMeta = {
+      val s = parseAvi(r)
+      var acc = 0L
+      s.frames.foreach { img =>
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            acc = (acc * 31 + ((rgb >> 16) & 0xff)) % MOD
+            acc = (acc * 31 + ((rgb >> 8) & 0xff)) % MOD
+            acc = (acc * 31 + (rgb & 0xff)) % MOD
+            x += 1
+          }
+          y += 1
+        }
+      }
+      MediaMeta(r.doc_id, r.media_type, r.content.length, s.width, s.height,
+        duration_ms = s.frames.length.toLong * 1000L * s.scale / s.rate, checksum = acc)
+    }
+
+    /** 16-bin histogram over all frames' decoded channel values (v / 16),
+      * normalized by frames * w * h * 3. */
+    def decodeFeatures(r: MediaRow): MediaFeatures = {
+      val s = parseAvi(r)
+      val hist = new Array[Double](16)
+      s.frames.foreach { img =>
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            hist(((rgb >> 16) & 0xff) / 16) += 1.0
+            hist(((rgb >> 8) & 0xff) / 16) += 1.0
+            hist((rgb & 0xff) / 16) += 1.0
+            x += 1
+          }
+          y += 1
+        }
+      }
+      val n = math.max(s.frames.length * s.width * s.height * 3, 1)
       MediaFeatures(r.doc_id, hist.map(_ / n))
     }
   }
@@ -200,35 +470,66 @@ object Multimodal {
       }
   }
 
-  /** The decode-facing media table: real BMPs for image rows, raw bytes
-    * for audio/video (whose codecs are the stub). The byte-walk operators
+  /** Audio rows as REAL WAV files (executor-side encode), decodable by
+    * [[WavCodec]]/AudioSystem. */
+  def audioTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .filter("doc_id % 3 = 1")
+      .selectExpr("doc_id", "encode(coalesce(text, ''), 'UTF-8') AS raw")
+      .as[(Long, Array[Byte])]
+      .map { case (id, raw) =>
+        val samples = Array.tabulate(raw.length)(k => WavCodec.sampleFn(raw)(k).toShort)
+        MediaRow(id, "audio", WavCodec.encodeWav(samples))
+      }
+  }
+
+  /** Video rows as REAL AVI containers (executor-side encode), decodable
+    * by [[AviCodec]] + ImageIO per frame. */
+  def videoTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.load(s, dir, "documents")
+      .filter("doc_id % 3 = 2")
+      .selectExpr("doc_id", "encode(coalesce(text, ''), 'UTF-8') AS raw")
+      .as[(Long, Array[Byte])]
+      .map { case (id, raw) => MediaRow(id, "video", AviCodec.encodeAvi(id, raw)) }
+  }
+
+  /** The decode-facing media table: every modality is a REAL container —
+    * BMP images, WAV audio, AVI video. The byte-walk operators
     * (resize/frames/phash) keep reading [[mediaTable]]'s raw bytes. */
   def decodableMediaTable(s: SparkSession, dir: String): Dataset[MediaRow] =
-    imageTable(s, dir).unionByName(
-      mediaTable(s, dir).filter(col("media_type") =!= "image"))
+    imageTable(s, dir)
+      .unionByName(audioTable(s, dir))
+      .unionByName(videoTable(s, dir))
 
   /** Batched decode: one codec instance per partition (the expensive-setup
-    * pattern of a vectorized UDF), metadata out as typed columns. Image
-    * rows go through the REAL ImageIO decoder; audio/video use the stub. */
+    * pattern of a vectorized UDF), metadata out as typed columns. Every
+    * modality goes through a REAL in-JDK decoder (ImageIO / AudioSystem /
+    * RIFF walk + per-frame ImageIO). */
   def decodeAll(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition setup for the real codec happens here (ImageIO
+      // per-partition setup for the real codecs happens here (ImageIO
       // plugin lookup is JVM-global and thread-safe; nothing to init)
-      rows.map(r =>
-        if (r.media_type == "image") BmpCodec.decodeMeta(r)
-        else FakeCodec.decodeMeta(r))
+      rows.map {
+        case r if r.media_type == "image" => BmpCodec.decodeMeta(r)
+        case r if r.media_type == "audio" => WavCodec.decodeMeta(r)
+        case r => AviCodec.decodeMeta(r)
+      }
     }
   }
 
   /** Batched feature extraction (fixed-width vectors for the ANN surface):
-    * real decoded-pixel histograms for images, stub byte histograms for
-    * audio/video. */
+    * decoded-pixel histograms for images/video frames, decoded-sample
+    * histograms for audio. */
   def featuresAll(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(r =>
-      if (r.media_type == "image") BmpCodec.decodeFeatures(r)
-      else FakeCodec.decodeFeatures(r)))
+    media.mapPartitions(_.map {
+      case r if r.media_type == "image" => BmpCodec.decodeFeatures(r)
+      case r if r.media_type == "audio" => WavCodec.decodeFeatures(r)
+      case r => AviCodec.decodeFeatures(r)
+    })
   }
 
   /** Resized media: deterministic stub "thumbnail" (every stride-th byte,
@@ -270,12 +571,13 @@ object Multimodal {
 
   val defs: ListMap[String, QueryDef] = ListMap(
 
-    // ---- metadata decode over binary columns. IMAGE rows: real BMP decode
-    // via javax.imageio — the oracle recomputes width/height (dims formula),
-    // byte_len (BMP container size incl. row padding) and the checksum over
-    // the EXPECTED pixels (byte k mod len derivation), so the container
-    // round trip is verified end to end. Audio/video: stub codec, oracle
-    // replays the byte arithmetic over the same UTF-8 bytes. ---------------
+    // ---- metadata decode over binary columns — every modality decodes a
+    // REAL container (BMP via javax.imageio, WAV via javax.sound, AVI via
+    // RIFF walk + per-frame ImageIO). The oracle recomputes byte_len from
+    // the container layout (headers, chunk framing, row padding), the
+    // dims/duration from the derivations, and the checksum over the
+    // EXPECTED pixels/samples, so each encode→decode round trip is
+    // verified end to end. ------------------------------------------------
     "multimodal_meta" -> QueryDef(
       (s, dir) => {
         decodeAll(decodableMediaTable(s, dir)).toDF()
@@ -298,33 +600,50 @@ object Multimodal {
         |                 ELSE ascii(substr(text, ((k % length(text)) + 1)::INT, 1)) END)::BIGINT)),
         |      (acc, b) -> (acc * 31 + b) % 1000000007) AS checksum
         |  FROM imgsrc),
-        |fake AS (
-        |  SELECT doc_id,
-        |    ['image','audio','video'][(doc_id % 3)::INT + 1] AS media_type,
-        |    octet_length(encode(text))::INT AS byte_len,
+        |ameta AS (
+        |  -- WAV: 44-byte canonical header + 2 bytes/sample; one sample per
+        |  -- source byte at 8 kHz; expected sample = byte*257 (unsigned)
+        |  SELECT doc_id, 'audio' AS media_type,
+        |    (44 + 2 * length(text))::INT AS byte_len,
+        |    0::INT AS width, 0::INT AS height,
+        |    (length(text)::BIGINT * 1000) // 8000 AS duration_ms,
         |    list_reduce(list_prepend(0::BIGINT,
-        |      list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))::BIGINT)),
-        |      (acc, b) -> (acc * 31 + b) % 1000000007) AS checksum
+        |      list_transform(range(1, length(text) + 1),
+        |        i -> ascii(substr(text, i, 1))::BIGINT * 257)),
+        |      (acc, v) -> (acc * 31 + v) % 1000000007) AS checksum
         |  FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents
-        |        WHERE doc_id % 3 != 0))
+        |        WHERE doc_id % 3 = 1)),
+        |vsrc AS (
+        |  SELECT doc_id, coalesce(text, '') AS text,
+        |    4 + (doc_id % 9) AS w, 4 + ((doc_id // 9) % 7) AS h,
+        |    2 + (doc_id % 4) AS fr
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |vmeta AS (
+        |  -- AVI: 224 container-header bytes + fr x (8-byte chunk header +
+        |  -- padded DIB); frame f's channel k = byte at (f*7919 + k) mod len
+        |  SELECT doc_id, 'video' AS media_type,
+        |    (224 + fr * (8 + (3 * w + ((4 - (3 * w) % 4) % 4)) * h))::INT AS byte_len,
+        |    w::INT AS width, h::INT AS height,
+        |    (fr * 200)::BIGINT AS duration_ms,
+        |    list_reduce(list_prepend(0::BIGINT, flatten(list_transform(range(0, fr),
+        |      f -> list_transform(range(0, w * h * 3),
+        |        k -> (CASE WHEN length(text) = 0 THEN 0
+        |                   ELSE ascii(substr(text, (((f * 7919 + k) % length(text)) + 1)::INT, 1)) END)::BIGINT)))),
+        |      (acc, b) -> (acc * 31 + b) % 1000000007) AS checksum
+        |  FROM vsrc)
         |SELECT doc_id, media_type, byte_len, width, height, duration_ms, checksum
-        |FROM (
-        |  SELECT * FROM imeta
-        |  UNION ALL
-        |  SELECT doc_id, media_type, byte_len,
-        |    64 + (checksum % 1024)::INT AS width,
-        |    64 + ((checksum // 1024) % 1024)::INT AS height,
-        |    (1000 + checksum % 60000)::BIGINT AS duration_ms,
-        |    checksum
-        |  FROM fake)
+        |FROM (SELECT * FROM imeta UNION ALL SELECT * FROM ameta UNION ALL SELECT * FROM vmeta)
         |ORDER BY doc_id""".stripMargin),
 
-    // ---- feature extraction: 16-bin histogram. IMAGE rows: histogram over
-    // REAL decoded pixel channel values (bin = v // 16, normalized by the
-    // channel count w*h*3) — oracle recomputes from the expected-pixel
-    // derivation. Audio/video: stub byte histogram, oracle replays
-    // char-wise: bin = ascii // 16, f_b = count_b / max(len, 1). f_sum is
-    // the same left-fold over bins 0..15 both branches (IEEE-identical). --
+    // ---- feature extraction: 16-bin histogram over REAL decoded values.
+    // IMAGE: pixel channels, bin = v // 16, normalized by w*h*3. AUDIO:
+    // decoded 16-bit samples, bin = (s+32768) // 4096; since sample =
+    // byte*257, bin = byte*257 // 4096 == byte // 16 EXACTLY for all
+    // 0..255 (257b = 4096(b//16) + (257(b%16) + 16(b//16)) and the tail
+    // maxes at 4095), so the oracle replays the byte histogram. VIDEO:
+    // all frames' pixel channels via the (f*7919 + k) mod len derivation,
+    // normalized by fr*w*h*3. f_sum is the same left-fold over bins 0..15
+    // in every branch (IEEE-identical). ----------------------------------
     "multimodal_features" -> QueryDef(
       (s, dir) => {
         featuresAll(decodableMediaTable(s, dir)).toDF()
@@ -352,13 +671,31 @@ object Multimodal {
         |    list_transform(range(1, length(text) + 1),
         |      i -> ascii(substr(text, i, 1)) // 16) AS bins
         |  FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents
-        |        WHERE doc_id % 3 != 0)),
-        |hist AS (
+        |        WHERE doc_id % 3 = 1)),
+        |afeat AS (
         |  SELECT doc_id,
         |    list_transform(range(0, 16),
         |      b -> len(list_filter(bins, x -> x = b))::DOUBLE / greatest(n, 1)) AS f
         |  FROM ch),
-        |allf AS (SELECT doc_id, f FROM ifeat UNION ALL SELECT doc_id, f FROM hist)
+        |vsrc AS (
+        |  SELECT doc_id, coalesce(text, '') AS text,
+        |    4 + (doc_id % 9) AS w, 4 + ((doc_id // 9) % 7) AS h,
+        |    2 + (doc_id % 4) AS fr
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |vbins AS (
+        |  SELECT doc_id, fr * w * h * 3 AS m,
+        |    flatten(list_transform(range(0, fr),
+        |      f -> list_transform(range(0, w * h * 3),
+        |        k -> (CASE WHEN length(text) = 0 THEN 0
+        |                   ELSE ascii(substr(text, (((f * 7919 + k) % length(text)) + 1)::INT, 1)) END) // 16))) AS bins
+        |  FROM vsrc),
+        |vfeat AS (
+        |  SELECT doc_id, list_transform(range(0, 16),
+        |      b -> len(list_filter(bins, x -> x = b))::DOUBLE / m) AS f
+        |  FROM vbins),
+        |allf AS (SELECT doc_id, f FROM ifeat UNION ALL
+        |         SELECT doc_id, f FROM afeat UNION ALL
+        |         SELECT doc_id, f FROM vfeat)
         |SELECT doc_id, round(f[1], 6) AS f0, round(f[16], 6) AS f15,
         |  round(list_reduce(list_prepend(0.0::DOUBLE, f), (a, b) -> a + b), 6) AS f_sum
         |FROM allf ORDER BY doc_id""".stripMargin),
@@ -404,6 +741,38 @@ object Multimodal {
         |SELECT doc_id, COUNT(*) AS n_frames, MAX(off) AS last_offset,
         |  CAST(SUM(16) AS BIGINT) AS total_frame_bytes
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // ---- REAL video frame extraction: parse each AVI's RIFF chunk tree,
+    // decode every 00db DIB frame through ImageIO, emit one row per frame
+    // with its decoded dims and pixel checksum — the true explode shape of
+    // video frame sampling (decode stays executor-side; only narrow typed
+    // columns flow out). The oracle replays the per-frame pixel derivation
+    // (f*7919 + k) mod len, so chunk framing and frame ORDER are verified,
+    // not just aggregate counts. ------------------------------------------
+    "multimodal_video_frames" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        videoTable(s, dir).flatMap { r =>
+          val st = AviCodec.parseAvi(r)
+          st.frames.iterator.zipWithIndex.map { case (img, no) =>
+            (r.doc_id, no, img.getWidth, img.getHeight, AviCodec.frameChecksum(img))
+          }
+        }.toDF("doc_id", "frame_no", "width", "height", "frame_checksum")
+          .transform(graft.Sorted.byNames(_, "doc_id", "frame_no"))
+      },
+      """WITH vsrc AS (
+        |  SELECT doc_id, coalesce(text, '') AS text,
+        |    4 + (doc_id % 9) AS w, 4 + ((doc_id // 9) % 7) AS h,
+        |    2 + (doc_id % 4) AS fr
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |vf AS (SELECT doc_id, text, w, h, unnest(range(0, fr)) AS f FROM vsrc)
+        |SELECT doc_id, f::INT AS frame_no, w::INT AS width, h::INT AS height,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(range(0, w * h * 3),
+        |    k -> (CASE WHEN length(text) = 0 THEN 0
+        |               ELSE ascii(substr(text, (((f * 7919 + k) % length(text)) + 1)::INT, 1)) END)::BIGINT)),
+        |    (acc, b) -> (acc * 31 + b) % 1000000007) AS frame_checksum
+        |FROM vf
+        |ORDER BY doc_id, frame_no""".stripMargin),
 
     // ---- perceptual-hash duplicate grouping over media ------------------
     // The production image-dedup shape: per-media 60-bit pHash, then
