@@ -132,6 +132,31 @@ object Multimodal {
         img.getWidth, img.getHeight, duration_ms = 0L, checksum = acc)
     }
 
+    /** REAL nearest-neighbor resize to t x t over the decoded raster:
+      * out (x, y) samples src (x*sw/t, y*sh/t) — integer floors, so the
+      * oracle replays the index map exactly. Returns (src_w, src_h,
+      * checksum over resized pixels row-major R,G,B). */
+    def resizeNN(r: MediaRow, t: Int = 8): (Int, Int, Long) = {
+      val img = decode(r)
+      val (sw, sh) = (img.getWidth, img.getHeight)
+      var acc = 0L
+      var y = 0
+      while (y < t) {
+        val sy = y * sh / t
+        var x = 0
+        while (x < t) {
+          val sx = x * sw / t
+          val rgb = img.getRGB(sx, sy)
+          acc = (acc * 31 + ((rgb >> 16) & 0xff)) % MOD
+          acc = (acc * 31 + ((rgb >> 8) & 0xff)) % MOD
+          acc = (acc * 31 + (rgb & 0xff)) % MOD
+          x += 1
+        }
+        y += 1
+      }
+      (sw, sh, acc)
+    }
+
     /** 16-bin histogram over decoded channel values (v / 16), normalized
       * by the channel count w*h*3. */
     def decodeFeatures(r: MediaRow): MediaFeatures = {
@@ -723,6 +748,38 @@ object Multimodal {
         |    list_transform(w.idx, i -> ascii(substr(d.text, i, 1))::BIGINT)),
         |    (h, b) -> (h * 31 + b) % 1000000007) AS resized_checksum
         |FROM walk w JOIN documents d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
+
+    // ---- REAL image resize: decode the BMP, nearest-neighbor resample to
+    // a fixed 8x8 raster (out (x,y) samples src (x*sw/8, y*sh/8) — integer
+    // floors both engines), checksum the resized pixels. The executor-side
+    // single-pass decode+resample shape of a thumbnail pipeline; the
+    // byte-walk multimodal_resize above remains the modality-generic
+    // kernel. -------------------------------------------------------------
+    "multimodal_resize_image" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        imageTable(s, dir).map { r =>
+          val (w, h, acc) = BmpCodec.resizeNN(r)
+          (r.doc_id, w, h, 8, 8, acc)
+        }.toDF("doc_id", "src_w", "src_h", "out_w", "out_h", "resized_checksum")
+          .transform(graft.Sorted.byNames(_, "doc_id"))
+      },
+      """WITH imgsrc AS (
+        |  SELECT doc_id, coalesce(text, '') AS text,
+        |    4 + (doc_id % 13) AS w, 4 + ((doc_id // 13) % 11) AS h
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id, w::INT AS src_w, h::INT AS src_h,
+        |  8 AS out_w, 8 AS out_h,
+        |  -- i enumerates (y, x, c) row-major: y = i//24, x = (i%24)//3,
+        |  -- c = i%3; NN source index k = ((y*h//8)*w + (x*w//8))*3 + c
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 192),
+        |    i -> (CASE WHEN length(text) = 0 THEN 0
+        |               ELSE ascii(substr(text,
+        |                 ((((((i // 24) * h) // 8) * w + (((i % 24) // 3) * w) // 8) * 3 + i % 3)
+        |                   % length(text) + 1)::INT, 1)) END)::BIGINT)),
+        |    (acc, b) -> (acc * 31 + b) % 1000000007) AS resized_checksum
+        |FROM imgsrc
         |ORDER BY doc_id""".stripMargin),
 
     // ---- frame sampling: explode binary into per-frame rows ---------------
