@@ -160,7 +160,7 @@ object Similarity {
         // larger -c_id = smaller c_id, matching the oracle's (sim DESC,
         // c_id ASC) row_number. Persisted slim: feeds queries AND candidates.
         val assigned = emb.crossJoin(broadcast(cents))
-          .selectExpr("vec_id", "c_id", "graft_cosine(c_emb, embedding) AS sim")
+          .selectExpr("vec_id", "c_id", "nanvl(graft_cosine(c_emb, embedding), -2.0) AS sim")
           .groupBy(col("vec_id"))
           .agg(max(struct(col("sim"), (-col("c_id")).as("nc"))).as("m"))
           .select(col("vec_id"), (-col("m.nc")).as("cell"))
@@ -179,7 +179,7 @@ object Similarity {
       s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb
          |  FROM embeddings WHERE vec_id < 4),
          |sc AS (SELECT e.vec_id, c.c_id,
-         |    ${duckCos("c_emb", "embedding")} AS sim
+         |    coalesce(${duckCos("c_emb", "embedding")}, -2.0) AS sim
          |  FROM embeddings e CROSS JOIN cents c),
          |asg AS (SELECT vec_id, c_id AS cell FROM (
          |    SELECT vec_id, c_id,
@@ -214,7 +214,7 @@ object Similarity {
         val cents = emb.filter(col("vec_id") < 4)
           .selectExpr("vec_id AS c_id", "embedding AS c_emb")
         def centSim(of: DataFrame): DataFrame = of.crossJoin(broadcast(cents))
-          .selectExpr("vec_id", "c_id", "graft_cosine(c_emb, embedding) AS sim")
+          .selectExpr("vec_id", "c_id", "nanvl(graft_cosine(c_emb, embedding), -2.0) AS sim")
         // persist the N-row ASSIGNMENT, not the 4N-row similarity frame:
         // assignment feeds both the cell join and the final cell re-attach,
         // while the probe ranking only needs the 8 query vectors' sims —
@@ -248,7 +248,7 @@ object Similarity {
       s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb
          |  FROM embeddings WHERE vec_id < 4),
          |sc AS (SELECT e.vec_id, c.c_id,
-         |    ${duckCos("c_emb", "embedding")} AS sim
+         |    coalesce(${duckCos("c_emb", "embedding")}, -2.0) AS sim
          |  FROM embeddings e CROSS JOIN cents c),
          |asg AS (SELECT vec_id, c_id AS cell FROM (
          |    SELECT vec_id, c_id,
@@ -299,7 +299,12 @@ object Similarity {
         cand.join(ea, "id_a").join(eb, "id_b")
           .selectExpr("id_a", "id_b",
             s"graft_cosine(q_emb, embedding) AS cosine")
-          .filter("cosine >= 0.45")
+          // NaN guard: a zero-norm vector's cosine is 0/0 — NaN here
+          // (which Spark's >= treats as GREATER than the threshold) but
+          // NULL in DuckDB's division (which falls out of >=). The
+          // contract is that degenerate vectors are never near-dups, so
+          // drop NaN explicitly (fuzz find, seed 77).
+          .filter("NOT isnan(cosine) AND cosine >= 0.45")
           .transform(graft.Sorted.byNames(_, "id_a", "id_b"))
       },
       s"""WITH signed AS (
@@ -422,7 +427,7 @@ object Similarity {
       s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb
          |  FROM embeddings WHERE vec_id < 4),
          |sc AS (SELECT e.vec_id, c.c_id,
-         |    ${duckCos("c_emb", "embedding")} AS sim
+         |    coalesce(${duckCos("c_emb", "embedding")}, -2.0) AS sim
          |  FROM embeddings e CROSS JOIN cents c),
          |asg AS (SELECT vec_id, c_id AS cell FROM (
          |    SELECT vec_id, c_id,
@@ -525,7 +530,7 @@ object Similarity {
         val cents = emb.filter(col("vec_id") < 4)
           .selectExpr("vec_id AS c_id", "embedding AS c_emb")
         def centSim(of: DataFrame): DataFrame = of.crossJoin(broadcast(cents))
-          .selectExpr("vec_id", "c_id", "graft_cosine(c_emb, embedding) AS sim")
+          .selectExpr("vec_id", "c_id", "nanvl(graft_cosine(c_emb, embedding), -2.0) AS sim")
         // rank-1 cell assignment — same argmax expression as ann_ivf_nprobe
         val assigned = centSim(emb)
           .groupBy(col("vec_id"))
@@ -597,7 +602,7 @@ object Similarity {
         s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb
            |  FROM embeddings WHERE vec_id < 4),
            |sc AS (SELECT e.vec_id, c.c_id,
-           |    ${duckCos("c_emb", "embedding")} AS sim
+           |    coalesce(${duckCos("c_emb", "embedding")}, -2.0) AS sim
            |  FROM embeddings e CROSS JOIN cents c),
            |asg AS (SELECT vec_id, c_id AS cell FROM (
            |    SELECT vec_id, c_id,
@@ -666,7 +671,7 @@ object Similarity {
           .selectExpr("vec_id AS c_id", "embedding AS c_emb")
         for (_ <- 1 to 2) {
           val asg = emb.crossJoin(broadcast(cents))
-            .selectExpr("vec_id", "c_id", "graft_cosine(c_emb, embedding) AS sim")
+            .selectExpr("vec_id", "c_id", "nanvl(graft_cosine(c_emb, embedding), -2.0) AS sim")
             .groupBy(col("vec_id"))
             .agg(max(struct(col("sim"), (-col("c_id")).as("nc"))).as("m"))
             .select(col("vec_id"), (-col("m.nc")).as("cell"))
@@ -686,14 +691,14 @@ object Similarity {
         // final assignment under the round-2 centroids; emb cache stays for
         // this lazy frame (the harness clears cache per query)
         emb.crossJoin(broadcast(cents))
-          .selectExpr("vec_id", "c_id", "graft_cosine(c_emb, embedding) AS sim")
+          .selectExpr("vec_id", "c_id", "nanvl(graft_cosine(c_emb, embedding), -2.0) AS sim")
           .groupBy(col("vec_id"))
           .agg(max(struct(col("sim"), (-col("c_id")).as("nc"))).as("m"))
           .select(col("vec_id"), (-col("m.nc")).as("cell"), col("m.sim").as("sim"))
           .transform(graft.Sorted.byNames(_, "vec_id"))
       }, {
         def round(cin: String, n: Int): String = {
-          s"""s$n AS (SELECT e.vec_id, c.c_id, ${duckCos("c_emb", "embedding")} AS sim
+          s"""s$n AS (SELECT e.vec_id, c.c_id, coalesce(${duckCos("c_emb", "embedding")}, -2.0) AS sim
              |  FROM embeddings e CROSS JOIN $cin c),
              |a$n AS (SELECT vec_id, c_id AS cell FROM (
              |    SELECT vec_id, c_id,
@@ -714,7 +719,7 @@ object Similarity {
            |  FROM embeddings WHERE vec_id < 4),
            |${round("c0", 0)},
            |${round("c1", 1)},
-           |sf AS (SELECT e.vec_id, c.c_id, ${duckCos("c_emb", "embedding")} AS sim
+           |sf AS (SELECT e.vec_id, c.c_id, coalesce(${duckCos("c_emb", "embedding")}, -2.0) AS sim
            |  FROM embeddings e CROSS JOIN c2 c),
            |af AS (SELECT vec_id, c_id AS cell, sim FROM (
            |    SELECT vec_id, c_id, sim,
@@ -732,9 +737,12 @@ object Similarity {
     // term is per-cell — production sizes k ~ sqrt(N) so each cell stays
     // bounded and the cell join is an equi-shuffle on the cell id, never
     // an all-pairs product. The cell frame is persisted once and feeds
-    // the a-side, the b-side, and the final keep join. NaN cosines
-    // (zero-norm vectors) compare greater than the threshold in BOTH
-    // engines — consistent, same contract as dedup_embedding_cosine. ------
+    // the a-side, the b-side, and the final keep join. Zero-norm vectors
+    // are degenerate everywhere cosine appears: assignment ranks them
+    // with an explicit -2 sentinel (Spark's NaN orders GREATEST, DuckDB's
+    // 0/0 is NULL and orders last — the sentinel pins both engines to
+    // "worse than any real cosine"), and the in-cell drop filter excludes
+    // NaN, same contract as dedup_embedding_cosine (fuzz find, seed 77). --
     "dedup_semantic" -> QueryDef(
       (s, dir) => {
         graft.functions.HashExpressions.register(s)
@@ -742,7 +750,7 @@ object Similarity {
         val cents = emb.filter(col("vec_id") < 4)
           .selectExpr("vec_id AS c_id", "embedding AS c_emb")
         val assigned = emb.crossJoin(broadcast(cents))
-          .selectExpr("vec_id", "c_id", "graft_cosine(c_emb, embedding) AS sim")
+          .selectExpr("vec_id", "c_id", "nanvl(graft_cosine(c_emb, embedding), -2.0) AS sim")
           .groupBy(col("vec_id"))
           .agg(max(struct(col("sim"), (-col("c_id")).as("nc"))).as("m"))
           .select(col("vec_id"), (-col("m.nc")).as("cell"))
@@ -754,7 +762,7 @@ object Similarity {
         val drops = a.join(b, "cell")
           .filter(col("id_a") < col("id_b"))
           .selectExpr("id_b", "graft_cosine(q_emb, embedding) AS cosine")
-          .filter("cosine >= 0.45")
+          .filter("NOT isnan(cosine) AND cosine >= 0.45")
           .selectExpr("id_b AS vec_id", "1 AS dropped").distinct()
         ce.join(drops, Seq("vec_id"), "left")
           .selectExpr("vec_id", "cell", "CAST(dropped IS NULL AS INT) AS keep")
@@ -763,7 +771,7 @@ object Similarity {
       s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb
          |  FROM embeddings WHERE vec_id < 4),
          |sc AS (SELECT e.vec_id, c.c_id,
-         |    ${duckCos("c_emb", "embedding")} AS sim
+         |    coalesce(${duckCos("c_emb", "embedding")}, -2.0) AS sim
          |  FROM embeddings e CROSS JOIN cents c),
          |asg AS (SELECT vec_id, c_id AS cell FROM (
          |    SELECT vec_id, c_id,

@@ -145,7 +145,12 @@ object TextOps {
     // ---- text normalization: lowercase + whitespace-run collapse + trim —
     // the canonicalization step before dedup/tokenization in a training
     // pipeline. Map-side; fingerprint of the normalized form via the
-    // native graft_polyhash so the oracle can replay it char-wise. ----------
+    // native graft_polyhash so the oracle can replay it char-wise.
+    // The oracle's trim is pinned to ' ': DuckDB's bare trim strips
+    // UNICODE whitespace (NBSP included) while Spark's strips only ASCII
+    // space, so an unpinned trim silently diverges on a trailing U+00A0
+    // (fuzz find, seed 77) — the operator's contract is the explicit
+    // ASCII class throughout. ----------------------------------------------
     "text_normalize" -> QueryDef(
       (s, dir) => {
         graft.functions.HashExpressions.register(s)
@@ -157,7 +162,7 @@ object TextOps {
           .transform(graft.Sorted.byNames(_, "doc_id"))
       },
       s"""WITH n AS (
-         |  SELECT doc_id, trim(regexp_replace(lower(text), '[ \\t\\n\\f\\r]+', ' ', 'g')) AS norm
+         |  SELECT doc_id, trim(regexp_replace(lower(text), '[ \\t\\n\\f\\r]+', ' ', 'g'), ' ') AS norm
          |  FROM documents)
          |SELECT doc_id, length(norm) AS norm_len,
          |  list_reduce(list_prepend(0::BIGINT,

@@ -35,8 +35,8 @@ split_leakage_safe bm25_rank tokenizer_vocab tokenizer_apply
 cms_heavy_hitters sample_importance""".split()
 
 EMB_QUERIES = """ann_cosine_topk ann_cosine_bucketed ann_ivf_probe
-ann_ivf_nprobe ann_recall_report dedup_embedding_cosine vector_norms
-embedding_quantize embedding_pq embedding_kmeans rank_fusion
+ann_ivf_nprobe ann_ivf_pq ann_recall_report dedup_embedding_cosine
+vector_norms embedding_quantize embedding_pq embedding_kmeans rank_fusion
 dedup_semantic""".split()
 
 ASCII_WORDS = ("spark join window data model train corpus token quality "
