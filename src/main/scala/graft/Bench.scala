@@ -5,6 +5,24 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // optional comma-separated subset for local iteration (the driver sets
+    // nothing and measures the full registry). Validated BEFORE the
+    // session build + table warmup: a typo'd name silently disappearing
+    // from the run would read as a successful measurement of that query —
+    // fail loudly instead, and fail instantly (not after tens of seconds
+    // of startup cost).
+    val names = sys.env.get("SPARK_GRAFT_BENCH_QUERIES") match {
+      case Some(f) =>
+        val want = f.split(',').map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = want -- SparkEntry.queries.keySet
+        if (unknown.nonEmpty) {
+          System.err.println(
+            s"[bench] unknown queries in SPARK_GRAFT_BENCH_QUERIES: ${unknown.toSeq.sorted.mkString(",")}")
+          sys.exit(2)
+        }
+        SparkEntry.queries.keys.toSeq.filter(want)
+      case None => SparkEntry.queries.keys.toSeq
+    }
     // the ONE session factory (GraftSession) so the bench measures the
     // same configuration the library tells users to deploy — the four
     // entrypoints had hand-rolled near-identical builders that drifted
@@ -20,22 +38,6 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $t failed: ${Option(e.getMessage).getOrElse("").take(120)}")
       })
-    // optional comma-separated subset for local iteration (the driver sets
-    // nothing and measures the full registry)
-    val names = sys.env.get("SPARK_GRAFT_BENCH_QUERIES") match {
-      case Some(f) =>
-        val want = f.split(',').map(_.trim).filter(_.nonEmpty).toSet
-        // a typo'd name silently disappearing from the run would read as a
-        // successful measurement of that query — fail loudly instead
-        val unknown = want -- SparkEntry.queries.keySet
-        if (unknown.nonEmpty) {
-          System.err.println(
-            s"[bench] unknown queries in SPARK_GRAFT_BENCH_QUERIES: ${unknown.toSeq.sorted.mkString(",")}")
-          sys.exit(2)
-        }
-        SparkEntry.queries.keys.toSeq.filter(want)
-      case None => SparkEntry.queries.keys.toSeq
-    }
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     val gcs = scala.collection.mutable.Map.empty[String, List[Double]]

@@ -130,6 +130,108 @@ object Dedup {
        |  i -> ((th[i] * 31 + th[i + 1]) % ${P} * 31 + th[i + 2]) % ${P})) AS sh
        |  FROM th WHERE len(th) >= 3)""".stripMargin
 
+
+  /** The dedup_ngram_jaccard pipeline stages, ONE definition shared by the
+    * query below and by [[graft.tools.NgramStageProbe]] — the probe used
+    * to hand-copy this chain, so a tuning here silently desynchronized
+    * its per-stage attributions (review find, round 7). */
+  private[graft] final case class NgramStages(
+      bucketed: DataFrame, depth: DataFrame, cand: DataFrame,
+      pruned: DataFrame, verified: DataFrame)
+
+  private[graft] def ngramPipeline(s: SparkSession, dir: String): NgramStages = {
+      graft.functions.HashExpressions.register(s)
+      // gram arrays are recomputed per use — the native graft_gram5 is a
+      // cheap map-side loop, and columnar-caching the heavy array<long>
+      // column measured SLOWER than recomputation (cache build + decode
+      // dominate). Candidate generation stays on slim rows.
+      val d = Tables.load(s, dir, "documents")
+        .filter("length(text) >= 5")
+        .selectExpr("doc_id", "lang", "n_chars", "graft_gram5(text) AS g")
+      // candidate pairs stay slim (ids only) through the dedup shuffle;
+      // the heavy gram arrays are joined back only for surviving pairs.
+      // Block key = (lang, length band, min-gram LSH) with r = 2
+      // banding: each of 4 bands keys on the PAIR of set-minima under
+      // two independent affine permutations, OR'd across bands.
+      // Collision probability at jaccard j is 1 - (1 - j^2)^4: 93% at
+      // the 0.7 threshold (miss 6.8%) — and the reason for r = 2 is
+      // candidate VOLUME, the scale knob for verify cost: the old
+      // single-min OR-of-2 admitted half of all j = 0.3 pairs
+      // (1-(1-j)^2 = 0.51; measured 3.8M size-pruned candidates for
+      // 4.5k true pairs on a 500k-doc corpus), while pairing minima
+      // drops j = 0.3 admission to 0.31 and j = 0.1 noise to 0.04.
+      val sigExprs = ngramPerms.zipWithIndex.map { case ((a, b), j) =>
+        s"array_min(transform(g, x -> (x * ${a}L + ${b}L) % ${P}L)) AS mv$j"
+      }
+      val bandStructs = (0 until 4).map(bq =>
+        s"struct(${bq + 1} AS tag, mv${2 * bq} AS mva, mv${2 * bq + 1} AS mvb)").mkString(", ")
+      val bucketed = d
+        .selectExpr(Seq("doc_id", "lang", "n_chars") ++ sigExprs: _*)
+        .selectExpr(Seq("doc_id", "lang") ++ (0 until 8).map(j => s"mv$j") :+
+          "explode(array(CAST(n_chars / 100 AS BIGINT), CAST((n_chars + 50) / 100 AS BIGINT))) AS band": _*)
+        .selectExpr("doc_id", "lang", "band", s"explode(array($bandStructs)) AS k")
+        .selectExpr("doc_id", "lang", "band", "k.tag AS tag", "k.mva AS mva", "k.mvb AS mvb")
+        .distinct()
+      // Two-tier bucket-depth policy, the min-gram analogue of the
+      // substring family's stop-window guard: a globally-small
+      // boilerplate gram hash becomes the min of a large doc
+      // population, and that one bucket's self-join is df^2/2
+      // verify-and-discard work (measured: a corpus whose copies share
+      // word-internal grams pushed the verify stage to 208 s at 10x —
+      // pure false-positive volume, every candidate below threshold).
+      //  - df = 1: dropped (no pair to witness).
+      //  - 2 <= df <= 50: full in-bucket pairing, <= 1225 pairs.
+      //  - df > 50: HUB pairing — each member pairs with the bucket's
+      //    min doc_id only, O(df) not O(df^2). A plain drop would be a
+      //    recall CLIFF: a near-identical cluster of > 50 docs shares
+      //    ALL its bucket keys (identical minima under every
+      //    permutation, same length band), so every witness would
+      //    vanish at once (review find, round 7). Hub pairs keep every
+      //    member witnessed — for the near-identical clusters that
+      //    produce crowded buckets, (hub, member) passes the exact
+      //    verify just as the member-member pairs would — while a
+      //    10^7-doc boilerplate bucket emits 10^7 candidates, not
+      //    10^14.
+      // The groupBy, the cap join, and the candidate self-join all key
+      // on (lang, band, tag, mva, mvb) — one shuffle partitioning, reused.
+      val bKey = Seq("lang", "band", "tag", "mva", "mvb")
+      val depth = bucketed.groupBy(bKey.map(col): _*)
+        .agg(count(lit(1)).as("df"), min(col("doc_id")).as("hub"))
+      val capped = bucketed.join(
+        depth.filter("df BETWEEN 2 AND 50").select(bKey.map(col): _*), bKey)
+      val selfPairs = capped.alias("a").join(capped.alias("b"),
+          expr(bKey.map(c => s"a.$c = b.$c").mkString(" AND ") + " AND a.doc_id < b.doc_id"))
+        .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b")
+      val hubPairs = bucketed.join(
+          depth.filter("df > 50").select((bKey.map(col) :+ col("hub")): _*), bKey)
+        .filter(col("doc_id") =!= col("hub"))
+        .selectExpr("hub AS doc_a", "doc_id AS doc_b") // hub = bucket min < doc_id
+      val cand = selfPairs.unionByName(hubPairs).distinct()
+      // size-compatibility prefilter: jaccard >= 0.7 forces
+      // min(|A|,|B|) >= 0.7/1.7*(|A|+|B|), i.e. sizes within ~0.7 ratio —
+      // sound pruning, applied on slim rows before shipping gram arrays.
+      val sizes = d.selectExpr("doc_id", "size(g) AS sz")
+      val pruned = cand
+        .join(sizes.selectExpr("doc_id AS doc_a", "sz AS sz_a"), "doc_a")
+        .join(sizes.selectExpr("doc_id AS doc_b", "sz AS sz_b"), "doc_b")
+        .filter("least(sz_a, sz_b) * 1.7 >= 0.7 * (sz_a + sz_b)")
+        .select(col("doc_a"), col("doc_b"))
+      // gram hashes are < P < 2^31, so the verify join-back ships them
+      // as INT32 — an injective cast that halves the per-pair shuffle
+      // bytes (a hot doc's array is replicated into every one of its
+      // candidate pairs, so array width is THE verify-cost constant)
+      val slim = d.selectExpr("doc_id", "transform(g, x -> CAST(x AS INT)) AS g")
+      val verified = pruned
+        .join(slim.selectExpr("doc_id AS doc_a", "g AS g_a"), "doc_a")
+        .join(slim.selectExpr("doc_id AS doc_b", "g AS g_b"), "doc_b")
+        .selectExpr("doc_a", "doc_b",
+          "size(array_intersect(g_a, g_b)) AS inter", "size(g_a) AS sa", "size(g_b) AS sb")
+        .selectExpr("doc_a", "doc_b",
+          "CAST(inter AS DOUBLE) / (sa + sb - inter) AS jaccard")
+        .filter("jaccard >= 0.7")
+    NgramStages(bucketed, depth, cand, pruned, verified)
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
 
     // ---- exact dedup: content-hash grouping, canonical = min doc_id -------
@@ -271,84 +373,7 @@ object Dedup {
     // ---- char-5-gram Jaccard near-dups with (lang, length-band) blocking --
     "dedup_ngram_jaccard" -> QueryDef(
       (s, dir) => {
-        graft.functions.HashExpressions.register(s)
-        // gram arrays are recomputed per use — the native graft_gram5 is a
-        // cheap map-side loop, and columnar-caching the heavy array<long>
-        // column measured SLOWER than recomputation (cache build + decode
-        // dominate). Candidate generation stays on slim rows.
-        val d = Tables.load(s, dir, "documents")
-          .filter("length(text) >= 5")
-          .selectExpr("doc_id", "lang", "n_chars", "graft_gram5(text) AS g")
-        // candidate pairs stay slim (ids only) through the dedup shuffle;
-        // the heavy gram arrays are joined back only for surviving pairs.
-        // Block key = (lang, length band, min-gram LSH) with r = 2
-        // banding: each of 4 bands keys on the PAIR of set-minima under
-        // two independent affine permutations, OR'd across bands.
-        // Collision probability at jaccard j is 1 - (1 - j^2)^4: 93% at
-        // the 0.7 threshold (miss 6.8%) — and the reason for r = 2 is
-        // candidate VOLUME, the scale knob for verify cost: the old
-        // single-min OR-of-2 admitted half of all j = 0.3 pairs
-        // (1-(1-j)^2 = 0.51; measured 3.8M size-pruned candidates for
-        // 4.5k true pairs on a 500k-doc corpus), while pairing minima
-        // drops j = 0.3 admission to 0.31 and j = 0.1 noise to 0.04.
-        val sigExprs = ngramPerms.zipWithIndex.map { case ((a, b), j) =>
-          s"array_min(transform(g, x -> (x * ${a}L + ${b}L) % ${P}L)) AS mv$j"
-        }
-        val bandStructs = (0 until 4).map(bq =>
-          s"struct(${bq + 1} AS tag, mv${2 * bq} AS mva, mv${2 * bq + 1} AS mvb)").mkString(", ")
-        val bucketed = d
-          .selectExpr(Seq("doc_id", "lang", "n_chars") ++ sigExprs: _*)
-          .selectExpr(Seq("doc_id", "lang") ++ (0 until 8).map(j => s"mv$j") :+
-            "explode(array(CAST(n_chars / 100 AS BIGINT), CAST((n_chars + 50) / 100 AS BIGINT))) AS band": _*)
-          .selectExpr("doc_id", "lang", "band", s"explode(array($bandStructs)) AS k")
-          .selectExpr("doc_id", "lang", "band", "k.tag AS tag", "k.mva AS mva", "k.mvb AS mvb")
-          .distinct()
-        // Bucket-depth cap, the min-gram analogue of the substring
-        // family's stop-window guard (df BETWEEN 2 AND 50, below): a
-        // globally-small boilerplate gram hash becomes the min of a large
-        // doc population, and that one bucket's self-join is df^2/2
-        // verify-and-discard work (measured: a corpus whose copies share
-        // word-internal grams pushed the verify stage to 208 s at 10x —
-        // pure false-positive volume, every candidate below threshold).
-        // df >= 2 drops pairless singleton buckets; df <= 50 bounds any
-        // bucket to <= 1225 candidate pairs. A true pair is lost only
-        // when ALL its shared keys (2 length-bands x 4 LSH bands) are
-        // over-crowded; each band re-draws both minima independently, so
-        // the added miss stays within the banding budget at j >= 0.7.
-        // The groupBy, the cap join, and the candidate self-join all key
-        // on (lang, band, tag, mva, mvb) — one shuffle partitioning, reused.
-        val bKey = Seq("lang", "band", "tag", "mva", "mvb")
-        val depthOk = bucketed.groupBy(bKey.map(col): _*)
-          .agg(count(lit(1)).as("df"))
-          .filter("df BETWEEN 2 AND 50")
-          .select(bKey.map(col): _*)
-        val capped = bucketed.join(depthOk, bKey)
-        val cand = capped.alias("a").join(capped.alias("b"),
-            expr(bKey.map(c => s"a.$c = b.$c").mkString(" AND ") + " AND a.doc_id < b.doc_id"))
-          .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b")
-          .distinct()
-        // size-compatibility prefilter: jaccard >= 0.7 forces
-        // min(|A|,|B|) >= 0.7/1.7*(|A|+|B|), i.e. sizes within ~0.7 ratio —
-        // sound pruning, applied on slim rows before shipping gram arrays.
-        val sizes = d.selectExpr("doc_id", "size(g) AS sz")
-        val pruned = cand
-          .join(sizes.selectExpr("doc_id AS doc_a", "sz AS sz_a"), "doc_a")
-          .join(sizes.selectExpr("doc_id AS doc_b", "sz AS sz_b"), "doc_b")
-          .filter("least(sz_a, sz_b) * 1.7 >= 0.7 * (sz_a + sz_b)")
-          .select(col("doc_a"), col("doc_b"))
-        // gram hashes are < P < 2^31, so the verify join-back ships them
-        // as INT32 — an injective cast that halves the per-pair shuffle
-        // bytes (a hot doc's array is replicated into every one of its
-        // candidate pairs, so array width is THE verify-cost constant)
-        val slim = d.selectExpr("doc_id", "transform(g, x -> CAST(x AS INT)) AS g")
-        pruned
-          .join(slim.selectExpr("doc_id AS doc_a", "g AS g_a"), "doc_a")
-          .join(slim.selectExpr("doc_id AS doc_b", "g AS g_b"), "doc_b")
-          .selectExpr("doc_a", "doc_b",
-            "size(array_intersect(g_a, g_b)) AS inter", "size(g_a) AS sa", "size(g_b) AS sb")
-          .selectExpr("doc_a", "doc_b",
-            "CAST(inter AS DOUBLE) / (sa + sb - inter) AS jaccard")
-          .filter("jaccard >= 0.7")
+        ngramPipeline(s, dir).verified
           .transform(graft.Sorted.byNames(_, "doc_a", "doc_b"))
       },
       s"""WITH d AS (SELECT doc_id, lang, n_chars,
@@ -371,15 +396,23 @@ object Dedup {
          |  FROM b1),
          |bucketed AS (SELECT DISTINCT doc_id, lang, band,
          |  k.tag AS tag, k.mva AS mva, k.mvb AS mvb FROM b2),
-         |bc AS (SELECT lang, band, tag, mva, mvb FROM bucketed
-         |  GROUP BY lang, band, tag, mva, mvb HAVING count(*) BETWEEN 2 AND 50),
-         |capped AS (SELECT b.* FROM bucketed b JOIN bc USING (lang, band, tag, mva, mvb)),
+         |bc AS (SELECT lang, band, tag, mva, mvb, count(*) AS df, min(doc_id) AS hub
+         |  FROM bucketed GROUP BY lang, band, tag, mva, mvb),
+         |capped AS (SELECT b.* FROM bucketed b
+         |  JOIN (SELECT lang, band, tag, mva, mvb FROM bc WHERE df BETWEEN 2 AND 50)
+         |  USING (lang, band, tag, mva, mvb)),
          |cand AS (SELECT DISTINCT doc_a, doc_b, ga.g AS g_a, gb.g AS g_b FROM (
-         |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |    FROM capped a JOIN capped b
          |      ON a.lang = b.lang AND a.band = b.band AND a.tag = b.tag
          |     AND a.mva = b.mva AND a.mvb = b.mvb
-         |     AND a.doc_id < b.doc_id)
+         |     AND a.doc_id < b.doc_id
+         |    UNION
+         |    SELECT c.hub AS doc_a, b.doc_id AS doc_b
+         |    FROM bucketed b
+         |    JOIN (SELECT * FROM bc WHERE df > 50) c
+         |      USING (lang, band, tag, mva, mvb)
+         |    WHERE b.doc_id != c.hub)
          |  JOIN g ga ON ga.doc_id = doc_a JOIN g gb ON gb.doc_id = doc_b)
          |SELECT doc_a, doc_b,
          |  CAST(len(list_intersect(g_a, g_b)) AS DOUBLE)

@@ -110,7 +110,14 @@ object OrderWide {
     * behavior). Dims are the all-varchar shape of FIXTURES.md §B.6. */
   def enrich(wide: DataFrame, dims: Dims, asOfDate: String): DataFrame =
     enrichWith(wide, dims, asOfDate,
-      (l, d, lk, dk, _) => l.join(broadcast(d), col(lk) === d(dk), "left").drop(dk))
+      // the fact key is cast to the DIM key's type explicitly — the same
+      // key semantic lookupJoin uses (an external point-lookup store can
+      // only match the dim pk's exact representation, so the broadcast
+      // path must not be looser). A bare === would let Spark promote a
+      // string-pk-vs-bigint-fact compare to double, matching '05' to 5 —
+      // a pair the KV path could never produce (review find, round 7).
+      (l, d, lk, dk, _) =>
+        l.join(broadcast(d), col(lk).cast(d.schema(dk).dataType) === d(dk), "left").drop(dk))
 
   /** The enrichment flow parameterized over the dim-join primitive, so the
     * broadcast path and the point-lookup path share ONE copy of the
@@ -199,9 +206,11 @@ object OrderWide {
   }
 
   /** [[enrich]] with every broadcast replaced by [[lookupJoin]] — identical
-    * output by construction (same [[enrichWith]] column flow, proven
-    * equal-on-fixture in OrderWideSpec). Use when a dim exceeds broadcast
-    * capacity; mix-and-match per dim in a custom flow if only one does. */
+    * output by construction: same [[enrichWith]] column flow, and BOTH
+    * join primitives key on the fact key cast to the dim key's type
+    * (exact match, the only semantic an external point-lookup store can
+    * implement). Proven equal-on-fixture in OrderWideSpec. Use when a dim
+    * exceeds broadcast capacity; mix-and-match per dim if only one does. */
   def enrichPointLookup(wide: DataFrame, dims: Dims, client: DimClient,
       asOfDate: String, cacheSize: Int = 10000): DataFrame =
     enrichWith(wide, dims, asOfDate,

@@ -64,6 +64,27 @@ class DedupGoldenSpec extends SparkSpec {
     out.foreach { case (_, canon, s) => assert(s == split(canon)) }
   }
 
+  test("dedup_ngram_jaccard: a >50-copy near-identical cluster stays witnessed (hub tier, no recall cliff)") {
+    import spark.implicits._
+    // 60 near-identical docs: identical 240-char base + a 3-char unique
+    // suffix (gram jaccard ~ 0.94, same lang, same length band). Under a
+    // plain df <= 50 drop every bucket key the cluster shares would
+    // vanish at once and the heaviest duplicate cluster would emit ZERO
+    // pairs; the hub tier must keep every member witnessed.
+    val dir = tmpDir("ngramhub")
+    val base = (1 to 40).map(i => f"tok$i%02d").mkString(" ") // 240 chars
+    (1L to 60L).map(i => (i, f"$base v$i%02d", "en", "web"))
+      .map { case (id, t, l, src) => (id, t, l, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = graft.SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)
+      .selectExpr("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "the cluster must not be silently dropped")
+    val witnessed = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(witnessed == (1L to 60L).toSet,
+      s"every member of the 60-copy cluster must appear in a pair; missing ${(1L to 60L).toSet -- witnessed}")
+  }
+
   test("multimodal_phash_dedup: exact copies in one media class form one group") {
     val dir = fixture()
     val out = graft.SparkEntry.queries("multimodal_phash_dedup")(spark, dir)

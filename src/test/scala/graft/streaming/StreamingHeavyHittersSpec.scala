@@ -72,4 +72,22 @@ class StreamingHeavyHittersSpec extends SparkSpec {
     assert(t2.sketch.toSeq == t1.sketch.toSeq)
     assert(t2.totalTokens == (b1 ++ b2).flatMap(_.split(" ")).count(_.nonEmpty).toLong)
   }
+
+  test("a torn (short) newest state file is skipped; restore falls back to the previous version") {
+    val stateDir = tmpDir("shhtorn")
+    val t1 = new StreamingHeavyHitters.Tracker(Some(stateDir))
+    t1.update(b1.toDF("text"), batchId = 0L)
+    val good = t1.sketch.toSeq
+    // simulate a crash mid-write of batch 1's publish: a higher-versioned
+    // file exists but is truncated (wrong length)
+    val torn = new java.io.FileOutputStream(
+      new java.io.File(stateDir, f"cms_state.${1L}%019d.bin"))
+    torn.write(Array.fill[Byte](24)(7)); torn.close()
+    val t2 = new StreamingHeavyHitters.Tracker(Some(stateDir))
+    assert(t2.sketch.toSeq == good,
+      "restore must skip the torn file and use the newest COMPLETE version")
+    // and the replay guard reflects the restored (not torn) batch id
+    t2.update(b2.toDF("text"), batchId = 1L)
+    assert(t2.totalTokens == (b1 ++ b2).flatMap(_.split(" ")).count(_.nonEmpty).toLong)
+  }
 }

@@ -27,8 +27,14 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 src, out, k = sys.argv[1], sys.argv[2], int(sys.argv[3])
+# K > 100 widens the marker to 3 digits: the repeat period is no longer 5,
+# prefix-sharing markers ('10' vs '100') leak shared 5-grams across copies,
+# and the zero-overlap guarantee silently breaks — refuse instead.
+assert 1 <= k <= 100, f"K={k}: the 2-digit marker scheme only supports K <= 100"
 os.makedirs(out, exist_ok=True)
 t = pq.read_table(os.path.join(src, "documents.parquet"))
+# doc_id offsets of i*10M collide if the source has >= 10M rows
+assert t.num_rows < 10_000_000, "source corpus too large for the 10M doc_id stride"
 n = t.num_rows
 cols = t.column_names
 writer = None
