@@ -26,12 +26,19 @@ object Tables {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(path(dir, name))
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) =>
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
         // integer division: `/` on longs is double division and loses
         // microsecond precision at epoch-nano magnitudes (~1.7e18).
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None => df
+      case Some(TimestampNTZType) =>
+        // a fixture written as parquet timestamp[us] with isAdjustedToUTC
+        // = false surfaces as TIMESTAMP_NTZ; the session timezone is
+        // pinned UTC (GraftSession), so this cast relabels the same
+        // microsecond instant into the canonical TimestampType every
+        // downstream operator (unix_micros, windows, watermarks) expects.
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
   }
 

@@ -168,6 +168,74 @@ object CorpusOps {
         |       ELSE CAST(0 AS DOUBLE) END) >= 0.05 THEN 1 ELSE 0 END AS INT) AS flagged
         |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin),
 
+    // ---- paragraph-level dedup REWRITE: boilerplate_flag's consumer.
+    // Documents split into non-overlapping 16-token "paragraphs" (the
+    // fixture corpus has no newlines; with real newline-delimited text the
+    // paragraph expression swaps for split(text, '\n') and the rest of the
+    // plan is unchanged); a paragraph appearing in >= 2 DISTINCT docs is
+    // cross-document duplicated and is REMOVED from every copy — the
+    // CCNet/Gopher repeated-passage scrub as a rewrite, verified by the
+    // md5 of each rebuilt document (not just by counts). Scale shape: ONE
+    // corpus-linear shuffle for the paragraph doc-frequency count keyed on
+    // the 16-byte md5 of the paragraph (full paragraph text never
+    // shuffles); the duplicated-key set — bounded by repeated content, the
+    // boilerplate_flag argument — joins back BROADCAST; the rebuild is one
+    // per-doc regroup of slim (pid, flag, ptext) rows. At petabyte scale
+    // the regroup drops too: broadcast the dup-key set into a mapPartitions
+    // hash-probe and rewrite each doc in place, map-side. ------------------
+    "dedup_paragraph" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val paras = docs.select(col("doc_id"), expr(toksExpr).as("ts"))
+          .select(col("doc_id"),
+            posexplode(expr(
+              "CASE WHEN size(ts) >= 1 THEN transform(sequence(1, (size(ts) + 15) div 16), " +
+                "i -> concat_ws(' ', slice(ts, (i - 1) * 16 + 1, 16))) " +
+                "ELSE CAST(array() AS array<string>) END")).as(Seq("pid", "ptext")))
+          .withColumn("pkey", md5(col("ptext")))
+          // feeds BOTH the doc-frequency count and the join-back
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val dup = paras.groupBy(col("pkey"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") >= 2)
+          .select(col("pkey"))
+        val per = paras.join(broadcast(dup.withColumn("hit", lit(1))), Seq("pkey"), "left")
+          .select(col("doc_id"), col("pid"), col("ptext"),
+            col("hit").isNotNull.as("dup"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_paras"),
+            sum(col("dup").cast("long")).as("n_dropped"),
+            array_sort(collect_list(struct(col("pid"), col("dup"), col("ptext")))).as("ps"))
+          .selectExpr("doc_id", "n_paras", "n_dropped",
+            "concat_ws(' ', transform(filter(ps, p -> NOT p.dup), p -> p.ptext)) AS cleaned")
+        docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+            coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+            coalesce(length(col("cleaned")), lit(0)).cast("long").as("cleaned_len"),
+            md5(coalesce(col("cleaned"), lit(""))).as("cleaned_md5"))
+          .transform(Sorted.byNames(_, "doc_id"))
+      },
+      s"""WITH t AS (SELECT doc_id, $duckToks AS ts FROM documents),
+         |p AS (SELECT doc_id, i AS pid,
+         |    array_to_string(ts[((i-1)*16+1):((i-1)*16+16)], ' ') AS ptext
+         |  FROM t, unnest(range(1, (len(ts)+15)//16 + 1)) AS u(i)),
+         |dup AS (SELECT pkey FROM (
+         |    SELECT md5(ptext) AS pkey, COUNT(DISTINCT doc_id) AS df FROM p GROUP BY 1)
+         |  WHERE df >= 2),
+         |m AS (SELECT p.doc_id, p.pid, p.ptext, d.pkey IS NOT NULL AS dup
+         |  FROM p LEFT JOIN dup d ON md5(p.ptext) = d.pkey),
+         |per AS (SELECT doc_id, COUNT(*) AS n_paras,
+         |    CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |    COALESCE(array_to_string(list(ptext ORDER BY pid) FILTER (WHERE NOT dup), ' '), '') AS cleaned
+         |  FROM m GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(n_paras, 0) AS n_paras,
+         |  COALESCE(n_dropped, 0) AS n_dropped,
+         |  CAST(length(COALESCE(cleaned, '')) AS BIGINT) AS cleaned_len,
+         |  md5(COALESCE(cleaned, '')) AS cleaned_md5
+         |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin),
+
     // ---- cross-source contamination matrix: for every source pair, how
     // many distinct 5-token shingles they share — the "is src7 scraping
     // src3" report a corpus audit starts with. Scale shape: shingles
