@@ -488,7 +488,21 @@ object HashExpressions {
       checked("graft_cosine", 2)(es => CosineExpr(es.head, es(1))),
       checked("graft_polyhash", 1)(es => PolyHashExpr(es.head)),
       checked("graft_text_stats", 1)(es => TextStatsExpr(es.head)),
-      checked("graft_srp12", 1)(es => Srp12Expr(es.head)))
+      checked("graft_srp12", 1)(es => Srp12Expr(es.head)),
+      // Spark's own runtime-filter Bloom expressions (used internally for
+      // InjectRuntimeFilter but not exposed in the public FunctionRegistry
+      // as of 4.1.2) — surfaced here so bloom_membership stays fully
+      // native: the aggregate builds the sketch engine-side, the probe is
+      // a codegen'd Predicate, and no Scala UDF / driver-side
+      // `stat.bloomFilter` collect is involved. might_contain requires its
+      // sketch argument to be foldable or a scalar subquery, which is how
+      // the operator supplies it.
+      checked("graft_bloom_agg", 3)(es =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(es.head, es(1), es(2))),
+      checked("graft_might_contain", 2)(es =>
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(es.head, es(1))))
   }
 
   /** Register all graft_* functions for use in selectExpr/spark.sql.

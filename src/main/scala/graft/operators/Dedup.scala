@@ -656,37 +656,49 @@ object Dedup {
     // ---- Bloom-filter membership probe: the sketch form of the pool
     // broadcast above — when even the pool's digest set is too big to ship
     // raw (a billion-document blocklist), a Bloom filter at 1% fpp is
-    // ~1.2 GB/1e9 keys and broadcasts where the exact set cannot. The
-    // per-row might_contain bits are sketch-internal (not portable), so the
-    // oracle checks the sketch's DETERMINISTIC guarantees instead: exact
-    // corpus/pool counts, ZERO false negatives (a Bloom filter never
-    // misses a true member), and a false-positive count under 5x the
-    // configured 1% fpp. Same style as approx_distinct's HLL check — the
-    // sketch IS verified, not just row-counted. -----------------------------
+    // ~1.2 GB/1e9 keys and broadcasts where the exact set cannot. Built
+    // entirely inside the engine: Spark's own runtime-filter
+    // BloomFilterAggregate (surfaced as graft_bloom_agg) assembles the
+    // sketch in a scalar subquery — partial per-partition filters OR-merged
+    // at the final agg, exactly how InjectRuntimeFilter builds its own —
+    // and the probe side is the codegen'd BloomFilterMightContain
+    // predicate. No Scala UDF, no driver-side `stat.bloomFilter` collect,
+    // and no sizing `count()` job: a production blocklist's cardinality is
+    // known a priori (it IS the shipped blocklist), so capacity is a
+    // provisioned parameter, not a measurement. The per-row might_contain
+    // bits are sketch-internal (not portable), so the oracle checks the
+    // sketch's DETERMINISTIC guarantees instead: exact corpus/pool counts,
+    // ZERO false negatives (a Bloom filter never misses a true member),
+    // and a false-positive count under 5x the configured 1% fpp. Same
+    // style as approx_distinct's HLL check — the sketch IS verified, not
+    // just row-counted. -----------------------------------------------------
     "bloom_membership" -> QueryDef(
       (s, dir) => {
-        val d = Tables.load(s, dir, "documents")
+        graft.functions.HashExpressions.register(s)
+        Tables.load(s, dir, "documents")
           .withColumn("digest", graft.functions.Portable.contentDigest)
-        val pool = d.filter(col("doc_id") % 97 === 0)
-        val bf = pool.stat.bloomFilter("digest", math.max(1000L, pool.count()), 0.01)
-        val bfB = s.sparkContext.broadcast(bf)
-        // null guard: a null text yields md5 = null and a bare
-        // mightContainString(null) would NPE executor-side
-        val might = udf((dg: String) => dg != null && bfB.value.mightContainString(dg))
-        // membership metrics are defined over docs WITH a digest: a
-        // null-text pool doc is absent from the filter by construction
-        // (bloomFilter skips nulls), and counting it as a false negative
-        // would diverge from the oracle's zero-FN guarantee
-        d.select(col("doc_id"),
-            (col("doc_id") % 97 === 0 && col("digest").isNotNull).cast("int").as("in_pool"),
-            might(col("digest")).cast("int").as("bloom_hit"))
-          .agg(
-            count(lit(1)).as("n_docs"),
-            coalesce(sum(col("in_pool")), lit(0)).cast("long").as("n_true_members"),
-            coalesce(sum(expr("CAST(in_pool = 1 AND bloom_hit = 0 AS INT)")), lit(0))
-              .cast("long").as("false_negatives"),
-            expr("CAST(coalesce(SUM(CAST(in_pool = 0 AND bloom_hit = 1 AS INT)), 0) <= 0.05 * COUNT(*) AS INT)")
-              .as("fp_ok"))
+          .createOrReplaceTempView("graft_bloom_docs")
+        // capacity 2^17 keys at ~1% fpp -> n * ln(0.01)/ln(2)^2 = 9.59
+        // bits/key, rounded up for headroom (well under Spark's
+        // runtime-filter maxNumBits cap). xxhash64 maps NULL to the seed
+        // rather than to NULL, so null digests are excluded explicitly on
+        // BOTH sides — a null-text pool doc is absent from the filter, and
+        // a null-text probe doc is never a member — preserving the
+        // oracle's zero-false-negative guarantee.
+        s.sql(
+          """WITH pool AS (SELECT xxhash64(digest) AS h FROM graft_bloom_docs
+            |  WHERE doc_id % 97 = 0 AND digest IS NOT NULL),
+            |probed AS (SELECT
+            |    CAST(doc_id % 97 = 0 AND digest IS NOT NULL AS INT) AS in_pool,
+            |    CAST(digest IS NOT NULL AND graft_might_contain(
+            |      (SELECT graft_bloom_agg(h, 131072L, 1300000L) FROM pool),
+            |      xxhash64(digest)) AS INT) AS bloom_hit
+            |  FROM graft_bloom_docs)
+            |SELECT COUNT(*) AS n_docs,
+            |  CAST(COALESCE(SUM(in_pool), 0) AS BIGINT) AS n_true_members,
+            |  CAST(COALESCE(SUM(CAST(in_pool = 1 AND bloom_hit = 0 AS INT)), 0) AS BIGINT) AS false_negatives,
+            |  CAST(COALESCE(SUM(CAST(in_pool = 0 AND bloom_hit = 1 AS INT)), 0) <= 0.05 * COUNT(*) AS INT) AS fp_ok
+            |FROM probed""".stripMargin)
       },
       """SELECT COUNT(*) AS n_docs,
         |  CAST(COALESCE(SUM(CAST(doc_id % 97 = 0 AND text IS NOT NULL AS INT)), 0) AS BIGINT) AS n_true_members,

@@ -70,16 +70,21 @@ object Tokenizer {
         .selectExpr("element_at(split(pair, ' '), 1) AS lhs",
           "element_at(split(pair, ' '), 2) AS rhs", "pair_count")
         .localCheckpoint(true) // tiny; also pins one winner for both uses
-      // pair exhaustion guard: if no mergeable pair remains, best is EMPTY
-      // and the cross join would annihilate the vocabulary — leaving
-      // tokenizer_apply to encode against zero words (total silent data
-      // loss, review find). Skip the application; the merges frame for
-      // this step is empty anyway, which tokenizer_vocab already handles.
-      if (!best.isEmpty)
-        words = words.crossJoin(broadcast(best))
-          .selectExpr("word", "cnt",
-            "replace(enc, concat(' ', lhs, '  ', rhs, ' '), concat(' ', lhs, rhs, ' ')) AS enc")
-          .localCheckpoint(true)
+      // pair exhaustion guard, IN the dataflow: if no mergeable pair
+      // remains, best is EMPTY and a cross join would annihilate the
+      // vocabulary — leaving tokenizer_apply to encode against zero words
+      // (total silent data loss, review find). A broadcast LEFT join on
+      // TRUE keeps every word with a NULL winner instead, and the CASE
+      // passes the encoding through unchanged — the exact shape the DuckDB
+      // oracle uses (LEFT JOIN bN ON TRUE below). This replaces the old
+      // per-round `best.isEmpty` driver action: cosmetic at Steps=16, but
+      // at a production Steps=30k it was 30k extra scheduler round-trips.
+      words = words.join(broadcast(best), lit(true), "left")
+        .selectExpr("word", "cnt",
+          """CASE WHEN lhs IS NULL THEN enc
+            |ELSE replace(enc, concat(' ', lhs, '  ', rhs, ' '), concat(' ', lhs, rhs, ' '))
+            |END AS enc""".stripMargin)
+        .localCheckpoint(true)
       best.selectExpr(s"CAST($step AS INT) AS step", "lhs", "rhs",
         "concat(lhs, rhs) AS merged", "pair_count")
     }

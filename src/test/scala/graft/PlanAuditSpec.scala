@@ -57,6 +57,16 @@ class PlanAuditSpec extends SparkSpec {
       "top-k must come from the bounded aggregator, not a per-query window funnel")
   }
 
+  test("bloom_membership: native sketch build + probe, no Scala UDF, no sizing job") {
+    val p = plan("bloom_membership")
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
+      "the membership probe must be the codegen'd BloomFilterMightContain predicate, not a UDF")
+    assert(p.toLowerCase.contains("bloom_filter_agg") || p.toLowerCase.contains("bloomfilter"),
+      "the sketch must be built by the engine's BloomFilterAggregate in a scalar subquery")
+    assert(nodeIds(p, "HashAggregate").size + nodeIds(p, "ObjectHashAggregate").size >= 2,
+      "sketch build must be partial+final (per-partition filters OR-merged), one pass over the pool")
+  }
+
   test("q6: all sargable predicates reach the parquet scan; projection pruned") {
     val p = plan("q6_forecast_revenue")
     assert(p.contains("PushedFilters:"))
