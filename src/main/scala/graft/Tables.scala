@@ -23,8 +23,15 @@ object Tables {
     // defensive: events.parquet is timestamp[ns]; without this runtime conf
     // a session built outside Verify/Bench/GraftSession would fail the read
     // with PARQUET_TYPE_ILLEGAL (conf is runtime-settable).
-    if (name == "events")
+    if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // same defensive posture for the timezone: the TIMESTAMP_NTZ ->
+      // TimestampType cast below is instant-preserving ONLY under a UTC
+      // session timezone. GraftSession pins it, but a session built
+      // elsewhere would silently shift every ts by its zone offset —
+      // unlike the nanos path, which at least fails loudly.
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+    }
     val df = spark.read.parquet(path(dir, name))
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) =>

@@ -72,6 +72,55 @@ object Dedup {
       .filter("size(sh) > 0")
   }
 
+  /** Asymmetric containment (excerpt/quote) detection over `docs` plus a
+    * caller-supplied `excerpts` side — both (doc_id, text), doc_ids
+    * disjoint. In production the excerpt side is a real quote/excerpt
+    * corpus (or the corpus itself, for intra-corpus containment); the
+    * `dedup_containment` QueryDef supplies the deterministic fixture pool.
+    *
+    * Doc A is CONTAINED in doc B when >= 80% of A's informative 8-token
+    * windows (df in [2, 50] — boilerplate windows excluded) also appear in
+    * B, and A is properly smaller (|W(A)| <= 0.8 |W(B)|). Same candidate
+    * machinery as dedup_substring: group-by-window-hash with the
+    * stop-window cap, one corpus-linear explode, bounded self-join; per-doc
+    * window counts come off the same cached frame. */
+  def containment(docs: DataFrame, excerpts: DataFrame): DataFrame = {
+    graft.functions.HashExpressions.register(docs.sparkSession)
+    val corpus = docs.selectExpr("doc_id", "text")
+      .unionAll(excerpts.selectExpr("doc_id", "text"))
+    val ex = corpus
+      .selectExpr("doc_id", "explode(graft_winhash8(text)) AS h")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hot = ex.join(
+      ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter("df BETWEEN 2 AND 50")
+        .select(col("h")),
+      "h").persist(StorageLevel.MEMORY_AND_DISK)
+    // denominators from the UNFILTERED window sets: the df >= 2 cut
+    // deletes source-unique windows, which would collapse the excerpt/
+    // source size asymmetry (wa == wb) and bias containment to 1.0 for
+    // both sides; with true counts the metric is a conservative lower
+    // bound (boilerplate windows count against, never for)
+    val wc = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("w"))
+    val shared = hot.alias("a").join(hot.alias("b"),
+        expr("a.h = b.h AND a.doc_id < b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    // lazy result — both caches feed the executed plan
+    shared
+      .join(wc.selectExpr("doc_id AS doc_a", "w AS wa"), "doc_a")
+      .join(wc.selectExpr("doc_id AS doc_b", "w AS wb"), "doc_b")
+      .filter("least(wa, wb) * 10 <= greatest(wa, wb) * 8")
+      .selectExpr(
+        "IF(wa <= wb, doc_a, doc_b) AS contained_doc",
+        "IF(wa <= wb, doc_b, doc_a) AS container_doc",
+        "n_shared",
+        "CAST(n_shared AS DOUBLE) / least(wa, wb) AS containment")
+      .filter("containment >= 0.8")
+      .transform(graft.Sorted.byNames(_, "contained_doc", "container_doc"))
+  }
+
   /** doc_id + 60-bit SimHash, persisted so the block-LSH self-join reads the
     * fingerprint from cache instead of deriving it twice. */
   private[operators] def simhashFp(s: SparkSession, dir: String): DataFrame = {
@@ -482,53 +531,24 @@ object Dedup {
     // and this op reports true excerpts. Jaccard misses these pairs by
     // construction (an excerpt in a 100× larger doc has jaccard ~0.01).
     // The fixture's near-dups are all FULL salted copies (verified: every
-    // containment>=0.8 pair is similar-size), so a deterministic excerpt
-    // pool is materialized in-query — docs with doc_id % 37 == 0 donate a
-    // 300-char middle slice as doc_id + 10^7 (the decontaminate_overlap
-    // stand-in precedent; in production the excerpt side is the corpus
-    // itself). Same candidate machinery as dedup_substring —
-    // group-by-window-hash with the stop-window cap, one corpus-linear
-    // explode, bounded self-join; per-doc window counts come off the same
-    // cached frame. The 0.8 threshold absorbs the <= 2 boundary windows a
-    // mid-token slice mints. ----------------------------------------------
+    // containment>=0.8 pair is similar-size), so the wrapper below feeds
+    // [[containment]] a deterministic excerpt pool — docs with
+    // doc_id % 37 == 0 donate a 300-char middle slice as doc_id + 10^7
+    // (the decontaminate_overlap stand-in precedent; in production the
+    // caller passes a real excerpt corpus, or the corpus itself). The 0.8
+    // threshold absorbs the <= 2 boundary windows a mid-token slice
+    // mints. ----------------------------------------------------------------
     "dedup_containment" -> QueryDef(
       (s, dir) => {
         graft.functions.HashExpressions.register(s)
         val docs = Tables.load(s, dir, "documents")
-        val corpus = docs.selectExpr("doc_id", "text")
-          .unionAll(docs.filter("doc_id % 37 = 0 AND n_chars >= 400")
+        // the synthetic excerpt pool lives HERE in the fixture wrapper,
+        // not in the operator: containment() takes the excerpt side as a
+        // DataFrame, so a real deployment passes its actual excerpt/quote
+        // corpus (or the corpus itself) without touching the operator
+        containment(docs.selectExpr("doc_id", "text"),
+          docs.filter("doc_id % 37 = 0 AND n_chars >= 400")
             .selectExpr("doc_id + 10000000 AS doc_id", "substring(text, 101, 300) AS text"))
-        val ex = corpus
-          .selectExpr("doc_id", "explode(graft_winhash8(text)) AS h")
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val hot = ex.join(
-          ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
-            .filter("df BETWEEN 2 AND 50")
-            .select(col("h")),
-          "h").persist(StorageLevel.MEMORY_AND_DISK)
-        // denominators from the UNFILTERED window sets: the df >= 2 cut
-        // deletes source-unique windows, which would collapse the excerpt/
-        // source size asymmetry (wa == wb) and bias containment to 1.0 for
-        // both sides; with true counts the metric is a conservative lower
-        // bound (boilerplate windows count against, never for)
-        val wc = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("w"))
-        val shared = hot.alias("a").join(hot.alias("b"),
-            expr("a.h = b.h AND a.doc_id < b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .groupBy(col("doc_a"), col("doc_b"))
-          .agg(count(lit(1)).as("n_shared"))
-        // lazy result — both caches feed the executed plan
-        shared
-          .join(wc.selectExpr("doc_id AS doc_a", "w AS wa"), "doc_a")
-          .join(wc.selectExpr("doc_id AS doc_b", "w AS wb"), "doc_b")
-          .filter("least(wa, wb) * 10 <= greatest(wa, wb) * 8")
-          .selectExpr(
-            "IF(wa <= wb, doc_a, doc_b) AS contained_doc",
-            "IF(wa <= wb, doc_b, doc_a) AS container_doc",
-            "n_shared",
-            "CAST(n_shared AS DOUBLE) / least(wa, wb) AS containment")
-          .filter("containment >= 0.8")
-          .transform(graft.Sorted.byNames(_, "contained_doc", "container_doc"))
       },
       s"""WITH corpus AS (SELECT doc_id, text FROM documents
          |  UNION ALL SELECT doc_id + 10000000, substr(text, 101, 300)
