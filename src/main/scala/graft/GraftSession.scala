@@ -26,6 +26,17 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // RocksDB-backed keyed state for every streaming query: the default
+      // HDFSBackedStateStoreProvider keeps ALL keys on the executor heap,
+      // which at the reference's per-device cardinality (UniqueVisitApp's
+      // per-mid dedup state — billions of keys at 100 TB) is an executor
+      // OOM, not a tuning problem. RocksDB holds state off-heap with
+      // incremental (changelog) checkpoints; heap usage becomes bounded
+      // block-cache + memtable instead of O(keys). The streaming suites
+      // run under this same provider (SparkSpec sets it identically).
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
       .config("spark.ui.enabled", "false")
     master.foreach(b.master)
     b.getOrCreate()

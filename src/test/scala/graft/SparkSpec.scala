@@ -10,6 +10,14 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the suites exercise the SAME state-store provider production uses
+    // (GraftSession): RocksDB-backed keyed state, off-heap, incremental
+    // checkpoints — so every stateful-streaming test (UV dedup, bounce
+    // CEP, order-wide join buffers) proves its semantics under the
+    // provider that survives billion-key state, not the on-heap default
+    .config("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
