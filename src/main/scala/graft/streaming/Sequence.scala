@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Reusable strict-contiguity CEP sequence matcher — the reference's
+  * Pattern-API shape (`Pattern.begin(cond).next(cond).within(t)`,
+  * RT/app/dwm/UserJumpDetailApp.java:101-128) as CONFIG over one keyed
+  * state machine, so the next pattern is a [[Pattern]] value, not a new
+  * operator. Spark has no CEP library; this encodes the subset the
+  * reference uses — strict contiguity (`next`, not `followedBy`), a
+  * sequence-wide `within` window, and Flink's timeout side output — in
+  * `flatMapGroupsWithState` with event-time timeouts.
+  *
+  * Semantics, per key, over event-time-sorted batches:
+  *  - an event matching `steps.head` anchors a partial match;
+  *  - each later event (ts >= last matched ts) must match the NEXT step:
+  *    a wrong event kills the partial (strict contiguity), a match
+  *    advances it, and completing all steps emits the final event when
+  *    `emitMatched` (then the completing event may re-anchor);
+  *  - a successor arriving past `withinMs` of the anchor — or no
+  *    successor before the event-time timeout fires — emits the ANCHOR
+  *    when `emitTimedOut`: Flink's timed-out-partial side output, which
+  *    for the bounce pattern IS the answer;
+  *  - a straggler from before the partial match is dropped, never
+  *    buffered: with one partial per key we cannot know whether its
+  *    window was already resolved by events processed (and forgotten) in
+  *    earlier batches — mirroring the reference CEP's late-data drop at
+  *    the monotonic watermark (UserJumpDetailApp.java:80-88).
+  *
+  * At scale this is the same shape as every stateful op here: state is
+  * one bounded prefix (< steps.size events) per key, evicted by the
+  * event-time timeout, living in the RocksDB state store (GraftSession).
+  */
+object Sequence {
+
+  /** A CEP sequence pattern. `steps.head` admits an anchor; each further
+    * step is a strict-next condition; the whole sequence must complete
+    * within `withinMs` of the anchor's event time. */
+  final case class Pattern[E](
+      steps: IndexedSeq[E => Boolean],
+      withinMs: Long,
+      eventTs: E => Long,
+      emitTimedOut: Boolean = true,
+      emitMatched: Boolean = false) {
+    require(steps.size >= 2, "a sequence pattern needs at least two steps")
+  }
+
+  /** The pure keyed state function (unit-testable via TestGroupState).
+    * State = the current partial match, in match order (head = anchor). */
+  def stateFn[E](p: Pattern[E])(
+      key: String, rows: Iterator[E], state: GroupState[Seq[E]]): Iterator[E] = {
+    if (rows.isEmpty && state.hasTimedOut) {
+      val anchor = state.get.head
+      state.remove()
+      return if (p.emitTimedOut) Iterator.single(anchor) else Iterator.empty
+    }
+    val sorted = rows.toIndexedSeq.sortBy(p.eventTs)
+    var prefix: Seq[E] = state.getOption.getOrElse(Seq.empty)
+    val out = Seq.newBuilder[E]
+    sorted.foreach { e =>
+      val ts = p.eventTs(e)
+      // only a TRUE successor (ts >= last matched ts) advances or expires
+      // the partial; earlier stragglers fall through to the anchor check
+      // below, which rejects them while a partial is pending
+      if (prefix.nonEmpty && ts >= p.eventTs(prefix.last)) {
+        if (ts - p.eventTs(prefix.head) > p.withinMs) {
+          if (p.emitTimedOut) out += prefix.head // window expired before this successor
+          prefix = Seq.empty
+        } else if (p.steps(prefix.size)(e)) {
+          prefix = prefix :+ e
+          if (prefix.size == p.steps.size) { // full match
+            if (p.emitMatched) out += e
+            prefix = Seq.empty
+          }
+        } else prefix = Seq.empty // strict next: a wrong event kills the partial
+      }
+      if (prefix.isEmpty && p.steps.head(e)) prefix = Seq(e) // (re-)anchor
+    }
+    if (prefix.nonEmpty) {
+      state.update(prefix)
+      // clamp to just past the current watermark: registering a timeout AT
+      // or BEFORE the watermark throws and kills the query — reachable via
+      // a straggler anchor whose window already elapsed. The clamp fires
+      // the timeout next batch instead: the partial had no completion
+      // inside its window, so the emission is exactly right, just late.
+      val wm = state.getCurrentWatermarkMs()
+      state.setTimeoutTimestamp(math.max(p.eventTs(prefix.head) + p.withinMs, wm + 1))
+    } else if (state.exists) state.remove()
+    out.result().iterator
+  }
+
+  /** Keyed-stream driver: requires a watermarked event-time column on
+    * `events` (e.g. [[BounceDetect.withEventTime]]) when streaming. */
+  def detect[E: Encoder](events: Dataset[E], p: Pattern[E])(key: E => String)(
+      implicit prefixEnc: Encoder[Seq[E]]): Dataset[E] =
+    events.groupByKey(key)(Encoders.STRING)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(stateFn(p))
+}

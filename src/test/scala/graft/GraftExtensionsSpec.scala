@@ -37,8 +37,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
       // find was exactly this drift (the extension shipped 9 of 11
       // functions); resolving each name pins the shared-list fix
       graft.functions.HashExpressions.builders.foreach { case (name, _) =>
-        val arity = if (name == "graft_cosine") 2 else 1
-        val args = Seq.fill(arity)("'x'").mkString(", ")
+        // type-correct args per signature: the surfaced Spark Bloom
+        // expressions type-check at analysis (long hash / binary sketch),
+        // unlike the graft_* string family
+        val args = name match {
+          case "graft_cosine" => "'x', 'x'"
+          case "graft_bloom_agg" => "xxhash64('x'), 1000L, 8192L"
+          case "graft_might_contain" => "CAST(NULL AS BINARY), xxhash64('x')"
+          case _ => "'x'"
+        }
         // analysis only — no execution needed to prove resolution
         spark.sql(s"SELECT $name($args)").queryExecution.analyzed
       }

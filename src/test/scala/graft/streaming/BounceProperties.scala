@@ -7,8 +7,11 @@ import org.scalacheck.{Gen, Properties}
 import org.scalacheck.Prop.{forAll, propBoolean}
 
 /** P5 CEP partition law (reference RT/app/dwm/UserJumpDetailApp.java:101-156)
-  * as ScalaCheck properties over the pure detection core
-  * [[BounceDetect.detectState]], driven through Spark's [[TestGroupState]].
+  * as ScalaCheck properties over the pure detection core —
+  * [[Sequence.stateFn]] instantiated with [[BounceDetect.pattern]] —
+  * driven through Spark's [[TestGroupState]]. Since the round-8 CEP
+  * generalization these laws pin the REUSABLE state machine, not a
+  * bounce-specific copy.
   *
   * For a single-batch delivery of one device's events with distinct
   * timestamps, every ENTRY event (empty last_page_id) lands in exactly one
@@ -52,11 +55,11 @@ object BounceProperties extends Properties("BounceDetect") {
   /** Run one batch through the real operator with fresh state; returns
     * (emitted bounces, parked entry, its timeout timestamp). */
   private def run(events: List[LogEvent]): (List[LogEvent], Option[LogEvent], Option[Long]) = {
-    val state = TestGroupState.create[LogEvent](
+    val state = TestGroupState.create[Seq[LogEvent]](
       Optional.empty(), GroupStateTimeout.EventTimeTimeout,
       0L, Optional.of(0L), false)
-    val out = BounceDetect.detectState("m", events.iterator, state).toList
-    val parked = if (state.exists) Some(state.get) else None
+    val out = Sequence.stateFn(BounceDetect.pattern)("m", events.iterator, state).toList
+    val parked = if (state.exists) state.get.headOption else None
     val timeout: Option[Long] =
       if (state.getTimeoutTimestampMs.isPresent)
         Some(state.getTimeoutTimestampMs.get.asInstanceOf[Long])
@@ -97,10 +100,10 @@ object BounceProperties extends Properties("BounceDetect") {
   property("timeout firing emits the parked entry exactly once") =
     forAll(Gen.choose(0L, 100000L)) { ts =>
       val parked = entry(ts)
-      val state = TestGroupState.create[LogEvent](
-        Optional.of(parked), GroupStateTimeout.EventTimeTimeout,
+      val state = TestGroupState.create[Seq[LogEvent]](
+        Optional.of(Seq(parked)), GroupStateTimeout.EventTimeTimeout,
         0L, Optional.of(ts + BounceDetect.BounceWindowMs + 1), true)
-      val out = BounceDetect.detectState("m", Iterator.empty, state).toList
+      val out = Sequence.stateFn(BounceDetect.pattern)("m", Iterator.empty, state).toList
       out == List(parked) && state.isRemoved
     }
 }

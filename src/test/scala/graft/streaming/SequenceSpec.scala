@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.streaming.LogSchema.LogEvent
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** The point of the CEP generalization: a NEW pattern (the reference shape
+  * after UserJumpDetailApp's — e.g. a home→detail→order funnel) is a
+  * [[Sequence.Pattern]] value, not another hand-rolled
+  * flatMapGroupsWithState operator. Exercises both output modes the
+  * helper supports: completed matches (conversion funnel) and timed-out
+  * partials (abandonment, the bounce family). */
+class SequenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def at(mid: String, page: String, ts: Long) =
+    LogEvent(mid, "0", page, if (page == "home") "" else "home", hasStart = false, ts)
+
+  private val funnel = Sequence.Pattern[LogEvent](
+    steps = IndexedSeq(_.pageId == "home", _.pageId == "detail", _.pageId == "order"),
+    withinMs = 30000L,
+    eventTs = _.ts,
+    emitTimedOut = false,
+    emitMatched = true)
+
+  test("3-step funnel, emitMatched: strict contiguity and the within window hold") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[LogEvent]
+    val q = Sequence.detect(BounceDetect.withEventTime(ms.toDF()).as[LogEvent], funnel)(_.mid)
+      .writeStream.format("memory").queryName("funnel").outputMode("append").start()
+    try {
+      ms.addData(
+        // u1 converts: home -> detail -> order inside 30 s
+        at("u1", "home", 1000L), at("u1", "detail", 5000L), at("u1", "order", 9000L),
+        // u2 breaks strict contiguity: a cart view between detail and order
+        at("u2", "home", 1000L), at("u2", "detail", 5000L),
+        at("u2", "cart", 7000L), at("u2", "order", 9000L),
+        // u3 completes but outside the 30 s window
+        at("u3", "home", 1000L), at("u3", "detail", 5000L), at("u3", "order", 40000L))
+      q.processAllAvailable()
+      val out = spark.table("funnel").as[LogEvent].collect()
+      assert(out.map(e => (e.mid, e.pageId, e.ts)).toSeq == Seq(("u1", "order", 9000L)))
+    } finally q.stop()
+  }
+
+  test("same steps, emitTimedOut: abandoned funnels surface via the timeout path") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[LogEvent]
+    val abandoned = funnel.copy(emitTimedOut = true, emitMatched = false)
+    val q = Sequence.detect(BounceDetect.withEventTime(ms.toDF()).as[LogEvent], abandoned)(_.mid)
+      .writeStream.format("memory").queryName("abandoned").outputMode("append").start()
+    try {
+      ms.addData(
+        at("u1", "home", 1000L), at("u1", "detail", 5000L), at("u1", "order", 9000L),
+        at("u4", "home", 2000L), at("u4", "detail", 6000L)) // never orders
+      q.processAllAvailable()
+      // heartbeat advances the watermark past u4's 2000+30000 timeout
+      ms.addData(at("u5", "cart", 60000L))
+      q.processAllAvailable()
+      val out = spark.table("abandoned").as[LogEvent].collect()
+      // the timed-out partial emits its ANCHOR (Flink timeout side-output
+      // parity): u4's home entry; u1 completed and is discarded
+      assert(out.map(e => (e.mid, e.pageId, e.ts)).toSeq == Seq(("u4", "home", 2000L)))
+    } finally q.stop()
+  }
+
+  test("a completing event can re-anchor the next partial match") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[LogEvent]
+    // two-step pattern where the completing event itself satisfies step 1
+    val p = Sequence.Pattern[LogEvent](
+      steps = IndexedSeq(_.pageId == "home", _.pageId == "home"),
+      withinMs = 30000L, eventTs = _.ts,
+      emitTimedOut = false, emitMatched = true)
+    val q = Sequence.detect(BounceDetect.withEventTime(ms.toDF()).as[LogEvent], p)(_.mid)
+      .writeStream.format("memory").queryName("reanchor").outputMode("append").start()
+    try {
+      // home@1s + home@2s match; home@2s re-anchors and pairs with home@3s
+      ms.addData(at("u1", "home", 1000L), at("u1", "home", 2000L), at("u1", "home", 3000L))
+      q.processAllAvailable()
+      val out = spark.table("reanchor").as[LogEvent].collect().sortBy(_.ts)
+      assert(out.map(_.ts).toSeq == Seq(2000L, 3000L))
+    } finally q.stop()
+  }
+}
