@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Build a K-fold SALTED-copy corpus for decade scaling probes.
+
+The round-3 recipe, as a committed tool: K copies of `documents`, each
+salted with one distinct trailing token (` zzsaltNN`), plus K perturbed
+copies of `embeddings` (+i*1e-4 on component 0). Exact dedup does NOT
+collapse the copies, the LSH family faces ~0.99-jaccard near-duplicates
+at K× density, and cross-copy PARAGRAPHS (16-token windows away from the
+tail) stay byte-identical — the duplicate-SATURATED corpus, deliberately
+adversarial for pair-emitting and dup-set-broadcast operators. The
+complementary zero-overlap corpus is build_distinct_corpus.py.
+
+Usage: build_salted_corpus.py <src_dir> <out_dir> <K>
+Writes out_dir/documents.parquet + embeddings.parquet; symlinks every
+other table from src.
+"""
+import sys, os
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+src, out, k = sys.argv[1], sys.argv[2], int(sys.argv[3])
+assert 1 <= k <= 100, f"K={k} outside the probe range"
+os.makedirs(out, exist_ok=True)
+
+t = pq.read_table(os.path.join(src, "documents.parquet"))
+assert t.num_rows < 10_000_000, "source corpus too large for the 10M doc_id stride"
+doc_ids = t.column("doc_id").to_pylist()
+texts = t.column("text").to_pylist()
+others = {c: t.column(c).to_pylist() for c in t.column_names
+          if c not in ("doc_id", "text")}
+batches = []
+for i in range(k):
+    salt = f" zzsalt{i:02d}"
+    cols = {
+        "doc_id": pa.array([d + i * 10_000_000 for d in doc_ids], type=pa.int64()),
+        "text": pa.array([None if x is None else x + salt for x in texts]),
+    }
+    for c, v in others.items():
+        cols[c] = pa.array(v, type=t.schema.field(c).type)
+    batches.append(pa.table({c: cols[c] for c in t.column_names}))
+pq.write_table(pa.concat_tables(batches), os.path.join(out, "documents.parquet"))
+
+e = pq.read_table(os.path.join(src, "embeddings.parquet"))
+vec_ids = e.column("vec_id").to_pylist()
+vecs = e.column("embedding").to_pylist()
+eothers = {c: e.column(c).to_pylist() for c in e.column_names
+           if c not in ("vec_id", "embedding")}
+ebatches = []
+for i in range(k):
+    cols = {
+        "vec_id": pa.array([v + i * 10_000_000 for v in vec_ids], type=pa.int64()),
+        "embedding": pa.array(
+            [None if v is None else [v[0] + i * 1e-4] + v[1:] for v in vecs],
+            type=e.schema.field("embedding").type),
+    }
+    for c, v in eothers.items():
+        cols[c] = pa.array(v, type=e.schema.field(c).type)
+    ebatches.append(pa.table({c: cols[c] for c in e.column_names}))
+pq.write_table(pa.concat_tables(ebatches), os.path.join(out, "embeddings.parquet"))
+
+for f in os.listdir(src):
+    if f.endswith(".parquet") and f not in ("documents.parquet", "embeddings.parquet"):
+        dst = os.path.join(out, f)
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(src, f), dst)
+print(f"built {out}: K={k}, docs={t.num_rows * k}, vecs={e.num_rows * k}")
