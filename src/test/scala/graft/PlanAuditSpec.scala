@@ -122,6 +122,28 @@ class PlanAuditSpec extends SparkSpec {
     assert("\\[codegen id : \\d+\\]".r.findFirstIn(ws).isDefined)
   }
 
+  test("gopher_rules: pure map-side gate — no joins, no aggregation shuffle") {
+    val p = plan("gopher_rules")
+    assert(!p.contains("Join"), "the gate must ride the corpus scan, never join")
+    assert(!p.contains("HashAggregate"), "no aggregation belongs in a per-doc gate")
+    assert("\\[codegen id : \\d+\\]".r.findFirstIn(p).isDefined,
+      "the HOF metric expressions must stay inside whole-stage codegen")
+    // the only exchange allowed is the presentation sort's range partitioning
+    val ex = "Exchange \\w+".r.findAllIn(p).toSet
+    assert(ex.forall(_.contains("rangepartitioning")),
+      s"unexpected non-sort exchange in a map-side gate: $ex")
+  }
+
+  test("mix_temperature: rates broadcast; corpus side is one count + map-side copies") {
+    val p = plan("mix_temperature")
+    assert(p.contains("BroadcastHashJoin"),
+      "the |langs|-row rate table must broadcast onto the corpus scan")
+    assert(nodeIds(p, "HashAggregate").size >= 4,
+      "lang count and realized-copies sum must each be partial+final")
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row totals frame must join as a broadcast, not a cartesian")
+  }
+
   test("ann top-k: bounded TopK aggregation is partial+final (no all-rows window shuffle)") {
     val p = plan("ann_cosine_topk")
     assert(p.toLowerCase.contains("partial"), "TopK aggregator should plan a partial stage")
