@@ -432,6 +432,80 @@ object HashExpressions {
     override def prettyName: String = "graft_cosine"
   }
 
+  /** Count of DISTINCT common elements of two SORTED numeric arrays — the
+    * verify-stage replacement for `size(array_intersect(a, b))`, which
+    * builds a hash set AND materializes the intersection array per pair
+    * when only the count is needed. The merge scan is O(|a|+|b|) with
+    * ZERO allocation per row; callers pre-sort ONCE per doc (map-side
+    * `sort_array` on the slim table) while array_intersect re-hashed per
+    * CANDIDATE PAIR — the multiplicity a hot doc's array is replicated
+    * into is exactly the verify-cost constant. Duplicate runs are skipped
+    * on both sides, so the count equals array_intersect's distinct
+    * semantics even on non-distinct inputs. */
+  def evalSortedInterInt(l: ArrayData, r: ArrayData): Int = {
+    val a = l.toIntArray(); val b = r.toIntArray()
+    var i = 0; var j = 0; var c = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i); val y = b(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else {
+        c += 1
+        while (i < a.length && a(i) == x) i += 1
+        while (j < b.length && b(j) == y) j += 1
+      }
+    }
+    c
+  }
+
+  /** Long twin of [[evalSortedInterInt]] (shingle/minhash domains > 2^31). */
+  def evalSortedInterLong(l: ArrayData, r: ArrayData): Int = {
+    val a = l.toLongArray(); val b = r.toLongArray()
+    var i = 0; var j = 0; var c = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i); val y = b(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else {
+        c += 1
+        while (i < a.length && a(i) == x) i += 1
+        while (j < b.length && b(j) == y) j += 1
+      }
+    }
+    c
+  }
+
+  /** `graft_sorted_inter(a, b)`: distinct-intersection COUNT of two sorted
+    * int/long arrays (see [[evalSortedInterInt]]). */
+  case class SortedInterCountExpr(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = IntegerType
+    private def isLong: Boolean = left.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) |
+             (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case (l, r) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"graft_sorted_inter requires two array<int> or two array<bigint> args, got $l, $r")
+      }
+    override def nullSafeEval(l: Any, r: Any): Any =
+      if (isLong) evalSortedInterLong(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+      else evalSortedInterInt(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fn = if (isLong) "evalSortedInterLong" else "evalSortedInterInt"
+      defineCodeGen(ctx, ev, (a, b) => s"$Self.$fn($a, $b)")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedInterCountExpr =
+      copy(l, r)
+    override def prettyName: String = "graft_sorted_inter"
+  }
+
   /** text -> 64-bit raw-char polynomial hash (document fingerprint). */
   case class PolyHashExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -486,6 +560,7 @@ object HashExpressions {
       checked("graft_winhash8", 1)(es => WinHash8Expr(es.head)),
       checked("graft_cdc_bounds", 1)(es => CdcBoundsExpr(es.head)),
       checked("graft_cosine", 2)(es => CosineExpr(es.head, es(1))),
+      checked("graft_sorted_inter", 2)(es => SortedInterCountExpr(es.head, es(1))),
       checked("graft_polyhash", 1)(es => PolyHashExpr(es.head)),
       checked("graft_text_stats", 1)(es => TextStatsExpr(es.head)),
       checked("graft_srp12", 1)(es => Srp12Expr(es.head)),

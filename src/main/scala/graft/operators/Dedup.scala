@@ -268,13 +268,19 @@ object Dedup {
       // gram hashes are < P < 2^31, so the verify join-back ships them
       // as INT32 — an injective cast that halves the per-pair shuffle
       // bytes (a hot doc's array is replicated into every one of its
-      // candidate pairs, so array width is THE verify-cost constant)
-      val slim = d.selectExpr("doc_id", "transform(g, x -> CAST(x AS INT)) AS g")
+      // candidate pairs, so array width is THE verify-cost constant) —
+      // and SORTED once per doc, so the per-pair intersection is a
+      // zero-allocation merge COUNT (graft_sorted_inter) instead of
+      // array_intersect's per-pair hash set + materialized intersection
+      // array. gram5 output is distinct by construction, so the distinct
+      // count equals set intersection exactly (oracle unchanged).
+      val slim = d.selectExpr("doc_id",
+        "sort_array(transform(g, x -> CAST(x AS INT))) AS g")
       val verified = pruned
         .join(slim.selectExpr("doc_id AS doc_a", "g AS g_a"), "doc_a")
         .join(slim.selectExpr("doc_id AS doc_b", "g AS g_b"), "doc_b")
         .selectExpr("doc_a", "doc_b",
-          "size(array_intersect(g_a, g_b)) AS inter", "size(g_a) AS sa", "size(g_b) AS sb")
+          "graft_sorted_inter(g_a, g_b) AS inter", "size(g_a) AS sa", "size(g_b) AS sb")
         .selectExpr("doc_a", "doc_b",
           "CAST(inter AS DOUBLE) / (sa + sb - inter) AS jaccard")
         .filter("jaccard >= 0.7")
@@ -316,11 +322,14 @@ object Dedup {
           .join(bands.alias("b"),
             expr("a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"))
           .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b").distinct()
-        val shA = sh.selectExpr("doc_id AS doc_a", "sh AS sh_a")
-        val shB = sh.selectExpr("doc_id AS doc_b", "sh AS sh_b")
+        // sorted once per doc so the per-pair verify is the zero-allocation
+        // merge count (graft_sorted_inter) — shingles are distinct by
+        // construction, so the count equals set intersection exactly
+        val shA = sh.selectExpr("doc_id AS doc_a", "sort_array(sh) AS sh_a")
+        val shB = sh.selectExpr("doc_id AS doc_b", "sort_array(sh) AS sh_b")
         cand.join(shA, "doc_a").join(shB, "doc_b")
           .selectExpr("doc_a", "doc_b",
-            "size(array_intersect(sh_a, sh_b)) AS inter", "size(sh_a) AS sa", "size(sh_b) AS sb")
+            "graft_sorted_inter(sh_a, sh_b) AS inter", "size(sh_a) AS sa", "size(sh_b) AS sb")
           .selectExpr("doc_a", "doc_b",
             "CAST(inter AS DOUBLE) / (sa + sb - inter) AS jaccard")
           .filter("jaccard >= 0.8")
@@ -639,10 +648,10 @@ object Dedup {
           .selectExpr("a.doc_id AS b_id", "b.doc_id AS h_id").distinct()
         val sh = shingles(s, dir)
         val near = cand
-          .join(sh.selectExpr("doc_id AS b_id", "sh AS sh_a"), "b_id")
-          .join(sh.selectExpr("doc_id AS h_id", "sh AS sh_b"), "h_id")
+          .join(sh.selectExpr("doc_id AS b_id", "sort_array(sh) AS sh_a"), "b_id")
+          .join(sh.selectExpr("doc_id AS h_id", "sort_array(sh) AS sh_b"), "h_id")
           .selectExpr("b_id",
-            "size(array_intersect(sh_a, sh_b)) AS inter", "size(sh_a) AS sa", "size(sh_b) AS sb")
+            "graft_sorted_inter(sh_a, sh_b) AS inter", "size(sh_a) AS sa", "size(sh_b) AS sb")
           .filter("CAST(inter AS DOUBLE) / (sa + sb - inter) >= 0.8")
           .select(col("b_id")).distinct()
           .withColumn("near_dup", lit(1))

@@ -42,6 +42,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
         // unlike the graft_* string family
         val args = name match {
           case "graft_cosine" => "'x', 'x'"
+          case "graft_sorted_inter" => "array(1), array(1)"
           case "graft_bloom_agg" => "xxhash64('x'), 1000L, 8192L"
           case "graft_might_contain" => "CAST(NULL AS BINARY), xxhash64('x')"
           case _ => "'x'"
