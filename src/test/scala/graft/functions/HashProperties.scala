@@ -164,4 +164,41 @@ object HashProperties extends Properties("graft.hash") {
       HashExpressions.tokenHashes(plain).toSeq) &&
       Prop(tokStats(kelvin) == tokStats(plain))
   }
+
+  // ---- sorted-merge intersection count (the dedup verify kernel): must
+  // equal array_intersect's DISTINCT-count semantics on ANY inputs once
+  // sorted, including duplicates — the law the oracle parity rests on ----
+  private val intArr: Gen[List[Int]] =
+    Gen.listOf(Gen.chooseNum(0, 40)) // small domain forces collisions + dups
+
+  property("sortedInter == distinct set intersection (int, with duplicates)") =
+    forAll(intArr, intArr) { (a, b) =>
+      val got = HashExpressions.evalSortedInterInt(
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(a.sorted.toArray),
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(b.sorted.toArray))
+      got == (a.toSet intersect b.toSet).size
+    }
+
+  property("sortedInter == distinct set intersection (long)") =
+    forAll(Gen.listOf(Gen.chooseNum(0L, 50L)), Gen.listOf(Gen.chooseNum(0L, 50L))) { (a, b) =>
+      val got = HashExpressions.evalSortedInterLong(
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(a.sorted.toArray),
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(b.sorted.toArray))
+      got == (a.toSet intersect b.toSet).size
+    }
+
+  property("sortedInter symmetric + bounded by min size") =
+    forAll(intArr, intArr) { (a, b) =>
+      def run(x: List[Int], y: List[Int]) = HashExpressions.evalSortedInterInt(
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(x.sorted.toArray),
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(y.sorted.toArray))
+      val f = run(a, b)
+      f == run(b, a) && f <= math.min(a.toSet.size, b.toSet.size)
+    }
 }
