@@ -7,10 +7,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Pattern-API shape (`Pattern.begin(cond).next(cond).within(t)`,
   * RT/app/dwm/UserJumpDetailApp.java:101-128) as CONFIG over one keyed
   * state machine, so the next pattern is a [[Pattern]] value, not a new
-  * operator. Spark has no CEP library; this encodes the subset the
-  * reference uses — strict contiguity (`next`, not `followedBy`), a
-  * sequence-wide `within` window, and Flink's timeout side output — in
-  * `flatMapGroupsWithState` with event-time timeouts.
+  * operator. Spark has no CEP library; this encodes the surface the
+  * reference uses — both contiguity modes (`next` via `strict = true`,
+  * `followedBy` via `strict = false`), a sequence-wide `within` window,
+  * and Flink's timeout side output — in `flatMapGroupsWithState` with
+  * event-time timeouts.
   *
   * Semantics, per key, over event-time-sorted batches:
   *  - an event matching `steps.head` anchors a partial match;
@@ -35,14 +36,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Sequence {
 
   /** A CEP sequence pattern. `steps.head` admits an anchor; each further
-    * step is a strict-next condition; the whole sequence must complete
-    * within `withinMs` of the anchor's event time. */
+    * step is a next-step condition; the whole sequence must complete
+    * within `withinMs` of the anchor's event time.
+    *
+    * `strict` selects the contiguity mode, the two the reference Pattern
+    * API distinguishes: `true` = Flink's `next` (a successor that fails
+    * the next step KILLS the partial match), `false` = `followedBy`
+    * (non-matching successors are skipped and the partial survives until
+    * it completes or times out). */
   final case class Pattern[E](
       steps: IndexedSeq[E => Boolean],
       withinMs: Long,
       eventTs: E => Long,
       emitTimedOut: Boolean = true,
-      emitMatched: Boolean = false) {
+      emitMatched: Boolean = false,
+      strict: Boolean = true) {
     require(steps.size >= 2, "a sequence pattern needs at least two steps")
   }
 
@@ -73,7 +81,10 @@ object Sequence {
             if (p.emitMatched) out += e
             prefix = Seq.empty
           }
-        } else prefix = Seq.empty // strict next: a wrong event kills the partial
+        } else if (p.strict) prefix = Seq.empty // next: a wrong event kills the partial
+        // else followedBy: the non-matching successor is skipped, the
+        // partial survives (and the skipped event does NOT re-anchor —
+        // single-partial state keeps one match in flight per key)
       }
       if (prefix.isEmpty && p.steps.head(e)) prefix = Seq(e) // (re-)anchor
     }

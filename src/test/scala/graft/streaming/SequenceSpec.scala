@@ -64,6 +64,28 @@ class SequenceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("followedBy (strict=false): a non-matching interruption is skipped, not fatal") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[LogEvent]
+    val q = Sequence.detect(
+        BounceDetect.withEventTime(ms.toDF()).as[LogEvent],
+        funnel.copy(strict = false))(_.mid)
+      .writeStream.format("memory").queryName("followed").outputMode("append").start()
+    try {
+      ms.addData(
+        // u2's cart view between detail and order killed the STRICT match;
+        // under followedBy it is skipped and the funnel completes
+        at("u2", "home", 1000L), at("u2", "detail", 5000L),
+        at("u2", "cart", 7000L), at("u2", "order", 9000L),
+        // the within window still binds under followedBy: u3's order
+        // arrives past 30 s of the anchor and must not complete
+        at("u3", "home", 1000L), at("u3", "detail", 5000L), at("u3", "order", 40000L))
+      q.processAllAvailable()
+      val out = spark.table("followed").as[LogEvent].collect()
+      assert(out.map(e => (e.mid, e.pageId, e.ts)).toSeq == Seq(("u2", "order", 9000L)))
+    } finally q.stop()
+  }
+
   test("a completing event can re-anchor the next partial match") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[LogEvent]
