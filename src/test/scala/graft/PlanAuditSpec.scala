@@ -120,6 +120,12 @@ class PlanAuditSpec extends SparkSpec {
     val ws = plan("dedup_substring")
     assert(ws.contains("graft_winhash8"))
     assert("\\[codegen id : \\d+\\]".r.findFirstIn(ws).isDefined)
+    // the round-8 verify kernel: the per-pair merge count must ride the
+    // verify join's generated code, not fall back to interpreted eval
+    val ng = plan("dedup_ngram_jaccard")
+    assert(ng.contains("graft_sorted_inter"),
+      "verify must use the sorted-merge count, not array_intersect")
+    assert("\\[codegen id : \\d+\\]".r.findFirstIn(ng).isDefined)
   }
 
   test("gopher_rules: pure map-side gate — no joins, no aggregation shuffle") {
