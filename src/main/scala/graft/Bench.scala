@@ -23,6 +23,42 @@ object Bench {
         SparkEntry.queries.keys.toSeq.filter(want)
       case None => SparkEntry.queries.keys.toSeq
     }
+    // machine-load forensics: record /proc/loadavg at run start and end
+    // plus the run's total JVM GC time, so a uniformly-slow bench (busy
+    // machine, registry-growth GC pressure) is self-explaining in
+    // bench_times.json instead of needing after-the-fact guesswork
+    def loadAvg: String =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+        .split(" ").take(3).mkString(",")
+      catch { case _: Throwable => "" }
+    // the 1-minute field as a NUMBER, so the contamination check below is
+    // machine-checkable from the JSON without string-parsing loadavg
+    def loadAvg1: Double =
+      try loadAvg.split(",").head.toDouble catch { case _: Throwable => -1.0 }
+    // self-adjudication: two consecutive driver sittings ran at loadavg ~4
+    // and each needed a manual judge re-bench to separate ambient load from
+    // real regressions. (1) bounded idle spin-wait: poll up to
+    // SPARK_GRAFT_BENCH_WAIT_IDLE_SEC (default 120 s, 5 s period) for the
+    // 1-min loadavg to fall to <= 1.0 before the timed run; (2) whatever
+    // load remains at run start is recorded as `contaminated` in the
+    // summary, so a dirty sitting flags ITSELF instead of needing
+    // after-the-fact tail forensics. The wait happens before the session
+    // build so Spark's own startup threads don't count against the box.
+    val idleWaitBudget =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_WAIT_IDLE_SEC", "120").toInt
+    var idleWaited = 0
+    while (loadAvg1 > 1.0 && idleWaited < idleWaitBudget) {
+      Thread.sleep(5000); idleWaited += 5
+    }
+    // captured BEFORE the session build: the 32-thread warmup alone lifts
+    // the 1-min loadavg past 1 (32 cores for ~10 s ≈ +4.9), so a reading
+    // taken after startup would flag every run as contaminated by ITSELF —
+    // this reading measures the box's AMBIENT load only
+    val loadStart = loadAvg
+    val load1Start = loadAvg1
+    val contaminated = load1Start > 1.0
     // the ONE session factory (GraftSession) so the bench measures the
     // same configuration the library tells users to deploy — the four
     // entrypoints had hand-rolled near-identical builders that drifted
@@ -51,17 +87,6 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
     }
-    // machine-load forensics: record /proc/loadavg at run start and end
-    // plus the run's total JVM GC time, so a uniformly-slow bench (busy
-    // machine, registry-growth GC pressure) is self-explaining in
-    // bench_times.json instead of needing after-the-fact guesswork
-    def loadAvg: String =
-      try new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/proc/loadavg")),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-        .split(" ").take(3).mkString(",")
-      catch { case _: Throwable => "" }
-    val loadStart = loadAvg
     val gcRunStart = gcMillis
     for (_ <- 1 to reps; name <- names) {
       val fn = SparkEntry.queries(name)
@@ -124,8 +149,12 @@ object Bench {
     // (~200 chars; ~550 worst-case with 3 bounded error messages) and the
     // full per-query + gc maps go to (a) bench_times.json on disk and
     // (b) stderr, which the driver tails separately.
+    // contamination verdict rides BOTH lines: loadavg1_start is the parsed
+    // pre-startup ambient 1-min load, `contaminated` its >1.0 adjudication
+    val adjudication =
+      s""""loadavg1_start":${jnum(load1Start)},"contaminated":$contaminated,"idle_waited_sec":$idleWaited"""
     val fullLine =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"gc_sec":$gcJson,"errors":$errJson,"reps":$reps,"sf":${jstr(sfDir)},"loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadAvg)},"gc_total_sec":${jnum((gcMillis - gcRunStart) / 1e3)}}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"gc_sec":$gcJson,"errors":$errJson,"reps":$reps,"sf":${jstr(sfDir)},"loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadAvg)},$adjudication,"gc_total_sec":${jnum((gcMillis - gcRunStart) / 1e3)}}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_times.json")
     try {
       java.nio.file.Files.write(
@@ -135,7 +164,7 @@ object Bench {
       System.err.println(s"[bench] could not write $detailPath: ${Option(e.getMessage).getOrElse("").take(120)}")
     }
     System.err.println(fullLine)
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":${names.size},"ok":${names.size - errs.size},"errors":$errJson,"reps":$reps,"sf":${jstr(sfDir)},"detail":${jstr(detailPath)}}""")
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","n":${names.size},"ok":${names.size - errs.size},"errors":$errJson,"reps":$reps,"sf":${jstr(sfDir)},$adjudication,"detail":${jstr(detailPath)}}""")
     spark.stop()
   }
 }
