@@ -33,8 +33,10 @@ src, out, k = sys.argv[1], sys.argv[2], int(sys.argv[3])
 assert 1 <= k <= 100, f"K={k}: the 2-digit marker scheme only supports K <= 100"
 os.makedirs(out, exist_ok=True)
 t = pq.read_table(os.path.join(src, "documents.parquet"))
-# doc_id offsets of i*10M collide if the source has >= 10M rows
-assert t.num_rows < 10_000_000, "source corpus too large for the 10M doc_id stride"
+# the stride guard must bound the id DOMAIN, not the row count: a sparse
+# corpus with ids above 10M would silently collide across copies
+assert max(d for d in t.column("doc_id").to_pylist() if d is not None) \
+    < 10_000_000, "doc_id domain too large for the 10M stride"
 n = t.num_rows
 cols = t.column_names
 writer = None

@@ -23,25 +23,37 @@ assert 1 <= k <= 100, f"K={k} outside the probe range"
 os.makedirs(out, exist_ok=True)
 
 t = pq.read_table(os.path.join(src, "documents.parquet"))
-assert t.num_rows < 10_000_000, "source corpus too large for the 10M doc_id stride"
 doc_ids = t.column("doc_id").to_pylist()
+# the stride guard must bound the id DOMAIN, not the row count: a sparse
+# corpus with ids above 10M would silently collide across copies
+assert max(d for d in doc_ids if d is not None) < 10_000_000, \
+    "doc_id domain too large for the 10M stride"
 texts = t.column("text").to_pylist()
 others = {c: t.column(c).to_pylist() for c in t.column_names
           if c not in ("doc_id", "text")}
 batches = []
 for i in range(k):
     salt = f" zzsalt{i:02d}"
+    salted = [None if x is None else x + salt for x in texts]
     cols = {
         "doc_id": pa.array([d + i * 10_000_000 for d in doc_ids], type=pa.int64()),
-        "text": pa.array([None if x is None else x + salt for x in texts]),
+        "text": pa.array(salted),
     }
     for c, v in others.items():
+        # n_chars is len(text) in the fixture; the salt grew the text, so
+        # carrying the source value would leave metadata contradicting the
+        # text (and any operator keying on n_chars off by the salt length)
+        if c == "n_chars":
+            v = [len(x) if x is not None else orig
+                 for x, orig in zip(salted, v)]
         cols[c] = pa.array(v, type=t.schema.field(c).type)
     batches.append(pa.table({c: cols[c] for c in t.column_names}))
 pq.write_table(pa.concat_tables(batches), os.path.join(out, "documents.parquet"))
 
 e = pq.read_table(os.path.join(src, "embeddings.parquet"))
 vec_ids = e.column("vec_id").to_pylist()
+assert max(v for v in vec_ids if v is not None) < 10_000_000, \
+    "vec_id domain too large for the 10M stride"
 vecs = e.column("embedding").to_pylist()
 eothers = {c: e.column(c).to_pylist() for c in e.column_names
            if c not in ("vec_id", "embedding")}
@@ -62,5 +74,7 @@ for f in os.listdir(src):
     if f.endswith(".parquet") and f not in ("documents.parquet", "embeddings.parquet"):
         dst = os.path.join(out, f)
         if not os.path.exists(dst):
-            os.symlink(os.path.join(src, f), dst)
+            # abspath: a relative src would be resolved relative to
+            # out_dir at link-FOLLOW time, leaving a broken link
+            os.symlink(os.path.abspath(os.path.join(src, f)), dst)
 print(f"built {out}: K={k}, docs={t.num_rows * k}, vecs={e.num_rows * k}")
