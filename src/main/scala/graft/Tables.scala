@@ -29,7 +29,19 @@ object Tables {
       // TimestampType cast below is instant-preserving ONLY under a UTC
       // session timezone. GraftSession pins it, but a session built
       // elsewhere would silently shift every ts by its zone offset —
-      // unlike the nanos path, which at least fails loudly.
+      // unlike the nanos path, which at least fails loudly. This is a
+      // SESSION-WIDE flip (the cast is lazy, so it cannot be scoped to
+      // this read: the session timezone at EXECUTION time is what the
+      // cast sees) — when it overrides a deliberate non-UTC caller
+      // setting it changes rendering/parsing semantics for every later
+      // query in the session, so that case warns instead of staying
+      // silent.
+      val tz = spark.conf.get("spark.sql.session.timeZone", "")
+      if (tz.nonEmpty && tz != "UTC")
+        System.err.println(
+          s"[graft] Tables.load(events): overriding session timezone '$tz' with UTC " +
+            "for instant-preserving TIMESTAMP_NTZ normalization; " +
+            "subsequent timestamp rendering/parsing in this session is UTC")
       spark.conf.set("spark.sql.session.timeZone", "UTC")
     }
     val df = spark.read.parquet(path(dir, name))

@@ -476,7 +476,17 @@ object HashExpressions {
   }
 
   /** `graft_sorted_inter(a, b)`: distinct-intersection COUNT of two sorted
-    * int/long arrays (see [[evalSortedInterInt]]). */
+    * int/long arrays (see [[evalSortedInterInt]]).
+    *
+    * CONTRACT (enforced where the type system can see it): both inputs
+    * must be sorted ascending — the merge walk silently undercounts on
+    * unsorted input (it is the caller's prepaid `sort_array`, done once
+    * per row instead of per pair, that buys the speedup) — and element
+    * nulls are rejected at ANALYSIS time (`containsNull = true` fails
+    * type-check): `toIntArray`/`toLongArray` read null slots as garbage,
+    * so unlike `array_intersect` there is no null-element semantics to
+    * offer. Sortedness itself is not machine-checkable at plan time;
+    * it is asserted by the HashProperties law suite instead. */
   case class SortedInterCountExpr(left: Expression, right: Expression)
       extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
     override def dataType: DataType = IntegerType
@@ -487,12 +497,19 @@ object HashExpressions {
     override def checkInputDataTypes()
         : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       (left.dataType, right.dataType) match {
-        case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) |
-             (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        case (ArrayType(IntegerType, false), ArrayType(IntegerType, false)) |
+             (ArrayType(LongType, false), ArrayType(LongType, false)) =>
           org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case (ArrayType(it @ (IntegerType | LongType), _),
+              ArrayType(jt @ (IntegerType | LongType), _)) if it == jt =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            "graft_sorted_inter does not accept arrays with nullable elements " +
+              "(containsNull = true): the merge walk has no null semantics and " +
+              "would read null slots as garbage — array_compact or filter nulls first")
         case (l, r) =>
           org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-            s"graft_sorted_inter requires two array<int> or two array<bigint> args, got $l, $r")
+            s"graft_sorted_inter requires two array<int> or two array<bigint> args " +
+              s"with non-nullable elements, got $l, $r")
       }
     override def nullSafeEval(l: Any, r: Any): Any =
       if (isLong) evalSortedInterLong(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])

@@ -58,6 +58,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
         if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
       assert(messages(e).exists(_.contains("requires exactly 2 argument")),
         s"unexpected failure shape: $e")
+      // nullable-element arrays are rejected at ANALYSIS: the merge walk
+      // has no null semantics (toIntArray would read null slots as
+      // garbage), so the SQL surface must refuse rather than miscount
+      val en = intercept[Exception](spark.sql(
+        "SELECT graft_sorted_inter(array(1, CAST(NULL AS INT)), array(1))")
+        .queryExecution.analyzed)
+      assert(messages(en).exists(_.contains("nullable elements")),
+        s"unexpected failure shape: $en")
+      // and the documented remedy (array_compact narrows containsNull)
+      // passes analysis
+      spark.sql("SELECT graft_sorted_inter(" +
+        "array_compact(array(1, CAST(NULL AS INT))), array(1))")
+        .queryExecution.analyzed
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
