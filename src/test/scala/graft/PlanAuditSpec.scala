@@ -515,4 +515,24 @@ class PlanAuditSpec extends SparkSpec {
     // id_b predicate leaked into the join condition as the only key
     assert(!p.contains("CartesianProduct"), "in-cell pairing must join on cell, never all-pairs")
   }
+
+  test("streaming curation gate: native Bloom probe, no Scala UDF in the per-batch hot path") {
+    // the gate runs once per micro-batch over every intake row — the one
+    // place a boxed per-row UDF would sit directly in the streaming hot
+    // path (round-8 verdict nit; the batch twin bloom_membership was
+    // migrated in round 8, this pins the streaming side)
+    import graft.streaming.StreamingCuration
+    val docs = spark.range(8)
+      .selectExpr("id AS doc_id", "concat('gate plan doc number ', id) AS text")
+    val bytes = StreamingCuration.serialize(StreamingCuration.historicalFilter(docs))
+    val p = StreamingCuration.gate(
+      docs.withColumn("digest", graft.functions.Portable.contentDigest), Some(bytes))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.toLowerCase.contains("scalaudf") && !p.contains("BatchEvalPython"),
+      "the historical gate must probe via the codegen'd BloomFilterMightContain, not a UDF")
+    assert(p.toLowerCase.contains("might_contain"),
+      "the native Bloom probe must appear in the gate plan")
+    assert("\\[codegen id : \\d+\\]".r.findFirstIn(p).isDefined,
+      "the gate must stay inside whole-stage codegen")
+  }
 }

@@ -99,8 +99,15 @@ class StreamingCurationSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(sparkSide == jdk, "Portable.contentDigest must be md5(utf8(text)) lowercase hex")
     // the historical filter built over the corpus can therefore never miss
-    // a digest the batch exact layer (dedup_exact) would produce
-    val bloom = StreamingCuration.historicalFilter(docs)
-    jdk.values.foreach(d => assert(bloom.mightContainString(d), s"filter missed true member $d"))
+    // a digest the batch exact layer (dedup_exact) would produce — proven
+    // through the PRODUCTION probe path (serialize + native might_contain
+    // gate), not a direct sketch poke, so the build/probe hash domains
+    // (xxhash64 longs on both sides) are what this test pins
+    val bytes = StreamingCuration.serialize(StreamingCuration.historicalFilter(docs))
+    val hits = StreamingCuration.gate(
+      docs.withColumn("digest", graft.functions.Portable.contentDigest), Some(bytes))
+      .select($"doc_id", $"hist_hit").as[(Long, Boolean)].collect().toMap
+    jdk.keys.foreach(id =>
+      assert(hits(id), s"filter missed true member doc $id (a Bloom filter never misses)"))
   }
 }
