@@ -342,42 +342,14 @@ object TextOps {
 
     // ---- Gopher quality rules (Rae et al. 2021 §A1.1): the canonical
     // composite document gate every large-scale text pipeline applies
-    // before training — word-count bounds [50, 100k], mean word length
-    // 3-10 chars, >= 80% of words containing an alphabetic character, and
-    // distinct stop words present (Gopher asks >= 2 of its 8-word list;
-    // the fixture generator draws stop words rarely, so the gate is
-    // instantiated at >= 1 here to keep the flag DISCRIMINATING on the
-    // synthetic corpus — at >= 2 every fixture doc fails and a broken
-    // flag would be invisible; production re-raises the threshold by
-    // config). All metrics are quantized int64
-    // (mean length x100, alpha fraction per-mille) so both engines agree
-    // exactly; per-rule flags are emitted alongside the composite keep so
-    // a user can re-weight rules without re-scanning. Scale shape: pure
-    // map-side over the corpus scan — zero shuffles, codegen'd HOFs; at
-    // 100 TB this rides the same scan as the rest of the gate stack. -------
+    // before training. The thresholds are SIGNATURE parameters of
+    // [[gopherRules]] (defaults = Gopher's published values); the fixture
+    // instantiates minStopHits = 1 because the synthetic generator draws
+    // stop words rarely — at Gopher's >= 2 every fixture doc fails and a
+    // broken flag would be invisible. The production >= 2 path is pinned
+    // by its own unit test (LlmOpsEdgeSpec). -------------------------------
     "gopher_rules" -> QueryDef(
-      (s, dir) => {
-        Tables.load(s, dir, "documents")
-          .selectExpr("doc_id",
-            s"${Portable.tokensSql("coalesce(text, '')")} AS toks")
-          .selectExpr("doc_id",
-            "size(toks) AS n_words",
-            "CASE WHEN size(toks) = 0 THEN 0L ELSE " +
-              "aggregate(toks, 0L, (a, t) -> a + length(t)) * 100L div size(toks) END AS mean_len_c",
-            "CASE WHEN size(toks) = 0 THEN 0L ELSE " +
-              "size(filter(toks, t -> t rlike '[a-z]')) * 1000L div size(toks) END AS alpha_m",
-            "size(array_intersect(array_distinct(toks), " +
-              "array('the','be','to','of','and','that','have','with'))) AS stop_hits")
-          .selectExpr("doc_id", "n_words", "mean_len_c", "alpha_m", "stop_hits",
-            "IF(n_words BETWEEN 50 AND 100000, 1, 0) AS r_words",
-            "IF(mean_len_c BETWEEN 300 AND 1000, 1, 0) AS r_mean_len",
-            "IF(alpha_m >= 800, 1, 0) AS r_alpha",
-            "IF(stop_hits >= 1, 1, 0) AS r_stops")
-          .selectExpr("doc_id", "n_words", "mean_len_c", "alpha_m", "stop_hits",
-            "r_words", "r_mean_len", "r_alpha", "r_stops",
-            "r_words * r_mean_len * r_alpha * r_stops AS keep")
-          .transform(graft.Sorted.byNames(_, "doc_id"))
-      },
+      (s, dir) => gopherRules(Tables.load(s, dir, "documents"), minStopHits = 1),
       s"""WITH toks AS (SELECT doc_id,
          |    ${Portable.duckToksSql("coalesce(text, '')")} AS toks FROM documents),
          |m AS (SELECT doc_id, len(toks) AS n_words,
@@ -401,6 +373,44 @@ object TextOps {
          |  r_words * r_mean_len * r_alpha * r_stops AS keep
          |FROM f ORDER BY doc_id""".stripMargin)
   )
+
+  /** Gopher quality rules (Rae et al. 2021 §A1.1) over a `documents`
+    * frame: word-count bounds, mean word length (centichars), fraction of
+    * words containing an alphabetic character (per-mille), and distinct
+    * stop words present. Defaults are Gopher's PUBLISHED values —
+    * word count in [50, 100k], mean word length 3–10 chars, >= 80%
+    * alphabetic words, >= 2 distinct stop words of the 8-word list.
+    * All metrics are quantized int64 (mean length x100, alpha fraction
+    * per-mille) so Spark and the DuckDB oracle agree exactly; per-rule
+    * flags ride alongside the composite keep so a user can re-weight
+    * rules without re-scanning. Scale shape: pure map-side over the
+    * corpus scan — zero shuffles, codegen'd HOFs; at 100 TB this rides
+    * the same scan as the rest of the gate stack (plan-pinned). */
+  def gopherRules(docs: org.apache.spark.sql.DataFrame,
+      minStopHits: Int = 2,
+      wordBounds: (Int, Int) = (50, 100000),
+      meanLenBounds: (Int, Int) = (300, 1000),
+      alphaMille: Int = 800): org.apache.spark.sql.DataFrame =
+    docs
+      .selectExpr("doc_id",
+        s"${Portable.tokensSql("coalesce(text, '')")} AS toks")
+      .selectExpr("doc_id",
+        "size(toks) AS n_words",
+        "CASE WHEN size(toks) = 0 THEN 0L ELSE " +
+          "aggregate(toks, 0L, (a, t) -> a + length(t)) * 100L div size(toks) END AS mean_len_c",
+        "CASE WHEN size(toks) = 0 THEN 0L ELSE " +
+          "size(filter(toks, t -> t rlike '[a-z]')) * 1000L div size(toks) END AS alpha_m",
+        "size(array_intersect(array_distinct(toks), " +
+          "array('the','be','to','of','and','that','have','with'))) AS stop_hits")
+      .selectExpr("doc_id", "n_words", "mean_len_c", "alpha_m", "stop_hits",
+        s"IF(n_words BETWEEN ${wordBounds._1} AND ${wordBounds._2}, 1, 0) AS r_words",
+        s"IF(mean_len_c BETWEEN ${meanLenBounds._1} AND ${meanLenBounds._2}, 1, 0) AS r_mean_len",
+        s"IF(alpha_m >= $alphaMille, 1, 0) AS r_alpha",
+        s"IF(stop_hits >= $minStopHits, 1, 0) AS r_stops")
+      .selectExpr("doc_id", "n_words", "mean_len_c", "alpha_m", "stop_hits",
+        "r_words", "r_mean_len", "r_alpha", "r_stops",
+        "r_words * r_mean_len * r_alpha * r_stops AS keep")
+      .transform(graft.Sorted.byNames(_, "doc_id"))
 
   // one tokenization contract with the shared fragment (the fluency
   // oracle composes it like every other oracle in this file)

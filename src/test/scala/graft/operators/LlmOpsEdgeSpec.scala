@@ -101,4 +101,32 @@ class LlmOpsEdgeSpec extends SparkSpec {
     assert(!rows.contains(5L), "doc with no pool overlap must not be flagged")
     assert(!rows.contains(0L), "pool docs themselves are excluded from the output")
   }
+
+  test("gopherRules at the published minStopHits = 2 discriminates 1-stopword docs") {
+    import spark.implicits._
+    // two docs that pass every OTHER rule identically (>= 50 words of
+    // 3-10 mean chars, fully alphabetic): one carries a single distinct
+    // stop word, one carries two — only the default (Gopher-published)
+    // threshold separates them, so this pins the >= 2 production path
+    // the fixture instantiation (minStopHits = 1) cannot reach
+    val filler = (1 to 48).map(i => s"word${i % 9}").mkString(" ")
+    val docs = Seq(
+      (1L, s"the $filler the"),        // 1 distinct stop word ('the')
+      (2L, s"the $filler and"))        // 2 distinct ('the', 'and')
+      .toDF("doc_id", "text")
+    val byId = TextOps.gopherRules(docs)   // all-default = published config
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("r_stops"), r.getAs[Int]("r_words"),
+          r.getAs[Int]("r_mean_len"), r.getAs[Int]("r_alpha"),
+          r.getAs[Int]("keep"))).toMap
+    assert(byId(1L) == ((0, 1, 1, 1, 0)),
+      s"1 stop word must fail ONLY r_stops under >= 2, got ${byId(1L)}")
+    assert(byId(2L) == ((1, 1, 1, 1, 1)),
+      s"2 distinct stop words must pass the full gate, got ${byId(2L)}")
+    // and the fixture instantiation keeps doc 1 — the two configurations
+    // differ exactly on r_stops
+    val relaxed = TextOps.gopherRules(docs, minStopHits = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("keep")).toMap
+    assert(relaxed(1L) == 1 && relaxed(2L) == 1)
+  }
 }
