@@ -10,8 +10,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * operator. Spark has no CEP library; this encodes the surface the
   * reference uses — both contiguity modes (`next` via `strict = true`,
   * `followedBy` via `strict = false`), a sequence-wide `within` window,
-  * and Flink's timeout side output — in `flatMapGroupsWithState` with
-  * event-time timeouts.
+  * and a timeout output in the ROLE of Flink's timed-out-partial side
+  * output (see the anchor-only caveat below) — in
+  * `flatMapGroupsWithState` with event-time timeouts.
   *
   * Semantics, per key, over event-time-sorted batches:
   *  - an event matching `steps.head` anchors a partial match;
@@ -21,13 +22,31 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    `emitMatched` (then the completing event may re-anchor);
   *  - a successor arriving past `withinMs` of the anchor — or no
   *    successor before the event-time timeout fires — emits the ANCHOR
-  *    when `emitTimedOut`: Flink's timed-out-partial side output, which
-  *    for the bounce pattern IS the answer;
+  *    when `emitTimedOut`: the ANCHOR ONLY, not the accumulated partial
+  *    (Flink's side output carries the partial's full event map; every
+  *    reference pattern — the 2-step bounce — needs exactly the anchor,
+  *    so that is what this emits);
   *  - a straggler from before the partial match is dropped, never
   *    buffered: with one partial per key we cannot know whether its
   *    window was already resolved by events processed (and forgotten) in
   *    earlier batches — mirroring the reference CEP's late-data drop at
   *    the monotonic watermark (UserJumpDetailApp.java:80-88).
+  *
+  * == After-match / overlap semantics (vs Flink's skip strategies) ==
+  * The state is a SINGLE partial match per key ("single-run NFA").
+  * Consequences, both pinned by SequenceSpec:
+  *  - between matches, the completing event may immediately re-anchor
+  *    the next match — Flink's `AfterMatchSkipStrategy.skipToLast`
+  *    placement (the closest strategy to this encoding; `noSkip` and
+  *    `skipToNext` would resume EARLIER, inside the consumed run);
+  *  - during a match, an event a `followedBy` pattern skips never starts
+  *    a concurrent run, so overlapping matches — Flink's default
+  *    `noSkip`, which tracks every concurrent partial and emits one
+  *    match per anchor — are NOT expressible. No reference pipeline
+  *    needs overlap (the bounce family wants exactly-one-resolution per
+  *    visit); if a future operator does, the state would become
+  *    `Seq[Seq[E]]` (one prefix per live run) with this encoding as the
+  *    one-run special case.
   *
   * At scale this is the same shape as every stateful op here: state is
   * one bounded prefix (< steps.size events) per key, evicted by the

@@ -86,6 +86,32 @@ class SequenceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("single-partial overlap semantics: a skipped anchor candidate never starts a concurrent run") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[LogEvent]
+    // followedBy home -> order, with TWO home anchors before one order.
+    // Flink's default noSkip would emit a match per anchor: (home@1s,
+    // order@5s) AND (home@2s, order@5s). The single-run encoding keeps
+    // one partial (anchored at home@1s); home@2s is skipped and does NOT
+    // start a concurrent run — exactly one match comes out. This pins
+    // the documented deviation (Sequence scaladoc: after-match /
+    // overlap semantics).
+    val p = Sequence.Pattern[LogEvent](
+      steps = IndexedSeq(_.pageId == "home", _.pageId == "order"),
+      withinMs = 30000L, eventTs = _.ts,
+      emitTimedOut = false, emitMatched = true, strict = false)
+    val q = Sequence.detect(BounceDetect.withEventTime(ms.toDF()).as[LogEvent], p)(_.mid)
+      .writeStream.format("memory").queryName("overlap").outputMode("append").start()
+    try {
+      ms.addData(
+        at("u1", "home", 1000L), at("u1", "home", 2000L), at("u1", "order", 5000L))
+      q.processAllAvailable()
+      val out = spark.table("overlap").as[LogEvent].collect()
+      assert(out.map(e => (e.pageId, e.ts)).toSeq == Seq(("order", 5000L)),
+        s"exactly ONE match (no concurrent runs), got ${out.toSeq}")
+    } finally q.stop()
+  }
+
   test("a completing event can re-anchor the next partial match") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[LogEvent]
