@@ -386,66 +386,16 @@ object Curation {
          |FROM r LEFT JOIN k USING (source) ORDER BY source""".stripMargin),
 
     // ---- temperature-scaled mixture resampling: the multilingual
-    // alpha-sampling of mBERT/XLM-R (language l drawn ∝ p_l^alpha),
-    // instantiated at alpha = 0.5 — the one exponent whose cross-engine
-    // arithmetic is EXACT, because IEEE-754 sqrt is correctly rounded and
-    // everything downstream is quantized int64 (pow(x, 0.3) would violate
-    // the no-transcendentals oracle rule). Head languages flatten, tail
-    // languages boost: each doc receives base = floor(r_l) copies plus one
-    // more with probability frac(r_l), decided by the portable hash —
-    // deterministic and replay-safe, with the per-lang rate table AND the
-    // realized per-lang copy totals both oracle-verified. Scale shape:
-    // rates are |langs| rows (broadcast); the corpus side is one
-    // partial+final count plus a map-side copy computation — no corpus
-    // shuffle beyond the group-by. -----------------------------------------
+    // alpha-sampling of mBERT/XLM-R (language l drawn ∝ p_l^alpha) —
+    // see [[mixTemperature]]; registered at BOTH exactly-representable
+    // exponents (alpha = 0.5 and 0.25), each oracle-verified. ---------------
     "mix_temperature" -> QueryDef(
-      (s, dir) => {
-        val docs = Tables.load(s, dir, "documents")
-        val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-        // quantized sqrt weights: s_l = floor(sqrt(n_l) * 1e6) — integer
-        // sums are order-independent, so ssum is exact in both engines
-        val tot = counts.agg(sum(col("n_docs")).as("total"),
-          sum(expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)"))
-            .as("ssum"))
-        // repeat factor r_l = q_l / p_l = (s_l/ssum) / (n_l/total), held as
-        // the exact fraction (s_l * total) / (ssum * n_l): BIGINT-safe up
-        // to ~1e5 langs x 1e7 docs, far past the fixture decades
-        val rates = counts.crossJoin(broadcast(tot))
-          .withColumn("s_l",
-            expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)"))
-          .withColumn("base_copies", expr("(s_l * total) div (ssum * n_docs)"))
-          .withColumn("extra_m",
-            expr("(((s_l * total) % (ssum * n_docs)) * 1000) div (ssum * n_docs)"))
-          .select(col("lang"), col("n_docs"), col("base_copies"), col("extra_m"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val realized = docs.join(broadcast(rates), "lang")
-          .selectExpr("lang",
-            s"base_copies + IF(((doc_id % 999983L) * ${MIX}L + 31L) % 1000 < extra_m, 1L, 0L) AS copies")
-          .groupBy(col("lang"))
-          .agg(sum(col("copies")).as("n_copies_total"))
-        rates.join(realized, Seq("lang"), "left")
-          .select(col("lang"), col("n_docs"), col("base_copies"), col("extra_m"),
-            coalesce(col("n_copies_total"), lit(0L)).as("n_copies_total"))
-          .orderBy("lang")
-      },
-      s"""WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
-         |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
-         |    CAST(SUM(CAST(floor(sqrt(n_docs::DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS ssum
-         |  FROM c),
-         |r AS (SELECT lang, n_docs,
-         |    CAST(floor(sqrt(n_docs::DOUBLE) * 1000000) AS BIGINT) AS s_l FROM c),
-         |r2 AS (SELECT lang, n_docs,
-         |    (s_l * total) // (ssum * n_docs) AS base_copies,
-         |    (((s_l * total) % (ssum * n_docs)) * 1000) // (ssum * n_docs) AS extra_m
-         |  FROM r, t),
-         |k AS (SELECT d.lang,
-         |    CAST(SUM(base_copies +
-         |      CASE WHEN ((doc_id % 999983) * $MIX + 31) % 1000 < extra_m
-         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_copies_total
-         |  FROM documents d JOIN r2 USING (lang) GROUP BY d.lang)
-         |SELECT lang, n_docs, base_copies, extra_m,
-         |  COALESCE(n_copies_total, 0) AS n_copies_total
-         |FROM r2 LEFT JOIN k USING (lang) ORDER BY lang""".stripMargin),
+      (s, dir) => mixTemperature(Tables.load(s, dir, "documents"), 0.5),
+      mixTemperatureSql(0.5)),
+
+    "mix_temperature_a25" -> QueryDef(
+      (s, dir) => mixTemperature(Tables.load(s, dir, "documents"), 0.25),
+      mixTemperatureSql(0.25)),
 
     // ---- sequence packing for training batches: assign docs to fixed-size
     // context-window packs (4096 chars) by running length sum — the
@@ -478,4 +428,87 @@ object Curation {
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars) // 4096 AS BIGINT) AS pack_id
         |FROM documents ORDER BY doc_id""".stripMargin)
   )
+
+  /** The quantized temperature weight s_l = floor(n^alpha * 1e6) for the
+    * two exponents whose cross-engine arithmetic is EXACT: IEEE-754 sqrt
+    * is correctly rounded, so alpha = 0.5 is one sqrt and alpha = 0.25 is
+    * sqrt∘sqrt — both engines execute the identical op sequence on the
+    * identical doubles. Any other exponent needs pow/exp/ln, which the
+    * no-transcendentals oracle rule forbids (libm results differ across
+    * engines in the last ulp). */
+  private def weightSql(nCol: String, alpha: Double, sqrtFn: String => String): String = {
+    require(alpha == 0.5 || alpha == 0.25,
+      s"alpha=$alpha: only the sqrt-expressible exponents {0.5, 0.25} are oracle-exact")
+    val pow = if (alpha == 0.5) sqrtFn(nCol) else sqrtFn(sqrtFn(nCol))
+    s"CAST(floor($pow * 1000000) AS BIGINT)"
+  }
+
+  /** Temperature-scaled mixture resampling: language l drawn ∝ p_l^alpha
+    * (the multilingual alpha-sampling of mBERT/XLM-R). Head languages
+    * flatten, tail languages boost: each doc receives base = floor(r_l)
+    * copies plus one more with probability frac(r_l), decided by the
+    * portable hash — deterministic and replay-safe, with the per-lang
+    * rate table AND the realized per-lang copy totals both
+    * oracle-verified. The repeat factor r_l = (s_l/ssum)/(n_l/total) is
+    * held as the exact fraction (s_l*total)/(ssum*n_l), multiplied in
+    * DECIMAL(18,0)→(37,0) (HUGEINT on the DuckDB side): in int64 the
+    * numerator is ~total^1.5 * 1e6, overflowing past ~4e8 total docs —
+    * far beyond the fixtures, but exactly the scale this engine
+    * advertises, and Spark would WRAP silently where DuckDB raises, so
+    * the engines would diverge rather than fail loudly. The quotients
+    * (base_copies, extra_m) return to int64. Scale shape: rates are
+    * |langs| rows (broadcast); the corpus side is one partial+final count
+    * plus a map-side copy computation — no corpus shuffle beyond the
+    * group-by (plan-pinned). */
+  def mixTemperature(docs: DataFrame, alpha: Double = 0.5): DataFrame = {
+    val w = weightSql("CAST(n_docs AS DOUBLE)", alpha,
+      c => s"sqrt($c)")
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    // integer sums are order-independent, so ssum is exact in both engines
+    val tot = counts.agg(sum(col("n_docs")).as("total"),
+      sum(expr(w)).as("ssum"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("s_l", expr(w))
+      .withColumn("num", expr(
+        "CAST(s_l AS DECIMAL(18,0)) * CAST(total AS DECIMAL(18,0))"))
+      .withColumn("den", expr(
+        "CAST(ssum AS DECIMAL(18,0)) * CAST(n_docs AS DECIMAL(18,0))"))
+      .withColumn("base_copies", expr("num div den"))
+      .withColumn("extra_m", expr("((num % den) * 1000) div den"))
+      .select(col("lang"), col("n_docs"), col("base_copies"), col("extra_m"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val realized = docs.join(broadcast(rates), "lang")
+      .selectExpr("lang",
+        s"base_copies + IF(((doc_id % 999983L) * ${MIX}L + 31L) % 1000 < extra_m, 1L, 0L) AS copies")
+      .groupBy(col("lang"))
+      .agg(sum(col("copies")).as("n_copies_total"))
+    rates.join(realized, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("base_copies"), col("extra_m"),
+        coalesce(col("n_copies_total"), lit(0L)).as("n_copies_total"))
+      .orderBy("lang")
+  }
+
+  /** DuckDB oracle twin of [[mixTemperature]] — identical op sequence,
+    * HUGEINT where Spark multiplies in DECIMAL. */
+  private def mixTemperatureSql(alpha: Double): String = {
+    val w = weightSql("n_docs::DOUBLE", alpha, c => s"sqrt($c)")
+    s"""WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+       |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+       |    CAST(SUM($w) AS BIGINT) AS ssum
+       |  FROM c),
+       |r AS (SELECT lang, n_docs, $w AS s_l FROM c),
+       |r2 AS (SELECT lang, n_docs,
+       |    CAST((s_l::HUGEINT * total) // (ssum::HUGEINT * n_docs) AS BIGINT) AS base_copies,
+       |    CAST((((s_l::HUGEINT * total) % (ssum::HUGEINT * n_docs)) * 1000)
+       |      // (ssum::HUGEINT * n_docs) AS BIGINT) AS extra_m
+       |  FROM r, t),
+       |k AS (SELECT d.lang,
+       |    CAST(SUM(base_copies +
+       |      CASE WHEN ((doc_id % 999983) * $MIX + 31) % 1000 < extra_m
+       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_copies_total
+       |  FROM documents d JOIN r2 USING (lang) GROUP BY d.lang)
+       |SELECT lang, n_docs, base_copies, extra_m,
+       |  COALESCE(n_copies_total, 0) AS n_copies_total
+       |FROM r2 LEFT JOIN k USING (lang) ORDER BY lang""".stripMargin
+  }
 }
