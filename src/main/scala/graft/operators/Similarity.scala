@@ -662,41 +662,7 @@ object Similarity {
     // production keeps the stale centroid via a left join — documented, not
     // needed at any tested SF. --------------------------------------------
     "embedding_kmeans" -> QueryDef(
-      (s, dir) => {
-        graft.functions.HashExpressions.register(s)
-        val emb = Tables.load(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        var cents = emb.filter(col("vec_id") < 4)
-          .selectExpr("vec_id AS c_id", "embedding AS c_emb")
-        for (_ <- 1 to 2) {
-          val asg = emb.crossJoin(broadcast(cents))
-            .selectExpr("vec_id", "c_id", "nanvl(graft_cosine(c_emb, embedding), -2.0) AS sim")
-            .groupBy(col("vec_id"))
-            .agg(max(struct(col("sim"), (-col("c_id")).as("nc"))).as("m"))
-            .select(col("vec_id"), (-col("m.nc")).as("cell"))
-          cents = emb.join(asg, "vec_id")
-            .select(col("cell"), posexplode(col("embedding")))
-            .selectExpr("cell", "pos AS dim",
-              "CAST(floor(CAST(col AS DOUBLE) * 1048576) AS BIGINT) AS q")
-            .groupBy(col("cell"), col("dim"))
-            .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
-            .selectExpr("cell", "dim", "CAST(sq AS DOUBLE) / n / 1048576 AS comp")
-            .groupBy(col("cell"))
-            .agg(expr("transform(array_sort(collect_list(struct(dim, comp)))," +
-              " s -> CAST(s.comp AS FLOAT))").as("c_emb"))
-            .selectExpr("cell AS c_id", "c_emb")
-            .localCheckpoint(true)
-        }
-        // final assignment under the round-2 centroids; emb cache stays for
-        // this lazy frame (the harness clears cache per query)
-        emb.crossJoin(broadcast(cents))
-          .selectExpr("vec_id", "c_id", "nanvl(graft_cosine(c_emb, embedding), -2.0) AS sim")
-          .groupBy(col("vec_id"))
-          .agg(max(struct(col("sim"), (-col("c_id")).as("nc"))).as("m"))
-          .select(col("vec_id"), (-col("m.nc")).as("cell"), col("m.sim").as("sim"))
-          .transform(graft.Sorted.byNames(_, "vec_id"))
-      }, {
+      (s, dir) => kmeansAssign(Tables.load(s, dir, "embeddings"), k = 4, iters = 2), {
         def round(cin: String, n: Int): String = {
           s"""s$n AS (SELECT e.vec_id, c.c_id, coalesce(${duckCos("c_emb", "embedding")}, -2.0) AS sim
              |  FROM embeddings e CROSS JOIN $cin c),
@@ -728,46 +694,12 @@ object Similarity {
            |SELECT vec_id, cell, sim FROM af ORDER BY vec_id""".stripMargin
       }),
 
-    // ---- SemDeDup-style semantic dedup: coarse cells (the same
-    // content-derived seed assignment as ann_ivf_probe), exact cosine
-    // pairing ONLY inside a cell, and of any pair >= 0.45 the larger
-    // vec_id drops (min-id canonical, same rule as dedup_keep_list).
-    // This is the SECOND standard embedding-dedup shape next to
-    // dedup_embedding_cosine's global SRP-LSH banding: the quadratic
-    // term is per-cell — production sizes k ~ sqrt(N) so each cell stays
-    // bounded and the cell join is an equi-shuffle on the cell id, never
-    // an all-pairs product. The cell frame is persisted once and feeds
-    // the a-side, the b-side, and the final keep join. Zero-norm vectors
-    // are degenerate everywhere cosine appears: assignment ranks them
-    // with an explicit -2 sentinel (Spark's NaN orders GREATEST, DuckDB's
-    // 0/0 is NULL and orders last — the sentinel pins both engines to
-    // "worse than any real cosine"), and the in-cell drop filter excludes
-    // NaN, same contract as dedup_embedding_cosine (fuzz find, seed 77). --
+    // ---- SemDeDup-style semantic dedup — see [[semanticDedup]]; the
+    // fixture instantiates k = 4 cells (matching the seed count the other
+    // IVF-family fixtures use); the scale knob k ~ sqrt(N) is the
+    // DEFAULT of the operator signature and decade-probed in SCALE.md. --
     "dedup_semantic" -> QueryDef(
-      (s, dir) => {
-        graft.functions.HashExpressions.register(s)
-        val emb = Tables.load(s, dir, "embeddings")
-        val cents = emb.filter(col("vec_id") < 4)
-          .selectExpr("vec_id AS c_id", "embedding AS c_emb")
-        val assigned = emb.crossJoin(broadcast(cents))
-          .selectExpr("vec_id", "c_id", "nanvl(graft_cosine(c_emb, embedding), -2.0) AS sim")
-          .groupBy(col("vec_id"))
-          .agg(max(struct(col("sim"), (-col("c_id")).as("nc"))).as("m"))
-          .select(col("vec_id"), (-col("m.nc")).as("cell"))
-        val ce = emb.join(assigned, "vec_id")
-          .select(col("vec_id"), col("cell"), col("embedding"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val a = ce.selectExpr("cell", "vec_id AS id_a", "embedding AS q_emb")
-        val b = ce.selectExpr("cell", "vec_id AS id_b", "embedding")
-        val drops = a.join(b, "cell")
-          .filter(col("id_a") < col("id_b"))
-          .selectExpr("id_b", "graft_cosine(q_emb, embedding) AS cosine")
-          .filter("NOT isnan(cosine) AND cosine >= 0.45")
-          .selectExpr("id_b AS vec_id", "1 AS dropped").distinct()
-        ce.join(drops, Seq("vec_id"), "left")
-          .selectExpr("vec_id", "cell", "CAST(dropped IS NULL AS INT) AS keep")
-          .transform(graft.Sorted.byNames(_, "vec_id"))
-      },
+      (s, dir) => semanticDedup(Tables.load(s, dir, "embeddings"), k = 4),
       s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb
          |  FROM embeddings WHERE vec_id < 4),
          |sc AS (SELECT e.vec_id, c.c_id,
@@ -786,4 +718,109 @@ object Similarity {
          |FROM ce LEFT JOIN drops d ON ce.vec_id = d.vec_id
          |ORDER BY ce.vec_id""".stripMargin)
   )
+
+  /** Coarse cell assignment shared by [[semanticDedup]] and
+    * [[kmeansAssign]]: nearest of the first-k content-derived seed
+    * centroids (`vec_id < k`), scored via a broadcast k×N map-side pass
+    * and a window-free argmax (one partial+final aggregate). Zero-norm
+    * vectors are degenerate everywhere cosine appears: assignment ranks
+    * them with an explicit -2 sentinel (Spark's NaN orders GREATEST,
+    * DuckDB's 0/0 is NULL and orders last — the sentinel pins both
+    * engines to "worse than any real cosine"; fuzz find, seed 77). */
+  def assignCells(emb: DataFrame, k: Int): DataFrame = {
+    graft.functions.HashExpressions.register(emb.sparkSession)
+    val cents = emb.filter(col("vec_id") < k)
+      .selectExpr("vec_id AS c_id", "embedding AS c_emb")
+    emb.crossJoin(broadcast(cents))
+      .selectExpr("vec_id", "c_id", "nanvl(graft_cosine(c_emb, embedding), -2.0) AS sim")
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("sim"), (-col("c_id")).as("nc"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("cell"), col("m.sim").as("sim"))
+  }
+
+  /** SemDeDup-style semantic dedup: coarse cells ([[assignCells]] — the
+    * same content-derived seed assignment as ann_ivf_probe), exact cosine
+    * pairing ONLY inside a cell, and of any pair >= `threshold` the larger
+    * vec_id drops (min-id canonical, same rule as dedup_keep_list).
+    * This is the SECOND standard embedding-dedup shape next to
+    * dedup_embedding_cosine's global SRP-LSH banding: the quadratic term
+    * is per-cell, and `k` is the knob that bounds it — with cells of
+    * expected size N/k the pair volume is ~N²/k, so the DEFAULT `k = 0`
+    * sizes k = round(sqrt(N)) (one count job, skipped when the caller
+    * passes the known corpus size's k explicitly), putting total verify
+    * work at ~N^1.5 — the SemDeDup paper's sizing, measured across
+    * corpus decades in SCALE.md rather than argued in prose. The cell
+    * join is an equi-shuffle on the cell id, never an all-pairs product
+    * (plan-pinned); the cell frame is persisted once and feeds the
+    * a-side, the b-side, and the final keep join. The in-cell drop
+    * filter excludes NaN (zero-norm), same contract as
+    * dedup_embedding_cosine. */
+  def semanticDedup(emb: DataFrame, k: Int = 0,
+      threshold: Double = 0.45): DataFrame = {
+    val kk =
+      if (k > 0) k
+      else math.max(1, math.round(math.sqrt(emb.count().toDouble)).toInt)
+    val ce = emb.join(assignCells(emb, kk).drop("sim"), "vec_id")
+      .select(col("vec_id"), col("cell"), col("embedding"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val a = ce.selectExpr("cell", "vec_id AS id_a", "embedding AS q_emb")
+    val b = ce.selectExpr("cell", "vec_id AS id_b", "embedding")
+    val drops = a.join(b, "cell")
+      .filter(col("id_a") < col("id_b"))
+      .selectExpr("id_b", "graft_cosine(q_emb, embedding) AS cosine")
+      .filter(s"NOT isnan(cosine) AND cosine >= $threshold")
+      .selectExpr("id_b AS vec_id", "1 AS dropped").distinct()
+    ce.join(drops, Seq("vec_id"), "left")
+      .selectExpr("vec_id", "cell", "CAST(dropped IS NULL AS INT) AS keep")
+      .transform(graft.Sorted.byNames(_, "vec_id"))
+  }
+
+  /** k-means (`iters` Lloyd iterations over the first-k seeds) — the IVF
+    * TRAINING step ann_ivf_probe's content-derived cells assume. Scale
+    * shape per round: assignment is a k×N broadcast score + window-free
+    * argmax (one partial+final agg); the update is a posexplode to
+    * (cell, dim) rows — one corpus-linear shuffle bounded by k×dim
+    * groups — and centroids re-enter as a broadcast. localCheckpoint
+    * bounds plan depth like every iterative op here. Cross-engine
+    * parity: float sums are order-dependent, so the update accumulates
+    * floor(x * 2^20) scaled int64 (exact, commutative); the mean returns
+    * to double (sum/n/2^20 — identical IEEE op sequence both sides) and
+    * is cast to FLOAT, so round-2 cosines see bit-identical centroids.
+    * Empty cells would drop (fixture cells are all populated);
+    * production keeps the stale centroid via a left join — documented,
+    * not needed at any tested SF. */
+  def kmeansAssign(emb0: DataFrame, k: Int = 4, iters: Int = 2): DataFrame = {
+    graft.functions.HashExpressions.register(emb0.sparkSession)
+    val emb = emb0.select(col("vec_id"), col("embedding"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var cents = emb.filter(col("vec_id") < k)
+      .selectExpr("vec_id AS c_id", "embedding AS c_emb")
+    for (_ <- 1 to iters) {
+      val asg = emb.crossJoin(broadcast(cents))
+        .selectExpr("vec_id", "c_id", "nanvl(graft_cosine(c_emb, embedding), -2.0) AS sim")
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("sim"), (-col("c_id")).as("nc"))).as("m"))
+        .select(col("vec_id"), (-col("m.nc")).as("cell"))
+      cents = emb.join(asg, "vec_id")
+        .select(col("cell"), posexplode(col("embedding")))
+        .selectExpr("cell", "pos AS dim",
+          "CAST(floor(CAST(col AS DOUBLE) * 1048576) AS BIGINT) AS q")
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+        .selectExpr("cell", "dim", "CAST(sq AS DOUBLE) / n / 1048576 AS comp")
+        .groupBy(col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, comp)))," +
+          " s -> CAST(s.comp AS FLOAT))").as("c_emb"))
+        .selectExpr("cell AS c_id", "c_emb")
+        .localCheckpoint(true)
+    }
+    // final assignment under the last-round centroids; emb cache stays
+    // for this lazy frame (the harness clears cache per query)
+    emb.crossJoin(broadcast(cents))
+      .selectExpr("vec_id", "c_id", "nanvl(graft_cosine(c_emb, embedding), -2.0) AS sim")
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("sim"), (-col("c_id")).as("nc"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("cell"), col("m.sim").as("sim"))
+      .transform(graft.Sorted.byNames(_, "vec_id"))
+  }
 }
