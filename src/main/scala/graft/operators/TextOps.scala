@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.Portable
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -340,6 +341,69 @@ object TextOps {
          |  CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1000000) AS fluency
          |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
+    // ---- CCNet corpus bucketing (Wenzek et al. 2020 §4.3): split each
+    // language's documents into head/middle/tail thirds by LM quality —
+    // the canonical "train on the head" curation step. CCNet orders by
+    // wiki-LM perplexity; here the signal is the in-engine bigram fluency
+    // (lm_bigram_score's exact arithmetic, higher = better). Cutoffs come
+    // from the per-language (fluency, count) DISTRIBUTION: a top-down
+    // cumulative count over distinct values, then the largest value whose
+    // cumulative count reaches ceil(n/3) (resp. ceil(2n/3)) — ties land
+    // in the better bucket, and the cutoff search is pure integer window
+    // arithmetic over the distribution, so both engines agree exactly.
+    // Scale shape: the distribution is bounded by DISTINCT quantized
+    // scores per language (the 10^-6 score quantization is the knob —
+    // coarsen it at 100 TB to bound the table); the 2-values-per-language
+    // cutoff frame BROADCASTS, so bucket assignment is map-side over the
+    // score frame. A naive per-language NTILE window would instead sort
+    // an entire language inside ONE task — the shape this avoids. --------
+    "ccnet_buckets" -> QueryDef(
+      (s, dir) => {
+        val sc = fluencyScores(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dist = sc.groupBy(col("lang"), col("fluency"))
+          .agg(count(lit(1)).as("c"))
+        val nl = sc.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        val w = dist.withColumn("cum",
+          sum(col("c")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lang")).orderBy(col("fluency").desc)
+            .rowsBetween(Long.MinValue, 0)))
+        val cut = w.join(broadcast(nl), "lang")
+          .groupBy(col("lang"))
+          .agg(max(when(expr("cum >= (n + 2) div 3"), col("fluency"))).as("c2"),
+            max(when(expr("cum >= (2 * n + 2) div 3"), col("fluency"))).as("c1"))
+        sc.join(broadcast(cut), "lang")
+          .withColumn("bucket",
+            when(col("fluency") >= col("c2"), lit("head"))
+              .when(col("fluency") >= col("c1"), lit("middle"))
+              .otherwise(lit("tail")))
+          .select(col("doc_id"), col("lang"), col("fluency"), col("bucket"))
+          .transform(graft.Sorted.byNames(_, "doc_id"))
+      },
+      s"""WITH toks AS (SELECT doc_id, lang, $duckToksFluency AS ts FROM documents),
+         |bg AS (SELECT doc_id, lang,
+         |    unnest(list_transform(range(2, len(ts) + 1), i -> ts[i-1])) AS w1,
+         |    unnest(list_transform(range(2, len(ts) + 1), i -> ts[i-1] || ' ' || ts[i])) AS big
+         |  FROM toks WHERE len(ts) >= 2),
+         |model AS (SELECT big, COUNT(*) AS c12 FROM bg GROUP BY big),
+         |prefix AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+         |q AS (SELECT doc_id, lang, c12 * 1000000 // c1 AS q
+         |  FROM bg JOIN model USING (big) JOIN prefix USING (w1)),
+         |scores AS (SELECT doc_id, lang,
+         |    CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1000000) AS fluency
+         |  FROM q GROUP BY doc_id, lang),
+         |dist AS (SELECT lang, fluency, COUNT(*) AS c FROM scores GROUP BY lang, fluency),
+         |nl AS (SELECT lang, COUNT(*) AS n FROM scores GROUP BY lang),
+         |w AS (SELECT lang, fluency, SUM(c) OVER (PARTITION BY lang ORDER BY fluency DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM dist),
+         |cut AS (SELECT w.lang, MAX(CASE WHEN cum >= (n + 2) // 3 THEN fluency END) AS c2,
+         |    MAX(CASE WHEN cum >= (2 * n + 2) // 3 THEN fluency END) AS c1
+         |  FROM w JOIN nl USING (lang) GROUP BY w.lang)
+         |SELECT s.doc_id, s.lang, s.fluency,
+         |  CASE WHEN s.fluency >= c2 THEN 'head'
+         |       WHEN s.fluency >= c1 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM scores s JOIN cut USING (lang) ORDER BY s.doc_id""".stripMargin),
+
     // ---- Gopher quality rules (Rae et al. 2021 §A1.1): the canonical
     // composite document gate every large-scale text pipeline applies
     // before training. The thresholds are SIGNATURE parameters of
@@ -411,6 +475,33 @@ object TextOps {
         "r_words", "r_mean_len", "r_alpha", "r_stops",
         "r_words * r_mean_len * r_alpha * r_stops AS keep")
       .transform(graft.Sorted.byNames(_, "doc_id"))
+
+  /** Per-document corpus-LM fluency — lm_bigram_score's exact pipeline
+    * (same model, same int64-quantized transition arithmetic) carrying
+    * the document language through, for per-language bucketing. The
+    * bigram frame persists because it feeds the model, the prefix table
+    * AND the scoring join (one corpus pass, not three). */
+  private def fluencyScores(s: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        expr(Portable.tokensSql("text")).as("ts"))
+      .filter("size(ts) >= 2")
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(2, size(ts)), i -> struct(ts[i-2] AS w1, concat(ts[i-2], ' ', ts[i-1]) AS big))")).as("b"))
+      .selectExpr("doc_id", "lang", "b.w1 AS w1", "b.big AS big")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = bg.groupBy(col("big")).agg(count(lit(1)).as("c12"))
+    val prefix = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // model is PAIR-keyed (grows toward vocab² on a real corpus) so it
+    // must NOT broadcast; prefix is unigram-keyed and does.
+    bg.join(model, "big")
+      .join(broadcast(prefix), "w1")
+      .selectExpr("doc_id", "lang", "c12 * 1000000L div c1 AS q")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sq"))
+      .selectExpr("doc_id", "lang",
+        "CAST(sq AS DOUBLE) / (n_bigrams * 1000000) AS fluency")
+  }
 
   // one tokenization contract with the shared fragment (the fluency
   // oracle composes it like every other oracle in this file)

@@ -429,6 +429,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window ["))
   }
 
+  test("ccnet_buckets: cutoffs broadcast; the only window runs over the score distribution") {
+    val p = plan("ccnet_buckets")
+    // the 2-values-per-language cutoff frame (and the |langs|-row count
+    // frame feeding it) must broadcast — bucket assignment is map-side
+    assert(nodeIds(p, "BroadcastHashJoin").size >= 2,
+      "cutoff and per-language-count frames must broadcast, not shuffle")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "no all-pairs join anywhere in the bucketing")
+    // exactly ONE window — the cumulative count over the (lang, fluency)
+    // DISTRIBUTION. A second window would mean the naive per-language
+    // NTILE shape crept in (an entire language sorted inside one task).
+    assert(nodeIds(p, "Window").size == 1,
+      "cutoff search must window over the distribution only — never over the corpus")
+    // and that window's input is aggregated rows, not the raw score frame:
+    // the distribution agg is partial+final like every groupBy here
+    assert(nodeIds(p, "HashAggregate").size >= 4,
+      "distribution and per-language counts must aggregate partial+final")
+  }
+
   test("tokenizer_apply: trained vocab broadcasts onto the corpus token stream") {
     val p = plan("tokenizer_apply")
     assert(p.contains("BroadcastHashJoin"),

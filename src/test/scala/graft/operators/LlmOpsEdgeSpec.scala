@@ -129,4 +129,33 @@ class LlmOpsEdgeSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("keep")).toMap
     assert(relaxed(1L) == 1 && relaxed(2L) == 1)
   }
+
+  test("ccnet_buckets: per-language tertile invariants on the real fixture") {
+    val rows = SparkEntry.queries("ccnet_buckets")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Double]("fluency"),
+        r.getAs[String]("bucket")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val byBucket = rs.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+      val n = rs.length
+      // value thresholding: every head score >= every middle >= every tail
+      for (h <- byBucket.get("head"); m <- byBucket.get("middle"))
+        assert(h.min >= m.max, s"$lang: head/middle value order violated")
+      for (m <- byBucket.get("middle"); t <- byBucket.get("tail"))
+        assert(m.min >= t.max, s"$lang: middle/tail value order violated")
+      // sizing: head covers at least its tertile (ties join the better
+      // bucket, so it may only overshoot by the tie group at the cutoff)
+      val head = byBucket.getOrElse("head", Array.empty[Double])
+      val k1 = (n + 2) / 3
+      assert(head.length >= k1, s"$lang: head ${head.length} < ceil(n/3)=$k1")
+      if (head.nonEmpty) {
+        val tiesAtCut = head.count(_ == head.min)
+        assert(head.length - tiesAtCut < k1,
+          s"$lang: head overshoots beyond the cutoff tie group")
+      }
+      val hm = head.length + byBucket.getOrElse("middle", Array.empty[Double]).length
+      assert(hm >= (2 * n + 2) / 3, s"$lang: head+middle misses ceil(2n/3)")
+    }
+  }
 }
