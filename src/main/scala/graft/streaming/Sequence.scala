@@ -42,11 +42,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *  - during a match, an event a `followedBy` pattern skips never starts
   *    a concurrent run, so overlapping matches — Flink's default
   *    `noSkip`, which tracks every concurrent partial and emits one
-  *    match per anchor — are NOT expressible. No reference pipeline
-  *    needs overlap (the bounce family wants exactly-one-resolution per
-  *    visit); if a future operator does, the state would become
-  *    `Seq[Seq[E]]` (one prefix per live run) with this encoding as the
-  *    one-run special case.
+  *    match per anchor — are NOT expressible in THIS function. No
+  *    reference pipeline needs overlap (the bounce family wants
+  *    exactly-one-resolution per visit); when an operator does, use
+  *    [[detectAll]]/[[stateFnMulti]] — the `Seq[Seq[E]]`-state
+  *    generalization (one prefix per live run) with this encoding as
+  *    the one-run special case.
   *
   * At scale this is the same shape as every stateful op here: state is
   * one bounded prefix (< steps.size events) per key, evicted by the
@@ -127,4 +128,72 @@ object Sequence {
     events.groupByKey(key)(Encoders.STRING)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(stateFn(p))
+
+  /** Multi-run state function — Flink's default
+    * `AfterMatchSkipStrategy.noSkip`, the overlap semantics [[stateFn]]
+    * deliberately does not encode: EVERY anchor-matching event starts
+    * its own run (even while other runs are in flight, even when it also
+    * just advanced or completed one), runs advance independently, and
+    * one completion (or timeout anchor) is emitted PER RUN — so an event
+    * completing two overlapping runs is emitted twice, once per match,
+    * exactly as Flink's `select` fires once per match. Contiguity
+    * (`strict`), the `within` window, straggler handling and the
+    * anchor-only timeout emission all match [[stateFn]] per run.
+    *
+    * State = one bounded prefix per LIVE run, anchor-ordered. The run
+    * count per key is bounded by the anchors inside the `within` horizon
+    * (expired runs evict on the earliest-deadline event-time timeout) —
+    * the same state-growth contract as Flink's noSkip, where the window
+    * is the bound. Use [[stateFn]] (single-run) when overlap is not
+    * required: it holds one prefix instead of many. */
+  def stateFnMulti[E](p: Pattern[E])(
+      key: String, rows: Iterator[E], state: GroupState[Seq[Seq[E]]]): Iterator[E] = {
+    def deadline(run: Seq[E]): Long = p.eventTs(run.head) + p.withinMs
+    if (rows.isEmpty && state.hasTimedOut) {
+      // the registered timeout was the EARLIEST live deadline: expire every
+      // run the watermark has passed, keep the rest and re-arm for their min
+      val wm = state.getCurrentWatermarkMs()
+      val (dead, live) = state.get.partition(r => deadline(r) <= wm)
+      if (live.isEmpty) state.remove()
+      else {
+        state.update(live)
+        state.setTimeoutTimestamp(math.max(live.map(deadline).min, wm + 1))
+      }
+      return (if (p.emitTimedOut) dead.map(_.head) else Seq.empty).iterator
+    }
+    val sorted = rows.toIndexedSeq.sortBy(p.eventTs)
+    var runs: Seq[Seq[E]] = state.getOption.getOrElse(Seq.empty)
+    val out = Seq.newBuilder[E]
+    sorted.foreach { e =>
+      val ts = p.eventTs(e)
+      val next = Seq.newBuilder[Seq[E]]
+      runs.foreach { run =>
+        if (ts < p.eventTs(run.last)) next += run // straggler FOR THIS RUN: no effect
+        else if (ts - p.eventTs(run.head) > p.withinMs) {
+          if (p.emitTimedOut) out += run.head // window expired before this successor
+        } else if (p.steps(run.size)(e)) {
+          val adv = run :+ e
+          if (adv.size == p.steps.size) { if (p.emitMatched) out += e } // run retires
+          else next += adv
+        } else if (!p.strict) next += run // followedBy: skipped, the run survives
+        // strict: a wrong successor kills this run (others are unaffected)
+      }
+      if (p.steps.head(e)) next += Seq(e) // noSkip: every anchor opens a run
+      runs = next.result()
+    }
+    if (runs.nonEmpty) {
+      state.update(runs)
+      val wm = state.getCurrentWatermarkMs()
+      state.setTimeoutTimestamp(math.max(runs.map(deadline).min, wm + 1))
+    } else if (state.exists) state.remove()
+    out.result().iterator
+  }
+
+  /** [[detect]]'s overlapping-matches twin (`noSkip`): one output per
+    * concurrent run. Same watermark requirement. */
+  def detectAll[E: Encoder](events: Dataset[E], p: Pattern[E])(key: E => String)(
+      implicit runsEnc: Encoder[Seq[Seq[E]]]): Dataset[E] =
+    events.groupByKey(key)(Encoders.STRING)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(stateFnMulti(p))
 }

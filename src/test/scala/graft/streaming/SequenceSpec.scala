@@ -130,4 +130,72 @@ class SequenceSpec extends SparkSpec {
       assert(out.map(_.ts).toSeq == Seq(2000L, 3000L))
     } finally q.stop()
   }
+
+  test("detectAll (noSkip): every anchor opens a concurrent run; one match per run") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[LogEvent]
+    // the exact stream the single-partial test pins at ONE match: two
+    // home anchors before one order. noSkip tracks both runs, so the
+    // order event completes BOTH and is emitted once per match.
+    val p = Sequence.Pattern[LogEvent](
+      steps = IndexedSeq(_.pageId == "home", _.pageId == "order"),
+      withinMs = 30000L, eventTs = _.ts,
+      emitTimedOut = false, emitMatched = true, strict = false)
+    val q = Sequence.detectAll(BounceDetect.withEventTime(ms.toDF()).as[LogEvent], p)(_.mid)
+      .writeStream.format("memory").queryName("noskip").outputMode("append").start()
+    try {
+      ms.addData(
+        at("u1", "home", 1000L), at("u1", "home", 2000L), at("u1", "order", 5000L))
+      q.processAllAvailable()
+      val out = spark.table("noskip").as[LogEvent].collect()
+      assert(out.map(e => (e.pageId, e.ts)).toSeq == Seq(("order", 5000L), ("order", 5000L)),
+        s"one match per concurrent run, got ${out.toSeq}")
+    } finally q.stop()
+  }
+
+  test("detectAll (noSkip): concurrent abandoned runs each emit their own anchor on timeout") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[LogEvent]
+    val p = Sequence.Pattern[LogEvent](
+      steps = IndexedSeq(_.pageId == "home", _.pageId == "order"),
+      withinMs = 30000L, eventTs = _.ts,
+      emitTimedOut = true, emitMatched = false, strict = false)
+    val q = Sequence.detectAll(BounceDetect.withEventTime(ms.toDF()).as[LogEvent], p)(_.mid)
+      .writeStream.format("memory").queryName("noskiptimeout").outputMode("append").start()
+    try {
+      // two anchors, no order; a cross-batch heartbeat drives the
+      // watermark past BOTH deadlines — both anchors surface (the
+      // single-run encoding could only ever report the first)
+      ms.addData(at("u1", "home", 1000L), at("u1", "home", 2000L))
+      q.processAllAvailable()
+      ms.addData(at("u9", "cart", 80000L))
+      q.processAllAvailable()
+      val out = spark.table("noskiptimeout").as[LogEvent].collect().sortBy(_.ts)
+      assert(out.map(e => (e.pageId, e.ts)).toSeq ==
+        Seq(("home", 1000L), ("home", 2000L)),
+        s"each abandoned run emits its anchor, got ${out.toSeq}")
+    } finally q.stop()
+  }
+
+  test("detectAll under strict contiguity: a wrong successor kills only its own runs") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[LogEvent]
+    // strict home->order: home@1s is killed by home@2s (wrong successor
+    // under `next`), which itself anchors a fresh run that completes —
+    // noSkip does not resurrect killed runs, it only tracks LIVE ones
+    val p = Sequence.Pattern[LogEvent](
+      steps = IndexedSeq(_.pageId == "home", _.pageId == "order"),
+      withinMs = 30000L, eventTs = _.ts,
+      emitTimedOut = false, emitMatched = true, strict = true)
+    val q = Sequence.detectAll(BounceDetect.withEventTime(ms.toDF()).as[LogEvent], p)(_.mid)
+      .writeStream.format("memory").queryName("noskipstrict").outputMode("append").start()
+    try {
+      ms.addData(
+        at("u1", "home", 1000L), at("u1", "home", 2000L), at("u1", "order", 5000L))
+      q.processAllAvailable()
+      val out = spark.table("noskipstrict").as[LogEvent].collect()
+      assert(out.map(e => (e.pageId, e.ts)).toSeq == Seq(("order", 5000L)),
+        s"strict kills the interrupted run; exactly one survives, got ${out.toSeq}")
+    } finally q.stop()
+  }
 }
