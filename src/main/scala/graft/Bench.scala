@@ -55,9 +55,14 @@ object Bench {
     // captured BEFORE the session build: the 32-thread warmup alone lifts
     // the 1-min loadavg past 1 (32 cores for ~10 s ≈ +4.9), so a reading
     // taken after startup would flag every run as contaminated by ITSELF —
-    // this reading measures the box's AMBIENT load only
+    // this reading measures the box's AMBIENT load only. ONE read, parsed
+    // once: separate reads can straddle a kernel loadavg tick and emit a
+    // loadavg_start string whose first field contradicts loadavg1_start /
+    // contaminated — the fields must be mutually consistent to be
+    // machine-checkable.
     val loadStart = loadAvg
-    val load1Start = loadAvg1
+    val load1Start =
+      try loadStart.split(",").head.toDouble catch { case _: Throwable => -1.0 }
     val contaminated = load1Start > 1.0
     // the ONE session factory (GraftSession) so the bench measures the
     // same configuration the library tells users to deploy — the four

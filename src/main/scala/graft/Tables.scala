@@ -36,7 +36,11 @@ object Tables {
       // setting it changes rendering/parsing semantics for every later
       // query in the session, so that case warns instead of staying
       // silent.
-      val tz = spark.conf.get("spark.sql.session.timeZone", "")
+      // getOption, NOT get(key, ""): Spark 4 validates a supplied default
+      // through the conf entry's checkValue even when only used as a
+      // fallback, and '' fails isValidTimezone — the sentinel would crash
+      // exactly the external non-GraftSession sessions this warn protects
+      val tz = spark.conf.getOption("spark.sql.session.timeZone").getOrElse("")
       if (tz.nonEmpty && tz != "UTC")
         System.err.println(
           s"[graft] Tables.load(events): overriding session timezone '$tz' with UTC " +

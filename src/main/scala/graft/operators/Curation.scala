@@ -436,10 +436,12 @@ object Curation {
     * identical doubles. Any other exponent needs pow/exp/ln, which the
     * no-transcendentals oracle rule forbids (libm results differ across
     * engines in the last ulp). */
-  private def weightSql(nCol: String, alpha: Double, sqrtFn: String => String): String = {
+  private def weightSql(nCol: String, alpha: Double): String = {
     require(alpha == 0.5 || alpha == 0.25,
       s"alpha=$alpha: only the sqrt-expressible exponents {0.5, 0.25} are oracle-exact")
-    val pow = if (alpha == 0.5) sqrtFn(nCol) else sqrtFn(sqrtFn(nCol))
+    // `sqrt` is spelled identically in Spark SQL and DuckDB — one string
+    // serves both engines (the callers differ only in the n_docs cast)
+    val pow = if (alpha == 0.5) s"sqrt($nCol)" else s"sqrt(sqrt($nCol))"
     s"CAST(floor($pow * 1000000) AS BIGINT)"
   }
 
@@ -461,8 +463,7 @@ object Curation {
     * plus a map-side copy computation — no corpus shuffle beyond the
     * group-by (plan-pinned). */
   def mixTemperature(docs: DataFrame, alpha: Double = 0.5): DataFrame = {
-    val w = weightSql("CAST(n_docs AS DOUBLE)", alpha,
-      c => s"sqrt($c)")
+    val w = weightSql("CAST(n_docs AS DOUBLE)", alpha)
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
     // integer sums are order-independent, so ssum is exact in both engines
     val tot = counts.agg(sum(col("n_docs")).as("total"),
@@ -491,7 +492,7 @@ object Curation {
   /** DuckDB oracle twin of [[mixTemperature]] — identical op sequence,
     * HUGEINT where Spark multiplies in DECIMAL. */
   private def mixTemperatureSql(alpha: Double): String = {
-    val w = weightSql("n_docs::DOUBLE", alpha, c => s"sqrt($c)")
+    val w = weightSql("n_docs::DOUBLE", alpha)
     s"""WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
        |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
        |    CAST(SUM($w) AS BIGINT) AS ssum

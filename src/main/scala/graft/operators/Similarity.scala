@@ -727,10 +727,18 @@ object Similarity {
     * them with an explicit -2 sentinel (Spark's NaN orders GREATEST,
     * DuckDB's 0/0 is NULL and orders last — the sentinel pins both
     * engines to "worse than any real cosine"; fuzz find, seed 77). */
-  def assignCells(emb: DataFrame, k: Int): DataFrame = {
+  def assignCells(emb: DataFrame, k: Int): DataFrame =
+    scoreCells(emb, emb.filter(col("vec_id") < k)
+      .selectExpr("vec_id AS c_id", "embedding AS c_emb"))
+
+  /** THE nearest-centroid assignment: broadcast-scored cosine against a
+    * `(c_id, c_emb)` centroid frame, zero-norm -2 sentinel, window-free
+    * min-id-tie-break argmax → `(vec_id, cell, sim)`. One definition —
+    * assignCells and both kmeansAssign sites (loop + final) ride it, so
+    * the sentinel and tie-break contracts (both fuzz-found) cannot
+    * drift apart across call sites. */
+  private def scoreCells(emb: DataFrame, cents: DataFrame): DataFrame = {
     graft.functions.HashExpressions.register(emb.sparkSession)
-    val cents = emb.filter(col("vec_id") < k)
-      .selectExpr("vec_id AS c_id", "embedding AS c_emb")
     emb.crossJoin(broadcast(cents))
       .selectExpr("vec_id", "c_id", "nanvl(graft_cosine(c_emb, embedding), -2.0) AS sim")
       .groupBy(col("vec_id"))
@@ -796,11 +804,7 @@ object Similarity {
     var cents = emb.filter(col("vec_id") < k)
       .selectExpr("vec_id AS c_id", "embedding AS c_emb")
     for (_ <- 1 to iters) {
-      val asg = emb.crossJoin(broadcast(cents))
-        .selectExpr("vec_id", "c_id", "nanvl(graft_cosine(c_emb, embedding), -2.0) AS sim")
-        .groupBy(col("vec_id"))
-        .agg(max(struct(col("sim"), (-col("c_id")).as("nc"))).as("m"))
-        .select(col("vec_id"), (-col("m.nc")).as("cell"))
+      val asg = scoreCells(emb, cents).select(col("vec_id"), col("cell"))
       cents = emb.join(asg, "vec_id")
         .select(col("cell"), posexplode(col("embedding")))
         .selectExpr("cell", "pos AS dim",
@@ -816,11 +820,7 @@ object Similarity {
     }
     // final assignment under the last-round centroids; emb cache stays
     // for this lazy frame (the harness clears cache per query)
-    emb.crossJoin(broadcast(cents))
-      .selectExpr("vec_id", "c_id", "nanvl(graft_cosine(c_emb, embedding), -2.0) AS sim")
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("sim"), (-col("c_id")).as("nc"))).as("m"))
-      .select(col("vec_id"), (-col("m.nc")).as("cell"), col("m.sim").as("sim"))
+    scoreCells(emb, cents)
       .transform(graft.Sorted.byNames(_, "vec_id"))
   }
 }

@@ -166,6 +166,12 @@ object Sequence {
     val out = Seq.newBuilder[E]
     sorted.foreach { e =>
       val ts = p.eventTs(e)
+      // stateFn's straggler contract, per run set: an event older than the
+      // newest matched event may have had its window already resolved by
+      // events processed (and forgotten) in earlier batches, so it must
+      // not open a run. In-batch this never fires (events are sorted);
+      // it guards exactly the cross-batch late arrival.
+      val straggler = runs.exists(r => ts < p.eventTs(r.last))
       val next = Seq.newBuilder[Seq[E]]
       runs.foreach { run =>
         if (ts < p.eventTs(run.last)) next += run // straggler FOR THIS RUN: no effect
@@ -178,7 +184,7 @@ object Sequence {
         } else if (!p.strict) next += run // followedBy: skipped, the run survives
         // strict: a wrong successor kills this run (others are unaffected)
       }
-      if (p.steps.head(e)) next += Seq(e) // noSkip: every anchor opens a run
+      if (!straggler && p.steps.head(e)) next += Seq(e) // noSkip: every non-straggler anchor opens a run
       runs = next.result()
     }
     if (runs.nonEmpty) {

@@ -198,4 +198,29 @@ class SequenceSpec extends SparkSpec {
         s"strict kills the interrupted run; exactly one survives, got ${out.toSeq}")
     } finally q.stop()
   }
+
+  test("stateFnMulti: a cross-batch straggler never opens a run (stateFn's drop contract)") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    val p = Sequence.Pattern[LogEvent](
+      steps = IndexedSeq(_.pageId == "home", _.pageId == "order"),
+      withinMs = 30000L, eventTs = _.ts,
+      emitTimedOut = true, emitMatched = true, strict = false)
+    val s1 = TestGroupState.create[Seq[Seq[LogEvent]]](
+      Optional.empty(), GroupStateTimeout.EventTimeTimeout, 0L,
+      Optional.of(0L), hasTimedOut = false)
+    val out1 = Sequence.stateFnMulti(p)("u1", Iterator(at("u1", "home", 50000L)), s1).toSeq
+    assert(out1.isEmpty && s1.get.map(_.map(_.ts)) == Seq(Seq(50000L)))
+    // batch 2: a late home@10s, older than the newest matched event — its
+    // successors may have been processed and FORGOTTEN in earlier batches,
+    // so it must not open a run whose only possible outcome is a spurious
+    // timed-out anchor (an "abandoned visit" that was actually resolved)
+    val s2 = TestGroupState.create[Seq[Seq[LogEvent]]](
+      Optional.of(s1.get), GroupStateTimeout.EventTimeTimeout, 0L,
+      Optional.of(45000L), hasTimedOut = false)
+    val out2 = Sequence.stateFnMulti(p)("u1", Iterator(at("u1", "home", 10000L)), s2).toSeq
+    assert(out2.isEmpty, s"straggler must produce nothing, got $out2")
+    assert(s2.get.map(_.map(_.ts)) == Seq(Seq(50000L)),
+      "the straggler must not open a run; the live run is untouched")
+  }
 }

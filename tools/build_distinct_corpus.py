@@ -34,9 +34,12 @@ assert 1 <= k <= 100, f"K={k}: the 2-digit marker scheme only supports K <= 100"
 os.makedirs(out, exist_ok=True)
 t = pq.read_table(os.path.join(src, "documents.parquet"))
 # the stride guard must bound the id DOMAIN, not the row count: a sparse
-# corpus with ids above 10M would silently collide across copies
-assert max(d for d in t.column("doc_id").to_pylist() if d is not None) \
-    < 10_000_000, "doc_id domain too large for the 10M stride"
+# corpus with ids above 10M would silently collide across copies.
+# pyarrow.compute.max: no whole-column python-list copy, and None-safe
+# (returns null only for an empty/all-null column, which fails the check)
+_max_id = pa.compute.max(t.column("doc_id")).as_py()
+assert _max_id is not None and _max_id < 10_000_000, \
+    "doc_id domain too large for the 10M stride (or empty/all-null ids)"
 n = t.num_rows
 cols = t.column_names
 writer = None

@@ -24,10 +24,13 @@ os.makedirs(out, exist_ok=True)
 
 t = pq.read_table(os.path.join(src, "documents.parquet"))
 doc_ids = t.column("doc_id").to_pylist()
+# null ids would crash the copy loop below with a bare TypeError; an empty
+# corpus would crash the domain max — refuse both with a diagnostic
+assert doc_ids and all(d is not None for d in doc_ids), \
+    "documents.parquet must have a non-empty, non-null doc_id column"
 # the stride guard must bound the id DOMAIN, not the row count: a sparse
 # corpus with ids above 10M would silently collide across copies
-assert max(d for d in doc_ids if d is not None) < 10_000_000, \
-    "doc_id domain too large for the 10M stride"
+assert max(doc_ids) < 10_000_000, "doc_id domain too large for the 10M stride"
 texts = t.column("text").to_pylist()
 others = {c: t.column(c).to_pylist() for c in t.column_names
           if c not in ("doc_id", "text")}
