@@ -435,7 +435,113 @@ object TextOps {
          |SELECT doc_id, n_words, mean_len_c, alpha_m, stop_hits,
          |  r_words, r_mean_len, r_alpha, r_stops,
          |  r_words * r_mean_len * r_alpha * r_stops AS keep
-         |FROM f ORDER BY doc_id""".stripMargin)
+         |FROM f ORDER BY doc_id""".stripMargin),
+
+    // ---- C4 cleaning rules (Raffel et al. 2020 §2.2): the LINE-level
+    // companion to the document-level gopher_rules gate. C4 keeps only
+    // lines ending in terminal punctuation with >= 5 words, drops lines
+    // mentioning javascript, and discards whole pages that contain
+    // "lorem ipsum" or a curly brace or retain fewer than 3 lines. The
+    // fixture corpus is single-line letters-only text, so (the pii_redact
+    // trick) a deterministic page structure is constructed FIRST and
+    // mirrored op-for-op in the oracle: tokens group into 8-token lines;
+    // each line's portable polyhash decides its noise (h%3=0 -> terminal
+    // punctuation withheld ~1/3; else h%7=0 -> a javascript mention that
+    // still ends in '.' and has >= 5 words, so ONLY the javascript rule
+    // drops it); the page hash appends a lorem-ipsum line to ~1/13 of
+    // pages and a curly-brace line to ~1/17 — every C4 rule
+    // discriminates on the fixture, and the full cleaned reconstruction
+    // is pinned by per-doc md5 of the retained lines, not just flag
+    // counts. Short trailing lines (size(ts) % 8 in 1..4) exercise the
+    // >= 5-words rule. Scale shape: pure map-side over the corpus scan —
+    // zero shuffles, codegen'd HOFs + the native polyhash expression
+    // (plan-pinned); at 100 TB this rides the same scan as the rest of
+    // the gate stack. The C4 step this op does NOT cover — corpus-level
+    // three-sentence-span dedup — is dedup_paragraph's shape. ------------
+    "c4_rules" -> QueryDef(
+      (s, dir) => {
+        graft.functions.HashExpressions.register(s)
+        Tables.load(s, dir, "documents")
+          .selectExpr("doc_id",
+            s"${Portable.tokensSql("coalesce(text, '')")} AS ts",
+            "graft_polyhash(coalesce(text, '')) AS pageh")
+          .selectExpr("doc_id", "pageh",
+            """CASE WHEN size(ts) = 0 THEN CAST(array() AS ARRAY<STRING>)
+              |ELSE transform(sequence(1, CAST((size(ts) + 7) div 8 AS INT)),
+              |  i -> concat_ws(' ', slice(ts, (i - 1) * 8 + 1, 8))) END AS raw_lines""".stripMargin)
+          // hash each line ONCE (struct pivot), then apply the noise rule
+          .selectExpr("doc_id", "pageh",
+            """transform(
+              |  transform(raw_lines, l -> named_struct('l', l, 'h', graft_polyhash(l))),
+              |  x -> concat(x.l, CASE WHEN x.h % 3 = 0 THEN ''
+              |    WHEN x.h % 7 = 0 THEN ' javascript tip here today.'
+              |    ELSE '.' END)) AS noisy""".stripMargin)
+          .selectExpr("doc_id",
+            """CASE WHEN pageh % 13 = 0
+              |  THEN concat(noisy, array('lorem ipsum dolor sit amet consectetur.'))
+              |WHEN pageh % 17 = 0
+              |  THEN concat(noisy, array('var config = { mode: strict }'))
+              |ELSE noisy END AS lines""".stripMargin)
+          .selectExpr("doc_id", "lines",
+            """filter(lines, l -> substring(l, length(l), 1) IN ('.', '!', '?')
+              |  AND size(split(l, ' ')) >= 5
+              |  AND NOT contains(l, 'javascript')) AS kept""".stripMargin)
+          .selectExpr("doc_id",
+            "CAST(size(lines) AS BIGINT) AS n_lines",
+            "CAST(size(kept) AS BIGINT) AS n_kept",
+            "IF(exists(lines, l -> contains(l, 'lorem ipsum')), 1, 0) AS has_lorem",
+            "IF(exists(lines, l -> contains(l, '{')), 1, 0) AS has_brace",
+            "md5(array_join(kept, chr(10))) AS cleaned_md5")
+          .selectExpr("doc_id", "n_lines", "n_kept", "has_lorem", "has_brace",
+            "IF(has_lorem = 0 AND has_brace = 0 AND n_kept >= 3, 1, 0) AS keep",
+            "cleaned_md5")
+          .transform(graft.Sorted.byNames(_, "doc_id"))
+      },
+      {
+        // per-line polyhash replay (the doc_fingerprint contract: one code
+        // point per position, fold (h*31+cp) % P)
+        def lineh(v: String): String =
+          s"""list_reduce(list_prepend(0::BIGINT,
+             |      list_transform(range(1, length($v) + 1), j -> ascii(substr($v, j, 1))::BIGINT)),
+             |      (h, ch) -> (h * 31 + ch) % ${Portable.P})""".stripMargin
+        s"""WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+           |tk AS (SELECT doc_id, t, ${Portable.duckToksSql("t")} AS ts FROM base),
+           |ph AS (SELECT doc_id, ts, ${lineh("t")} AS pageh FROM tk),
+           |rl AS (SELECT doc_id, pageh,
+           |    CASE WHEN len(ts) = 0 THEN []::VARCHAR[]
+           |    ELSE list_transform(range(1, (len(ts) + 7) // 8 + 1),
+           |      i -> array_to_string(list_slice(ts, (i - 1) * 8 + 1, i * 8), ' ')) END AS raw_lines
+           |  FROM ph),
+           |ns AS (SELECT doc_id, pageh,
+           |    list_transform(
+           |      list_transform(raw_lines, l -> struct_pack(l := l, h := ${lineh("l")})),
+           |      x -> x.l || (CASE WHEN x.h % 3 = 0 THEN ''
+           |        WHEN x.h % 7 = 0 THEN ' javascript tip here today.'
+           |        ELSE '.' END)) AS noisy FROM rl),
+           |ln AS (SELECT doc_id,
+           |    CASE WHEN pageh % 13 = 0
+           |      THEN list_concat(noisy, ['lorem ipsum dolor sit amet consectetur.'])
+           |    WHEN pageh % 17 = 0
+           |      THEN list_concat(noisy, ['var config = { mode: strict }'])
+           |    ELSE noisy END AS lines FROM ns),
+           |kp AS (SELECT doc_id, lines,
+           |    list_filter(lines, l -> substr(l, length(l), 1) IN ('.', '!', '?')
+           |      AND len(string_split(l, ' ')) >= 5
+           |      AND NOT contains(l, 'javascript')) AS kept FROM ln),
+           |fl AS (SELECT doc_id, kept,
+           |    CAST(len(lines) AS BIGINT) AS n_lines,
+           |    CAST(len(kept) AS BIGINT) AS n_kept,
+           |    CASE WHEN len(list_filter(lines, l -> contains(l, 'lorem ipsum'))) > 0
+           |      THEN 1 ELSE 0 END AS has_lorem,
+           |    CASE WHEN len(list_filter(lines, l -> contains(l, '{'))) > 0
+           |      THEN 1 ELSE 0 END AS has_brace
+           |  FROM kp)
+           |SELECT doc_id, n_lines, n_kept, has_lorem, has_brace,
+           |  CASE WHEN has_lorem = 0 AND has_brace = 0 AND n_kept >= 3
+           |    THEN 1 ELSE 0 END AS keep,
+           |  md5(coalesce(array_to_string(kept, chr(10)), '')) AS cleaned_md5
+           |FROM fl ORDER BY doc_id""".stripMargin
+      })
   )
 
   /** Gopher quality rules (Rae et al. 2021 §A1.1) over a `documents`

@@ -14,6 +14,15 @@ class PlanAuditSpec extends SparkSpec {
 
   private def plan(name: String): String = {
     graft.functions.HashExpressions.register(spark)
+    // audits assert the COLD plan shape. Suites share one JVM session, so
+    // another suite that materialized the same query (e.g. LlmOpsEdgeSpec's
+    // ccnet_buckets run on this very sfDir) leaves its persisted
+    // intermediates in the CacheManager, and cache substitution would swap
+    // InMemoryRelations into this plan — flaking the audit depending on
+    // suite interleaving. Queries whose audits EXPECT InMemoryRelation
+    // register their own persists during construction below, which this
+    // clear doesn't touch.
+    spark.catalog.clearCache()
     SparkEntry.queries(name)(spark, dir)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
   }
@@ -139,6 +148,19 @@ class PlanAuditSpec extends SparkSpec {
     assert("\\[codegen id : \\d+\\]".r.findFirstIn(p).isDefined,
       "the HOF metric expressions must stay inside whole-stage codegen")
     // the only exchange allowed is the presentation sort's range partitioning
+    val ex = "Exchange \\w+".r.findAllIn(p).toSet
+    assert(ex.forall(_.contains("rangepartitioning")),
+      s"unexpected non-sort exchange in a map-side gate: $ex")
+  }
+
+  test("c4_rules: pure map-side line gate — no joins, no aggregation shuffle") {
+    val p = plan("c4_rules")
+    assert(!p.contains("Join"), "the line gate must ride the corpus scan, never join")
+    assert(!p.contains("HashAggregate"), "no aggregation belongs in a per-doc gate")
+    assert(p.contains("graft_polyhash"),
+      "line/page hashing must be the native codegen'd expression")
+    assert("\\[codegen id : \\d+\\]".r.findFirstIn(p).isDefined,
+      "the HOF line pipeline must stay inside whole-stage codegen")
     val ex = "Exchange \\w+".r.findAllIn(p).toSet
     assert(ex.forall(_.contains("rangepartitioning")),
       s"unexpected non-sort exchange in a map-side gate: $ex")

@@ -158,4 +158,70 @@ class LlmOpsEdgeSpec extends SparkSpec {
       assert(hm >= (2 * n + 2) / 3, s"$lang: head+middle misses ceil(2n/3)")
     }
   }
+
+  test("c4_rules: full construction + cleaning matches an independent in-JVM model") {
+    import graft.functions.{HashExpressions, Portable}
+    // the same construction + C4 rules, re-derived in plain Scala against
+    // the native evalPolyHash — an oracle independent of BOTH engine SQL
+    // dialects, so a construction bug mirrored into the DuckDB twin would
+    // still fail here
+    def model(text: String): (Long, Long, Int, Int, Int, String) = {
+      def ph(s: String): Long = HashExpressions.evalPolyHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      val ts = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      val raw = ts.grouped(8).map(_.mkString(" ")).toSeq
+      val noisy = raw.map { l =>
+        val h = ph(l)
+        l + (if (h % 3 == 0) "" else if (h % 7 == 0) " javascript tip here today." else ".")
+      }
+      val pageh = ph(text)
+      val lines =
+        if (pageh % 13 == 0) noisy :+ "lorem ipsum dolor sit amet consectetur."
+        else if (pageh % 17 == 0) noisy :+ "var config = { mode: strict }"
+        else noisy
+      val kept = lines.filter(l => ".!?".contains(l.last) &&
+        l.split(" ").length >= 5 && !l.contains("javascript"))
+      val hasLorem = if (lines.exists(_.contains("lorem ipsum"))) 1 else 0
+      val hasBrace = if (lines.exists(_.contains("{"))) 1 else 0
+      val keep = if (hasLorem == 0 && hasBrace == 0 && kept.size >= 3) 1 else 0
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(kept.mkString("\n").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (lines.size.toLong, kept.size.toLong, hasLorem, hasBrace, keep, md)
+    }
+    // drive the registered query over the real sf0.001 fixture — every doc
+    // must match the model exactly, including the reconstruction md5
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val got = SparkEntry.queries("c4_rules")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept"), r.getAs[Int]("has_lorem"),
+          r.getAs[Int]("has_brace"), r.getAs[Int]("keep"), r.getAs[String]("cleaned_md5")))
+    assert(got.nonEmpty)
+    got.foreach { case (id, row) =>
+      assert(row == model(docs(id)), s"doc $id diverges from the in-JVM model")
+    }
+    // every rule must discriminate on the fixture, or the gate is decorative
+    val keeps = got.map(_._2._5).toSet
+    assert(keeps == Set(0, 1), "keep flag must split the fixture")
+    assert(got.exists(_._2._3 == 1), "some page must carry the lorem injection")
+    assert(got.exists(_._2._4 == 1), "some page must carry the brace injection")
+    assert(got.exists(r => r._2._5 == 0 && r._2._3 == 0 && r._2._4 == 0),
+      "some page must fail on the < 3 retained lines rule alone")
+    // keep=1 implies all gates passed
+    got.filter(_._2._5 == 1).foreach { case (id, (_, nk, hl, hb, _, _)) =>
+      assert(nk >= 3 && hl == 0 && hb == 0, s"doc $id: keep=1 with a failing gate")
+    }
+  }
+
+  test("c4_rules: empty text takes the page-noise path, not a crash") {
+    // pageh('') = 0 and 0 % 13 == 0: the lorem line is appended to an
+    // otherwise empty page — flags fire, keep = 0, md5 is of the retained
+    // lorem line (it passes every LINE rule; the PAGE rule drops the doc)
+    val row = run("c4_rules").filter("doc_id = 2").collect().head
+    assert(row.getAs[Long]("n_lines") == 1L)
+    assert(row.getAs[Long]("n_kept") == 1L)
+    assert(row.getAs[Int]("has_lorem") == 1)
+    assert(row.getAs[Int]("keep") == 0)
+  }
 }
