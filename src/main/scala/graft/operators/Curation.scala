@@ -426,7 +426,39 @@ object Curation {
       """SELECT doc_id, lang, doc_id // 1000 AS shard, n_chars,
         |  CAST((SUM(n_chars) OVER (PARTITION BY lang, doc_id // 1000 ORDER BY doc_id
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars) // 4096 AS BIGINT) AS pack_id
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // ---- deterministic training-shard assignment: the dataloader step
+    // after curation (the WebDataset shape) — spread the corpus
+    // pseudo-randomly over N fixed shards and give every doc a stable
+    // position inside its shard. shard = portable-hash(doc_id) % N
+    // decorrelates shard contents from ingest order; pos = rank of the
+    // hash within the shard makes the within-shard order a deterministic
+    // shuffle too, so a reader streaming one shard file sees hash-order
+    // docs, not crawl-order. The within-shard ROW_NUMBER windows BY
+    // SHARD: per-partition sort bounded by shard size (at 100 TB pick
+    // n_shards ~ corpus/10k docs, the fixture uses 8) — never a global
+    // ORDER BY over the hash, which would funnel the whole corpus through
+    // ONE window task. Same overflow-safe reduced-id hash as
+    // sample_stratified; hash ties (ids >= 999983 collide mod the prime)
+    // break deterministically by doc_id. ---------------------------------
+    "shard_shuffle" -> QueryDef(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
+        Tables.load(s, dir, "documents")
+          .selectExpr("doc_id", "lang",
+            s"((doc_id % 999983L) * ${MIX}L + 5081L) % ${P}L AS skey")
+          .withColumn("shard", expr("CAST(skey % 8 AS INT)"))
+          .withColumn("pos", row_number().over(w).cast("long"))
+          .select(col("doc_id"), col("lang"), col("shard"), col("skey"), col("pos"))
+          .orderBy("shard", "pos")
+      },
+      s"""WITH h AS (SELECT doc_id, lang,
+         |    ((doc_id % 999983) * $MIX + 5081) % $P AS skey FROM documents)
+         |SELECT doc_id, lang, CAST(skey % 8 AS INT) AS shard, skey,
+         |  ROW_NUMBER() OVER (PARTITION BY skey % 8 ORDER BY skey, doc_id) AS pos
+         |FROM h ORDER BY shard, pos""".stripMargin)
   )
 
   /** The quantized temperature weight s_l = floor(n^alpha * 1e6) for the

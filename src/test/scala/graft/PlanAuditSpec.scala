@@ -166,6 +166,17 @@ class PlanAuditSpec extends SparkSpec {
       s"unexpected non-sort exchange in a map-side gate: $ex")
   }
 
+  test("shard_shuffle: within-shard rank windows BY SHARD — no single-partition funnel") {
+    val p = plan("shard_shuffle")
+    assert(p.contains("Window"), "within-shard rank is a window function")
+    assert(!p.contains("Exchange SinglePartition"),
+      "a global ORDER BY rank would funnel the corpus through one task")
+    // the window's shuffle partitions by shard, so per-task sort volume is
+    // bounded by shard size, a chosen constant at any corpus scale
+    assert(p.contains("hashpartitioning(shard"),
+      "the rank window must partition by the shard key")
+  }
+
   test("mix_temperature: rates broadcast; corpus side is one count + map-side copies") {
     val p = plan("mix_temperature")
     assert(p.contains("BroadcastHashJoin"),
