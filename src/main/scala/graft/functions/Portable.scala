@@ -54,6 +54,25 @@ object Portable {
   def duckToksSql(c: String): String =
     s"list_filter(string_split_regex(lower($c), '[^a-z0-9]+'), t -> length(t) > 0)"
 
+  /** THE DuckDB twin of `graft_polyhash` ([[HashExpressions.evalPolyHash]])
+    * over an arbitrary string SQL expression `v`: one code point per
+    * position, fold (h*31+cp) % P. One definition for every oracle that
+    * replays the char polyhash — the same desync argument as
+    * [[duckToksSql]]: the hash contract (code-point folding, the modulus)
+    * must be editable in ONE place, not in verbatim copies. Lambda vars
+    * are prefixed (pi/ph/pc) so the fragment nests safely inside caller
+    * lambdas regardless of their variable names. */
+  def duckPolyHashSql(v: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, " +
+      s"list_transform(range(1, length($v) + 1), pi -> ascii(substr($v, pi, 1))::BIGINT)), " +
+      s"(ph, pc) -> (ph * 31 + pc) % $P)"
+
+  /** DuckDB: polyhash each element of a token-ARRAY column — the oracle
+    * twin of `graft_token_hashes`' per-token fold, shared by the dedup
+    * oracles' `th` step. */
+  def duckHashTokensSql(arr: String): String =
+    s"list_transform($arr, t -> ${duckPolyHashSql("t")})"
+
   /** Token-hash array: polyHash applied to each token. */
   def tokenHashesSql(c: String): String =
     s"""transform(${tokensSql(c)},

@@ -433,9 +433,8 @@ object CorpusOps {
       },
       s"""WITH toks AS (SELECT unnest($duckToks) AS term FROM documents),
          |counts AS (SELECT term, COUNT(*)::BIGINT AS c FROM toks GROUP BY term),
-         |hashed AS (SELECT term, c, list_reduce(list_prepend(0::BIGINT,
-         |    list_transform(range(1, length(term) + 1), i -> ascii(substr(term, i, 1))::BIGINT)),
-         |    (h, ch) -> (h * 31 + ch) % ${graft.functions.Portable.P}) AS h
+         |hashed AS (SELECT term, c,
+         |    ${graft.functions.Portable.duckPolyHashSql("term")} AS h
          |  FROM counts),
          |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts),
          |params(d, a, b) AS (VALUES (0, 131, 7), (1, 137, 11), (2, 139, 13), (3, 149, 17)),

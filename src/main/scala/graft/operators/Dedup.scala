@@ -170,10 +170,8 @@ object Dedup {
     s"""toks AS (SELECT doc_id,
        |  ${graft.functions.Portable.duckToksSql("text")} AS toks
        |  FROM documents),
-       |th AS (SELECT doc_id, list_transform(toks,
-       |  t -> list_reduce(list_prepend(0::BIGINT,
-       |    list_transform(range(1, length(t) + 1), i -> ascii(substr(t, i, 1))::BIGINT)),
-       |    (h, ch) -> (h * 31 + ch) % ${P})) AS th
+       |th AS (SELECT doc_id,
+       |  ${graft.functions.Portable.duckHashTokensSql("toks")} AS th
        |  FROM toks),
        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(th) - 1, 1)),
        |  i -> ((th[i] * 31 + th[i + 1]) % ${P} * 31 + th[i + 2]) % ${P})) AS sh
@@ -352,10 +350,8 @@ object Dedup {
       s"""WITH toks AS (SELECT doc_id,
          |  ${graft.functions.Portable.duckToksSql("text")} AS toks
          |  FROM documents),
-         |th AS (SELECT doc_id, list_transform(toks,
-         |  t -> list_reduce(list_prepend(0::BIGINT,
-         |    list_transform(range(1, length(t) + 1), i -> ascii(substr(t, i, 1))::BIGINT)),
-         |    (h, ch) -> (h * 31 + ch) % $P)) AS th
+         |th AS (SELECT doc_id,
+         |  ${graft.functions.Portable.duckHashTokensSql("toks")} AS th
          |  FROM toks)
          |SELECT doc_id,
          |  list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 60), b ->
@@ -383,10 +379,8 @@ object Dedup {
       s"""WITH toks AS (SELECT doc_id,
          |  ${graft.functions.Portable.duckToksSql("text")} AS toks
          |  FROM documents),
-         |th AS (SELECT doc_id, list_transform(toks,
-         |  t -> list_reduce(list_prepend(0::BIGINT,
-         |    list_transform(range(1, length(t) + 1), i -> ascii(substr(t, i, 1))::BIGINT)),
-         |    (h, ch) -> (h * 31 + ch) % $P)) AS th
+         |th AS (SELECT doc_id,
+         |  ${graft.functions.Portable.duckHashTokensSql("toks")} AS th
          |  FROM toks),
          |fp AS (SELECT doc_id,
          |  list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 60), b ->
@@ -517,10 +511,8 @@ object Dedup {
       s"""WITH toks AS (SELECT doc_id,
          |  ${graft.functions.Portable.duckToksSql("text")} AS toks
          |  FROM documents),
-         |th AS (SELECT doc_id, list_transform(toks,
-         |  t -> list_reduce(list_prepend(0::BIGINT,
-         |    list_transform(range(1, length(t) + 1), i -> ascii(substr(t, i, 1))::BIGINT)),
-         |    (h, ch) -> (h * 31 + ch) % $P)) AS th
+         |th AS (SELECT doc_id,
+         |  ${graft.functions.Portable.duckHashTokensSql("toks")} AS th
          |  FROM toks),
          |wins AS (SELECT doc_id, list_distinct(list_transform(range(1, len(th) - 6),
          |  i -> list_reduce(list_prepend(0::BIGINT, th[i:i+7]), (h, x) -> (h * 31 + x) % $P))) AS w
@@ -565,10 +557,8 @@ object Dedup {
          |toks AS (SELECT doc_id,
          |  ${graft.functions.Portable.duckToksSql("text")} AS toks
          |  FROM corpus),
-         |th AS (SELECT doc_id, list_transform(toks,
-         |  t -> list_reduce(list_prepend(0::BIGINT,
-         |    list_transform(range(1, length(t) + 1), i -> ascii(substr(t, i, 1))::BIGINT)),
-         |    (h, ch) -> (h * 31 + ch) % $P)) AS th
+         |th AS (SELECT doc_id,
+         |  ${graft.functions.Portable.duckHashTokensSql("toks")} AS th
          |  FROM toks),
          |wins AS (SELECT doc_id, list_distinct(list_transform(range(1, len(th) - 6),
          |  i -> list_reduce(list_prepend(0::BIGINT, th[i:i+7]), (h, x) -> (h * 31 + x) % $P))) AS w

@@ -166,9 +166,7 @@ object TextOps {
          |  SELECT doc_id, trim(regexp_replace(lower(text), '[ \\t\\n\\f\\r]+', ' ', 'g'), ' ') AS norm
          |  FROM documents)
          |SELECT doc_id, length(norm) AS norm_len,
-         |  list_reduce(list_prepend(0::BIGINT,
-         |    list_transform(range(1, length(norm) + 1), i -> ascii(substr(norm, i, 1))::BIGINT)),
-         |    (h, ch) -> (h * 31 + ch) % ${Portable.P}) AS norm_fp
+         |  ${Portable.duckPolyHashSql("norm")} AS norm_fp
          |FROM n ORDER BY doc_id""".stripMargin),
 
     // ---- document fingerprint: char-level rolling hash (base 31 mod P) of
@@ -186,15 +184,11 @@ object TextOps {
           .transform(graft.Sorted.byNames(_, "doc_id"))
       },
       s"""SELECT doc_id,
-         | list_reduce(list_prepend(0::BIGINT,
-         |   list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))::BIGINT)),
-         |   (h, ch) -> (h * 31 + ch) % ${Portable.P}) AS fp,
+         | ${Portable.duckPolyHashSql("text")} AS fp,
          | list_reduce(list_prepend(0::BIGINT,
          |   list_transform(
          |     ${Portable.duckToksSql("text")}[1:8],
-         |     t -> list_reduce(list_prepend(0::BIGINT,
-         |       list_transform(range(1, length(t) + 1), i -> ascii(substr(t, i, 1))::BIGINT)),
-         |       (h, ch) -> (h * 31 + ch) % ${Portable.P}))),
+         |     t -> ${Portable.duckPolyHashSql("t")})),
          |   (h, x) -> (h * 131 + x) % ${Portable.P}) AS prefix_fp
          |FROM documents ORDER BY doc_id""".stripMargin),
 
@@ -498,12 +492,8 @@ object TextOps {
           .transform(graft.Sorted.byNames(_, "doc_id"))
       },
       {
-        // per-line polyhash replay (the doc_fingerprint contract: one code
-        // point per position, fold (h*31+cp) % P)
-        def lineh(v: String): String =
-          s"""list_reduce(list_prepend(0::BIGINT,
-             |      list_transform(range(1, length($v) + 1), j -> ascii(substr($v, j, 1))::BIGINT)),
-             |      (h, ch) -> (h * 31 + ch) % ${Portable.P})""".stripMargin
+        // per-line/page polyhash replay — the ONE shared fragment
+        def lineh(v: String): String = Portable.duckPolyHashSql(v)
         s"""WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
            |tk AS (SELECT doc_id, t, ${Portable.duckToksSql("t")} AS ts FROM base),
            |ph AS (SELECT doc_id, ts, ${lineh("t")} AS pageh FROM tk),

@@ -208,6 +208,27 @@ class LlmOpsEdgeSpec extends SparkSpec {
     assert(got.exists(_._2._4 == 1), "some page must carry the brace injection")
     assert(got.exists(r => r._2._5 == 0 && r._2._3 == 0 && r._2._4 == 0),
       "some page must fail on the < 3 retained lines rule alone")
+    // ... and the LINE-level rules too: count, via the model's own line
+    // construction, how many fixture lines each rule drops — if a noise
+    // modulus or threshold edit made one vanish, md5 parity would still
+    // pass and keep would still split via the <3-lines path, so pin the
+    // per-rule counts explicitly
+    def ph(s: String): Long = HashExpressions.evalPolyHash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    var nPunct, nWords, nJs = 0
+    docs.values.foreach { text =>
+      val ts = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      ts.grouped(8).map(_.mkString(" ")).foreach { raw =>
+        val h = ph(raw)
+        val l = raw + (if (h % 3 == 0) "" else if (h % 7 == 0) " javascript tip here today." else ".")
+        if (!".!?".contains(l.last)) nPunct += 1
+        else if (l.contains("javascript")) nJs += 1
+        else if (l.split(" ").length < 5) nWords += 1
+      }
+    }
+    assert(nPunct > 0, "the terminal-punctuation rule must drop some fixture lines")
+    assert(nWords > 0, "the >= 5-words rule must drop some fixture lines")
+    assert(nJs > 0, "the javascript rule must drop some fixture lines")
     // keep=1 implies all gates passed
     got.filter(_._2._5 == 1).foreach { case (id, (_, nk, hl, hb, _, _)) =>
       assert(nk >= 3 && hl == 0 && hb == 0, s"doc $id: keep=1 with a failing gate")
