@@ -59,6 +59,17 @@ def make_text(rnd):
         return ""                                   # empty
     if kind < 0.10:
         return rnd.choice(["!!!", "...", "\x0b\x0b", "  ", "123"])
+    if kind < 0.14:
+        # c4_rules keyword hostility: the gate's page/line needles appear
+        # in RAW text (not only via the deterministic injection), so both
+        # engines must agree on substring hits over constructed lines that
+        # mix raw keywords with ordinary tokens
+        return rnd.choice([
+            "lorem ipsum dolor sit amet the quick brown fox jumps over it",
+            "enable javascript to view this site please and thank you now",
+            "var x = { a: 1 } function y { return } the end of the page",
+            "lorem ipsum " * rnd.randint(1, 6) + "tail",
+        ])
     n = rnd.randint(3, 60)
     parts = []
     for _ in range(n):
