@@ -522,6 +522,115 @@ object CorpusOps {
          |    CAST(SUM(w.w) AS BIGINT) AS score, COUNT(*) AS n_toks
          |  FROM toks JOIN w USING (term) GROUP BY doc_id, lang)
          |SELECT doc_id, lang, n_toks, score, score // n_toks AS score_per_tok
-         |FROM scored ORDER BY score_per_tok DESC, doc_id LIMIT 50""".stripMargin)
+         |FROM scored ORDER BY score_per_tok DESC, doc_id LIMIT 50""".stripMargin),
+
+    // ---- DSIR with HASHED n-gram features (Xie et al. 2023 §3.1 — the
+    // paper's actual scale device): `sample_importance`'s weight table is
+    // VOCAB-keyed, so it grows with the corpus; here the bigram feature
+    // space is hashed into B = 8192 fixed buckets, making the importance
+    // model — raw/target counts and their ratio weights — AT MOST B rows
+    // at ANY corpus size, with Laplace smoothing (+1/+1) so buckets
+    // unseen in the target still carry a defined weight. All arithmetic
+    // is int64 and bitwise engine-identical: per-token polyhash (native
+    // `graft_token_hashes`, codegen'd), bucket = ((h1*MIX + h2) % P) % B
+    // (h < P ≈ 1e9, so h*MIX ≈ 2.7e18 stays in int64), weight
+    // w = ((tc+1)*1e6) div (sc+1) — exact until a SINGLE bucket holds
+    // ~9.2e12 target tokens, at which point B is mis-sized long before
+    // the arithmetic wraps. Scale shape: ONE tokenize+hash+explode pass
+    // persisted as slim (doc_id, lang, bkt) rows; both count tables are
+    // partial+final aggs with ≤ B groups (combiner-perfect — every map
+    // task emits ≤ B partial rows regardless of input size); the weight
+    // table re-enters as a ≤ B-row BROADCAST that can never outgrow the
+    // threshold (the vocab-keyed variant's documented risk); the per-doc
+    // score is one partial+final sum. Docs with < 2 tokens have no
+    // bigram rows and drop from the ranking in both engines. -------------
+    "importance_hashed" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.Portable.{MIX, P}
+        graft.functions.HashExpressions.register(s)
+        val feats = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            expr("graft_token_hashes(text)").as("th"))
+          // sequence(2, size) is DESCENDING for size < 2 (the chunk_text
+          // pitfall) — the CASE guards it and types the empty branch
+          .select(col("doc_id"), col("lang"),
+            explode(expr(
+              "CASE WHEN size(th) >= 2 THEN transform(sequence(2, size(th)), " +
+                s"i -> ((element_at(th, i - 1) * ${MIX}L + element_at(th, i)) % ${P}L) % 8192) " +
+                "ELSE CAST(array() AS array<bigint>) END")).as("bkt"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val src = feats.groupBy(col("bkt")).agg(count(lit(1)).as("sc"))
+        val tgt = feats.filter(col("lang") === "en")
+          .groupBy(col("bkt")).agg(count(lit(1)).as("tc"))
+        val weights = src.join(tgt, Seq("bkt"), "left")
+          .selectExpr("bkt", "((coalesce(tc, 0L) + 1L) * 1000000L) div (sc + 1L) AS w")
+        feats.join(broadcast(weights), "bkt")
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(sum(col("w")).as("score"), count(lit(1)).as("n_bigrams"))
+          .selectExpr("doc_id", "lang", "n_bigrams", "score",
+            "score div n_bigrams AS score_per_bigram")
+          .transform(Sorted.byNames(_, "doc_id"))
+      },
+      s"""WITH th AS (SELECT doc_id, lang,
+         |    ${graft.functions.Portable.duckHashTokensSql(duckToks)} AS th
+         |  FROM documents),
+         |f AS (SELECT doc_id, lang, unnest(CASE WHEN len(th) >= 2
+         |    THEN list_transform(range(2, len(th) + 1),
+         |      i -> ((th[i-1] * ${graft.functions.Portable.MIX} + th[i]) % ${graft.functions.Portable.P}) % 8192)
+         |    ELSE CAST([] AS BIGINT[]) END) AS bkt FROM th),
+         |src AS (SELECT bkt, COUNT(*)::BIGINT AS sc FROM f GROUP BY bkt),
+         |tgt AS (SELECT bkt, COUNT(*)::BIGINT AS tc FROM f WHERE lang = 'en' GROUP BY bkt),
+         |w AS (SELECT src.bkt, ((COALESCE(tc, 0) + 1) * 1000000) // (sc + 1) AS w
+         |  FROM src LEFT JOIN tgt USING (bkt))
+         |SELECT doc_id, lang, COUNT(*) AS n_bigrams,
+         |  CAST(SUM(w.w) AS BIGINT) AS score,
+         |  CAST(SUM(w.w) AS BIGINT) // COUNT(*) AS score_per_bigram
+         |FROM f JOIN w USING (bkt) GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin),
+
+    // ---- corpus data card: the per-(source, lang) composition report a
+    // curation run publishes beside the released dataset (doc/token/char
+    // totals, length extremes, integer mean) with per-source subtotals
+    // and a grand total — the "datasheet" aggregation every release
+    // pipeline runs last. ONE corpus-linear pass: tokenize map-side
+    // (codegen'd split+filter; only size() crosses the agg boundary, the
+    // token array itself is never shuffled), then a single partial+final
+    // ROLLUP agg — the result is |source × lang| + |source| + 1 rows at
+    // any corpus size. Rollup nulls fold to the '__all__' sentinel and
+    // the grouping LEVEL disambiguates them from any real value, so the
+    // frame is deterministic and oracle-hashable even if a raw source or
+    // lang value were itself null. ---------------------------------------
+    "corpus_stats" -> QueryDef(
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .select(col("source"), col("lang"), col("n_chars"),
+            expr(s"size($toksExpr)").cast("long").as("n_tokens"))
+          .rollup(col("source"), col("lang"))
+          .agg(
+            (grouping(col("source")) * 2 + grouping(col("lang"))).cast("int").as("lvl"),
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("tot_tokens"),
+            sum(col("n_chars")).as("tot_chars"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"))
+          .select(col("lvl"),
+            coalesce(col("source"), lit("__all__")).as("src"),
+            coalesce(col("lang"), lit("__all__")).as("lng"),
+            col("n_docs"), col("tot_tokens"), col("tot_chars"),
+            col("min_chars"), col("max_chars"),
+            expr("tot_chars div n_docs").as("avg_chars"))
+          .transform(Sorted.byNames(_, "lvl", "src", "lng"))
+      },
+      // CAST(SUM(...) AS BIGINT): DuckDB's SUM(BIGINT) is HUGEINT (the
+      // pack_sequences Arrow-type note); GROUPING() likewise widens
+      s"""WITH d AS (SELECT source, lang, n_chars,
+         |    CAST(len($duckToks) AS BIGINT) AS n_tokens FROM documents)
+         |SELECT CAST(GROUPING(source) * 2 + GROUPING(lang) AS INT) AS lvl,
+         |  COALESCE(source, '__all__') AS src, COALESCE(lang, '__all__') AS lng,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+         |  CAST(SUM(n_chars) AS BIGINT) AS tot_chars,
+         |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+         |  CAST(SUM(n_chars) AS BIGINT) // COUNT(*) AS avg_chars
+         |FROM d GROUP BY ROLLUP (source, lang) ORDER BY lvl, src, lng""".stripMargin)
   )
 }

@@ -62,6 +62,20 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** Banded candidate pairs (doc_a < doc_b) over a signature table —
+    * 4 bands × 4 lanes, the LSH recall knob; ONE definition shared by
+    * dedup_minhash and minhash_calibration (the Scala twin of
+    * [[duckBandsCte]]/[[duckCandCte]]'s one-definition rule). */
+  private def bandedCandidates(sig: DataFrame): DataFrame = {
+    val bands = sig.selectExpr("doc_id",
+      "explode(transform(sequence(0, 3), b -> struct(b AS band, concat_ws('_', slice(sig, b * 4 + 1, 4)) AS key))) AS bk")
+      .selectExpr("doc_id", "bk.band AS band", "bk.key AS key")
+    bands.alias("a")
+      .join(bands.alias("b"),
+        expr("a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"))
+      .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b").distinct()
+  }
+
   /** doc_id + distinct 3-token shingle hashes (guarded for short docs),
     * recomputed map-side per use — cheap native expression, poor cache
     * economics (see [[minhashSigTable]]). */
@@ -313,13 +327,7 @@ object Dedup {
       (s, dir) => {
         val sig = minhashSigTable(s, dir) // persisted slim: sig computed once
         val sh = shingles(s, dir)
-        val bands = sig.selectExpr("doc_id",
-          "explode(transform(sequence(0, 3), b -> struct(b AS band, concat_ws('_', slice(sig, b * 4 + 1, 4)) AS key))) AS bk")
-          .selectExpr("doc_id", "bk.band AS band", "bk.key AS key")
-        val cand = bands.alias("a")
-          .join(bands.alias("b"),
-            expr("a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"))
-          .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b").distinct()
+        val cand = bandedCandidates(sig)
         // sorted once per doc so the per-pair verify is the zero-allocation
         // merge count (graft_sorted_inter) — shingles are distinct by
         // construction, so the count equals set intersection exactly
@@ -421,6 +429,52 @@ object Dedup {
          |SELECT d.doc_id, CAST(dup.doc_id IS NULL AS INT) AS keep
          |FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
          |ORDER BY d.doc_id""".stripMargin),
+
+    // ---- MinHash sketch calibration: estimated vs exact Jaccard over the
+    // banded candidate pairs — the text-side analog of ann_recall_report
+    // ("measure the sketch in-engine, don't guess"). Per candidate pair
+    // the 16-lane signature agreement gives the estimator est =
+    // lanes/16 (per-mille, integer-exact); the exact Jaccard rides the
+    // same zero-allocation sorted-merge kernel as the verify stage. At
+    // 100 TB this is the calibration report run on a sample before
+    // trusting a band/width retune: the pair set is the BANDED candidates
+    // (bounded by bucket sizes, never all-pairs) and both signature
+    // columns come off the ONE persisted sig table dedup_minhash already
+    // materializes — the plans share the cache by construction. -----------
+    "minhash_calibration" -> QueryDef(
+      (s, dir) => {
+        val sig = minhashSigTable(s, dir)
+        val sh = shingles(s, dir)
+        bandedCandidates(sig)
+          .join(sig.selectExpr("doc_id AS doc_a", "sig AS sig_a"), "doc_a")
+          .join(sig.selectExpr("doc_id AS doc_b", "sig AS sig_b"), "doc_b")
+          .join(sh.selectExpr("doc_id AS doc_a", "sort_array(sh) AS sh_a"), "doc_a")
+          .join(sh.selectExpr("doc_id AS doc_b", "sort_array(sh) AS sh_b"), "doc_b")
+          .selectExpr("doc_a", "doc_b",
+            "CAST(aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (a, e) -> a + e) AS BIGINT) AS lanes",
+            "CAST(graft_sorted_inter(sh_a, sh_b) AS BIGINT) AS inter",
+            "CAST(size(sh_a) AS BIGINT) AS na", "CAST(size(sh_b) AS BIGINT) AS nb")
+          .selectExpr("doc_a", "doc_b", "lanes",
+            "(lanes * 1000L) div 16 AS est_mille",
+            "(inter * 1000L) div (na + nb - inter) AS exact_mille")
+          .selectExpr("doc_a", "doc_b", "lanes", "est_mille", "exact_mille",
+            "abs(est_mille - exact_mille) AS err_mille")
+          .transform(graft.Sorted.byNames(_, "doc_a", "doc_b"))
+      },
+      s"""WITH $duckSigCtes,
+         |$duckBandsCte,
+         |$duckCandCte,
+         |j AS (SELECT doc_a, doc_b,
+         |    CAST(list_sum(list_transform(range(1, 17),
+         |      li -> CASE WHEN sa.sig[li] = sb.sig[li] THEN 1 ELSE 0 END)) AS BIGINT) AS lanes,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+         |    CAST(len(sa.sh) AS BIGINT) AS na, CAST(len(sb.sh) AS BIGINT) AS nb
+         |  FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, lanes,
+         |  (lanes * 1000) // 16 AS est_mille,
+         |  (inter * 1000) // (na + nb - inter) AS exact_mille,
+         |  abs((lanes * 1000) // 16 - (inter * 1000) // (na + nb - inter)) AS err_mille
+         |FROM j ORDER BY doc_a, doc_b""".stripMargin),
 
     // ---- char-5-gram Jaccard near-dups with (lang, length-band) blocking --
     "dedup_ngram_jaccard" -> QueryDef(

@@ -568,6 +568,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "in-cell pairing must join on cell, never all-pairs")
   }
 
+  test("minhash_calibration: banded candidates only — no all-pairs; sorted-merge exact kernel") {
+    val p = plan("minhash_calibration")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "calibration pairs come from LSH bands, never an all-pairs product")
+    assert(p.contains("InMemoryRelation"),
+      "the signature table is the one persisted base dedup_minhash also reads")
+    assert(p.contains("graft_sorted_inter"),
+      "exact jaccard must ride the zero-allocation sorted-merge kernel")
+  }
+
+  test("importance_hashed: B-bounded weight table broadcasts; one persisted feature pass") {
+    val p = plan("importance_hashed")
+    // the hashed model is <= 8192 rows at ANY corpus size — it must enter
+    // as a broadcast, never shuffle the corpus side of the scoring join
+    assert(p.contains("BroadcastHashJoin"),
+      "the B-bounded weight table must broadcast onto the feature stream")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "no all-pairs shape anywhere in the scoring")
+    assert(p.contains("InMemoryRelation"),
+      "the slim (doc_id, lang, bkt) stream must persist — the raw/target counts " +
+        "and the scoring join-back all read it; without it the tokenize+hash " +
+        "pass executes three times")
+    assert(p.contains("partial_count"),
+      "bucket counting must be partial+final: every map task emits <= B partial rows")
+  }
+
+  test("corpus_stats: one rollup pass, no join, token arrays never shuffle") {
+    val p = plan("corpus_stats")
+    assert(!p.contains("Join"), "the data card is a single-input aggregation")
+    assert(p.contains("Expand"), "rollup grouping sets expand map-side")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      "the rollup agg must be partial+final — subtotal rows are combiner-merged, " +
+        "so only <= (|source x lang| + |source| + 1) x tasks partial rows shuffle")
+    // the token ARRAY must die map-side: size() is computed before the
+    // Expand/agg, so no exchange in the plan may carry an array column
+    val shuffled = "Arguments: hashpartitioning[^\\n]*".r.findAllIn(p).mkString("\n")
+    assert(!shuffled.contains("array<"),
+      s"token arrays must never shuffle — only their size() crosses the agg: $shuffled")
+  }
+
   test("streaming curation gate: native Bloom probe, no Scala UDF in the per-batch hot path") {
     // the gate runs once per micro-batch over every intake row — the one
     // place a boxed per-row UDF would sit directly in the streaming hot

@@ -186,6 +186,73 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r(0L) == ((0, 0, 1)))
   }
 
+  test("importance_hashed: full frame matches an independent in-JVM model; short docs drop") {
+    val d = tmpDir("imphash")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docs = Seq(
+      Row(0L, "alpha beta alpha beta alpha beta", "en", "w", 32L),
+      Row(1L, "alpha beta gamma", "en", "w", 16L),
+      Row(2L, "zeta eta theta", "de", "w", 14L), // bigrams unseen in target
+      Row(3L, "solo", "en", "w", 4L),            // 1 token: no bigrams -> absent
+      Row(4L, "", "en", "w", 0L))                // empty -> absent
+    spark.createDataFrame(spark.sparkContext.parallelize(docs, 1), docSchema)
+      .write.parquet(s"$d/documents.parquet")
+
+    // independent model: plain-Scala polyhash + bucket arithmetic, not the
+    // Catalyst expression path the operator rides
+    import graft.functions.Portable.{MIX, P}
+    def ph(t: String): Long = t.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % P)
+    def bks(s: String): Seq[Long] = {
+      val th = s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).map(ph)
+      (1 until th.length).map(i => ((th(i - 1) * MIX + th(i)) % P) % 8192L)
+    }
+    val corpus = docs.map(r => (r.getLong(0), r.getString(2), bks(r.getString(1))))
+    val sc = corpus.flatMap(_._3).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tc = corpus.filter(_._2 == "en").flatMap(_._3)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def w(b: Long): Long = ((tc.getOrElse(b, 0L) + 1L) * 1000000L) / (sc(b) + 1L)
+    val expected = corpus.filter(_._3.nonEmpty).map { case (id, lang, bs) =>
+      val score = bs.map(w).sum
+      (id, lang, bs.size.toLong, score, score / bs.size)
+    }.sortBy(_._1)
+
+    val got = run2("importance_hashed", d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == expected, s"got $got, expected $expected")
+    // and the target-typical doc outranks the out-of-target doc per-bigram
+    val byId = got.map(r => r._1 -> r._5).toMap
+    assert(byId(0L) > byId(2L),
+      "a doc made of target-frequent bigrams must score above one with target-unseen bigrams")
+  }
+
+  test("corpus_stats: rollup levels are consistent and the grand total is exact") {
+    val rows = run("corpus_stats").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+    val lvl0 = rows.filter(_._1 == 0)
+    val lvl1 = rows.filter(_._1 == 1)
+    val lvl3 = rows.filter(_._1 == 3)
+    assert(lvl3.length == 1 && lvl3.head._2 == "__all__" && lvl3.head._3 == "__all__",
+      "exactly one grand-total row")
+    assert(rows.count(_._1 == 2) == 0, "rollup(source, lang) never aggregates source alone")
+    // per-source subtotals are the sums of their (source, lang) rows
+    lvl1.foreach { s =>
+      val parts = lvl0.filter(_._2 == s._2)
+      assert(parts.map(_._4).sum == s._4, s"doc subtotal for ${s._2}")
+      assert(parts.map(_._5).sum == s._5, s"token subtotal for ${s._2}")
+      assert(parts.map(_._6).sum == s._6, s"char subtotal for ${s._2}")
+      assert(parts.map(_._7).min == s._7 && parts.map(_._8).max == s._8,
+        s"extremes for ${s._2}")
+    }
+    // grand total ties out against the subtotals and the integer mean rule
+    assert(lvl1.map(_._4).sum == lvl3.head._4 && lvl1.map(_._5).sum == lvl3.head._5)
+    rows.foreach(r => assert(r._6 / r._4 == r._9, s"avg_chars is tot div n for $r"))
+  }
+
   test("plan: map-side ops are shuffle-free; heavy join broadcasts; top-k is TakeOrdered") {
     Seq("pii_redact", "chunk_text").foreach { q =>
       val p = plan(q)

@@ -36,6 +36,23 @@ class DedupGoldenSpec extends SparkSpec {
     dir
   }
 
+  test("minhash_calibration: exact copies calibrate to zero error; estimator is the lane fraction") {
+    val dir = fixture()
+    val out = graft.SparkEntry.queries("minhash_calibration")(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val byPair = out.map(r => (r._1, r._2) -> r).toMap
+    val ex = byPair((3L, 6L))
+    assert(ex._3 == 16L && ex._4 == 1000L && ex._5 == 1000L && ex._6 == 0L,
+      s"identical docs must agree on every lane with zero calibration error: $ex")
+    val near = byPair((1L, 2L))
+    assert(near._5 >= 800L && near._5 < 1000L,
+      s"the near-dup pair's exact jaccard sits in the [0.8, 1.0) band: $near")
+    out.foreach { r =>
+      assert(r._4 == (r._3 * 1000) / 16, s"estimator must be the lane fraction: $r")
+      assert(r._6 == math.abs(r._4 - r._5), s"error column must tie out: $r")
+    }
+  }
+
   test("dedup_keep_best: the higher-quality member wins, not the min id") {
     val dir = fixture()
     val out = graft.SparkEntry.queries("dedup_keep_best")(spark, dir)
