@@ -53,6 +53,26 @@ object CorpusOps {
     "filter(split(lower(text), '[^a-z0-9]+'), t -> t != '')"
   private val duckToks = graft.functions.Portable.duckToksSql("text")
 
+  /** Hashed-bigram bucket explosion over a `th` token-hash column — the
+    * B = 8192 fixed feature space shared by `importance_hashed` and
+    * `source_drift` (one definition per engine, the duckSigCtes rule).
+    * bucket = ((h1*MIX + h2) % P) % B; h < P ≈ 1e9 so h*MIX ≈ 2.7e18
+    * stays in int64. `sequence(2, size)` is DESCENDING for size < 2 (the
+    * chunk_text pitfall) — the CASE guards it and types the empty branch. */
+  private val bigramBktExpr = {
+    import graft.functions.Portable.{MIX, P}
+    "CASE WHEN size(th) >= 2 THEN transform(sequence(2, size(th)), " +
+      s"i -> ((element_at(th, i - 1) * ${MIX}L + element_at(th, i)) % ${P}L) % 8192) " +
+      "ELSE CAST(array() AS array<bigint>) END"
+  }
+  private val duckBigramBkt = {
+    import graft.functions.Portable.{MIX, P}
+    s"""CASE WHEN len(th) >= 2
+       |    THEN list_transform(range(2, len(th) + 1),
+       |      i -> ((th[i-1] * $MIX + th[i]) % $P) % 8192)
+       |    ELSE CAST([] AS BIGINT[]) END""".stripMargin
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
 
     // ---- PII redaction: the fixture corpus is letters-only, so a
@@ -546,18 +566,12 @@ object CorpusOps {
     // bigram rows and drop from the ranking in both engines. -------------
     "importance_hashed" -> QueryDef(
       (s, dir) => {
-        import graft.functions.Portable.{MIX, P}
         graft.functions.HashExpressions.register(s)
         val feats = Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
             expr("graft_token_hashes(text)").as("th"))
-          // sequence(2, size) is DESCENDING for size < 2 (the chunk_text
-          // pitfall) — the CASE guards it and types the empty branch
           .select(col("doc_id"), col("lang"),
-            explode(expr(
-              "CASE WHEN size(th) >= 2 THEN transform(sequence(2, size(th)), " +
-                s"i -> ((element_at(th, i - 1) * ${MIX}L + element_at(th, i)) % ${P}L) % 8192) " +
-                "ELSE CAST(array() AS array<bigint>) END")).as("bkt"))
+            explode(expr(bigramBktExpr)).as("bkt"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         val src = feats.groupBy(col("bkt")).agg(count(lit(1)).as("sc"))
         val tgt = feats.filter(col("lang") === "en")
@@ -574,10 +588,7 @@ object CorpusOps {
       s"""WITH th AS (SELECT doc_id, lang,
          |    ${graft.functions.Portable.duckHashTokensSql(duckToks)} AS th
          |  FROM documents),
-         |f AS (SELECT doc_id, lang, unnest(CASE WHEN len(th) >= 2
-         |    THEN list_transform(range(2, len(th) + 1),
-         |      i -> ((th[i-1] * ${graft.functions.Portable.MIX} + th[i]) % ${graft.functions.Portable.P}) % 8192)
-         |    ELSE CAST([] AS BIGINT[]) END) AS bkt FROM th),
+         |f AS (SELECT doc_id, lang, unnest($duckBigramBkt) AS bkt FROM th),
          |src AS (SELECT bkt, COUNT(*)::BIGINT AS sc FROM f GROUP BY bkt),
          |tgt AS (SELECT bkt, COUNT(*)::BIGINT AS tc FROM f WHERE lang = 'en' GROUP BY bkt),
          |w AS (SELECT src.bkt, ((COALESCE(tc, 0) + 1) * 1000000) // (sc + 1) AS w
@@ -631,6 +642,65 @@ object CorpusOps {
          |  CAST(SUM(n_chars) AS BIGINT) AS tot_chars,
          |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
          |  CAST(SUM(n_chars) AS BIGINT) // COUNT(*) AS avg_chars
-         |FROM d GROUP BY ROLLUP (source, lang) ORDER BY lvl, src, lng""".stripMargin)
+         |FROM d GROUP BY ROLLUP (source, lang) ORDER BY lvl, src, lng""".stripMargin),
+
+    // ---- distribution-drift monitor: exact total-variation distance
+    // between each source's hashed-bigram distribution and the REST of the
+    // corpus — the check a pipeline runs before mixing a new crawl
+    // snapshot / source into the training pool (and the natural companion
+    // to importance_hashed: same B = 8192 fixed feature space). TVD
+    // = ½ Σ_b |p_s(b) − p_rest(b)| with both fractions as parts-per-1e9
+    // integer floor-divisions, so the statistic is bitwise
+    // engine-identical (exact while a source holds < 9.2e9 bigrams — past
+    // that, drop SCALE a decade; no transcendentals anywhere). Scale
+    // shape: the ONLY corpus-linear work is one tokenize+hash pass into a
+    // combiner-perfect (source, bkt) count (≤ |sources|·B groups — every
+    // map task emits ≤ that many partial rows); everything downstream
+    // operates on model-sized frames: per-source totals (|sources| rows),
+    // per-bucket totals (≤ B rows, broadcast), the 1-row grand total, and
+    // the |sources|×B grid that scores absent-bucket mass too. Sources
+    // with zero bigrams have no distribution and drop in both engines; a
+    // single-source corpus has no rest and yields an empty frame
+    // (n_r > 0 guard). ---------------------------------------------------
+    "source_drift" -> QueryDef(
+      (s, dir) => {
+        graft.functions.HashExpressions.register(s)
+        val sb = Tables.load(s, dir, "documents")
+          .select(col("source"), expr("graft_token_hashes(text)").as("th"))
+          .select(col("source"), explode(expr(bigramBktExpr)).as("bkt"))
+          .groupBy(col("source"), col("bkt")).agg(count(lit(1)).as("o"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val totals = sb.groupBy(col("source")).agg(sum(col("o")).as("n_s"))
+        val bt = sb.groupBy(col("bkt")).agg(sum(col("o")).as("c_b"))
+        val grand = sb.agg(sum(col("o")).as("n"))
+        totals.crossJoin(broadcast(bt)).crossJoin(broadcast(grand))
+          .join(sb, Seq("source", "bkt"), "left")
+          .filter(col("n") - col("n_s") > 0)
+          .selectExpr("source", "n_s", "n - n_s AS n_r",
+            "abs((coalesce(o, 0L) * 1000000000L) div n_s - " +
+              "((c_b - coalesce(o, 0L)) * 1000000000L) div (n - n_s)) AS d")
+          .groupBy(col("source"), col("n_s"), col("n_r"))
+          .agg(sum(col("d")).as("sd"))
+          .selectExpr("source", "n_s AS n_tokens", "n_r AS rest_tokens",
+            "sd div 2 AS tvd_ppb")
+          .transform(Sorted.byNames(_, "source"))
+      },
+      s"""WITH th AS (SELECT source,
+         |    ${graft.functions.Portable.duckHashTokensSql(duckToks)} AS th
+         |  FROM documents),
+         |f AS (SELECT source, unnest($duckBigramBkt) AS bkt FROM th),
+         |sb AS (SELECT source, bkt, COUNT(*)::BIGINT AS o FROM f GROUP BY source, bkt),
+         |t AS (SELECT source, CAST(SUM(o) AS BIGINT) AS n_s FROM sb GROUP BY source),
+         |bt AS (SELECT bkt, CAST(SUM(o) AS BIGINT) AS c_b FROM sb GROUP BY bkt),
+         |g AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM sb),
+         |d AS (SELECT t.source, t.n_s, g.n - t.n_s AS n_r,
+         |    ABS((COALESCE(o, 0) * 1000000000) // t.n_s -
+         |        ((bt.c_b - COALESCE(o, 0)) * 1000000000) // (g.n - t.n_s)) AS d
+         |  FROM t CROSS JOIN bt CROSS JOIN g
+         |  LEFT JOIN sb ON sb.source = t.source AND sb.bkt = bt.bkt
+         |  WHERE g.n - t.n_s > 0)
+         |SELECT source, n_s AS n_tokens, n_r AS rest_tokens,
+         |  CAST(SUM(d) AS BIGINT) // 2 AS tvd_ppb
+         |FROM d GROUP BY source, n_s, n_r ORDER BY source""".stripMargin)
   )
 }

@@ -123,6 +123,52 @@ object Curation {
          |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
          |FROM comp ORDER BY doc_id""".stripMargin),
 
+    // ---- duplicate-cluster size histogram + singleton accounting: the
+    // dedup REPORT every released corpus publishes (how much of the
+    // corpus is duplicated, at what multiplicities, how many docs are
+    // unique) — the aggregate view over dedup_clusters' per-doc frame.
+    // Scale shape: CC runs on the near-dup pair graph only; the histogram
+    // is two combiner-friendly aggs over the cluster frame (≤ one row per
+    // cluster, then ≤ one row per DISTINCT SIZE — a frame that fits on a
+    // postcard at any corpus scale); the singleton row needs just the
+    // 1-row corpus count and the 1-row clustered count, joined by
+    // construction-bounded cross joins. ----------------------------------
+    "dedup_cluster_stats" -> QueryDef(
+      (s, dir) => {
+        val pairs = Dedup.defs("dedup_minhash").fn(s, dir).select("doc_a", "doc_b")
+        val comp = connectedComponents(pairs)
+        val hist = comp.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("csize"))
+          .groupBy(col("csize"))
+          .agg(count(lit(1)).as("n_clusters"), sum(col("csize")).as("n_docs"))
+          .selectExpr("csize AS cluster_size", "n_clusters", "n_docs")
+        val totals = Tables.load(s, dir, "documents").agg(count(lit(1)).as("n_total"))
+        val clustered = comp.agg(count(lit(1)).as("n_in"))
+        val singles = totals.crossJoin(clustered)
+          .selectExpr("CAST(1 AS BIGINT) AS cluster_size",
+            "n_total - n_in AS n_clusters", "n_total - n_in AS n_docs")
+        hist.union(singles).transform(graft.Sorted.byNames(_, "cluster_size"))
+      },
+      s"""WITH RECURSIVE ${Dedup.duckPairsCtes},
+         |sedges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |           UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |walk(id, label) AS (
+         |  SELECT DISTINCT src, src FROM sedges
+         |  UNION
+         |  SELECT e.dst, w.label FROM walk w JOIN sedges e ON e.src = w.id),
+         |comp AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY id),
+         |byc AS (SELECT cluster_id, COUNT(*)::BIGINT AS csize FROM comp GROUP BY cluster_id),
+         |hist AS (SELECT csize AS cluster_size, COUNT(*)::BIGINT AS n_clusters,
+         |    CAST(SUM(csize) AS BIGINT) AS n_docs FROM byc GROUP BY csize),
+         |tot AS (SELECT COUNT(*)::BIGINT AS n_total FROM documents),
+         |inc AS (SELECT COUNT(*)::BIGINT AS n_in FROM comp)
+         |SELECT * FROM (
+         |  SELECT cluster_size, n_clusters, n_docs FROM hist
+         |  UNION ALL
+         |  SELECT CAST(1 AS BIGINT), n_total - n_in, n_total - n_in
+         |  FROM tot CROSS JOIN inc)
+         |ORDER BY cluster_size""".stripMargin),
+
     // ---- cluster-canonical selection: within each near-dup cluster keep
     // the HIGHEST-QUALITY member (text_quality's exact score), not the
     // min-id — the production curation rule (dedup_clusters answers "what

@@ -62,19 +62,35 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
-  /** Banded candidate pairs (doc_a < doc_b) over a signature table —
-    * 4 bands × 4 lanes, the LSH recall knob; ONE definition shared by
-    * dedup_minhash and minhash_calibration (the Scala twin of
-    * [[duckBandsCte]]/[[duckCandCte]]'s one-definition rule). */
-  private def bandedCandidates(sig: DataFrame): DataFrame = {
+  /** Banded candidate pairs (doc_a < doc_b) over a signature table for an
+    * arbitrary (bands × width) split of the 16 lanes — the LSH recall
+    * knob as a parameter (minhash_band_sweep measures the alternatives;
+    * the operating point is [[bandedCandidates]]). */
+  private def bandedCandidatesCfg(sig: DataFrame, nb: Int, w: Int): DataFrame = {
+    require(nb * w == 16, s"band split must cover the 16 lanes: $nb x $w")
     val bands = sig.selectExpr("doc_id",
-      "explode(transform(sequence(0, 3), b -> struct(b AS band, concat_ws('_', slice(sig, b * 4 + 1, 4)) AS key))) AS bk")
+      s"explode(transform(sequence(0, ${nb - 1}), b -> struct(b AS band, concat_ws('_', slice(sig, b * $w + 1, $w)) AS key))) AS bk")
       .selectExpr("doc_id", "bk.band AS band", "bk.key AS key")
     bands.alias("a")
       .join(bands.alias("b"),
         expr("a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"))
       .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b").distinct()
   }
+
+  /** The operating point: 4 bands × 4 lanes; ONE definition shared by
+    * dedup_minhash and minhash_calibration (the Scala twin of
+    * [[duckBandsCte]]/[[duckCandCte]]'s one-definition rule). */
+  private def bandedCandidates(sig: DataFrame): DataFrame =
+    bandedCandidatesCfg(sig, 4, 4)
+
+  /** The sweep grid minhash_band_sweep measures — the realistic retune
+    * range around the 4×4 operating point. (16, 1) is deliberately
+    * excluded: width-1 buckets key on a SINGLE min-hash value, whose
+    * distribution is skewed toward small hashes (shared common shingles),
+    * so its bucket occupancy — and the candidate set — degenerates
+    * toward all-pairs on any corpus with shared boilerplate. ONE Scala
+    * list drives both engines' sweep SQL. */
+  private val bandSweepCfgs: Seq[(Int, Int)] = Seq((2, 8), (4, 4), (8, 2))
 
   /** doc_id + distinct 3-token shingle hashes (guarded for short docs),
     * recomputed map-side per use — cheap native expression, poor cache
@@ -475,6 +491,58 @@ object Dedup {
          |  (inter * 1000) // (na + nb - inter) AS exact_mille,
          |  abs((lanes * 1000) // 16 - (inter * 1000) // (na + nb - inter)) AS err_mille
          |FROM j ORDER BY doc_a, doc_b""".stripMargin),
+
+    // ---- LSH band-shape sweep: candidate volume + estimated-similarity
+    // profile at each realistic (bands × width) split of the 16 lanes —
+    // the retune report run BEFORE committing a band change on a 100 TB
+    // corpus (more bands/narrower keys = higher recall but more
+    // candidates; the sweep measures that trade on the corpus itself,
+    // completing minhash_calibration's est-vs-exact story). Per config:
+    // banded candidates (bounded by bucket occupancy, never all-pairs),
+    // lane-agreement per pair off the ONE persisted sig table (shared by
+    // all three configs AND dedup_minhash via the cache), then a 1-row
+    // aggregate — 3 rows total leave the final stage. All per-mille
+    // arithmetic is integer floor-division, engine-identical. -------------
+    "minhash_band_sweep" -> QueryDef(
+      (s, dir) => {
+        val sig = minhashSigTable(s, dir)
+        bandSweepCfgs.map { case (nb, w) =>
+          bandedCandidatesCfg(sig, nb, w)
+            .join(sig.selectExpr("doc_id AS doc_a", "sig AS sig_a"), "doc_a")
+            .join(sig.selectExpr("doc_id AS doc_b", "sig AS sig_b"), "doc_b")
+            .selectExpr(
+              "CAST(aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (a, e) -> a + e) AS BIGINT) AS lanes")
+            .agg(count(lit(1)).as("n_candidates"),
+              coalesce(sum(expr("(lanes * 1000L) div 16")), lit(0L)).as("sum_est"),
+              coalesce(sum(expr("IF((lanes * 1000L) div 16 >= 500, 1L, 0L)")), lit(0L)).as("n_est_ge_500"))
+            .selectExpr(s"CAST($nb AS BIGINT) AS bands", s"CAST($w AS BIGINT) AS width",
+              "n_candidates",
+              "IF(n_candidates = 0, 0L, sum_est div n_candidates) AS mean_est_mille",
+              "n_est_ge_500")
+        }.reduce(_.union(_)).transform(graft.Sorted.byNames(_, "bands"))
+      },
+      s"""WITH $duckSigCtes,
+         |${bandSweepCfgs.map { case (nb, w) =>
+             s"""bands_$nb AS (SELECT doc_id, b.band AS band,
+                |   array_to_string(sig[b.band * $w + 1 : b.band * $w + $w], '_') AS key
+                |  FROM sig, (SELECT unnest(range(0, $nb)) AS band) b),
+                |cand_$nb AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                |  FROM bands_$nb a JOIN bands_$nb b
+                |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+                |l_$nb AS (SELECT CAST(list_sum(list_transform(range(1, 17),
+                |      li -> CASE WHEN sa.sig[li] = sb.sig[li] THEN 1 ELSE 0 END)) AS BIGINT) AS lanes
+                |  FROM cand_$nb JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b),
+                |r_$nb AS (SELECT CAST($nb AS BIGINT) AS bands, CAST($w AS BIGINT) AS width,
+                |    COUNT(*) AS n_candidates,
+                |    COALESCE(CAST(SUM((lanes * 1000) // 16) AS BIGINT), 0) AS sum_est,
+                |    COALESCE(CAST(SUM(CASE WHEN (lanes * 1000) // 16 >= 500 THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_est_ge_500
+                |  FROM l_$nb)""".stripMargin
+           }.mkString(",\n")}
+         |SELECT bands, width, n_candidates,
+         |  CASE WHEN n_candidates = 0 THEN 0 ELSE sum_est // n_candidates END AS mean_est_mille,
+         |  n_est_ge_500
+         |FROM (${bandSweepCfgs.map { case (nb, _) => s"SELECT * FROM r_$nb" }.mkString(" UNION ALL ")})
+         |ORDER BY bands""".stripMargin),
 
     // ---- char-5-gram Jaccard near-dups with (lang, length-band) blocking --
     "dedup_ngram_jaccard" -> QueryDef(

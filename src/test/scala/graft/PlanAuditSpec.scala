@@ -608,6 +608,37 @@ class PlanAuditSpec extends SparkSpec {
       s"token arrays must never shuffle — only their size() crosses the agg: $shuffled")
   }
 
+  test("source_drift: corpus work ends at one combiner agg; model frames broadcast, never all-pairs") {
+    val p = plan("source_drift")
+    assert(p.contains("partial_count"),
+      "the (source, bkt) count must be partial+final — every map task emits <= |sources| x B partial rows")
+    assert(!p.contains("CartesianProduct"),
+      "the sources x buckets grid must build from broadcast nested-loop over MODEL-sized frames, never a partitioned cartesian")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the <= B-row bucket-totals and 1-row grand-total frames enter the grid as broadcasts")
+    assert(p.contains("InMemoryRelation"),
+      "the (source, bkt) counts persist — totals, bucket totals, grand total and the grid join all read it; " +
+        "without it the corpus tokenize+hash pass executes four times")
+  }
+
+  test("minhash_band_sweep: every config's candidates come from equi band joins on the shared sig cache") {
+    val p = plan("minhash_band_sweep")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "band-bucket joins are equi-joins at every (bands, width) config — never all-pairs")
+    assert(p.contains("InMemoryRelation"),
+      "all three configs band over the ONE persisted signature table dedup_minhash materializes")
+    assert(p.contains("partial_count"),
+      "per-config candidate aggregation must be partial+final: 3 rows leave the final stage")
+  }
+
+  test("dedup_cluster_stats: histogram aggregates are combiner-merged; no partitioned cartesian") {
+    val p = plan("dedup_cluster_stats")
+    assert(!p.contains("CartesianProduct"),
+      "the singleton row joins two 1-row aggregates — broadcast nested-loop, never a partitioned cartesian")
+    assert(p.contains("partial_count"),
+      "cluster sizing and the size histogram must both be partial+final aggs")
+  }
+
   test("streaming curation gate: native Bloom probe, no Scala UDF in the per-batch hot path") {
     // the gate runs once per micro-batch over every intake row — the one
     // place a boxed per-row UDF would sit directly in the streaming hot

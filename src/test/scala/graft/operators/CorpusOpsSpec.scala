@@ -229,6 +229,57 @@ class CorpusOpsSpec extends SparkSpec {
       "a doc made of target-frequent bigrams must score above one with target-unseen bigrams")
   }
 
+  test("source_drift: full frame matches an independent in-JVM TVD model; identical sources read zero") {
+    val d = tmpDir("srcdrift")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docs = Seq(
+      // a and b are IDENTICAL corpora (same bigram multiset), c diverges
+      Row(0L, "alpha beta gamma delta", "en", "a", 22L),
+      Row(1L, "alpha beta gamma delta", "en", "b", 22L),
+      Row(2L, "omega psi chi phi omega psi", "en", "c", 26L),
+      Row(3L, "solo", "en", "d", 4L)) // 1 token: no bigrams -> source drops
+    spark.createDataFrame(spark.sparkContext.parallelize(docs, 1), docSchema)
+      .write.parquet(s"$d/documents.parquet")
+
+    // independent model: plain-Scala polyhash + TVD arithmetic
+    import graft.functions.Portable.{MIX, P}
+    def ph(t: String): Long = t.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % P)
+    def bks(s: String): Seq[Long] = {
+      val th = s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).map(ph)
+      (1 until th.length).map(i => ((th(i - 1) * MIX + th(i)) % P) % 8192L)
+    }
+    val bySrc = docs.map(r => r.getString(3) -> bks(r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.flatMap(_._2)).toMap
+      .filter(_._2.nonEmpty)
+    val all = bySrc.values.flatten.toSeq
+    val n = all.size.toLong
+    val cb = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = bySrc.toSeq.sortBy(_._1).flatMap { case (src, bs) =>
+      val ns = bs.size.toLong
+      val nr = n - ns
+      if (nr == 0) None else {
+        val o = bs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val sd = cb.keys.toSeq.map { b =>
+          val ob = o.getOrElse(b, 0L)
+          math.abs(ob * 1000000000L / ns - (cb(b) - ob) * 1000000000L / nr)
+        }.sum
+        Some((src, ns, nr, sd / 2))
+      }
+    }
+    val got = run2("source_drift", d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected, s"got $got, expected $expected")
+    // structural reads: the 1-token source is absent; the identical pair
+    // drifts LESS from the rest than the divergent source
+    assert(!got.exists(_._1 == "d"), "a source with no bigrams has no distribution")
+    val byName = got.map(r => r._1 -> r._4).toMap
+    assert(byName("c") > byName("a"),
+      "the divergent source must read more drift than a source mirrored in the rest")
+  }
+
   test("corpus_stats: rollup levels are consistent and the grand total is exact") {
     val rows = run("corpus_stats").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3),

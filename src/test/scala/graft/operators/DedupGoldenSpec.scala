@@ -53,6 +53,53 @@ class DedupGoldenSpec extends SparkSpec {
     }
   }
 
+  test("minhash_band_sweep: nested band splits give monotone candidate sets; 4x4 row ties to calibration") {
+    val dir = fixture()
+    val rows = graft.SparkEntry.queries("minhash_band_sweep")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.map(r => (r._1, r._2)) == Seq((2L, 8L), (4L, 4L), (8L, 2L)),
+      s"one row per sweep config, bands ascending: $rows")
+    // width-w bands split exactly into width-w/2 bands, so a pair sharing
+    // a wide band shares both halves: candidates are SUPERSETS as width
+    // shrinks — n_candidates must be nondecreasing in bands
+    val n = rows.map(_._3)
+    assert(n == n.sorted, s"candidate volume must grow with band count: $rows")
+    // the exact-copy pair (3, 6) agrees on every lane — it is a candidate
+    // at every config, with est 1000
+    assert(n.forall(_ >= 1L), s"the exact-copy pair must surface at every config: $rows")
+    assert(rows.forall(_._5 >= 1L), s"est >= 0.5 must include the exact pair at every config: $rows")
+    // the (4, 4) row measures the SAME candidate set minhash_calibration
+    // reports per-pair — the counts must tie out
+    val calPairs = graft.SparkEntry.queries("minhash_calibration")(spark, dir).count()
+    assert(rows.find(_._1 == 4L).get._3 == calPairs,
+      "the 4x4 sweep row and the calibration pair frame must see one candidate set")
+  }
+
+  test("dedup_cluster_stats: histogram ties out against the per-doc cluster frame") {
+    val dir = fixture()
+    val stats = graft.SparkEntry.queries("dedup_cluster_stats")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    val clusters = graft.SparkEntry.queries("dedup_clusters")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    val nTotal = 4L
+    // every doc is accounted for exactly once: clustered docs in their
+    // size rows, the rest in the singleton row
+    assert(stats.map(_._3).sum == nTotal, s"n_docs must partition the corpus: $stats")
+    // multiplicity invariant for real clusters: n_docs = size x n_clusters
+    stats.filter(_._1 >= 2L).foreach { r =>
+      assert(r._3 == r._1 * r._2, s"cluster_size x n_clusters != n_docs in $r")
+    }
+    // recompute the histogram from the per-doc frame — must match exactly
+    val fromFrame = clusters.groupBy(_._2).map(_._2.size.toLong)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    stats.filter(_._1 >= 2L).foreach { r =>
+      assert(fromFrame.getOrElse(r._1, 0L) == r._2, s"histogram row $r disagrees with dedup_clusters")
+    }
+    val singleton = stats.find(_._1 == 1L).get
+    assert(singleton._2 == nTotal - clusters.length,
+      s"singleton count must be corpus minus clustered docs: $singleton vs ${clusters.length}")
+  }
+
   test("dedup_keep_best: the higher-quality member wins, not the min id") {
     val dir = fixture()
     val out = graft.SparkEntry.queries("dedup_keep_best")(spark, dir)

@@ -34,7 +34,8 @@ mix_rebalance length_buckets pack_sequences curate_corpus
 split_leakage_safe bm25_rank tokenizer_vocab tokenizer_apply
 cms_heavy_hitters sample_importance gopher_rules mix_temperature
 mix_temperature_a25 ccnet_buckets c4_rules shard_shuffle
-importance_hashed corpus_stats minhash_calibration""".split()
+importance_hashed corpus_stats minhash_calibration
+source_drift minhash_band_sweep dedup_cluster_stats""".split()
 
 EMB_QUERIES = """ann_cosine_topk ann_cosine_bucketed ann_ivf_probe
 ann_ivf_nprobe ann_ivf_pq ann_recall_report dedup_embedding_cosine
