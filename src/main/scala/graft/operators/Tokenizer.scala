@@ -170,6 +170,47 @@ object Tokenizer {
          |  CAST(SUM(wl) AS BIGINT) AS n_token_chars,
          |  CAST(CAST(SUM(wl) AS BIGINT) AS DOUBLE) / CAST(SUM(ns) AS BIGINT) AS chars_per_symbol
          |FROM dw JOIN enc USING (word)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // ---- per-language fertility of the learned tokenizer: mean BPE
+    // symbols per word (per-mille, integer-exact) — THE multilingual
+    // tokenizer-eval metric (a high-fertility language pays proportionally
+    // more compute per word at training AND inference, which is how
+    // vocab-allocation decisions are made). Same machinery as
+    // tokenizer_apply — the trained encodings broadcast onto one corpus
+    // word explode — but rolled up to |langs| rows: the aggregation is
+    // combiner-perfect (≤ |langs| partial rows per map task) and the
+    // whole result fits on a postcard at any corpus size. -----------------
+    "tokenizer_fertility" -> QueryDef(
+      (s, dir) => {
+        val words = train(s, dir)._1
+        Tables.load(s, dir, "documents")
+          .selectExpr("lang",
+            s"explode(${graft.functions.Portable.tokensSql("text")}) AS word")
+          .join(broadcast(words.selectExpr("word",
+            "size(split(trim(enc), '  ')) AS ns", "length(word) AS wl")), "word")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("ns")).as("n_symbols"),
+            sum(col("wl")).as("n_chars"))
+          .selectExpr("lang", "n_words", "n_symbols", "n_chars",
+            "(n_symbols * 1000L) div n_words AS fertility_mille",
+            "(n_chars * 1000L) div n_symbols AS chars_per_symbol_mille")
+          .transform(graft.Sorted.byNames(_, "lang"))
+      },
+      s"""WITH $duckTrain,
+         |dtoks AS (SELECT lang,
+         |    ${graft.functions.Portable.duckToksSql("text")} AS ts
+         |  FROM documents),
+         |dw AS (SELECT lang, unnest(ts) AS word FROM dtoks),
+         |enc AS (SELECT word, len(string_split(trim(enc), '  ')) AS ns, length(word) AS wl FROM w$Steps),
+         |agg AS (SELECT lang, COUNT(*) AS n_words,
+         |    CAST(SUM(ns) AS BIGINT) AS n_symbols,
+         |    CAST(SUM(wl) AS BIGINT) AS n_chars
+         |  FROM dw JOIN enc USING (word) GROUP BY lang)
+         |SELECT lang, n_words, n_symbols, n_chars,
+         |  (n_symbols * 1000) // n_words AS fertility_mille,
+         |  (n_chars * 1000) // n_symbols AS chars_per_symbol_mille
+         |FROM agg ORDER BY lang""".stripMargin)
   )
 }

@@ -35,7 +35,8 @@ split_leakage_safe bm25_rank tokenizer_vocab tokenizer_apply
 cms_heavy_hitters sample_importance gopher_rules mix_temperature
 mix_temperature_a25 ccnet_buckets c4_rules shard_shuffle
 importance_hashed corpus_stats minhash_calibration
-source_drift minhash_band_sweep dedup_cluster_stats""".split()
+source_drift minhash_band_sweep dedup_cluster_stats
+tokenizer_fertility""".split()
 
 EMB_QUERIES = """ann_cosine_topk ann_cosine_bucketed ann_ivf_probe
 ann_ivf_nprobe ann_ivf_pq ann_recall_report dedup_embedding_cosine
