@@ -504,7 +504,134 @@ object Curation {
          |    ((doc_id % 999983) * $MIX + 5081) % $P AS skey FROM documents)
          |SELECT doc_id, lang, CAST(skey % 8 AS INT) AS shard, skey,
          |  ROW_NUMBER() OVER (PARTITION BY skey % 8 ORDER BY skey, doc_id) AS pos
-         |FROM h ORDER BY shard, pos""".stripMargin)
+         |FROM h ORDER BY shard, pos""".stripMargin),
+
+    // ---- packing-length sweep: the padding cost of the concat-and-chunk
+    // dataloader (GPT-style: concatenate a partition's docs, cut into
+    // fixed-L sequences, pad the last) at each candidate context length —
+    // the report read BEFORE choosing L and the shard granularity.
+    // pack_sequences assigns docs to packs at ONE L; this sweeps L over
+    // {1024, 2048, 4096, 8192} and prices the trailing-pad waste that
+    // partition granularity (the per-(lang, shard) packing unit) costs at
+    // each choice: n_seqs = Σ_partitions ceil(chars/L), pad = n_seqs*L −
+    // chars, utilization in per-mille. All int64 (chars*1000 ≈ 1e17 at
+    // 100 TB — in range). Scale shape: ONE corpus partial+final count to
+    // the partition-totals frame (|langs|·|shards| rows), then a broadcast
+    // 4-row cross join and a 4-group agg — the sweep costs one count pass
+    // regardless of how many L values it prices. ---------------------------
+    "pack_efficiency" -> QueryDef(
+      (s, dir) => {
+        val parts = Tables.load(s, dir, "documents")
+          .withColumn("shard", expr("doc_id div 1000"))
+          .groupBy(col("lang"), col("shard"))
+          .agg(sum(col("n_chars")).as("part_chars"))
+        val lens =
+          s.sql("SELECT explode(array(1024L, 2048L, 4096L, 8192L)) AS seq_len")
+        parts.crossJoin(broadcast(lens))
+          .groupBy(col("seq_len"))
+          .agg(count(lit(1)).as("n_partitions"),
+            sum(expr("(part_chars + seq_len - 1) div seq_len")).as("n_seqs"),
+            sum(col("part_chars")).as("total_chars"))
+          .selectExpr("seq_len", "n_partitions", "n_seqs", "total_chars",
+            "n_seqs * seq_len - total_chars AS pad_chars",
+            "(total_chars * 1000L) div (n_seqs * seq_len) AS util_pm")
+          .orderBy("seq_len")
+      },
+      """WITH parts AS (SELECT lang, doc_id // 1000 AS shard,
+        |    CAST(SUM(n_chars) AS BIGINT) AS part_chars
+        |  FROM documents GROUP BY 1, 2),
+        |lens AS (SELECT CAST(UNNEST([1024, 2048, 4096, 8192]) AS BIGINT) AS seq_len),
+        |sw AS (SELECT seq_len, COUNT(*) AS n_partitions,
+        |    CAST(SUM((part_chars + seq_len - 1) // seq_len) AS BIGINT) AS n_seqs,
+        |    CAST(SUM(part_chars) AS BIGINT) AS total_chars
+        |  FROM parts CROSS JOIN lens GROUP BY seq_len)
+        |SELECT seq_len, n_partitions, n_seqs, total_chars,
+        |  n_seqs * seq_len - total_chars AS pad_chars,
+        |  (total_chars * 1000) // (n_seqs * seq_len) AS util_pm
+        |FROM sw ORDER BY seq_len""".stripMargin),
+
+    // ---- filter-funnel attrition report: per-stage docs-in/kept/dropped
+    // for the canonical gate order (exact dedup → length → repetition →
+    // stop words) — the pipeline card every released corpus publishes
+    // (RefinedWeb Fig. 2 / FineWeb's "macrodata refinement" table). The
+    // gates are the engine's OWN: curate_corpus's canonical-digest dedup
+    // and uniq-ratio gate, gopher_rules' stop-word rule (fixture
+    // instantiation, ≥ 1). Every per-doc flag computes in ONE corpus
+    // pass (map-side HOFs + the digest group-join); the funnel itself is
+    // a single partial+final agg unpivoted to 5 rows — adding a stage
+    // adds a column to the agg, not a pass over the corpus. Null-text
+    // docs keep their row (LEFT join; no digest ⇒ trivially canonical)
+    // and die at the length gate, so docs_in at ingest is the true
+    // corpus count at any decade. -----------------------------------------
+    "quality_funnel" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val canon = d.groupBy(graft.functions.Portable.contentDigest.as("digest"))
+          .agg(min(col("doc_id")).as("canonical_id"))
+        val flags = d.withColumn("digest", graft.functions.Portable.contentDigest)
+          .join(canon, Seq("digest"), "left")
+          .selectExpr(
+            "CASE WHEN digest IS NULL THEN 1 WHEN doc_id = canonical_id THEN 1 ELSE 0 END AS g_dedup",
+            s"${graft.functions.Portable.tokensSql("coalesce(text, '')")} AS toks")
+          .selectExpr("g_dedup", "size(toks) AS n_toks",
+            "size(array_distinct(toks)) AS n_uniq",
+            "size(array_intersect(array_distinct(toks), " +
+              "array('the','be','to','of','and','that','have','with'))) AS stop_hits")
+          .selectExpr("g_dedup",
+            "IF(n_toks BETWEEN 20 AND 5000, 1, 0) AS g_len",
+            "IF(n_toks > 0 AND CAST(n_uniq AS DOUBLE) / n_toks >= 0.2, 1, 0) AS g_uniq",
+            "IF(stop_hits >= 1, 1, 0) AS g_stop")
+        flags.agg(count(lit(1)).as("n0"),
+            sum(col("g_dedup")).as("n1"),
+            sum(expr("g_dedup * g_len")).as("n2"),
+            sum(expr("g_dedup * g_len * g_uniq")).as("n3"),
+            sum(expr("g_dedup * g_len * g_uniq * g_stop")).as("n4"))
+          .selectExpr(
+            """stack(5,
+              |  1, 'ingest',          n0, n0,
+              |  2, 'exact_dedup',     n0, n1,
+              |  3, 'length_gate',     n1, n2,
+              |  4, 'repetition_gate', n2, n3,
+              |  5, 'stopword_gate',   n3, n4) AS (stage_ord, stage, docs_in, docs_kept)""".stripMargin)
+          .selectExpr("stage_ord", "stage", "docs_in", "docs_kept",
+            "docs_in - docs_kept AS dropped",
+            "IF(docs_in = 0, 0L, (docs_in - docs_kept) * 1000L div docs_in) AS drop_pm")
+          .orderBy("stage_ord")
+      },
+      s"""WITH canon AS (SELECT md5(text) AS digest, MIN(doc_id) AS canonical_id
+         |  FROM documents GROUP BY 1),
+         |fl0 AS (SELECT
+         |    CASE WHEN md5(d.text) IS NULL THEN 1
+         |         WHEN d.doc_id = canonical_id THEN 1 ELSE 0 END AS g_dedup,
+         |    ${graft.functions.Portable.duckToksSql("coalesce(d.text, '')")} AS toks
+         |  FROM documents d LEFT JOIN canon ON md5(d.text) = digest),
+         |fl1 AS (SELECT g_dedup, len(toks) AS n_toks,
+         |    len(list_distinct(toks)) AS n_uniq,
+         |    len(list_intersect(list_distinct(toks),
+         |      ['the','be','to','of','and','that','have','with'])) AS stop_hits
+         |  FROM fl0),
+         |fl AS (SELECT g_dedup,
+         |    CASE WHEN n_toks BETWEEN 20 AND 5000 THEN 1 ELSE 0 END AS g_len,
+         |    CASE WHEN n_toks > 0 AND CAST(n_uniq AS DOUBLE) / n_toks >= 0.2 THEN 1 ELSE 0 END AS g_uniq,
+         |    CASE WHEN stop_hits >= 1 THEN 1 ELSE 0 END AS g_stop
+         |  FROM fl1),
+         |a AS (SELECT COUNT(*) AS n0,
+         |    CAST(SUM(g_dedup) AS BIGINT) AS n1,
+         |    CAST(SUM(g_dedup * g_len) AS BIGINT) AS n2,
+         |    CAST(SUM(g_dedup * g_len * g_uniq) AS BIGINT) AS n3,
+         |    CAST(SUM(g_dedup * g_len * g_uniq * g_stop) AS BIGINT) AS n4
+         |  FROM fl),
+         |st AS (
+         |  SELECT 1 AS stage_ord, 'ingest' AS stage, n0 AS docs_in, n0 AS docs_kept FROM a
+         |  UNION ALL SELECT 2, 'exact_dedup', n0, n1 FROM a
+         |  UNION ALL SELECT 3, 'length_gate', n1, n2 FROM a
+         |  UNION ALL SELECT 4, 'repetition_gate', n2, n3 FROM a
+         |  UNION ALL SELECT 5, 'stopword_gate', n3, n4 FROM a)
+         |SELECT stage_ord, stage, docs_in, docs_kept,
+         |  docs_in - docs_kept AS dropped,
+         |  CASE WHEN docs_in = 0 THEN 0
+         |       ELSE (docs_in - docs_kept) * 1000 // docs_in END AS drop_pm
+         |FROM st ORDER BY stage_ord""".stripMargin)
   )
 
   /** The quantized temperature weight s_l = floor(n^alpha * 1e6) for the

@@ -716,7 +716,42 @@ object Similarity {
          |  WHERE ${duckCos("a.embedding", "b.embedding")} >= 0.45)
          |SELECT ce.vec_id, ce.cell, CAST(d.vec_id IS NULL AS INT) AS keep
          |FROM ce LEFT JOIN drops d ON ce.vec_id = d.vec_id
-         |ORDER BY ce.vec_id""".stripMargin)
+         |ORDER BY ce.vec_id""".stripMargin),
+
+    // ---- kNN label-probe accuracy — see [[knnLabelProbe]]; the fixture
+    // instantiates k = 4 cells (the content-derived seed assignment the
+    // whole IVF family shares); the k ~ sqrt(N) knob is the signature
+    // default, same contract as dedup_semantic. ---------------------------
+    "knn_label_probe" -> QueryDef(
+      (s, dir) => knnLabelProbe(Tables.load(s, dir, "embeddings"), k = 4),
+      s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb
+         |  FROM embeddings WHERE vec_id < 4),
+         |sc AS (SELECT e.vec_id, c.c_id,
+         |    coalesce(${duckCos("c_emb", "embedding")}, -2.0) AS sim
+         |  FROM embeddings e CROSS JOIN cents c),
+         |asg AS (SELECT vec_id, c_id AS cell FROM (
+         |    SELECT vec_id, c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
+         |    FROM sc) WHERE rn = 1),
+         |ce AS (SELECT e.vec_id, e.label, e.embedding, a.cell
+         |  FROM embeddings e JOIN asg a USING (vec_id)),
+         |pairs AS (SELECT a.vec_id AS q_id, a.label, b.vec_id, b.label AS nb_label,
+         |    ${duckCos("a.embedding", "b.embedding")} AS cosine
+         |  FROM ce a JOIN ce b ON a.cell = b.cell AND a.vec_id != b.vec_id),
+         |nn AS (SELECT q_id, label, nb_label FROM (
+         |    SELECT q_id, label, nb_label,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+         |    FROM pairs WHERE $duckRankable) WHERE rn <= 5),
+         |votes AS (SELECT q_id, label, nb_label, COUNT(*) AS votes
+         |  FROM nn GROUP BY 1, 2, 3),
+         |pred AS (SELECT q_id, label, nb_label AS pred FROM (
+         |    SELECT q_id, label, nb_label,
+         |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY votes DESC, nb_label) AS rn
+         |    FROM votes) WHERE rn = 1)
+         |SELECT label, COUNT(*) AS n,
+         |  CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |  CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT) * 1000 // COUNT(*) AS acc_pm
+         |FROM pred GROUP BY label ORDER BY label""".stripMargin)
   )
 
   /** Coarse cell assignment shared by [[semanticDedup]] and
@@ -781,6 +816,50 @@ object Similarity {
     ce.join(drops, Seq("vec_id"), "left")
       .selectExpr("vec_id", "cell", "CAST(dropped IS NULL AS INT) AS keep")
       .transform(graft.Sorted.byNames(_, "vec_id"))
+  }
+
+  /** kNN label-probe: leave-one-out k-nearest-neighbor classification of
+    * every vector by majority vote of its `kNN` nearest IN-CELL neighbors,
+    * reported as per-label accuracy — the standard probe for "does the
+    * embedding space separate the labels", run before trusting embeddings
+    * for semantic dedup or clustering-based curation. Exact all-N kNN is
+    * N² pairs, so neighbors come from the coarse cells the whole IVF
+    * family shares ([[assignCells]]): pair volume ~N²/k, and the DEFAULT
+    * `k = 0` sizes k = round(sqrt(N)) (total work ~N^1.5 — the same knob
+    * as [[semanticDedup]], decade-measured in SCALE.md). Per-query top-kNN
+    * rides the bounded [[graft.functions.TopK]] aggregator (map-side
+    * partial reduction to ≤ kNN rows per vector — never a window over the
+    * full pair volume); the vote argmax is window-free (max over a
+    * (votes, -label) struct, ties to the smaller label). Zero-norm
+    * vectors drop from both sides of the vote (NaN cosine — TopK and the
+    * oracle's rankable guard agree). Accuracy is integer per-mille. */
+  def knnLabelProbe(emb: DataFrame, k: Int = 0, kNN: Int = 5): DataFrame = {
+    val kk =
+      if (k > 0) k
+      else math.max(1, math.round(math.sqrt(emb.count().toDouble)).toInt)
+    graft.functions.HashExpressions.register(emb.sparkSession)
+    val ce = emb.join(assignCells(emb, kk).drop("sim"), "vec_id")
+      .select(col("vec_id"), col("label"), col("cell"), col("embedding"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val a = ce.selectExpr("cell", "vec_id AS q_id", "label", "embedding AS q_emb")
+    val b = ce.selectExpr("cell", "vec_id", "embedding")
+    val scored = a.join(b, "cell")
+      .filter(col("q_id") =!= col("vec_id"))
+      .selectExpr("q_id", "label", "vec_id",
+        "graft_cosine(q_emb, embedding) AS cosine")
+    val nn = topKPerQuery(scored, kNN, "label")
+    val pred = nn
+      .join(ce.selectExpr("vec_id", "label AS nb_label"), "vec_id")
+      .groupBy(col("q_id"), col("label"), col("nb_label"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("q_id"), col("label"))
+      .agg(max(struct(col("votes"), (-col("nb_label")).cast("long").as("nl"))).as("m"))
+      .selectExpr("q_id", "label", "CAST(-m.nl AS INT) AS pred")
+    pred.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("IF(pred = label, 1L, 0L)")).as("n_correct"))
+      .selectExpr("label", "n", "n_correct", "n_correct * 1000L div n AS acc_pm")
+      .orderBy("label")
   }
 
   /** k-means (`iters` Lloyd iterations over the first-k seeds) — the IVF

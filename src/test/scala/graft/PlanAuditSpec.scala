@@ -639,6 +639,42 @@ class PlanAuditSpec extends SparkSpec {
       "cluster sizing and the size histogram must both be partial+final aggs")
   }
 
+  test("pack_efficiency: one corpus count pass; the length sweep is a broadcast over partition totals") {
+    val p = plan("pack_efficiency")
+    // the corpus contributes ONE partial+final count into the partition-
+    // totals frame; the 4-value length sweep joins THAT, never the corpus
+    assert(nodeIds(p, "Scan parquet").size == 1,
+      "documents must be scanned exactly once — the sweep reprices partition totals, not the corpus")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 4-row seq_len frame must broadcast")
+    assert(!p.contains("CartesianProduct"), "the sweep cross join must be the broadcast variant")
+    assert(nodeIds(p, "HashAggregate").size >= 4,
+      "both the partition-totals agg and the sweep agg must be partial+final")
+    assert(!p.contains("Window ["), "no window anywhere — the sweep is pure aggregation")
+  }
+
+  test("quality_funnel: map-side gates, one single-row agg, stack unpivot — no window, no cartesian") {
+    val p = plan("quality_funnel")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window ["),
+      "the funnel is gates + aggregation only")
+    // canonical-digest agg + funnel agg, each partial+final
+    assert(nodeIds(p, "HashAggregate").size >= 4,
+      "digest canon and the flag rollup must both be partial+final aggregates")
+    assert(p.contains("Generate"), "the 5-stage unpivot rides Generate(stack), post-aggregation")
+  }
+
+  test("knn_label_probe: in-cell pairing is an equi-join; top-kNN is the bounded aggregator, window-free") {
+    val p = plan("knn_label_probe")
+    assert(!p.contains("CartesianProduct"),
+      "neighbor candidates must come from the cell equi-join, never all-pairs")
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window ["),
+      "per-vector top-kNN must ride the bounded TopK aggregator, and the vote argmax is window-free")
+    assert(nodeIds(p, "ObjectHashAggregate").size >= 2,
+      "TopK must be partial+final — map tasks reduce to <= kNN entries before the shuffle")
+    assert(p.contains("InMemoryRelation"),
+      "the cell frame persists once and feeds both pair sides and the label join")
+  }
+
   test("streaming curation gate: native Bloom probe, no Scala UDF in the per-batch hot path") {
     // the gate runs once per micro-batch over every intake row — the one
     // place a boxed per-row UDF would sit directly in the streaming hot

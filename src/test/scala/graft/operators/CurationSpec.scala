@@ -49,4 +49,70 @@ class CurationSpec extends SparkSpec {
     assert(firstShard.toSeq != firstShard.sorted.toSeq,
       "within-shard order should be hash order, not doc_id order")
   }
+
+  test("pack_efficiency: sweep invariants against the corpus totals") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val totalChars = docs.agg(org.apache.spark.sql.functions.sum("n_chars"))
+      .head.getLong(0)
+    val nParts = docs.selectExpr("lang", "doc_id div 1000 AS shard")
+      .distinct().count()
+    val rows = graft.SparkEntry.queries("pack_efficiency")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq == Seq(1024L, 2048L, 4096L, 8192L))
+    rows.foreach { case (l, np, nSeqs, total, pad, util) =>
+      assert(np == nParts && total == totalChars)
+      // pad and utilization are definitional in (n_seqs, L, total)
+      assert(pad == nSeqs * l - total && util == total * 1000 / (nSeqs * l))
+      // per-partition ceil can never beat the global lower bound
+      assert(nSeqs >= (total + l - 1) / l, s"L=$l: n_seqs below ceil(total/L)")
+    }
+    // doubling L can only reduce the sequence count (ceil is monotone)
+    assert(rows.map(_._3).toSeq == rows.map(_._3).toSeq.sorted.reverse,
+      "n_seqs must be non-increasing in L")
+  }
+
+  test("quality_funnel: stage chaining, and each gate discriminates on a constructed corpus") {
+    val d = tmpDir("funnel")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+    // 25 tokens, contains stop words, uniq ratio fine -> survives everything
+    val good = "the cat and the dog walk to of town with that other dog " +
+      "every day to have a look at the fish pond nearby"
+    // 25 tokens, no stop words at all -> dies ONLY at the stopword gate
+    val noStop = (1 to 25).map(i => s"w$i").mkString(" ")
+    // 30 tokens but only 2 distinct -> uniq ratio 2/30 < 0.2 -> repetition gate
+    val repet = Array.fill(15)("spam ham").mkString(" ")
+    val rows = Seq(
+      (0L, good), (1L, good) /* exact dup of 0 */, (2L, good) /* another */,
+      (3L, noStop), (4L, repet), (5L, "too short"), (6L, null.asInstanceOf[String]))
+      .map { case (id, t) =>
+        org.apache.spark.sql.Row(id, t, "en", "s",
+          if (t == null) 0L else t.length.toLong)
+      }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.parquet(s"$d/documents.parquet")
+    val out = graft.SparkEntry.queries("quality_funnel")(spark, d).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // funnel: 7 in; dedup drops the 2 extra copies of `good`; length drops
+    // the short doc AND the null doc; repetition drops `repet`; stop words
+    // drop `noStop` -> 1 survivor
+    assert(out.toSeq == Seq(
+      (1, "ingest", 7L, 7L, 0L, 0L),
+      (2, "exact_dedup", 7L, 5L, 2L, 285L),
+      (3, "length_gate", 5L, 3L, 2L, 400L),
+      (4, "repetition_gate", 3L, 2L, 1L, 333L),
+      (5, "stopword_gate", 2L, 1L, 1L, 500L)))
+    // chaining is structural, not coincidental: each stage's docs_in is the
+    // previous stage's docs_kept
+    out.sliding(2).foreach { case Array(prev, next) =>
+      assert(next._3 == prev._4, s"stage ${next._2} docs_in != previous docs_kept")
+    }
+  }
 }

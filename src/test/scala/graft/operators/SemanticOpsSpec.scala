@@ -80,4 +80,17 @@ class SemanticOpsSpec extends SparkSpec {
       (0L, 0L, 1), (1L, 1L, 1), (2L, 2L, 1), (3L, 3L, 1),
       (4L, 0L, 0), (5L, 1L, 0), (6L, 1L, 0), (7L, 3L, 0)))
   }
+
+  test("knn_label_probe: leave-one-out vote, tie to smaller label, singleton cells excluded") {
+    // cells as above: {0,4} {1,5,6} {2} {3,7}. In-cell neighbor votes:
+    //  v0<-{4}:0 ok; v4<-{0}:0 ok; v3<-{7}:1 ok; v7<-{3}:1 ok;
+    //  v1<-{5:0, 6:1} TIE -> smaller label 0 ok;
+    //  v5<-{1:0, 6:1} TIE -> 0 ok;
+    //  v6<-{1:0, 5:0} -> 0 WRONG (true 1);
+    //  v2 is alone in cell 2 -> no neighbors -> excluded from the probe.
+    // label 0: 4/4 correct -> 1000; label 1: {3,6,7}, 2/3 -> 666.
+    val rows = run("knn_label_probe").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq((0, 4L, 4L, 1000L), (1, 3L, 2L, 666L)))
+  }
 }
