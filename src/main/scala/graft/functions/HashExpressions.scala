@@ -313,11 +313,19 @@ object HashExpressions {
     * widened to DOUBLE, multiplied by the DOUBLE weight, and accumulated
     * left-to-right — exactly the SQL `aggregate(zip_with(...))` form the
     * DuckDB oracle replays, so signs are bit-identical. */
-  def evalSrp12(arr: ArrayData): ArrayData = {
+  def evalSrp12(arr: ArrayData): ArrayData = evalSrp(arr, 12)
+
+  /** The width-parameterized generalization: `nbits` hyperplanes from the
+    * same deterministic family. Bucket occupancy under (bands × width)
+    * banding is N / 2^width per band — width is the LSH occupancy knob
+    * that must grow ~log2(N) at scale (see ann_range_search's scaladoc);
+    * the j-index formula is shared with the 12-plane demo signature so
+    * width w ≤ 12 prefixes agree lane-for-lane with graft_srp12. */
+  def evalSrp(arr: ArrayData, nbits: Int): ArrayData = {
     val emb = arr.toFloatArray()
-    val out = new Array[Int](12)
+    val out = new Array[Int](nbits)
     var j = 0
-    while (j < 12) {
+    while (j < nbits) {
       var acc = 0.0
       var i = 1
       val n = math.min(64, emb.length)
@@ -553,6 +561,21 @@ object HashExpressions {
     override def prettyName: String = "graft_srp12"
   }
 
+  /** Width-parameterized SRP signature — `graft_srp(embedding, nbits)`.
+    * Same hyperplane family as graft_srp12 (w ≤ 12 prefixes agree), with
+    * the bit count as the LSH occupancy knob for corpus-sized banding. */
+  case class SrpExpr(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(l: Any, r: Any): Any =
+      evalSrp(l.asInstanceOf[ArrayData], r.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$Self.evalSrp($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SrpExpr =
+      copy(l, r)
+    override def prettyName: String = "graft_srp"
+  }
+
   /** ONE (name, arity, builder) list serving BOTH registration paths —
     * the per-session temp-function [[register]] and the cluster-wide
     * [[graft.GraftExtensions]]. A function added here reaches both
@@ -581,6 +604,7 @@ object HashExpressions {
       checked("graft_polyhash", 1)(es => PolyHashExpr(es.head)),
       checked("graft_text_stats", 1)(es => TextStatsExpr(es.head)),
       checked("graft_srp12", 1)(es => Srp12Expr(es.head)),
+      checked("graft_srp", 2)(es => SrpExpr(es.head, es(1))),
       // Spark's own runtime-filter Bloom expressions (used internally for
       // InjectRuntimeFilter but not exposed in the public FunctionRegistry
       // as of 4.1.2) — surfaced here so bloom_membership stays fully

@@ -550,6 +550,56 @@ object Curation {
         |  (total_chars * 1000) // (n_seqs * seq_len) AS util_pm
         |FROM sw ORDER BY seq_len""".stripMargin),
 
+    // ---- token-budget epoch plan: given a training token budget and a
+    // uniform per-source target (mix_rebalance's target rule), how many
+    // EPOCHS over each source does the budget imply, and where does the
+    // repeat cap bind? epochs_m = (target_tokens * 1000) div n_tokens in
+    // per-mille, capped at 4 epochs — the "repeating data beyond ~4
+    // epochs stops helping" rule (Muennighoff et al. 2023, Scaling
+    // Data-Constrained Language Models) — with the realized token plan
+    // after the cap. The planning table read before a data-constrained
+    // run: a source whose epochs_m sits far above the cap is the data
+    // bottleneck (buy/crawl more of IT, not more compute). All int64
+    // (n_tokens·4000 ≈ 4e16 at 100 TB — in range). Scale shape: ONE
+    // corpus-linear tokenize+count pass into a |sources|-row frame; the
+    // budget arithmetic is model-sized. ------------------------------------
+    "mix_epoch_plan" -> QueryDef(
+      (s, dir) => {
+        // persisted: |sources| rows feeding BOTH the n_src count and the
+        // final plan frame — without it the corpus tokenize+count pass
+        // executes twice (plan-audit-pinned single scan)
+        val counts = Tables.load(s, dir, "documents")
+          .selectExpr("source",
+            s"CAST(size(${graft.functions.Portable.tokensSql("coalesce(text, '')")}) AS BIGINT) AS toks")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val nsrc = counts.agg(count(lit(1)).as("n_src"))
+        counts.crossJoin(broadcast(nsrc))
+          .selectExpr("source", "n_docs", "n_tokens",
+            "1000000L div n_src AS target_tokens")
+          .selectExpr("source", "n_docs", "n_tokens", "target_tokens",
+            "CASE WHEN n_tokens = 0 THEN 0L ELSE (target_tokens * 1000L) div n_tokens END AS epochs_m")
+          .selectExpr("source", "n_docs", "n_tokens", "target_tokens",
+            "epochs_m", "least(4000L, epochs_m) AS epochs_capped_m",
+            "(n_tokens * least(4000L, epochs_m)) div 1000 AS planned_tokens")
+          .orderBy("source")
+      },
+      s"""WITH c AS (SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(len(${graft.functions.Portable.duckToksSql("coalesce(text, '')")})) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |t AS (SELECT COUNT(*) AS n_src FROM c),
+         |r AS (SELECT source, n_docs, n_tokens,
+         |    1000000 // n_src AS target_tokens FROM c, t),
+         |e AS (SELECT source, n_docs, n_tokens, target_tokens,
+         |    CASE WHEN n_tokens = 0 THEN 0
+         |         ELSE (target_tokens * 1000) // n_tokens END AS epochs_m
+         |  FROM r)
+         |SELECT source, n_docs, n_tokens, target_tokens, epochs_m,
+         |  least(4000, epochs_m) AS epochs_capped_m,
+         |  (n_tokens * least(4000, epochs_m)) // 1000 AS planned_tokens
+         |FROM e ORDER BY source""".stripMargin),
+
     // ---- filter-funnel attrition report: per-stage docs-in/kept/dropped
     // for the canonical gate order (exact dedup → length → repetition →
     // stop words) — the pipeline card every released corpus publishes

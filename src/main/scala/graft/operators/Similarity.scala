@@ -718,6 +718,42 @@ object Similarity {
          |FROM ce LEFT JOIN drops d ON ce.vec_id = d.vec_id
          |ORDER BY ce.vec_id""".stripMargin),
 
+    // ---- radius (ε-NN) similarity search: ALL corpus vectors within a
+    // cosine radius of each query — the "find everything similar enough"
+    // API next to top-k (dedup sweeps, recall-oriented retrieval, policy
+    // matching), where k is unknowable a priori. Same SRP-LSH prefilter
+    // as dedup_embedding_cosine (4 bands × 3 deterministic hyperplanes)
+    // but ASYMMETRIC: only query-side bands join the corpus bands, so
+    // candidate volume is (query buckets) × occupancy, not corpus².
+    // Exact cosine ≥ 0.45 verification on candidates only; no id <
+    // ordering — radius semantics return each query's full neighborhood.
+    // Query set = vec_id % 25 = 0 (a corpus-resident query workload, the
+    // ann_cosine_topk convention). -----------------------------------------
+    "ann_range_search" -> QueryDef(
+      (s, dir) => rangeSearch(Tables.load(s, dir, "embeddings")),
+      s"""WITH signed AS (
+         |  SELECT vec_id, embedding,
+         |    list_transform(range(0, 12), j ->
+         |      CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+         |        list_transform(range(1, 65),
+         |          i -> embedding[i]::DOUBLE * (((i * 1103 + j * 907) % 2001 - 1000)::DOUBLE / 1000.0))),
+         |        (a, b) -> a + b) >= 0 THEN 1 ELSE 0 END) AS sg
+         |  FROM embeddings),
+         |bands AS (SELECT vec_id, b.band AS band,
+         |    sg[b.band * 3 + 1] * 4 + sg[b.band * 3 + 2] * 2 + sg[b.band * 3 + 3] AS key
+         |  FROM signed, (SELECT unnest(range(0, 4)) AS band) b),
+         |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id
+         |  FROM bands q JOIN bands c ON q.band = c.band AND q.key = c.key
+         |    AND q.vec_id % 25 = 0 AND q.vec_id != c.vec_id),
+         |scored AS (
+         |  SELECT q_id, cand.vec_id,
+         |    $duckDot / (sqrt($duckQNorm) * sqrt($duckENorm)) AS cosine
+         |  FROM cand
+         |  JOIN (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings) USING (q_id)
+         |  JOIN (SELECT vec_id, embedding FROM embeddings) USING (vec_id))
+         |SELECT q_id, vec_id, cosine FROM scored
+         |WHERE cosine >= 0.45 ORDER BY q_id, vec_id""".stripMargin),
+
     // ---- kNN label-probe accuracy — see [[knnLabelProbe]]; the fixture
     // instantiates k = 4 cells (the content-derived seed assignment the
     // whole IVF family shares); the k ~ sqrt(N) knob is the signature
@@ -751,7 +787,61 @@ object Similarity {
          |SELECT label, COUNT(*) AS n,
          |  CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
          |  CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT) * 1000 // COUNT(*) AS acc_pm
-         |FROM pred GROUP BY label ORDER BY label""".stripMargin)
+         |FROM pred GROUP BY label ORDER BY label""".stripMargin),
+
+    // ---- hard-negative mining — see [[hardNegatives]]; fixture k = 4
+    // cells, top-3 negatives per query, same cell contract as the rest
+    // of the family. -------------------------------------------------------
+    "hard_negatives" -> QueryDef(
+      (s, dir) => hardNegatives(Tables.load(s, dir, "embeddings"), k = 4),
+      s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_emb
+         |  FROM embeddings WHERE vec_id < 4),
+         |sc AS (SELECT e.vec_id, c.c_id,
+         |    coalesce(${duckCos("c_emb", "embedding")}, -2.0) AS sim
+         |  FROM embeddings e CROSS JOIN cents c),
+         |asg AS (SELECT vec_id, c_id AS cell FROM (
+         |    SELECT vec_id, c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
+         |    FROM sc) WHERE rn = 1),
+         |ce AS (SELECT e.vec_id, e.label, e.embedding, a.cell
+         |  FROM embeddings e JOIN asg a USING (vec_id)),
+         |pairs AS (SELECT a.vec_id AS q_id, a.label, b.vec_id, b.label AS nb_label,
+         |    ${duckCos("a.embedding", "b.embedding")} AS cosine
+         |  FROM ce a JOIN ce b ON a.cell = b.cell AND a.vec_id != b.vec_id),
+         |nn AS (SELECT q_id, label, vec_id, nb_label, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM pairs WHERE nb_label != label AND $duckRankable)
+         |SELECT q_id, label, vec_id, nb_label AS neg_label, rank, cosine
+         |FROM nn WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin),
+
+    // ---- per-label centroid-margin separability report — see
+    // [[labelCentroidMargin]]; fully map-side + broadcast (no pair
+    // volume), the contrast to the cell-based probes. ----------------------
+    "label_centroid_margin" -> QueryDef(
+      (s, dir) => labelCentroidMargin(Tables.load(s, dir, "embeddings")),
+      s"""WITH u AS (SELECT label,
+         |    UNNEST(range(1, 65)) AS dim,
+         |    UNNEST(list_transform(range(1, 65),
+         |      j -> CAST(floor(embedding[j]::DOUBLE * 1048576) AS BIGINT))) AS q
+         |  FROM embeddings),
+         |g AS (SELECT label, dim, CAST(SUM(q) AS BIGINT) AS sq, COUNT(*) AS n
+         |  FROM u GROUP BY label, dim),
+         |c AS (SELECT label AS c_label,
+         |    list(CAST(sq::DOUBLE / n / 1048576 AS FLOAT) ORDER BY dim) AS c_emb
+         |  FROM g GROUP BY label),
+         |s AS (SELECT e.vec_id, e.label, c.c_label,
+         |    coalesce(${duckCos("c_emb", "embedding")}, -2.0) AS sim
+         |  FROM embeddings e CROSS JOIN c),
+         |m AS (SELECT vec_id, label,
+         |    MAX(CASE WHEN c_label = label THEN sim END) AS own,
+         |    MAX(CASE WHEN c_label != label THEN sim END) AS other
+         |  FROM s GROUP BY vec_id, label),
+         |mm AS (SELECT label,
+         |    CAST(floor((own - other) * 1000000) AS BIGINT) AS margin_ppm FROM m)
+         |SELECT label, COUNT(*) AS n,
+         |  CAST(SUM(margin_ppm) AS BIGINT) // COUNT(*) AS mean_margin_ppm,
+         |  CAST(SUM(CASE WHEN margin_ppm > 0 THEN 1 ELSE 0 END) AS BIGINT) * 1000 // COUNT(*) AS pos_pm
+         |FROM mm GROUP BY label ORDER BY label""".stripMargin)
   )
 
   /** Coarse cell assignment shared by [[semanticDedup]] and
@@ -818,6 +908,52 @@ object Similarity {
       .transform(graft.Sorted.byNames(_, "vec_id"))
   }
 
+  /** Radius (ε-NN) similarity search — ALL corpus vectors within a cosine
+    * radius of each query (queries = corpus vectors with `vec_id %
+    * queryMod = 0`). SRP-LSH prefilter, ASYMMETRIC: only query-side bands
+    * join the corpus bands, exact cosine ≥ `threshold` verified on
+    * candidates only, full neighborhoods returned (no id ordering).
+    *
+    * THE SCALE KNOB IS `width` (hyperplanes per band): band-bucket
+    * occupancy is N / 2^width — a CONSTANT key space saturates at corpus
+    * scale no matter how the data is distributed, so width must grow
+    * ~log2(N) to hold occupancy (and with it candidate volume) flat.
+    * Width trades against recall at a given radius (P(band match) =
+    * p^width with p = 1 − θ/π), so radius and width co-tune: the fixture
+    * instantiates (threshold 0.45, width 3 — 12 bits, lane-compatible
+    * with graft_srp12 and the oracle replay; 0.45 because the fixture has
+    * no higher-cosine pairs, dedup_embedding_cosine's documented demo
+    * threshold), while a production near-dup radius (~0.9, p ≈ 0.86)
+    * holds ~75% recall per 4-band split at width 8. The width sizing is
+    * MEASURED across corpus decades in SCALE.md (RangeWidthProbe), not
+    * argued in prose. Key encoding is internal: any injective encoding
+    * of the width-bit tuple yields the same candidate set, so the demo
+    * oracle's arithmetic 3-bit keys and this method's concat keys agree. */
+  def rangeSearch(emb: DataFrame, queryMod: Int = 25, threshold: Double = 0.45,
+      width: Int = 3, nBands: Int = 4): DataFrame = {
+    graft.functions.HashExpressions.register(emb.sparkSession)
+    val signed = emb
+      .selectExpr("vec_id", s"graft_srp(embedding, ${width * nBands}) AS sg")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = signed.selectExpr("vec_id",
+      s"""explode(transform(sequence(0, ${nBands - 1}), b -> struct(b AS band,
+         | concat_ws('', slice(sg, b * $width + 1, $width)) AS key))) AS bk""".stripMargin)
+      .selectExpr("vec_id", "bk.band AS band", "bk.key AS key")
+    val cand = bands.filter(s"vec_id % $queryMod = 0")
+      .selectExpr("vec_id AS q_id", "band", "key")
+      .join(bands, Seq("band", "key"))
+      .filter("q_id != vec_id")
+      .select(col("q_id"), col("vec_id")).distinct()
+    cand
+      .join(emb.selectExpr("vec_id AS q_id", "embedding AS q_emb"), "q_id")
+      .join(emb.selectExpr("vec_id", "embedding"), "vec_id")
+      .selectExpr("q_id", "vec_id", "graft_cosine(q_emb, embedding) AS cosine")
+      // NaN guard: same contract as dedup_embedding_cosine — a zero-norm
+      // vector is never inside any radius
+      .filter(s"NOT isnan(cosine) AND cosine >= $threshold")
+      .transform(graft.Sorted.byNames(_, "q_id", "vec_id"))
+  }
+
   /** kNN label-probe: leave-one-out k-nearest-neighbor classification of
     * every vector by majority vote of its `kNN` nearest IN-CELL neighbors,
     * reported as per-label accuracy — the standard probe for "does the
@@ -833,7 +969,12 @@ object Similarity {
     * (votes, -label) struct, ties to the smaller label). Zero-norm
     * vectors drop from both sides of the vote (NaN cosine — TopK and the
     * oracle's rankable guard agree). Accuracy is integer per-mille. */
-  def knnLabelProbe(emb: DataFrame, k: Int = 0, kNN: Int = 5): DataFrame = {
+  /** Scored in-cell pairs shared by [[knnLabelProbe]] and
+    * [[hardNegatives]]: the persisted cell frame ([[assignCells]], k ~ √N
+    * default — ONE definition of the kk sizing), both pair sides off the
+    * cache, exact cosine per pair with BOTH endpoint labels carried.
+    * Pair volume ~N²/k — the measured knob (SCALE.md, KnnKProbe). */
+  private def inCellPairs(emb: DataFrame, k: Int): DataFrame = {
     val kk =
       if (k > 0) k
       else math.max(1, math.round(math.sqrt(emb.count().toDouble)).toInt)
@@ -842,14 +983,18 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("cell"), col("embedding"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val a = ce.selectExpr("cell", "vec_id AS q_id", "label", "embedding AS q_emb")
-    val b = ce.selectExpr("cell", "vec_id", "embedding")
-    val scored = a.join(b, "cell")
+    val b = ce.selectExpr("cell", "vec_id", "label AS nb_label", "embedding")
+    a.join(b, "cell")
       .filter(col("q_id") =!= col("vec_id"))
-      .selectExpr("q_id", "label", "vec_id",
+      .selectExpr("q_id", "label", "vec_id", "nb_label",
         "graft_cosine(q_emb, embedding) AS cosine")
+  }
+
+  def knnLabelProbe(emb: DataFrame, k: Int = 0, kNN: Int = 5): DataFrame = {
+    val scored = inCellPairs(emb, k).drop("nb_label")
     val nn = topKPerQuery(scored, kNN, "label")
     val pred = nn
-      .join(ce.selectExpr("vec_id", "label AS nb_label"), "vec_id")
+      .join(emb.selectExpr("vec_id", "label AS nb_label"), "vec_id")
       .groupBy(col("q_id"), col("label"), col("nb_label"))
       .agg(count(lit(1)).as("votes"))
       .groupBy(col("q_id"), col("label"))
@@ -859,6 +1004,69 @@ object Similarity {
       .agg(count(lit(1)).as("n"),
         sum(expr("IF(pred = label, 1L, 0L)")).as("n_correct"))
       .selectExpr("label", "n", "n_correct", "n_correct * 1000L div n AS acc_pm")
+      .orderBy("label")
+  }
+
+  /** Hard-negative mining: for every vector, its `topN` most-similar
+    * IN-CELL neighbors carrying a DIFFERENT label — the contrastive-
+    * training data step (DPR/Contriever-style retrievers train on
+    * exactly this frame: in-batch negatives are easy, the hard ones live
+    * in the query's own neighborhood). Same cell machinery and N²/k
+    * bound as [[knnLabelProbe]] ([[inCellPairs]] — one definition);
+    * the label-mismatch filter runs BEFORE the bounded TopK fold, so
+    * nothing label-matching ever enters the aggregator. Ranks re-derive
+    * from the ≤ topN exploded rows; the negative's label re-attaches by
+    * a slim join. */
+  def hardNegatives(emb: DataFrame, k: Int = 0, topN: Int = 3): DataFrame = {
+    val negs = inCellPairs(emb, k)
+      .filter(col("nb_label") =!= col("label"))
+      .drop("nb_label")
+    topKPerQuery(negs, topN, "label")
+      .join(emb.selectExpr("vec_id", "label AS neg_label"), "vec_id")
+      .select(col("q_id"), col("label"), col("vec_id"), col("neg_label"),
+        col("rank"), col("cosine"))
+      .transform(graft.Sorted.byNames(_, "q_id", "rank"))
+  }
+
+  /** Per-label centroid-margin report: each vector's cosine to its OWN
+    * label centroid minus its best cosine to any OTHER label centroid,
+    * aggregated per label (mean margin in ppm, fraction positive in
+    * per-mille) — the nearest-centroid-classifier separability check run
+    * before trusting labels for stratified curation. Centroids use the
+    * k-means update recipe (floor(x·2²⁰) int64 sums → double mean →
+    * FLOAT, bit-identical cross-engine); the |labels|-row centroid frame
+    * BROADCASTS and margins compute map-side — no pair volume at all,
+    * the contrast to the cell-based probes. Margin quantizes to ppm
+    * int64 before the mean so the aggregate is order-independent.
+    * Zero-norm vectors score the -2 sentinel against every centroid
+    * (margin 0, counted non-positive) — the assignCells contract. */
+  def labelCentroidMargin(emb: DataFrame): DataFrame = {
+    graft.functions.HashExpressions.register(emb.sparkSession)
+    val cents = emb
+      .select(col("label"), posexplode(col("embedding")))
+      .selectExpr("label", "pos AS dim",
+        "CAST(floor(CAST(col AS DOUBLE) * 1048576) AS BIGINT) AS q")
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .selectExpr("label", "dim", "CAST(sq AS DOUBLE) / n / 1048576 AS comp")
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, comp)))," +
+        " s -> CAST(s.comp AS FLOAT))").as("c_emb"))
+      .selectExpr("label AS c_label", "c_emb")
+    val margins = emb.crossJoin(broadcast(cents))
+      .selectExpr("vec_id", "label", "c_label",
+        "nanvl(graft_cosine(c_emb, embedding), -2.0D) AS sim")
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(expr("IF(c_label = label, sim, CAST(NULL AS DOUBLE))")).as("own"),
+        max(expr("IF(c_label != label, sim, CAST(NULL AS DOUBLE))")).as("other"))
+      .selectExpr("label",
+        "CAST(floor((own - other) * 1000000) AS BIGINT) AS margin_ppm")
+    margins.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("margin_ppm")).as("sum_ppm"),
+        sum(expr("IF(margin_ppm > 0, 1L, 0L)")).as("n_pos"))
+      .selectExpr("label", "n", "sum_ppm div n AS mean_margin_ppm",
+        "n_pos * 1000L div n AS pos_pm")
       .orderBy("label")
   }
 

@@ -1,0 +1,120 @@
+package graft.streaming
+
+import graft.functions.HashExpressions
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming MinHash near-duplicate detection: the streaming twin of the
+  * batch `dedup_minhash` operator, for the intake path where near-dups
+  * must surface AS documents arrive rather than in a nightly batch pass
+  * (the LLM-data analog of the reference's keyed-state dedup shape,
+  * `RT/app/dwm/UniqueVisitApp.java:57-95` — there the key is a visitor
+  * id, here it is an LSH band bucket).
+  *
+  * Shape: the 16-lane signature (`graft_minhash_sig`, the SAME native
+  * expression and 4×4 banding as the batch operator) computes map-side
+  * per micro-batch; state is keyed by BAND BUCKET and holds the bucket's
+  * resident (doc_id, sig) set, so a new document compares only against
+  * docs that share a band key — never against the corpus. Per bucket the
+  * state is CAPPED (`maxPerBucket`, the streaming twin of the batch df
+  * cap: a boilerplate bucket saturates its cap and stops growing) and
+  * EVICTED by an event-time TTL (`ttlMs` past the bucket's newest
+  * arrival, watermark-clamped), so total state is bounded by
+  * (active buckets in the horizon) × cap — not by stream history.
+  * Verification is the signature itself: matching-lane fraction in
+  * per-mille (`minhash_calibration`'s estimator), so the original text
+  * never enters state.
+  *
+  * Emission contract: a qualifying pair is emitted in the batch that
+  * completes it, keyed (doc_a < doc_b), AT MOST ONCE PER SHARED BAND
+  * (cross-band duplicates of the same pair are possible by design —
+  * band-keyed state cannot see other bands; the batch twin `distinct()`s
+  * for exactly this reason). Downstream consumers dedup on (doc_a,
+  * doc_b) — the exactly-once-view posture StreamingCuration documents.
+  * Re-delivered doc_ids (at-least-once sources) are idempotent: a
+  * resident doc_id re-arriving neither re-pairs nor re-enters state.
+  */
+object StreamingNearDup {
+
+  /** One (band bucket, doc) row after the map-side banding. `ets` is the
+    * watermarked event-time column (it must survive into the grouped
+    * Dataset for EventTimeTimeout — the unsupported-operation checker
+    * requires the watermark attribute in the state operator's child);
+    * `ems` is its epoch-millis twin the pure state function reads. */
+  case class BandRow(bucket: String, docId: Long, sig: Array[Long], ems: Long,
+      ets: java.sql.Timestamp)
+
+  /** A near-dup candidate pair with the lane-agreement estimate. */
+  case class CandPair(doc_a: Long, doc_b: Long, est_pm: Long)
+
+  /** Bucket-resident docs: bounded at `maxPerBucket`, TTL-evicted. */
+  case class BucketState(entries: List[(Long, Array[Long])])
+
+  private def lanesEqualPm(a: Array[Long], b: Array[Long]): Long = {
+    var i = 0; var m = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { if (a(i) == b(i)) m += 1; i += 1 }
+    m * 1000L / 16
+  }
+
+  /** Per-bucket state transition. New arrivals (deterministic doc_id
+    * order) pair against the RESIDENT set and earlier same-batch
+    * arrivals; an arrival over the cap still pairs against residents but
+    * does not enter state (bounded state, candidates still surface
+    * against the bucket's resident set — the cap-overflow posture of the
+    * batch df cap). Timeout clears the bucket. */
+  private[streaming] def stateFn(maxPerBucket: Int, minEstPm: Long, ttlMs: Long)(
+      key: String, rows: Iterator[BandRow],
+      state: GroupState[BucketState]): Iterator[CandPair] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    var entries = state.getOption.map(_.entries).getOrElse(Nil)
+    var maxMs = 0L
+    val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+    rows.toSeq.sortBy(_.docId).foreach { r =>
+      if (r.ems > maxMs) maxMs = r.ems
+      if (!entries.exists(_._1 == r.docId)) {
+        entries.foreach { case (id, s) =>
+          val est = lanesEqualPm(s, r.sig)
+          if (est >= minEstPm)
+            out += (if (id < r.docId) CandPair(id, r.docId, est)
+                    else CandPair(r.docId, id, est))
+        }
+        if (entries.size < maxPerBucket) entries = entries :+ ((r.docId, r.sig))
+      }
+    }
+    if (entries.nonEmpty) state.update(BucketState(entries)) else state.remove()
+    if (maxMs > 0L) {
+      // never set a timeout at/before the current watermark (Spark
+      // rejects it): a straggler-only batch clamps forward by 1 ms
+      val wm = state.getCurrentWatermarkMs()
+      state.setTimeoutTimestamp(math.max(maxMs + ttlMs, wm + 1L))
+    }
+    out.iterator
+  }
+
+  /** `docs` must carry (doc_id: long, text: string, ts: timestamp).
+    * Returns the stream of near-dup candidate pairs (append mode). */
+  def pairs(docs: DataFrame, maxPerBucket: Int = 64, minEstPm: Long = 750,
+      ttlMs: Long = 10L * 60 * 1000, delay: String = "0 seconds"): Dataset[CandPair] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    HashExpressions.register(s)
+    val banded = docs
+      .withColumn("ets", col("ts").cast("timestamp"))
+      .withWatermark("ets", delay)
+      // map-side: native signature once per doc, then the 4×4 band keys —
+      // the degenerate-signature guard matches minhashSigTable's
+      .selectExpr("doc_id", "ets", "unix_millis(ets) AS ems",
+        "graft_minhash_sig(coalesce(text, '')) AS sig")
+      .filter(s"element_at(sig, 1) != ${Long.MaxValue}L")
+      .selectExpr("doc_id", "ets", "ems", "sig",
+        "explode(transform(sequence(0, 3), b -> concat_ws('_', b, concat_ws('_', slice(sig, b * 4 + 1, 4))))) AS bucket")
+      .select(col("bucket"), col("doc_id").as("docId"), col("sig"), col("ems"),
+        col("ets"))
+      .as[BandRow]
+    banded.groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        stateFn(maxPerBucket, minEstPm, ttlMs))
+  }
+}

@@ -45,6 +45,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
           case "graft_sorted_inter" => "array(1), array(1)"
           case "graft_bloom_agg" => "xxhash64('x'), 1000L, 8192L"
           case "graft_might_contain" => "CAST(NULL AS BINARY), xxhash64('x')"
+          case "graft_srp" => "array(1.0f), 8"
           case _ => "'x'"
         }
         // analysis only — no execution needed to prove resolution

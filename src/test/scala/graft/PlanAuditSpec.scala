@@ -675,6 +675,50 @@ class PlanAuditSpec extends SparkSpec {
       "the cell frame persists once and feeds both pair sides and the label join")
   }
 
+  test("mix_epoch_plan: one corpus pass; the budget arithmetic is model-sized broadcast work") {
+    val p = plan("mix_epoch_plan")
+    assert(nodeIds(p, "Scan parquet").size == 1,
+      "documents must be scanned exactly once — one tokenize+count pass")
+    assert(p.contains("InMemoryRelation"),
+      "the |sources| count frame persists and feeds both n_src and the plan frame")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row source-count frame must broadcast onto the |sources| frame")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window ["),
+      "budget arithmetic is pure projection over the model frame")
+    assert(nodeIds(p, "HashAggregate").size >= 4,
+      "per-source count and the n_src count must both be partial+final")
+  }
+
+  test("ann_range_search: asymmetric band prefilter is an equi-join; no all-pairs, sig table cached") {
+    val p = plan("ann_range_search")
+    assert(!p.contains("CartesianProduct"),
+      "candidates must come from the band equi-join, never a product")
+    assert(p.contains("InMemoryRelation"),
+      "the SRP signature table persists once and feeds both band sides")
+    assert(!p.contains("Window ["),
+      "radius semantics need no ranking — no window anywhere")
+  }
+
+  test("hard_negatives: mismatch filter precedes the bounded TopK; equi-join cells, window-free") {
+    val p = plan("hard_negatives")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window ["),
+      "cell equi-join candidates + bounded TopK — never all-pairs or a pair-volume window")
+    assert(nodeIds(p, "ObjectHashAggregate").size >= 2,
+      "TopK must be partial+final")
+    assert(p.contains("InMemoryRelation"),
+      "the cell frame persists once for both pair sides")
+  }
+
+  test("label_centroid_margin: broadcast centroids, map-side margins, no pair volume") {
+    val p = plan("label_centroid_margin")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the |labels|-row centroid frame must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window ["),
+      "margins are map-side scores + partial+final aggs — no pair join, no window")
+    assert(!p.contains("SortMergeJoin"),
+      "nothing corpus-sized may shuffle-join — the only join is the broadcast")
+  }
+
   test("streaming curation gate: native Bloom probe, no Scala UDF in the per-batch hot path") {
     // the gate runs once per micro-batch over every intake row — the one
     // place a boxed per-row UDF would sit directly in the streaming hot

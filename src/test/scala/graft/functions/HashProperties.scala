@@ -191,6 +191,19 @@ object HashProperties extends Properties("graft.hash") {
       got == (a.toSet intersect b.toSet).size
     }
 
+  private val vec: Gen[Array[Float]] =
+    Gen.listOfN(64, Gen.chooseNum(-1000, 1000).map(_ / 250.0f)).map(_.toArray)
+
+  property("srp: width-w prefix agrees lane-for-lane with srp12; bits binary") =
+    forAll(vec, Gen.chooseNum(1, 32)) { (v, w) =>
+      def arr(a: Array[Float]) = org.apache.spark.sql.catalyst.expressions
+        .UnsafeArrayData.fromPrimitiveArray(a)
+      val wide = HashExpressions.evalSrp(arr(v), w).toIntArray()
+      val demo = HashExpressions.evalSrp12(arr(v)).toIntArray()
+      wide.length == w && wide.forall(b => b == 0 || b == 1) &&
+        wide.take(math.min(w, 12)).toSeq == demo.take(math.min(w, 12)).toSeq
+    }
+
   property("sortedInter symmetric + bounded by min size") =
     forAll(intArr, intArr) { (a, b) =>
       def run(x: List[Int], y: List[Int]) = HashExpressions.evalSortedInterInt(

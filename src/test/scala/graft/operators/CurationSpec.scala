@@ -73,6 +73,32 @@ class CurationSpec extends SparkSpec {
       "n_seqs must be non-increasing in L")
   }
 
+  test("mix_epoch_plan: the 4-epoch cap binds for scarce sources and not for rich ones") {
+    val d = tmpDir("epochplan")
+    // two sources, budget 1M -> target 500k each: `src0` holds 400k tokens
+    // (epochs_m = 1250, under the cap), `src1` holds 50k (epochs_m =
+    // 10000, capped at 4000 -> planned 200k, a visible deficit)
+    val rows2 = ((0 until 400).map(i => (i.toLong, "src0")) ++
+      (0 until 50).map(i => (1000L + i, "src1")))
+      .map { case (id, src) => org.apache.spark.sql.Row(
+        id, Seq.fill(1000)("tok").mkString(" "), "en", src, 0L) }
+    val schema2 = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows2, 4), schema2)
+      .write.parquet(s"$d/documents.parquet")
+    val out = graft.SparkEntry.queries("mix_epoch_plan")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq(
+      // (source, n_tokens, target, epochs_m, capped_m, planned)
+      ("src0", 400000L, 500000L, 1250L, 1250L, 500000L),
+      ("src1", 50000L, 500000L, 10000L, 4000L, 200000L)))
+  }
+
   test("quality_funnel: stage chaining, and each gate discriminates on a constructed corpus") {
     val d = tmpDir("funnel")
     val schema = org.apache.spark.sql.types.StructType(Seq(

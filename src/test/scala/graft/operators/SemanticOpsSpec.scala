@@ -93,4 +93,32 @@ class SemanticOpsSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(rows.toSeq == Seq((0, 4L, 4L, 1000L), (1, 3L, 2L, 666L)))
   }
+
+  test("hard_negatives: only label-mismatch in-cell neighbors, ranked by cosine") {
+    // cells {0,4} {1,5,6} {2} {3,7}; labels 0,0,1,1,0,0,1,1. Mismatches
+    // exist only in cell {1,5,6} (v6 is label 1 among label-0 v1/v5):
+    //  q=1 -> {6} at cos(v1,v6)=1/sqrt2=.707; q=5 -> {6} at .633;
+    //  q=6 -> {1: .707 rank 1, 5: .633 rank 2}. Same-label cells 0/3 and
+    //  the singleton cell 2 yield nothing.
+    val rows = run("hard_negatives").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getInt(4)))
+    assert(rows.toSeq == Seq(
+      (1L, 0, 6L, 1, 1), (5L, 0, 6L, 1, 1), (6L, 1, 1L, 0, 1), (6L, 1, 5L, 0, 2)))
+    val cosines = run("hard_negatives").collect().map(_.getDouble(5))
+    assert(math.abs(cosines(0) - 1.0 / math.sqrt(2)) < 1e-9,
+      "cos(v1, v6) must be 1/sqrt(2)")
+  }
+
+  test("label_centroid_margin: separable fixture labels read positive margins, label 0 wider") {
+    // label-0 vectors sit near the +x/+y axes and label 1 near -x/-y:
+    // every vector is closer to its own label centroid (pos_pm = 1000),
+    // and the label-0 cluster is tighter around its centroid, so its
+    // mean margin exceeds label 1's (which holds the near-boundary v7)
+    val rows = run("label_centroid_margin").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(t => (t._1, t._2, t._4)).toSeq ==
+      Seq((0, 4L, 1000L), (1, 4L, 1000L)))
+    assert(rows(0)._3 > rows(1)._3,
+      s"label 0's mean margin must exceed label 1's, got $rows")
+  }
 }

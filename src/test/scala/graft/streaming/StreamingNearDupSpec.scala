@@ -1,0 +1,141 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.GroupStateTimeout
+import java.sql.Timestamp
+
+/** Streaming MinHash near-dup: cross-batch banded candidates over live
+  * micro-batches with bounded, TTL-evicted bucket state. */
+class StreamingNearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  // a 40-token document and a near-identical copy (one token changed at
+  // the tail) — the same near-dup shape the salted probe corpus uses; an
+  // unrelated document shares no shingles at all
+  private val base = ("the quick brown fox jumps over the lazy dog while " +
+    "seventeen sleepy cats watch from the warm garden wall and a single " +
+    "magpie counts the morning clouds drifting east over the quiet river " +
+    "meadow before noon arrives")
+  private val near = base.dropRight(5) + "night"
+  private val other = ("completely different subject matter entirely about " +
+    "industrial metallurgy processes including annealing tempering quenching " +
+    "and the crystalline microstructure of carbon steel alloys under repeated " +
+    "thermal cycling stress conditions in laboratory furnaces")
+
+  test("near-identical docs pair across micro-batches; unrelated docs never pair") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamingNearDup.pairs(
+      ms.toDF().toDF("doc_id", "text", "ts"))
+    val q = out.writeStream.format("memory").queryName("neardup1")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, base, t("2024-01-01 00:00:01")),
+        (2L, other, t("2024-01-01 00:00:02")))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM neardup1").count() == 0,
+        "batch 1 has no near-dups")
+      ms.addData((3L, near, t("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      val pairs = spark.sql("SELECT DISTINCT doc_a, doc_b FROM neardup1")
+        .as[(Long, Long)].collect().toSet
+      assert(pairs == Set((1L, 3L)),
+        s"the cross-batch near-copy pairs with its original only, got $pairs")
+      val est = spark.sql("SELECT max(est_pm) FROM neardup1").head.getLong(0)
+      assert(est >= 750, s"near-identical docs agree on most lanes, got $est")
+    } finally q.stop()
+  }
+
+  test("in-batch dup pairs immediately; re-delivered doc_id is idempotent") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingNearDup.pairs(ms.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("neardup2")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, base, t("2024-01-01 00:00:01")),
+        (2L, base, t("2024-01-01 00:00:02")))
+      q.processAllAvailable()
+      val first = spark.sql("SELECT DISTINCT doc_a, doc_b FROM neardup2")
+        .as[(Long, Long)].collect().toSet
+      assert(first == Set((1L, 2L)), s"exact in-batch copy pairs, got $first")
+      val nAfterFirst = spark.sql("SELECT * FROM neardup2").count()
+      // at-least-once source re-delivers doc 2: no new pairs, no self-pair
+      ms.addData((2L, base, t("2024-01-01 00:00:03")))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM neardup2").count() == nAfterFirst,
+        "re-delivery must not emit new pairs")
+      val after = spark.sql("SELECT DISTINCT doc_a, doc_b FROM neardup2")
+        .as[(Long, Long)].collect().toSet
+      assert(after == Set((1L, 2L)), s"still the one pair, got $after")
+    } finally q.stop()
+  }
+
+  test("bucket cap bounds state: overflow arrivals pair against residents but do not enter state") {
+    // exercise stateFn directly (the TestGroupState harness — same
+    // pattern as SequenceSpec's straggler test): cap 2, three identical
+    // docs arrive in doc_id order
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.apache.spark.api.java.Optional
+    val sig = Array.fill(16)(42L)
+    def row(id: Long) = StreamingNearDup.BandRow("b", id, sig, 1000L, new Timestamp(1000L))
+    val st = TestGroupState.create[StreamingNearDup.BucketState](
+      Optional.empty(), GroupStateTimeout.EventTimeTimeout, 0L,
+      Optional.of(0L), hasTimedOut = false)
+    val out = StreamingNearDup.stateFn(2, 750, 60000L)(
+      "b", Iterator(row(1), row(2), row(3)), st).toSeq
+    // 1-2, 1-3, 2-3 all pair (3 compares against residents 1 and 2)...
+    assert(out.map(p => (p.doc_a, p.doc_b)).toSet ==
+      Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // ...but only 1 and 2 are resident (cap 2); doc 4 pairs against them only
+    assert(st.get.entries.map(_._1) == List(1L, 2L), "state capped at 2 residents")
+    val out2 = StreamingNearDup.stateFn(2, 750, 60000L)(
+      "b", Iterator(row(4)), st).toSeq
+    assert(out2.map(p => (p.doc_a, p.doc_b)).toSet == Set((1L, 4L), (2L, 4L)),
+      "overflow doc still pairs against the resident set")
+    assert(st.get.entries.map(_._1) == List(1L, 2L), "cap still holds")
+  }
+
+  test("TTL eviction: a bucket times out and a later arrival does not pair with evicted docs") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.apache.spark.api.java.Optional
+    val sig = Array.fill(16)(7L)
+    def row(id: Long, ems: Long) = StreamingNearDup.BandRow("b", id, sig, ems, new Timestamp(ems))
+    val st = TestGroupState.create[StreamingNearDup.BucketState](
+      Optional.empty(), GroupStateTimeout.EventTimeTimeout, 0L,
+      Optional.of(0L), hasTimedOut = false)
+    StreamingNearDup.stateFn(64, 750, 1000L)("b", Iterator(row(1, 5000L)), st)
+    assert(st.getTimeoutTimestampMs.get() == 6000L, "timeout = newest arrival + ttl")
+    // watermark passes the deadline -> Spark invokes with hasTimedOut
+    val timedOut = TestGroupState.create[StreamingNearDup.BucketState](
+      Optional.of(st.get), GroupStateTimeout.EventTimeTimeout, 10000L,
+      Optional.of(10000L), hasTimedOut = true)
+    val out = StreamingNearDup.stateFn(64, 750, 1000L)(
+      "b", Iterator.empty, timedOut).toSeq
+    assert(out.isEmpty && timedOut.isRemoved, "timeout clears the bucket, emits nothing")
+    // the next arrival starts a fresh bucket: no pair with the evicted doc
+    val fresh = TestGroupState.create[StreamingNearDup.BucketState](
+      Optional.empty(), GroupStateTimeout.EventTimeTimeout, 10000L,
+      Optional.of(10000L), hasTimedOut = false)
+    val out2 = StreamingNearDup.stateFn(64, 750, 1000L)(
+      "b", Iterator(row(2, 11000L)), fresh).toSeq
+    assert(out2.isEmpty, "evicted docs are gone — no cross-eviction pairs")
+  }
+
+  test("straggler-only batch clamps the timeout past the watermark instead of crashing") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.apache.spark.api.java.Optional
+    val sig = Array.fill(16)(9L)
+    val st = TestGroupState.create[StreamingNearDup.BucketState](
+      Optional.empty(), GroupStateTimeout.EventTimeTimeout, 500000L,
+      Optional.of(500000L), hasTimedOut = false)
+    // arrival so old that ems + ttl is far behind the watermark
+    StreamingNearDup.stateFn(64, 750, 1000L)(
+      "b", Iterator(StreamingNearDup.BandRow("b", 1L, sig, 1000L, new Timestamp(1000L))), st)
+    assert(st.getTimeoutTimestampMs.get() == 500001L,
+      "timeout must clamp to watermark + 1, never at/behind it")
+  }
+}

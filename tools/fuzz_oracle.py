@@ -36,12 +36,13 @@ cms_heavy_hitters sample_importance gopher_rules mix_temperature
 mix_temperature_a25 ccnet_buckets c4_rules shard_shuffle
 importance_hashed corpus_stats minhash_calibration
 source_drift minhash_band_sweep dedup_cluster_stats
-tokenizer_fertility pack_efficiency quality_funnel""".split()
+tokenizer_fertility pack_efficiency quality_funnel mix_epoch_plan""".split()
 
 EMB_QUERIES = """ann_cosine_topk ann_cosine_bucketed ann_ivf_probe
 ann_ivf_nprobe ann_ivf_pq ann_recall_report dedup_embedding_cosine
 vector_norms embedding_quantize embedding_pq embedding_kmeans rank_fusion
-dedup_semantic knn_label_probe""".split()
+dedup_semantic knn_label_probe ann_range_search hard_negatives
+label_centroid_margin""".split()
 
 ASCII_WORDS = ("spark join window data model train corpus token quality "
                "filter sample batch shard merge index scan probe the a of "
