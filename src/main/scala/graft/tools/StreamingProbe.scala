@@ -92,6 +92,34 @@ object StreamingProbe {
     }
     println(s"sketch_bytes=${tracker.sketch.length * 8} (constant across batches)" +
       s" total_tokens=${tracker.totalTokens}")
+
+    // ---- StreamingNearDup: band-bucket keyed state (capped + TTL'd).
+    // The salted corpus is the adversarial shape here too: every doc has
+    // ~K near-identical siblings, so buckets fill toward the cap and the
+    // pair stream grows ~K² per source doc — the streaming twin of the
+    // batch dedup family's saturated-decade probes. The 1 h TTL with the
+    // +60 s/file step retains every bucket (no eviction), maximizing
+    // state. Output drains to a noop sink; emitted-pair count comes from
+    // the progress rows.
+    val nd = graft.streaming.StreamingNearDup.pairs(
+        stream(), ttlMs = 60L * 60 * 1000)
+      .writeStream.format("noop")
+      .option("checkpointLocation", s"$workDir/nd_chk")
+      .outputMode("append").start()
+    nd.processAllAvailable()
+    val ndProg = nd.recentProgress.toSeq
+    nd.stop()
+    println("== StreamingNearDup (capped band-bucket keyed state) ==")
+    ndProg.filter(_.numInputRows > 0).foreach { p =>
+      val so = p.stateOperators.headOption
+      println(s"batch=${p.batchId} rows=${p.numInputRows}" +
+        s" pairs_out=${p.sink.numOutputRows}" +
+        s" trigger_ms=${p.durationMs.get("triggerExecution")}" +
+        s" addBatch_ms=${p.durationMs.get("addBatch")}" +
+        s" state_rows=${so.map(_.numRowsTotal).getOrElse(-1L)}" +
+        s" state_mem=${so.map(_.memoryUsedBytes).getOrElse(-1L)}" +
+        s" commit_state_ms=${so.map(_.commitTimeMs).getOrElse(-1L)}")
+    }
     spark.stop()
   }
 }
