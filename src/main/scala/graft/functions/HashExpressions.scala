@@ -322,6 +322,11 @@ object HashExpressions {
     * the j-index formula is shared with the 12-plane demo signature so
     * width w ≤ 12 prefixes agree lane-for-lane with graft_srp12. */
   def evalSrp(arr: ArrayData, nbits: Int): ArrayData = {
+    // validated HERE, not in nullSafeEval, so the codegen path (which
+    // calls this directly) enforces the same bound — a negative width
+    // would otherwise surface as a NegativeArraySizeException
+    require(nbits >= 1 && nbits <= 1024,
+      s"graft_srp nbits must be in [1, 1024], got $nbits")
     val emb = arr.toFloatArray()
     val out = new Array[Int](nbits)
     var j = 0
@@ -567,6 +572,14 @@ object HashExpressions {
   case class SrpExpr(left: Expression, right: Expression)
       extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      (left.dataType, right.dataType) match {
+        case (ArrayType(FloatType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"graft_srp requires (array<float>, int), got (${l.simpleString}, ${r.simpleString})")
+      }
+    }
     override def nullSafeEval(l: Any, r: Any): Any =
       evalSrp(l.asInstanceOf[ArrayData], r.asInstanceOf[Int])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

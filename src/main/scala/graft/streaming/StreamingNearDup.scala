@@ -83,13 +83,15 @@ object StreamingNearDup {
         if (entries.size < maxPerBucket) entries = entries :+ ((r.docId, r.sig))
       }
     }
-    if (entries.nonEmpty) state.update(BucketState(entries)) else state.remove()
-    if (maxMs > 0L) {
-      // never set a timeout at/before the current watermark (Spark
-      // rejects it): a straggler-only batch clamps forward by 1 ms
-      val wm = state.getCurrentWatermarkMs()
-      state.setTimeoutTimestamp(math.max(maxMs + ttlMs, wm + 1L))
-    }
+    if (entries.nonEmpty) {
+      state.update(BucketState(entries))
+      if (maxMs > 0L) {
+        // never set a timeout at/before the current watermark (Spark
+        // rejects it): a straggler-only batch clamps forward by 1 ms
+        val wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(math.max(maxMs + ttlMs, wm + 1L))
+      }
+    } else state.remove() // timeout on removed state would throw
     out.iterator
   }
 
