@@ -531,7 +531,102 @@ object TextOps {
            |    THEN 1 ELSE 0 END AS keep,
            |  md5(coalesce(array_to_string(kept, chr(10)), '')) AS cleaned_md5
            |FROM fl ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // ---- C4 corpus-level span dedup (Raffel et al. 2020 §2.2): "we
+    // removed all but one of any three-sentence span occurring more than
+    // once in the data set" — the CROSS-document half of the C4 recipe
+    // c4_rules' line gate leaves open (dedup_paragraph is the
+    // whole-paragraph analog; this is the overlapping-window one). Lines
+    // are the fixture's 8-token sentences; spans are the sliding 3-line
+    // windows; the GLOBAL first occurrence (min (doc_id, span_pos)) of a
+    // duplicated span keeps its lines, every other occurrence's three
+    // lines are removed, and each doc's cleaned reconstruction is pinned
+    // by md5 in BOTH engines. Scale shape: the only corpus-volume
+    // shuffles are the span-hash group (dedup_paragraph's shape — output
+    // bounded by the duplicated span set after the n_occ > 1 cut), the
+    // marked-span join (duplicated spans only), and the per-doc
+    // reconstruction agg; window functions never touch the corpus (the
+    // canonical pick is a window over the DUPLICATED-span frame in the
+    // oracle and a window-free min-struct agg here). Overlapping marked
+    // spans union their line sets via one distinct — removal is
+    // idempotent by construction. --------------------------------------
+    "c4_span_dedup" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .selectExpr("doc_id", s"${Portable.tokensSql("coalesce(text, '')")} AS ts")
+          .selectExpr("doc_id",
+            """CASE WHEN size(ts) = 0 THEN CAST(array() AS ARRAY<STRING>)
+              |ELSE transform(sequence(1, CAST((size(ts) + 7) div 8 AS INT)),
+              |  i -> concat_ws(' ', slice(ts, (i - 1) * 8 + 1, 8))) END AS lines""".stripMargin)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val spans = docs.selectExpr("doc_id",
+            """explode(CASE WHEN size(lines) < 3
+              |  THEN CAST(array() AS ARRAY<STRUCT<spos: INT, skey: STRING>>)
+              |  ELSE transform(sequence(1, size(lines) - 2), i ->
+              |    struct(CAST(i AS INT) AS spos,
+              |           md5(concat_ws(' ', slice(lines, i, 3))) AS skey)) END) AS sp""".stripMargin)
+          .selectExpr("doc_id", "sp.spos AS spos", "sp.skey AS skey")
+        val canon = spans.groupBy(col("skey"))
+          .agg(count(lit(1)).as("n_occ"),
+            min(struct(col("doc_id"), col("spos"))).as("c"))
+          .filter("n_occ > 1")
+          .selectExpr("skey", "c.doc_id AS c_doc", "c.spos AS c_spos")
+        val removed = spans.join(canon, "skey")
+          .filter("NOT (doc_id = c_doc AND spos = c_spos)")
+          .selectExpr("doc_id", "explode(sequence(spos, spos + 2)) AS li")
+          .distinct()
+        val kept = docs
+          .selectExpr("doc_id", "posexplode(lines) AS (p, line)")
+          .selectExpr("doc_id", "CAST(p + 1 AS INT) AS li", "line")
+          .join(removed, Seq("doc_id", "li"), "left_anti")
+        val stats = kept.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_kept"),
+            expr("md5(concat_ws('\\n', transform(array_sort(collect_list(" +
+              "struct(li, line))), s -> s.line)))").as("kept_md5"))
+        docs.selectExpr("doc_id", "CAST(size(lines) AS BIGINT) AS n_lines")
+          .join(stats, Seq("doc_id"), "left")
+          .selectExpr("doc_id", "n_lines", "coalesce(n_kept, 0L) AS n_kept",
+            "n_lines - coalesce(n_kept, 0L) AS n_removed",
+            "coalesce(kept_md5, md5('')) AS kept_md5")
+          .transform(graft.Sorted.byNames(_, "doc_id"))
+      },
+      s"""WITH tk AS (SELECT doc_id,
+         |    ${Portable.duckToksSql("coalesce(text, '')")} AS ts FROM documents),
+         |ld AS (SELECT doc_id,
+         |    CASE WHEN len(ts) = 0 THEN []::VARCHAR[]
+         |    ELSE list_transform(range(1, (len(ts) + 7) // 8 + 1),
+         |      i -> array_to_string(list_slice(ts, (i - 1) * 8 + 1, i * 8), ' ')) END AS lines
+         |  FROM tk),
+         |sp0 AS (SELECT doc_id,
+         |    UNNEST(CASE WHEN len(lines) < 3 THEN []::STRUCT(spos INT, skey VARCHAR)[]
+         |      ELSE list_transform(range(1, len(lines) - 1), i ->
+         |        struct_pack(spos := CAST(i AS INT),
+         |                    skey := md5(array_to_string(list_slice(lines, i, i + 2), ' ')))) END) AS s
+         |  FROM ld),
+         |spf AS (SELECT doc_id, s.spos AS spos, s.skey AS skey FROM sp0),
+         |rk AS (SELECT doc_id, spos, skey,
+         |    COUNT(*) OVER (PARTITION BY skey) AS n_occ,
+         |    ROW_NUMBER() OVER (PARTITION BY skey ORDER BY doc_id, spos) AS rn
+         |  FROM spf),
+         |rm AS (SELECT DISTINCT doc_id, li FROM (
+         |    SELECT doc_id, UNNEST(range(spos, spos + 3)) AS li
+         |    FROM rk WHERE n_occ > 1 AND rn > 1)),
+         |kl0 AS (SELECT doc_id,
+         |    UNNEST(list_transform(range(1, len(lines) + 1),
+         |      i -> struct_pack(li := CAST(i AS INT), line := lines[i]))) AS s
+         |  FROM ld),
+         |kl AS (SELECT doc_id, s.li AS li, s.line AS line FROM kl0),
+         |kept AS (SELECT k.doc_id, k.li, k.line FROM kl k
+         |  ANTI JOIN rm ON k.doc_id = rm.doc_id AND k.li = rm.li),
+         |st AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |    md5(string_agg(line, chr(10) ORDER BY li)) AS kept_md5
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(len(d.lines) AS BIGINT) AS n_lines,
+         |  COALESCE(st.n_kept, 0) AS n_kept,
+         |  CAST(len(d.lines) AS BIGINT) - COALESCE(st.n_kept, 0) AS n_removed,
+         |  COALESCE(st.kept_md5, md5('')) AS kept_md5
+         |FROM ld d LEFT JOIN st USING (doc_id) ORDER BY d.doc_id""".stripMargin)
   )
 
   /** Gopher quality rules (Rae et al. 2021 §A1.1) over a `documents`

@@ -719,6 +719,20 @@ class PlanAuditSpec extends SparkSpec {
       "nothing corpus-sized may shuffle-join — the only join is the broadcast")
   }
 
+  test("c4_span_dedup: span grouping like dedup_paragraph; no corpus window, line frame cached") {
+    val p = plan("c4_span_dedup")
+    assert(!p.contains("CartesianProduct"), "span matching is a hash group + equi-join, never all-pairs")
+    assert(!p.contains("Window ["),
+      "the canonical pick is a window-free min-struct agg — no window touches the corpus")
+    assert(p.contains("InMemoryRelation"),
+      "the line frame persists once and feeds spans AND reconstruction")
+    // struct-min (canon) and collect_list (reconstruction) plan as
+    // Object/Sort aggregates, not plain HashAggregate — count all kinds
+    assert(nodeIds(p, "HashAggregate").size + nodeIds(p, "ObjectHashAggregate").size
+      + nodeIds(p, "SortAggregate").size >= 4,
+      "span canon and the reconstruction agg must be partial+final")
+  }
+
   test("streaming curation gate: native Bloom probe, no Scala UDF in the per-batch hot path") {
     // the gate runs once per micro-batch over every intake row — the one
     // place a boxed per-row UDF would sit directly in the streaming hot

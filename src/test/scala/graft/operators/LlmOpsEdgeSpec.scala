@@ -245,4 +245,46 @@ class LlmOpsEdgeSpec extends SparkSpec {
     assert(row.getAs[Int]("has_lorem") == 1)
     assert(row.getAs[Int]("keep") == 0)
   }
+
+  test("c4_span_dedup: cross-doc span removal matches an independent in-JVM model") {
+    // the full C4 span-dedup semantics re-derived in plain Scala — an
+    // oracle independent of both engine SQL dialects: 8-token lines,
+    // sliding 3-line spans, GLOBAL min-(doc_id, spos) canonical keeps its
+    // lines, every other occurrence's three lines are removed, and the
+    // per-doc reconstruction md5 must agree byte-for-byte
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val fixDir = "/root/testdata/sf0.001"
+    val lines = spark.read.parquet(s"$fixDir/documents.parquet")
+      .collect().map { r =>
+        val t = Option(r.getAs[String]("text")).getOrElse("")
+        r.getAs[Long]("doc_id") -> t.toLowerCase.split("[^a-z0-9]+")
+          .filter(_.nonEmpty).grouped(8).map(_.mkString(" ")).toSeq
+      }.toSeq.sortBy(_._1)
+    val occ = scala.collection.mutable.Map.empty[String, List[(Long, Int)]]
+    for ((id, ls) <- lines; i <- 1 to math.max(0, ls.size - 2))
+      occ.updateWith(ls.slice(i - 1, i + 2).mkString(" ")) {
+        prev => Some((id, i) :: prev.getOrElse(Nil))
+      }
+    val removed = scala.collection.mutable.Set.empty[(Long, Int)]
+    occ.values.filter(_.size > 1).foreach { os =>
+      os.sorted.tail.foreach { case (d, sp) =>
+        (sp to sp + 2).foreach(li => removed += ((d, li)))
+      }
+    }
+    val expect = lines.map { case (id, ls) =>
+      val kept = ls.zipWithIndex.collect {
+        case (l, i0) if !removed((id, i0 + 1)) => l
+      }
+      id -> (ls.size.toLong, kept.size.toLong,
+        (ls.size - kept.size).toLong, md5(kept.mkString("\n")))
+    }.toMap
+    val got = SparkEntry.queries("c4_span_dedup")(spark, fixDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got == expect)
+    // the fixture must actually exercise removal, or the model proves nothing
+    assert(expect.values.exists(_._3 > 0),
+      "sf0.001 must contain duplicated 3-line spans")
+  }
 }

@@ -36,7 +36,8 @@ cms_heavy_hitters sample_importance gopher_rules mix_temperature
 mix_temperature_a25 ccnet_buckets c4_rules shard_shuffle
 importance_hashed corpus_stats minhash_calibration
 source_drift minhash_band_sweep dedup_cluster_stats
-tokenizer_fertility pack_efficiency quality_funnel mix_epoch_plan""".split()
+tokenizer_fertility pack_efficiency quality_funnel mix_epoch_plan
+c4_span_dedup""".split()
 
 EMB_QUERIES = """ann_cosine_topk ann_cosine_bucketed ann_ivf_probe
 ann_ivf_nprobe ann_ivf_pq ann_recall_report dedup_embedding_cosine
