@@ -552,45 +552,7 @@ object TextOps {
     // spans union their line sets via one distinct — removal is
     // idempotent by construction. --------------------------------------
     "c4_span_dedup" -> QueryDef(
-      (s, dir) => {
-        val docs = Tables.load(s, dir, "documents")
-          .selectExpr("doc_id", s"${Portable.tokensSql("coalesce(text, '')")} AS ts")
-          .selectExpr("doc_id",
-            """CASE WHEN size(ts) = 0 THEN CAST(array() AS ARRAY<STRING>)
-              |ELSE transform(sequence(1, CAST((size(ts) + 7) div 8 AS INT)),
-              |  i -> concat_ws(' ', slice(ts, (i - 1) * 8 + 1, 8))) END AS lines""".stripMargin)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val spans = docs.selectExpr("doc_id",
-            """explode(CASE WHEN size(lines) < 3
-              |  THEN CAST(array() AS ARRAY<STRUCT<spos: INT, skey: STRING>>)
-              |  ELSE transform(sequence(1, size(lines) - 2), i ->
-              |    struct(CAST(i AS INT) AS spos,
-              |           md5(concat_ws(' ', slice(lines, i, 3))) AS skey)) END) AS sp""".stripMargin)
-          .selectExpr("doc_id", "sp.spos AS spos", "sp.skey AS skey")
-        val canon = spans.groupBy(col("skey"))
-          .agg(count(lit(1)).as("n_occ"),
-            min(struct(col("doc_id"), col("spos"))).as("c"))
-          .filter("n_occ > 1")
-          .selectExpr("skey", "c.doc_id AS c_doc", "c.spos AS c_spos")
-        val removed = spans.join(canon, "skey")
-          .filter("NOT (doc_id = c_doc AND spos = c_spos)")
-          .selectExpr("doc_id", "explode(sequence(spos, spos + 2)) AS li")
-          .distinct()
-        val kept = docs
-          .selectExpr("doc_id", "posexplode(lines) AS (p, line)")
-          .selectExpr("doc_id", "CAST(p + 1 AS INT) AS li", "line")
-          .join(removed, Seq("doc_id", "li"), "left_anti")
-        val stats = kept.groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_kept"),
-            expr("md5(concat_ws('\\n', transform(array_sort(collect_list(" +
-              "struct(li, line))), s -> s.line)))").as("kept_md5"))
-        docs.selectExpr("doc_id", "CAST(size(lines) AS BIGINT) AS n_lines")
-          .join(stats, Seq("doc_id"), "left")
-          .selectExpr("doc_id", "n_lines", "coalesce(n_kept, 0L) AS n_kept",
-            "n_lines - coalesce(n_kept, 0L) AS n_removed",
-            "coalesce(kept_md5, md5('')) AS kept_md5")
-          .transform(graft.Sorted.byNames(_, "doc_id"))
-      },
+      (s, dir) => c4SpanDedup(Tables.load(s, dir, "documents")),
       s"""WITH tk AS (SELECT doc_id,
          |    ${Portable.duckToksSql("coalesce(text, '')")} AS ts FROM documents),
          |ld AS (SELECT doc_id,
@@ -628,6 +590,58 @@ object TextOps {
          |  COALESCE(st.kept_md5, md5('')) AS kept_md5
          |FROM ld d LEFT JOIN st USING (doc_id) ORDER BY d.doc_id""".stripMargin)
   )
+
+  /** C4 corpus-level span dedup over a `documents` frame — see the
+    * registry entry's comment for semantics and scale shape. The span
+    * geometry is the SIGNATURE: `lineTokens` is the sentence
+    * approximation (the fixture's 8-token lines, c4_rules' convention)
+    * and `spanLines` is C4's published 3-sentence window; a production
+    * run with real sentence segmentation swaps the line construction
+    * and keeps the dedup core. */
+  def c4SpanDedup(docsIn: org.apache.spark.sql.DataFrame,
+      lineTokens: Int = 8, spanLines: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(lineTokens >= 1 && spanLines >= 1,
+      s"span geometry must be positive, got ($lineTokens, $spanLines)")
+    val lt = lineTokens
+    val sl = spanLines
+    val docs = docsIn
+      .selectExpr("doc_id", s"${Portable.tokensSql("coalesce(text, '')")} AS ts")
+      .selectExpr("doc_id",
+        s"""CASE WHEN size(ts) = 0 THEN CAST(array() AS ARRAY<STRING>)
+           |ELSE transform(sequence(1, CAST((size(ts) + ${lt - 1}) div $lt AS INT)),
+           |  i -> concat_ws(' ', slice(ts, (i - 1) * $lt + 1, $lt))) END AS lines""".stripMargin)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spans = docs.selectExpr("doc_id",
+        s"""explode(CASE WHEN size(lines) < $sl
+           |  THEN CAST(array() AS ARRAY<STRUCT<spos: INT, skey: STRING>>)
+           |  ELSE transform(sequence(1, size(lines) - ${sl - 1}), i ->
+           |    struct(CAST(i AS INT) AS spos,
+           |           md5(concat_ws(' ', slice(lines, i, $sl))) AS skey)) END) AS sp""".stripMargin)
+      .selectExpr("doc_id", "sp.spos AS spos", "sp.skey AS skey")
+    val canon = spans.groupBy(col("skey"))
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("spos"))).as("c"))
+      .filter("n_occ > 1")
+      .selectExpr("skey", "c.doc_id AS c_doc", "c.spos AS c_spos")
+    val removed = spans.join(canon, "skey")
+      .filter("NOT (doc_id = c_doc AND spos = c_spos)")
+      .selectExpr("doc_id", s"explode(sequence(spos, spos + ${sl - 1})) AS li")
+      .distinct()
+    val kept = docs
+      .selectExpr("doc_id", "posexplode(lines) AS (p, line)")
+      .selectExpr("doc_id", "CAST(p + 1 AS INT) AS li", "line")
+      .join(removed, Seq("doc_id", "li"), "left_anti")
+    val stats = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        expr("md5(concat_ws('\\n', transform(array_sort(collect_list(" +
+          "struct(li, line))), s -> s.line)))").as("kept_md5"))
+    docs.selectExpr("doc_id", "CAST(size(lines) AS BIGINT) AS n_lines")
+      .join(stats, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "n_lines", "coalesce(n_kept, 0L) AS n_kept",
+        "n_lines - coalesce(n_kept, 0L) AS n_removed",
+        "coalesce(kept_md5, md5('')) AS kept_md5")
+      .transform(graft.Sorted.byNames(_, "doc_id"))
+  }
 
   /** Gopher quality rules (Rae et al. 2021 §A1.1) over a `documents`
     * frame: word-count bounds, mean word length (centichars), fraction of

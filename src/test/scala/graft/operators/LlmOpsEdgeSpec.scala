@@ -287,4 +287,23 @@ class LlmOpsEdgeSpec extends SparkSpec {
     assert(expect.values.exists(_._3 > 0),
       "sf0.001 must contain duplicated 3-line spans")
   }
+
+  test("c4SpanDedup: span geometry is the signature — a 2-line window catches what 3 misses") {
+    import spark.implicits._
+    def line(p: String) = (1 to 8).map(i => s"$p$i").mkString(" ")
+    // docs share their first TWO lines but not three: invisible to the
+    // published 3-sentence window, caught at spanLines = 2 (the shorter
+    // window trades precision for recall — the knob, exercised)
+    val df = Seq(
+      (1L, s"${line("a")} ${line("b")} ${line("c")}"),
+      (2L, s"${line("a")} ${line("b")} ${line("d")}"))
+      .toDF("doc_id", "text")
+    val at3 = TextOps.c4SpanDedup(df, lineTokens = 8, spanLines = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(at3 == Map(1L -> 0L, 2L -> 0L), "no 3-line span repeats")
+    val at2 = TextOps.c4SpanDedup(df, lineTokens = 8, spanLines = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // (a, b) duplicates; doc 1 is canonical (min id), doc 2 loses both lines
+    assert(at2 == Map(1L -> 0L, 2L -> 2L), s"2-line window must fire, got $at2")
+  }
 }
