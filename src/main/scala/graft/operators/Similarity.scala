@@ -277,36 +277,7 @@ object Similarity {
     // (The fixture has no >0.52-cosine pairs, so the demo threshold is 0.45;
     // recall at a real 0.9 near-dup threshold with these bands is ~0.98.) --
     "dedup_embedding_cosine" -> QueryDef(
-      (s, dir) => {
-        graft.functions.HashExpressions.register(s)
-        val emb = Tables.load(s, dir, "embeddings")
-        // deterministic hyperplanes: w[j][i] = ((i*1103 + j*907) % 2001 - 1000)/1000
-        // native single-pass signature (graft_srp12, float-widen/double-
-        // accumulate parity with the oracle); persisted slim (vec_id, sg)
-        // so the band self-join reads it from cache.
-        val signed = emb.selectExpr("vec_id", "graft_srp12(embedding) AS sg")
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val bands = signed.selectExpr("vec_id",
-          """explode(transform(sequence(0, 3), b -> struct(b AS band,
-            | element_at(sg, b * 3 + 1) * 4 + element_at(sg, b * 3 + 2) * 2
-            |  + element_at(sg, b * 3 + 3) AS key))) AS bk""".stripMargin)
-          .selectExpr("vec_id", "bk.band AS band", "bk.key AS key")
-        val cand = bands.alias("a").join(bands.alias("b"),
-            expr("a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id"))
-          .selectExpr("a.vec_id AS id_a", "b.vec_id AS id_b").distinct()
-        val ea = emb.selectExpr("vec_id AS id_a", "embedding AS q_emb")
-        val eb = emb.selectExpr("vec_id AS id_b", "embedding")
-        cand.join(ea, "id_a").join(eb, "id_b")
-          .selectExpr("id_a", "id_b",
-            s"graft_cosine(q_emb, embedding) AS cosine")
-          // NaN guard: a zero-norm vector's cosine is 0/0 — NaN here
-          // (which Spark's >= treats as GREATER than the threshold) but
-          // NULL in DuckDB's division (which falls out of >=). The
-          // contract is that degenerate vectors are never near-dups, so
-          // drop NaN explicitly (fuzz find, seed 77).
-          .filter("NOT isnan(cosine) AND cosine >= 0.45")
-          .transform(graft.Sorted.byNames(_, "id_a", "id_b"))
-      },
+      (s, dir) => embeddingCosinePairs(Tables.load(s, dir, "embeddings")),
       s"""WITH signed AS (
          |  SELECT vec_id, embedding,
          |    list_transform(range(0, 12), j ->
@@ -929,16 +900,48 @@ object Similarity {
     * argued in prose. Key encoding is internal: any injective encoding
     * of the width-bit tuple yields the same candidate set, so the demo
     * oracle's arithmetic 3-bit keys and this method's concat keys agree. */
-  def rangeSearch(emb: DataFrame, queryMod: Int = 25, threshold: Double = 0.45,
-      width: Int = 3, nBands: Int = 4): DataFrame = {
+  /** The persisted (vec_id, band, key) frame shared by the SRP family:
+    * width-parameterized native signature, one explode to band keys.
+    * Key encoding (bit concat) is internal — any injective encoding of
+    * the width-bit tuple partitions candidates identically. */
+  private def srpBands(emb: DataFrame, width: Int, nBands: Int): DataFrame = {
     graft.functions.HashExpressions.register(emb.sparkSession)
     val signed = emb
       .selectExpr("vec_id", s"graft_srp(embedding, ${width * nBands}) AS sg")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val bands = signed.selectExpr("vec_id",
+    signed.selectExpr("vec_id",
       s"""explode(transform(sequence(0, ${nBands - 1}), b -> struct(b AS band,
          | concat_ws('', slice(sg, b * $width + 1, $width)) AS key))) AS bk""".stripMargin)
       .selectExpr("vec_id", "bk.band AS band", "bk.key AS key")
+  }
+
+  /** Symmetric SRP-banded near-dup pairs — dedup_embedding_cosine's
+    * body with the band WIDTH in the signature: the same occupancy knob
+    * as [[rangeSearch]] (a constant key space saturates at corpus scale;
+    * width must grow ~log2(N)), measured for BOTH variants in SCALE.md.
+    * The fixture pins the demo point (width 3 — graft_srp's w ≤ 12
+    * prefix is lane-identical to graft_srp12, so the oracle's 12-plane
+    * replay is unchanged). NaN guard: a zero-norm vector's cosine is
+    * 0/0 — NaN here (Spark's >= treats it as greater) but NULL in
+    * DuckDB's division; degenerate vectors are never near-dups, so NaN
+    * drops explicitly (fuzz find, seed 77). */
+  def embeddingCosinePairs(emb: DataFrame, threshold: Double = 0.45,
+      width: Int = 3, nBands: Int = 4): DataFrame = {
+    val bands = srpBands(emb, width, nBands)
+    val cand = bands.alias("a").join(bands.alias("b"),
+        expr("a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id"))
+      .selectExpr("a.vec_id AS id_a", "b.vec_id AS id_b").distinct()
+    val ea = emb.selectExpr("vec_id AS id_a", "embedding AS q_emb")
+    val eb = emb.selectExpr("vec_id AS id_b", "embedding")
+    cand.join(ea, "id_a").join(eb, "id_b")
+      .selectExpr("id_a", "id_b", "graft_cosine(q_emb, embedding) AS cosine")
+      .filter(s"NOT isnan(cosine) AND cosine >= $threshold")
+      .transform(graft.Sorted.byNames(_, "id_a", "id_b"))
+  }
+
+  def rangeSearch(emb: DataFrame, queryMod: Int = 25, threshold: Double = 0.45,
+      width: Int = 3, nBands: Int = 4): DataFrame = {
+    val bands = srpBands(emb, width, nBands)
     val cand = bands.filter(s"vec_id % $queryMod = 0")
       .selectExpr("vec_id AS q_id", "band", "key")
       .join(bands, Seq("band", "key"))
