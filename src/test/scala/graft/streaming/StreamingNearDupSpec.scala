@@ -125,6 +125,45 @@ class StreamingNearDupSpec extends SparkSpec {
     assert(out2.isEmpty, "evicted docs are gone — no cross-eviction pairs")
   }
 
+  test("stateFn invariants under randomized batches: cap, threshold, order, distinct residents") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.apache.spark.api.java.Optional
+    val rnd = new scala.util.Random(424242)
+    for (_ <- 1 to 50) {
+      val cap = 1 + rnd.nextInt(8)
+      val minEst = 500L
+      var st = TestGroupState.create[StreamingNearDup.BucketState](
+        Optional.empty(), GroupStateTimeout.EventTimeTimeout, 0L,
+        Optional.of(0L), hasTimedOut = false)
+      for (batch <- 1 to 4) {
+        val rows = (1 to 1 + rnd.nextInt(6)).map { _ =>
+          // small id/value domains so collisions, re-deliveries, and
+          // threshold boundary cases all occur within 50 trials
+          StreamingNearDup.BandRow("b", rnd.nextInt(20).toLong,
+            Array.fill(16)(rnd.nextInt(3).toLong), batch * 1000L,
+            new Timestamp(batch * 1000L))
+        }
+        val out = StreamingNearDup.stateFn(cap, minEst, 60000L)(
+          "b", rows.iterator, st).toSeq
+        out.foreach { p =>
+          assert(p.doc_a < p.doc_b, s"pairs must be (min, max)-keyed: $p")
+          assert(p.est_pm >= minEst && p.est_pm <= 1000,
+            s"estimate outside [$minEst, 1000]: $p")
+        }
+        val entries = st.getOption.map(_.entries).getOrElse(Nil)
+        assert(entries.size <= cap, s"state exceeded cap $cap: ${entries.size}")
+        assert(entries.map(_._1).distinct.size == entries.size,
+          "resident doc ids must be distinct")
+        // re-invocation carries the committed state forward
+        st = TestGroupState.create[StreamingNearDup.BucketState](
+          st.getOption.map(Optional.of[StreamingNearDup.BucketState])
+            .getOrElse(Optional.empty()),
+          GroupStateTimeout.EventTimeTimeout, 0L,
+          Optional.of(0L), hasTimedOut = false)
+      }
+    }
+  }
+
   test("straggler-only batch clamps the timeout past the watermark instead of crashing") {
     import org.apache.spark.sql.streaming.TestGroupState
     import org.apache.spark.api.java.Optional
