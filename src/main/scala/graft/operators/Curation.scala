@@ -564,27 +564,8 @@ object Curation {
     // corpus-linear tokenize+count pass into a |sources|-row frame; the
     // budget arithmetic is model-sized. ------------------------------------
     "mix_epoch_plan" -> QueryDef(
-      (s, dir) => {
-        // persisted: |sources| rows feeding BOTH the n_src count and the
-        // final plan frame — without it the corpus tokenize+count pass
-        // executes twice (plan-audit-pinned single scan)
-        val counts = Tables.load(s, dir, "documents")
-          .selectExpr("source",
-            s"CAST(size(${graft.functions.Portable.tokensSql("coalesce(text, '')")}) AS BIGINT) AS toks")
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val nsrc = counts.agg(count(lit(1)).as("n_src"))
-        counts.crossJoin(broadcast(nsrc))
-          .selectExpr("source", "n_docs", "n_tokens",
-            "1000000L div n_src AS target_tokens")
-          .selectExpr("source", "n_docs", "n_tokens", "target_tokens",
-            "CASE WHEN n_tokens = 0 THEN 0L ELSE (target_tokens * 1000L) div n_tokens END AS epochs_m")
-          .selectExpr("source", "n_docs", "n_tokens", "target_tokens",
-            "epochs_m", "least(4000L, epochs_m) AS epochs_capped_m",
-            "(n_tokens * least(4000L, epochs_m)) div 1000 AS planned_tokens")
-          .orderBy("source")
-      },
+      (s, dir) => mixEpochPlan(Tables.load(s, dir, "documents"),
+        budgetTokens = 1000000L, capMilliEpochs = 4000L),
       s"""WITH c AS (SELECT source, COUNT(*) AS n_docs,
          |    CAST(SUM(len(${graft.functions.Portable.duckToksSql("coalesce(text, '')")})) AS BIGINT) AS n_tokens
          |  FROM documents GROUP BY source),
@@ -717,6 +698,40 @@ object Curation {
     * |langs| rows (broadcast); the corpus side is one partial+final count
     * plus a map-side copy computation — no corpus shuffle beyond the
     * group-by (plan-pinned). */
+  /** Token-budget epoch plan over a `documents` frame — see the
+    * `mix_epoch_plan` registry comment for semantics (Muennighoff et al.
+    * 2023's ~4-epoch repeat cap over a uniform per-source target). The
+    * knobs are the SIGNATURE per the repo convention: `budgetTokens` is
+    * the training token budget split uniformly across sources,
+    * `capMilliEpochs` the repeat cap in milli-epochs (4000 = the
+    * published 4-epoch rule). All int64: budgetTokens·1000 and
+    * n_tokens·capMilliEpochs must stay under 2^63 — at 100 TB
+    * (~2.5e13 tokens) a 4000 cap sits at 1e17, comfortably in range.
+    * Scale shape: ONE corpus-linear tokenize+count pass into a
+    * |sources|-row persisted frame feeding both the n_src count and the
+    * plan; the budget arithmetic is model-sized. */
+  def mixEpochPlan(docs: DataFrame, budgetTokens: Long = 1000000L,
+      capMilliEpochs: Long = 4000L): DataFrame = {
+    require(budgetTokens > 0 && capMilliEpochs > 0,
+      s"budget and cap must be positive, got ($budgetTokens, $capMilliEpochs)")
+    val counts = docs
+      .selectExpr("source",
+        s"CAST(size(${graft.functions.Portable.tokensSql("coalesce(text, '')")}) AS BIGINT) AS toks")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nsrc = counts.agg(count(lit(1)).as("n_src"))
+    counts.crossJoin(broadcast(nsrc))
+      .selectExpr("source", "n_docs", "n_tokens",
+        s"${budgetTokens}L div n_src AS target_tokens")
+      .selectExpr("source", "n_docs", "n_tokens", "target_tokens",
+        "CASE WHEN n_tokens = 0 THEN 0L ELSE (target_tokens * 1000L) div n_tokens END AS epochs_m")
+      .selectExpr("source", "n_docs", "n_tokens", "target_tokens",
+        "epochs_m", s"least(${capMilliEpochs}L, epochs_m) AS epochs_capped_m",
+        s"(n_tokens * least(${capMilliEpochs}L, epochs_m)) div 1000 AS planned_tokens")
+      .orderBy("source")
+  }
+
   def mixTemperature(docs: DataFrame, alpha: Double = 0.5): DataFrame = {
     val w = weightSql("CAST(n_docs AS DOUBLE)", alpha)
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))

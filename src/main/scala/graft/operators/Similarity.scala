@@ -1043,8 +1043,20 @@ object Similarity {
     * int64 before the mean so the aggregate is order-independent.
     * Zero-norm vectors score the -2 sentinel against every centroid
     * (margin 0, counted non-positive) — the assignCells contract. */
-  def labelCentroidMargin(emb: DataFrame): DataFrame = {
-    graft.functions.HashExpressions.register(emb.sparkSession)
+  def labelCentroidMargin(embIn: DataFrame): DataFrame = {
+    graft.functions.HashExpressions.register(embIn.sparkSession)
+    // 64-dim contract, pinned EXPLICITLY: the DuckDB oracle replays the
+    // centroid sum over a fixed range(1, 65) (dims past the actual length
+    // contribute NULL to the sum but still count in n), so slice+zero-pad
+    // every embedding to exactly 64 dims before ANY arithmetic — a padded
+    // zero adds nothing to sums or cosines while keeping n identical to
+    // the oracle's, so ragged inputs agree between engines instead of
+    // silently drifting (posexplode over the raw length would omit the
+    // missing dims from n). The CASE guards the ANSI out-of-bounds index.
+    val emb = embIn.withColumn("embedding", expr(
+      """transform(sequence(0, 63), i ->
+        |  CASE WHEN i < size(embedding) THEN embedding[i]
+        |       ELSE CAST(0.0 AS FLOAT) END)""".stripMargin))
     val cents = emb
       .select(col("label"), posexplode(col("embedding")))
       .selectExpr("label", "pos AS dim",

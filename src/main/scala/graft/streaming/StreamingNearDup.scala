@@ -52,10 +52,13 @@ object StreamingNearDup {
   case class BucketState(entries: List[(Long, Array[Long])])
 
   private def lanesEqualPm(a: Array[Long], b: Array[Long]): Long = {
+    // a width mismatch must be LOUD: dividing matched lanes by a hardcoded
+    // 16 would silently skew the estimate for any other signature width
+    require(a.length == b.length && a.length > 0,
+      s"signature width mismatch: ${a.length} vs ${b.length}")
     var i = 0; var m = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { if (a(i) == b(i)) m += 1; i += 1 }
-    m * 1000L / 16
+    while (i < a.length) { if (a(i) == b(i)) m += 1; i += 1 }
+    m * 1000L / a.length
   }
 
   /** Per-bucket state transition. New arrivals (deterministic doc_id
@@ -85,12 +88,13 @@ object StreamingNearDup {
     }
     if (entries.nonEmpty) {
       state.update(BucketState(entries))
-      if (maxMs > 0L) {
-        // never set a timeout at/before the current watermark (Spark
-        // rejects it): a straggler-only batch clamps forward by 1 ms
-        val wm = state.getCurrentWatermarkMs()
-        state.setTimeoutTimestamp(math.max(maxMs + ttlMs, wm + 1L))
-      }
+      // ALWAYS set the timeout when state exists: a bucket whose rows all
+      // carry epoch-millis <= 0 (maxMs stays 0) would otherwise never be
+      // TTL-evicted and leak for the life of the query. The watermark
+      // clamp does double duty — never at/before the current watermark
+      // (Spark rejects it): a straggler-only batch clamps forward by 1 ms.
+      val wm = state.getCurrentWatermarkMs()
+      state.setTimeoutTimestamp(math.max(maxMs + ttlMs, wm + 1L))
     } else state.remove() // timeout on removed state would throw
     out.iterator
   }

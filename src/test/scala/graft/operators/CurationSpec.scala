@@ -97,6 +97,15 @@ class CurationSpec extends SparkSpec {
       // (source, n_tokens, target, epochs_m, capped_m, planned)
       ("src0", 400000L, 500000L, 1250L, 1250L, 500000L),
       ("src1", 50000L, 500000L, 10000L, 4000L, 200000L)))
+    // the knobs are the SIGNATURE: a 2M budget doubles every target and a
+    // 2-epoch cap halves where it binds (src1: 2000 milli-epochs -> 100k)
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val out2 = Curation.mixEpochPlan(docs, budgetTokens = 2000000L,
+        capMilliEpochs = 2000L).collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out2.toSeq == Seq(
+      ("src0", 1000000L, 2500L, 2000L, 800000L),
+      ("src1", 1000000L, 20000L, 2000L, 100000L)))
   }
 
   test("quality_funnel: stage chaining, and each gate discriminates on a constructed corpus") {

@@ -121,4 +121,29 @@ class SemanticOpsSpec extends SparkSpec {
     assert(rows(0)._3 > rows(1)._3,
       s"label 0's mean margin must exceed label 1's, got $rows")
   }
+
+  test("label_centroid_margin: ragged widths agree with their zero-padded twins (the 64-dim contract)") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    // mixed 2-/3-dim input vs the same vectors hand-padded to 64: the
+    // slice+zero-pad contract must make both frames read identically
+    // (this is exactly the oracle's fixed range(1, 65) arithmetic)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val ragged = Seq(
+      Row(0L, Seq(1.0f, 0.0f), 0),
+      Row(1L, Seq(0.9f, 0.1f, 0.0f), 0),
+      Row(2L, Seq(-1.0f, 0.0f, 0.2f), 1),
+      Row(3L, Seq(0.0f, -1.0f), 1))
+    val padded = ragged.map { case Row(id: Long, e: Seq[_], l: Int) =>
+      Row(id, e.asInstanceOf[Seq[Float]].padTo(64, 0.0f), l)
+    }
+    def mk(rows: Seq[Row]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    val a = Similarity.labelCentroidMargin(mk(ragged)).collect().toSeq
+    val b = Similarity.labelCentroidMargin(mk(padded)).collect().toSeq
+    assert(a == b, s"ragged vs padded must agree exactly:\n$a\n$b")
+  }
 }

@@ -164,6 +164,36 @@ class StreamingNearDupSpec extends SparkSpec {
     }
   }
 
+  test("zero/negative event-time rows still get a TTL: the bucket cannot leak") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.apache.spark.api.java.Optional
+    val sig = Array.fill(16)(3L)
+    val st = TestGroupState.create[StreamingNearDup.BucketState](
+      Optional.empty(), GroupStateTimeout.EventTimeTimeout, 2000L,
+      Optional.of(2000L), hasTimedOut = false)
+    // ems <= 0 (pre-epoch / unparsed timestamp): state must STILL carry a
+    // timeout — an un-evictable bucket would leak for the query lifetime
+    StreamingNearDup.stateFn(64, 750, 1000L)(
+      "b", Iterator(StreamingNearDup.BandRow("b", 1L, sig, 0L, new Timestamp(0L))), st)
+    assert(st.getOption.nonEmpty, "row entered state")
+    assert(st.getTimeoutTimestampMs.isPresent &&
+      st.getTimeoutTimestampMs.get() == 2001L,
+      "timeout set (watermark-clamped) even when maxMs stays 0")
+  }
+
+  test("signature width mismatch fails loudly instead of skewing the estimate") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.apache.spark.api.java.Optional
+    val st = TestGroupState.create[StreamingNearDup.BucketState](
+      Optional.of(StreamingNearDup.BucketState(List((1L, Array.fill(16)(5L))))),
+      GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(0L), hasTimedOut = false)
+    val narrow = StreamingNearDup.BandRow("b", 2L, Array.fill(8)(5L), 1000L,
+      new Timestamp(1000L))
+    intercept[IllegalArgumentException] {
+      StreamingNearDup.stateFn(64, 750, 60000L)("b", Iterator(narrow), st).toSeq
+    }
+  }
+
   test("straggler-only batch clamps the timeout past the watermark instead of crashing") {
     import org.apache.spark.sql.streaming.TestGroupState
     import org.apache.spark.api.java.Optional
