@@ -352,28 +352,7 @@ object TextOps {
     // score frame. A naive per-language NTILE window would instead sort
     // an entire language inside ONE task — the shape this avoids. --------
     "ccnet_buckets" -> QueryDef(
-      (s, dir) => {
-        val sc = fluencyScores(s, dir)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val dist = sc.groupBy(col("lang"), col("fluency"))
-          .agg(count(lit(1)).as("c"))
-        val nl = sc.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-        val w = dist.withColumn("cum",
-          sum(col("c")).over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("lang")).orderBy(col("fluency").desc)
-            .rowsBetween(Long.MinValue, 0)))
-        val cut = w.join(broadcast(nl), "lang")
-          .groupBy(col("lang"))
-          .agg(max(when(expr("cum >= (n + 2) div 3"), col("fluency"))).as("c2"),
-            max(when(expr("cum >= (2 * n + 2) div 3"), col("fluency"))).as("c1"))
-        sc.join(broadcast(cut), "lang")
-          .withColumn("bucket",
-            when(col("fluency") >= col("c2"), lit("head"))
-              .when(col("fluency") >= col("c1"), lit("middle"))
-              .otherwise(lit("tail")))
-          .select(col("doc_id"), col("lang"), col("fluency"), col("bucket"))
-          .transform(graft.Sorted.byNames(_, "doc_id"))
-      },
+      (s, dir) => ccnetBuckets(fluencyScores(s, dir), scoreCol = "fluency"),
       s"""WITH toks AS (SELECT doc_id, lang, $duckToksFluency AS ts FROM documents),
          |bg AS (SELECT doc_id, lang,
          |    unnest(list_transform(range(2, len(ts) + 1), i -> ts[i-1])) AS w1,
@@ -476,20 +455,7 @@ object TextOps {
               |WHEN pageh % 17 = 0
               |  THEN concat(noisy, array('var config = { mode: strict }'))
               |ELSE noisy END AS lines""".stripMargin)
-          .selectExpr("doc_id", "lines",
-            """filter(lines, l -> substring(l, length(l), 1) IN ('.', '!', '?')
-              |  AND size(split(l, ' ')) >= 5
-              |  AND NOT contains(l, 'javascript')) AS kept""".stripMargin)
-          .selectExpr("doc_id",
-            "CAST(size(lines) AS BIGINT) AS n_lines",
-            "CAST(size(kept) AS BIGINT) AS n_kept",
-            "IF(exists(lines, l -> contains(l, 'lorem ipsum')), 1, 0) AS has_lorem",
-            "IF(exists(lines, l -> contains(l, '{')), 1, 0) AS has_brace",
-            "md5(array_join(kept, chr(10))) AS cleaned_md5")
-          .selectExpr("doc_id", "n_lines", "n_kept", "has_lorem", "has_brace",
-            "IF(has_lorem = 0 AND has_brace = 0 AND n_kept >= 3, 1, 0) AS keep",
-            "cleaned_md5")
-          .transform(graft.Sorted.byNames(_, "doc_id"))
+          .transform(c4Rules(_))
       },
       {
         // per-line/page polyhash replay — the ONE shared fragment
@@ -590,6 +556,86 @@ object TextOps {
          |  COALESCE(st.kept_md5, md5('')) AS kept_md5
          |FROM ld d LEFT JOIN st USING (doc_id) ORDER BY d.doc_id""".stripMargin)
   )
+
+  /** CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.3) over an
+    * ARBITRARY per-document quality score — the reusable core behind the
+    * `ccnet_buckets` registry entry (whose QueryDef supplies the
+    * in-engine bigram fluency; a production caller brings wiki-LM
+    * perplexity, a classifier score, or anything rankable). Input:
+    * `(doc_id, lang, <scoreCol>)`, higher = better. Per language the
+    * documents split into thirds by score; cutoffs come from the
+    * per-language (score, count) DISTRIBUTION — a top-down cumulative
+    * count over distinct values, then the largest value whose cumulative
+    * count reaches ceil(n/3) (resp. ceil(2n/3)), ties landing in the
+    * better bucket; the cutoff search is pure integer window arithmetic
+    * over the distribution, so engines agree exactly. Scale shape: the
+    * one Window runs over the DISTINCT-score distribution (bounded by
+    * score quantization — the knob at 100 TB), never the corpus; the
+    * 2-values-per-language cutoff frame BROADCASTS and assignment is
+    * map-side (plan-pinned: a per-language NTILE would instead sort an
+    * entire language inside one task). */
+  def ccnetBuckets(scored: org.apache.spark.sql.DataFrame,
+      scoreCol: String = "score"): org.apache.spark.sql.DataFrame = {
+    require(scored.columns.contains(scoreCol),
+      s"score column '$scoreCol' not in ${scored.columns.mkString(",")}")
+    val sc = scored.select(col("doc_id"), col("lang"), col(scoreCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dist = sc.groupBy(col("lang"), col(scoreCol))
+      .agg(count(lit(1)).as("c"))
+    val nl = sc.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val w = dist.withColumn("cum",
+      sum(col("c")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col(scoreCol).desc)
+        .rowsBetween(Long.MinValue, 0)))
+    val cut = w.join(broadcast(nl), "lang")
+      .groupBy(col("lang"))
+      .agg(max(when(expr("cum >= (n + 2) div 3"), col(scoreCol))).as("c2"),
+        max(when(expr("cum >= (2 * n + 2) div 3"), col(scoreCol))).as("c1"))
+    sc.join(broadcast(cut), "lang")
+      .withColumn("bucket",
+        when(col(scoreCol) >= col("c2"), lit("head"))
+          .when(col(scoreCol) >= col("c1"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc_id"), col("lang"), col(scoreCol), col("bucket"))
+      .transform(graft.Sorted.byNames(_, "doc_id"))
+  }
+
+  /** C4 line-level cleaning (Raffel et al. 2020 §2.2) over a
+    * `(doc_id, lines: ARRAY<STRING>)` frame — the reusable core behind
+    * the `c4_rules` registry entry (whose QueryDef keeps the fixture's
+    * deterministic page-noise construction; a production caller splits
+    * real text into lines however it likes — `split(text, '\n')` is the
+    * usual move — and applies this gate unchanged). The RULES are the
+    * signature, defaults = C4's published values: keep only lines ending
+    * in terminal punctuation with >= `minLineWords` words and no
+    * `banWord` mention; discard whole pages containing "lorem ipsum" or
+    * a curly brace or retaining fewer than `minKeptLines` lines. Output:
+    * per-page line counts, page-rule flags, the composite keep, and the
+    * md5 of the cleaned reconstruction (retained lines joined by \n).
+    * Scale shape: pure map-side over the input scan — zero shuffles,
+    * codegen'd HOFs; at 100 TB this rides the same scan as the rest of
+    * the gate stack (plan-pinned in PlanAuditSpec). */
+  def c4Rules(pages: org.apache.spark.sql.DataFrame,
+      minLineWords: Int = 5, minKeptLines: Int = 3,
+      banWord: String = "javascript"): org.apache.spark.sql.DataFrame = {
+    require(minLineWords >= 1 && minKeptLines >= 0 && banWord.nonEmpty,
+      s"bad C4 rule knobs: ($minLineWords, $minKeptLines, '$banWord')")
+    pages
+      .selectExpr("doc_id", "lines",
+        s"""filter(lines, l -> substring(l, length(l), 1) IN ('.', '!', '?')
+           |  AND size(split(l, ' ')) >= $minLineWords
+           |  AND NOT contains(l, '$banWord')) AS kept""".stripMargin)
+      .selectExpr("doc_id",
+        "CAST(size(lines) AS BIGINT) AS n_lines",
+        "CAST(size(kept) AS BIGINT) AS n_kept",
+        "IF(exists(lines, l -> contains(l, 'lorem ipsum')), 1, 0) AS has_lorem",
+        "IF(exists(lines, l -> contains(l, '{')), 1, 0) AS has_brace",
+        "md5(array_join(kept, chr(10))) AS cleaned_md5")
+      .selectExpr("doc_id", "n_lines", "n_kept", "has_lorem", "has_brace",
+        s"IF(has_lorem = 0 AND has_brace = 0 AND n_kept >= $minKeptLines, 1, 0) AS keep",
+        "cleaned_md5")
+      .transform(graft.Sorted.byNames(_, "doc_id"))
+  }
 
   /** C4 corpus-level span dedup over a `documents` frame — see the
     * registry entry's comment for semantics and scale shape. The span
