@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Sorted, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -598,6 +599,56 @@ object CorpusOps {
          |  CAST(SUM(w.w) AS BIGINT) // COUNT(*) AS score_per_bigram
          |FROM f JOIN w USING (bkt) GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin),
 
+    // ---- learned quality-classifier gate (the GPT-3 §A / LLaMA §2
+    // classifier-filter step the heuristic gates don't cover): a
+    // fastText-shaped HASHED LINEAR model — bag of hashed bigram
+    // features, one weight per bucket, mean-weight score, threshold
+    // keep. Training is the closed-form linear discriminant over a
+    // LABELED train split (Laplace-smoothed class-conditional bucket
+    // frequency difference in ppb — the sign of the mean is the same
+    // decision a trained logistic model's sign gives for this feature
+    // family); the fixture instantiates the standard proxy: positive =
+    // the curated-language side (lang = 'en'), train = the doc_id % 2
+    // half, scored = the WHOLE corpus. The model is [[trainHashedClassifier]]
+    // + [[hashedClassifierScore]] so production callers bring real
+    // labels (curated-corpus-vs-crawl, the published recipe) and their
+    // own threshold. Scale shape: importance_hashed's exactly — the
+    // weight table is EXACTLY B = 8192 rows at ANY corpus size (the
+    // generated bucket domain), broadcasts, and scoring is one
+    // tokenize+hash pass + a partial+final per-doc sum; training is two
+    // combiner-perfect ≤ B-group counts over the train split. All int64;
+    // exact until one bucket holds ~9.2e9 train bigrams (then B is
+    // mis-sized long before the arithmetic wraps — source_drift's
+    // caveat family). Docs with < 2 tokens have no bigram features and
+    // drop from the scored frame in both engines. ------------------------
+    "quality_classifier" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val w = trainHashedClassifier(
+          d.filter("doc_id % 2 = 0"), posExpr = "lang = 'en'")
+        hashedClassifierScore(d, w)
+      },
+      s"""WITH th AS (SELECT doc_id, lang,
+         |    ${graft.functions.Portable.duckHashTokensSql(duckToks)} AS th
+         |  FROM documents),
+         |f AS (SELECT doc_id, lang, unnest($duckBigramBkt) AS bkt FROM th),
+         |tr AS (SELECT lang, bkt FROM f WHERE doc_id % 2 = 0),
+         |pos AS (SELECT bkt, COUNT(*)::BIGINT AS pc FROM tr WHERE lang = 'en' GROUP BY bkt),
+         |neg AS (SELECT bkt, COUNT(*)::BIGINT AS nc FROM tr WHERE NOT (lang = 'en') GROUP BY bkt),
+         |pt AS (SELECT COALESCE((SELECT SUM(pc) FROM pos), 0)::BIGINT AS ptot),
+         |nt AS (SELECT COALESCE((SELECT SUM(nc) FROM neg), 0)::BIGINT AS ntot),
+         |dom AS (SELECT UNNEST(range(0, 8192)) AS bkt),
+         |w AS (SELECT dom.bkt,
+         |    ((COALESCE(pc, 0) + 1) * 1000000000) // (ptot + 8192)
+         |      - ((COALESCE(nc, 0) + 1) * 1000000000) // (ntot + 8192) AS w
+         |  FROM dom CROSS JOIN pt CROSS JOIN nt
+         |  LEFT JOIN pos ON pos.bkt = dom.bkt
+         |  LEFT JOIN neg ON neg.bkt = dom.bkt)
+         |SELECT doc_id, lang, COUNT(*) AS n_bigrams,
+         |  CAST(SUM(w.w) AS BIGINT) // COUNT(*) AS score_ppb,
+         |  CASE WHEN CAST(SUM(w.w) AS BIGINT) // COUNT(*) > 0 THEN 1 ELSE 0 END AS keep
+         |FROM f JOIN w USING (bkt) GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin),
+
     // ---- corpus data card: the per-(source, lang) composition report a
     // curation run publishes beside the released dataset (doc/token/char
     // totals, length extremes, integer mean) with per-source subtotals
@@ -703,4 +754,59 @@ object CorpusOps {
          |  CAST(SUM(d) AS BIGINT) // 2 AS tvd_ppb
          |FROM d GROUP BY source, n_s, n_r ORDER BY source""".stripMargin)
   )
+
+  /** The hashed-bigram feature explosion shared by the classifier pair:
+    * one tokenize+hash pass into slim (doc_id, lang, bkt) rows. */
+  private def hashedFeatures(docs: DataFrame): DataFrame = {
+    graft.functions.HashExpressions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), col("lang"), expr("graft_token_hashes(text)").as("th"))
+      .select(col("doc_id"), col("lang"), explode(expr(bigramBktExpr)).as("bkt"))
+  }
+
+  /** Train the fastText-shaped hashed linear quality classifier: given a
+    * LABELED train frame (`posExpr` marks the positive class — curated
+    * corpus, target language, human-rated "good"), return the FULL
+    * B = 8192-row weight table `(bkt, w)` with
+    * `w = (pc+1)·1e9 div (ptot+B) − (nc+1)·1e9 div (ntot+B)` — the
+    * Laplace-smoothed class-conditional bucket-frequency difference in
+    * ppb. The generated bucket domain guarantees exactly B rows (unseen
+    * buckets carry the smoothing-only weight), so the scoring join never
+    * loses a feature and the broadcast can never outgrow the threshold.
+    * Closed-form training = one pass over the train split: two
+    * combiner-perfect ≤ B-group counts; no iterative driver loop. */
+  def trainHashedClassifier(train: DataFrame, posExpr: String): DataFrame = {
+    val f = hashedFeatures(train)
+      .withColumn("is_pos", expr(s"IF($posExpr, 1L, 0L)"))
+    val counts = f.groupBy(col("bkt"))
+      .agg(sum(col("is_pos")).as("pc"), sum(expr("1L - is_pos")).as("nc"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tots = counts.agg(
+      coalesce(sum(col("pc")), lit(0L)).as("ptot"),
+      coalesce(sum(col("nc")), lit(0L)).as("ntot"))
+    train.sparkSession.range(0, 8192).toDF("bkt")
+      .join(counts, Seq("bkt"), "left")
+      .crossJoin(broadcast(tots))
+      .selectExpr("bkt",
+        "((coalesce(pc, 0L) + 1L) * 1000000000L) div (ptot + 8192L) " +
+          "- ((coalesce(nc, 0L) + 1L) * 1000000000L) div (ntot + 8192L) AS w")
+  }
+
+  /** Score a corpus with a trained weight table and gate on the mean
+    * feature weight: `score_ppb = Σ w(bkt) div n_bigrams` (trunc-toward-
+    * zero in BOTH engines), `keep = score_ppb > thresholdPpb`. The weight
+    * table BROADCASTS (≤ B rows by construction); scoring is one
+    * tokenize+hash pass plus a partial+final per-doc sum — map-side
+    * bounded regardless of corpus size. Docs with < 2 tokens have no
+    * features and drop, same contract as importance_hashed. */
+  def hashedClassifierScore(docs: DataFrame, weights: DataFrame,
+      thresholdPpb: Long = 0L): DataFrame =
+    hashedFeatures(docs)
+      .join(broadcast(weights), "bkt")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("w")).as("sw"))
+      .selectExpr("doc_id", "lang", "n_bigrams",
+        "sw div n_bigrams AS score_ppb",
+        s"IF(sw div n_bigrams > ${thresholdPpb}L, 1, 0) AS keep")
+      .transform(Sorted.byNames(_, "doc_id"))
 }

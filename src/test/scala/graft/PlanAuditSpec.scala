@@ -594,6 +594,23 @@ class PlanAuditSpec extends SparkSpec {
       "bucket counting must be partial+final: every map task emits <= B partial rows")
   }
 
+  test("quality_classifier: exactly-B weight table broadcasts; scoring is one pass + partial sum") {
+    val p = plan("quality_classifier")
+    // the trained model is the GENERATED 8192-bucket domain — it must
+    // enter the scoring join as a broadcast, never shuffle the corpus side
+    assert(p.contains("BroadcastHashJoin"),
+      "the B-row weight table must broadcast onto the feature stream")
+    // the ONLY nested-loop join allowed is the 1-row ptot/ntot totals
+    // broadcast (mix_epoch_plan's n_src shape); a corpus-side cartesian
+    // would be an all-pairs regression
+    assert(!p.contains("CartesianProduct"),
+      "no cartesian anywhere in train or score")
+    assert(nodeIds(p, "BroadcastNestedLoopJoin").size <= 1,
+      "only the single-row totals frame may nested-loop join")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "per-doc scoring must be partial+final aggregation")
+  }
+
   test("corpus_stats: one rollup pass, no join, token arrays never shuffle") {
     val p = plan("corpus_stats")
     assert(!p.contains("Join"), "the data card is a single-input aggregation")
