@@ -823,6 +823,24 @@ object Similarity {
     * them with an explicit -2 sentinel (Spark's NaN orders GREATEST,
     * DuckDB's 0/0 is NULL and orders last — the sentinel pins both
     * engines to "worse than any real cosine"; fuzz find, seed 77). */
+  /** THE ONE definition of the k ~ √N cell sizing shared by
+    * [[semanticDedup]], [[knnLabelProbe]], and [[hardNegatives]]
+    * (SCALE.md "the semantic-dedup cell knob": in-cell pair volume
+    * ~N²/k, so k ~ √N puts total verify work at ~N^1.5 — measured
+    * across corpus decades, exponents 1.53/1.55). Resolution order:
+    * an explicit `k` wins; else an explicit `corpusSize` sizes k with
+    * ZERO driver actions — the 100 TB path, where the caller knows its
+    * corpus size (or counts once and reuses it across every cell-based
+    * operator in the run) and a redundant full-scan count per operator
+    * call would be real money; else ONE `count()` job (Catalyst prunes
+    * it to a parquet row-count scan) as the demo-convenience fallback. */
+  private[operators] def sqrtCellK(emb: DataFrame, k: Int, corpusSize: Long): Int =
+    if (k > 0) k
+    else {
+      val n = if (corpusSize > 0L) corpusSize else emb.count()
+      math.max(1, math.round(math.sqrt(n.toDouble)).toInt)
+    }
+
   def assignCells(emb: DataFrame, k: Int): DataFrame =
     scoreCells(emb, emb.filter(col("vec_id") < k)
       .selectExpr("vec_id AS c_id", "embedding AS c_emb"))
@@ -850,8 +868,9 @@ object Similarity {
     * dedup_embedding_cosine's global SRP-LSH banding: the quadratic term
     * is per-cell, and `k` is the knob that bounds it — with cells of
     * expected size N/k the pair volume is ~N²/k, so the DEFAULT `k = 0`
-    * sizes k = round(sqrt(N)) (one count job, skipped when the caller
-    * passes the known corpus size's k explicitly), putting total verify
+    * sizes k = round(sqrt(N)) via [[sqrtCellK]] (driver-action-FREE
+    * when the caller passes `corpusSize`; otherwise one pruned count
+    * job, the demo fallback), putting total verify
     * work at ~N^1.5 — the SemDeDup paper's sizing, measured across
     * corpus decades in SCALE.md rather than argued in prose. The cell
     * join is an equi-shuffle on the cell id, never an all-pairs product
@@ -860,10 +879,8 @@ object Similarity {
     * filter excludes NaN (zero-norm), same contract as
     * dedup_embedding_cosine. */
   def semanticDedup(emb: DataFrame, k: Int = 0,
-      threshold: Double = 0.45): DataFrame = {
-    val kk =
-      if (k > 0) k
-      else math.max(1, math.round(math.sqrt(emb.count().toDouble)).toInt)
+      threshold: Double = 0.45, corpusSize: Long = 0L): DataFrame = {
+    val kk = sqrtCellK(emb, k, corpusSize)
     val ce = emb.join(assignCells(emb, kk).drop("sim"), "vec_id")
       .select(col("vec_id"), col("cell"), col("embedding"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -977,10 +994,8 @@ object Similarity {
     * default — ONE definition of the kk sizing), both pair sides off the
     * cache, exact cosine per pair with BOTH endpoint labels carried.
     * Pair volume ~N²/k — the measured knob (SCALE.md, KnnKProbe). */
-  private def inCellPairs(emb: DataFrame, k: Int): DataFrame = {
-    val kk =
-      if (k > 0) k
-      else math.max(1, math.round(math.sqrt(emb.count().toDouble)).toInt)
+  private def inCellPairs(emb: DataFrame, k: Int, corpusSize: Long): DataFrame = {
+    val kk = sqrtCellK(emb, k, corpusSize)
     graft.functions.HashExpressions.register(emb.sparkSession)
     val ce = emb.join(assignCells(emb, kk).drop("sim"), "vec_id")
       .select(col("vec_id"), col("label"), col("cell"), col("embedding"))
@@ -993,8 +1008,9 @@ object Similarity {
         "graft_cosine(q_emb, embedding) AS cosine")
   }
 
-  def knnLabelProbe(emb: DataFrame, k: Int = 0, kNN: Int = 5): DataFrame = {
-    val scored = inCellPairs(emb, k).drop("nb_label")
+  def knnLabelProbe(emb: DataFrame, k: Int = 0, kNN: Int = 5,
+      corpusSize: Long = 0L): DataFrame = {
+    val scored = inCellPairs(emb, k, corpusSize).drop("nb_label")
     val nn = topKPerQuery(scored, kNN, "label")
     val pred = nn
       .join(emb.selectExpr("vec_id", "label AS nb_label"), "vec_id")
@@ -1020,8 +1036,9 @@ object Similarity {
     * nothing label-matching ever enters the aggregator. Ranks re-derive
     * from the ≤ topN exploded rows; the negative's label re-attaches by
     * a slim join. */
-  def hardNegatives(emb: DataFrame, k: Int = 0, topN: Int = 3): DataFrame = {
-    val negs = inCellPairs(emb, k)
+  def hardNegatives(emb: DataFrame, k: Int = 0, topN: Int = 3,
+      corpusSize: Long = 0L): DataFrame = {
+    val negs = inCellPairs(emb, k, corpusSize)
       .filter(col("nb_label") =!= col("label"))
       .drop("nb_label")
     topKPerQuery(negs, topN, "label")
