@@ -695,6 +695,42 @@ object CorpusOps {
          |  CAST(SUM(n_chars) AS BIGINT) // COUNT(*) AS avg_chars
          |FROM d GROUP BY ROLLUP (source, lang) ORDER BY lvl, src, lng""".stripMargin),
 
+    // ---- release-to-release corpus snapshot diff: which documents were
+    // added, removed, changed, or untouched between two corpus versions,
+    // decided by CONTENT DIGEST (the one content-identity rule the dedup
+    // family shares) — the report a curation pipeline publishes beside
+    // each release, and the input to incremental re-processing (only
+    // added/changed docs re-enter the gate stack; see dedup_incremental
+    // for the dedup analog). The fixture constructs the two versions
+    // deterministically from `documents`: v1 drops doc_id % 7 = 0, v2
+    // drops doc_id % 5 = 0 and revises the text of doc_id % 11 = 0 — so
+    // every status value occurs. Scale shape: digests map-side on both
+    // scans, ONE full-outer equi-shuffle on doc_id (never two anti-joins
+    // + an inner join: that is three shuffles of the same frames for one
+    // result), null-safe digest compare; at 100 TB bucket BOTH snapshot
+    // tables by doc_id (sources/Bucketing.scala) and the join is
+    // zero-shuffle. ------------------------------------------------------
+    "snapshot_diff" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val v1 = d.filter("doc_id % 7 != 0")
+        val v2 = d.filter("doc_id % 5 != 0")
+          .withColumn("text", expr("IF(doc_id % 11 = 0, concat(text, ' rev2'), text)"))
+        snapshotDiff(v1, v2)
+      },
+      s"""WITH v1 AS (SELECT doc_id, source, md5(text) AS d1, 1 AS p1
+         |  FROM documents WHERE doc_id % 7 != 0),
+         |v2 AS (SELECT doc_id, source,
+         |    md5(CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END) AS d2,
+         |    1 AS p2
+         |  FROM documents WHERE doc_id % 5 != 0)
+         |SELECT doc_id, COALESCE(v2.source, v1.source) AS source,
+         |  CASE WHEN p1 IS NULL THEN 'added'
+         |       WHEN p2 IS NULL THEN 'removed'
+         |       WHEN d1 IS NOT DISTINCT FROM d2 THEN 'unchanged'
+         |       ELSE 'changed' END AS status
+         |FROM v1 FULL JOIN v2 USING (doc_id) ORDER BY doc_id""".stripMargin),
+
     // ---- distribution-drift monitor: exact total-variation distance
     // between each source's hashed-bigram distribution and the REST of the
     // corpus — the check a pipeline runs before mixing a new crawl
@@ -754,6 +790,28 @@ object CorpusOps {
          |  CAST(SUM(d) AS BIGINT) // 2 AS tvd_ppb
          |FROM d GROUP BY source, n_s, n_r ORDER BY source""".stripMargin)
   )
+
+  /** Corpus snapshot diff — see the `snapshot_diff` registry comment.
+    * Both inputs carry (doc_id, text, source); identity is doc_id,
+    * equality is [[graft.functions.Portable.contentDigest]] (null-safe:
+    * two null-text versions of a doc compare unchanged). Returns one row
+    * per doc_id in either version with status
+    * added/removed/changed/unchanged and the surviving source. */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val a = v1.select(col("doc_id"),
+      graft.functions.Portable.contentDigest.as("d1"),
+      col("source").as("src1"), lit(1).as("p1"))
+    val b = v2.select(col("doc_id"),
+      graft.functions.Portable.contentDigest.as("d2"),
+      col("source").as("src2"), lit(1).as("p2"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .selectExpr("doc_id", "coalesce(src2, src1) AS source",
+        """CASE WHEN p1 IS NULL THEN 'added'
+          |     WHEN p2 IS NULL THEN 'removed'
+          |     WHEN d1 <=> d2 THEN 'unchanged'
+          |     ELSE 'changed' END AS status""".stripMargin)
+      .transform(Sorted.byNames(_, "doc_id"))
+  }
 
   /** The hashed-bigram feature explosion shared by the classifier pair:
     * one tokenize+hash pass into slim (doc_id, lang, bkt) rows. */

@@ -317,4 +317,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(n.contains("TakeOrderedAndProject"), "top-20 must not globally sort")
     assert(n.toLowerCase.contains("partial_count"))
   }
+
+  test("snapshotDiff: every status on a constructed two-version corpus, null-safe digests") {
+    import spark.implicits._
+    // v1: docs 1..4 (+6 with null text); v2 drops 2, adds 5, revises 3,
+    // keeps 1 and 4 byte-identical, keeps 6 null-text (null <=> null =
+    // unchanged — two absent texts are the same absence)
+    def mk(rows: Seq[(Long, String, String)]) =
+      rows.toDF("doc_id", "text", "source")
+    val v1 = mk(Seq((1L, "alpha", "s1"), (2L, "beta", "s1"),
+      (3L, "gamma", "s2"), (4L, "delta", "s2"), (6L, null, "s3")))
+    val v2 = mk(Seq((1L, "alpha", "s1"), (3L, "gamma revised", "s2"),
+      (4L, "delta", "s2"), (5L, "epsilon", "s3"), (6L, null, "s3")))
+    val out = CorpusOps.snapshotDiff(v1, v2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.toSeq == Seq(
+      (1L, "s1", "unchanged"), (2L, "s1", "removed"), (3L, "s2", "changed"),
+      (4L, "s2", "unchanged"), (5L, "s3", "added"), (6L, "s3", "unchanged")),
+      s"diff mismatch: ${out.toSeq}")
+  }
 }
