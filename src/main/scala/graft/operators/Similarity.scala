@@ -921,6 +921,29 @@ object Similarity {
     * width-parameterized native signature, one explode to band keys.
     * Key encoding (bit concat) is internal — any injective encoding of
     * the width-bit tuple partitions candidates identically. */
+  /** Occupancy-targeted SRP band width — the `width ~ log2(N)` growth
+    * rule the decade probes measured (SCALE.md, RangeWidthProbe), as
+    * code: expected band-bucket occupancy is N / 2^width, so holding a
+    * target mean occupancy takes width = ceil(log2(N /
+    * targetOccupancy)). Mirrors [[sqrtCellK]]'s pattern: the caller
+    * passes the corpus size it already knows (or counted once) and gets
+    * the width that keeps candidate volume flat as the corpus grows — a
+    * CONSTANT width saturates: at fixed width 3 the 100× probe's
+    * candidate set grew superlinearly until the run was killed, while
+    * +3 bits cut candidates 3.7× (SCALE.md "the radius-search band-width
+    * knob"). Floor 3 = the fixture demo point (lane-compatible with the
+    * graft_srp12 oracle replay); cap 256 keeps nbits ≤ 1024 at the
+    * default 4 bands. `targetOccupancy` trades recall against candidate
+    * volume at a given radius (P(band match) = p^width, p = 1 − θ/π) —
+    * 64 is the probe-validated default. */
+  def srpWidthFor(corpusSize: Long, targetOccupancy: Long = 64L): Int = {
+    require(corpusSize > 0 && targetOccupancy > 0,
+      s"corpusSize and targetOccupancy must be positive, got ($corpusSize, $targetOccupancy)")
+    val w = math.ceil(
+      math.log(corpusSize.toDouble / targetOccupancy) / math.log(2.0)).toInt
+    math.min(256, math.max(3, w))
+  }
+
   private def srpBands(emb: DataFrame, width: Int, nBands: Int): DataFrame = {
     graft.functions.HashExpressions.register(emb.sparkSession)
     val signed = emb

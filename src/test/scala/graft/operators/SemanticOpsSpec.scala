@@ -122,6 +122,19 @@ class SemanticOpsSpec extends SparkSpec {
       s"label 0's mean margin must exceed label 1's, got $rows")
   }
 
+  test("srpWidthFor: the occupancy rule — ceil(log2(N/occ)), floored at the demo point") {
+    // the probe-validated anchors: 200k vectors at occupancy 64 -> 12
+    // bits (SCALE.md round-10 row); small corpora floor at the demo 3
+    assert(Similarity.srpWidthFor(200000L) == 12)
+    assert(Similarity.srpWidthFor(2000L) == 5)
+    assert(Similarity.srpWidthFor(64L) == 3 && Similarity.srpWidthFor(1L) == 3,
+      "floor at the fixture demo width")
+    // monotone in N, anti-monotone in target occupancy
+    assert(Similarity.srpWidthFor(1L << 40) == 34)
+    assert(Similarity.srpWidthFor(200000L, targetOccupancy = 16L) == 14)
+    intercept[IllegalArgumentException] { Similarity.srpWidthFor(0L) }
+  }
+
   test("corpusSize makes the k ~ sqrt(N) default driver-action-free, with identical results") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val n = emb.count()
