@@ -695,6 +695,56 @@ object CorpusOps {
          |  CAST(SUM(n_chars) AS BIGINT) // COUNT(*) AS avg_chars
          |FROM d GROUP BY ROLLUP (source, lang) ORDER BY lvl, src, lng""".stripMargin),
 
+    // ---- classifier evaluation on the HELD-OUT half: the confusion
+    // matrix + integer per-mille precision/recall/accuracy for
+    // quality_classifier's gate, computed strictly on the doc_id % 2 = 1
+    // docs the train pass never saw — the train/test separation a
+    // production gate report requires (in-sample numbers overstate a
+    // memorizing model; the split here is the same % 2 rule the trainer
+    // uses, complemented). One extra corpus pass over the held-out half
+    // into a SINGLE row; all arithmetic int64 with zero-denominator
+    // guards, so a degenerate split (no positives) reads 0, not a crash.
+    "classifier_eval" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val w = trainHashedClassifier(
+          d.filter("doc_id % 2 = 0"), posExpr = "lang = 'en'")
+        classifierEval(
+          hashedClassifierScore(d.filter("doc_id % 2 = 1"), w),
+          labelExpr = "lang = 'en'")
+      },
+      s"""WITH th AS (SELECT doc_id, lang,
+         |    ${graft.functions.Portable.duckHashTokensSql(duckToks)} AS th
+         |  FROM documents),
+         |f AS (SELECT doc_id, lang, unnest($duckBigramBkt) AS bkt FROM th),
+         |tr AS (SELECT lang, bkt FROM f WHERE doc_id % 2 = 0),
+         |pos AS (SELECT bkt, COUNT(*)::BIGINT AS pc FROM tr WHERE lang = 'en' GROUP BY bkt),
+         |neg AS (SELECT bkt, COUNT(*)::BIGINT AS nc FROM tr WHERE NOT (lang = 'en') GROUP BY bkt),
+         |pt AS (SELECT COALESCE((SELECT SUM(pc) FROM pos), 0)::BIGINT AS ptot),
+         |nt AS (SELECT COALESCE((SELECT SUM(nc) FROM neg), 0)::BIGINT AS ntot),
+         |dom AS (SELECT UNNEST(range(0, 8192)) AS bkt),
+         |w AS (SELECT dom.bkt,
+         |    ((COALESCE(pc, 0) + 1) * 1000000000) // (ptot + 8192)
+         |      - ((COALESCE(nc, 0) + 1) * 1000000000) // (ntot + 8192) AS w
+         |  FROM dom CROSS JOIN pt CROSS JOIN nt
+         |  LEFT JOIN pos ON pos.bkt = dom.bkt
+         |  LEFT JOIN neg ON neg.bkt = dom.bkt),
+         |sc AS (SELECT doc_id, lang,
+         |    CASE WHEN CAST(SUM(w.w) AS BIGINT) // COUNT(*) > 0 THEN 1 ELSE 0 END AS keep
+         |  FROM f JOIN w USING (bkt) WHERE doc_id % 2 = 1 GROUP BY doc_id, lang),
+         |cm AS (SELECT
+         |    CAST(SUM(CASE WHEN lang = 'en' AND keep = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN lang != 'en' AND keep = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(SUM(CASE WHEN lang = 'en' AND keep = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(SUM(CASE WHEN lang != 'en' AND keep = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM sc)
+         |SELECT tp + fp + fn + tn AS n, tp, fp, fn, tn,
+         |  CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 1000 // (tp + fp) END AS precision_pm,
+         |  CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000 // (tp + fn) END AS recall_pm,
+         |  CASE WHEN tp + fp + fn + tn = 0 THEN 0
+         |       ELSE (tp + tn) * 1000 // (tp + fp + fn + tn) END AS accuracy_pm
+         |FROM cm""".stripMargin),
+
     // ---- release-to-release corpus snapshot diff: which documents were
     // added, removed, changed, or untouched between two corpus versions,
     // decided by CONTENT DIGEST (the one content-identity rule the dedup
@@ -790,6 +840,26 @@ object CorpusOps {
          |  CAST(SUM(d) AS BIGINT) // 2 AS tvd_ppb
          |FROM d GROUP BY source, n_s, n_r ORDER BY source""".stripMargin)
   )
+
+  /** Confusion-matrix evaluation of a scored gate frame against a truth
+    * expression — see the `classifier_eval` registry comment. `scored`
+    * carries the [[hashedClassifierScore]] columns (any frame with
+    * `keep` and the label-expression inputs works); returns ONE row of
+    * int64 counts + per-mille precision/recall/accuracy with
+    * zero-denominator guards. */
+  def classifierEval(scored: DataFrame, labelExpr: String): DataFrame =
+    scored
+      .selectExpr(s"IF($labelExpr, 1, 0) AS y", "keep")
+      .agg(
+        sum(expr("IF(y = 1 AND keep = 1, 1L, 0L)")).as("tp"),
+        sum(expr("IF(y = 0 AND keep = 1, 1L, 0L)")).as("fp"),
+        sum(expr("IF(y = 1 AND keep = 0, 1L, 0L)")).as("fn"),
+        sum(expr("IF(y = 0 AND keep = 0, 1L, 0L)")).as("tn"))
+      .selectExpr("tp + fp + fn + tn AS n", "tp", "fp", "fn", "tn",
+        "CASE WHEN tp + fp = 0 THEN 0L ELSE tp * 1000L div (tp + fp) END AS precision_pm",
+        "CASE WHEN tp + fn = 0 THEN 0L ELSE tp * 1000L div (tp + fn) END AS recall_pm",
+        "CASE WHEN tp + fp + fn + tn = 0 THEN 0L " +
+          "ELSE (tp + tn) * 1000L div (tp + fp + fn + tn) END AS accuracy_pm")
 
   /** Corpus snapshot diff — see the `snapshot_diff` registry comment.
     * Both inputs carry (doc_id, text, source); identity is doc_id,

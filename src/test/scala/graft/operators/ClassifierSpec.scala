@@ -70,6 +70,29 @@ class ClassifierSpec extends SparkSpec {
     assert(!keepByDoc.contains(6L), "a featureless doc drops from scoring")
   }
 
+  test("classifierEval: confusion counts and per-mille metrics match the JVM model on the held-out half") {
+    val weights = CorpusOps.trainHashedClassifier(
+      docs.filter("doc_id % 2 = 0"), posExpr = "lang = 'en'")
+    val heldOut = CorpusOps.hashedClassifierScore(
+      docs.filter("doc_id % 2 = 1"), weights)
+    val got = CorpusOps.classifierEval(heldOut, labelExpr = "lang = 'en'")
+      .collect().head
+    // JVM model over the held-out docs (1, 3, 5 — doc 6's 'solo' has no
+    // features and is absent from the scored frame, so it never counts)
+    val scored = heldOut.collect()
+      .map(r => (r.getString(1) == "en", r.getInt(4) == 1))
+    val tp = scored.count(s => s._1 && s._2).toLong
+    val fp = scored.count(s => !s._1 && s._2).toLong
+    val fn = scored.count(s => s._1 && !s._2).toLong
+    val tn = scored.count(s => !s._1 && !s._2).toLong
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4)) == (tp + fp + fn + tn, tp, fp, fn, tn))
+    assert(got.getLong(5) == (if (tp + fp == 0) 0L else tp * 1000 / (tp + fp)))
+    assert(got.getLong(6) == (if (tp + fn == 0) 0L else tp * 1000 / (tp + fn)))
+    // the separable fixture separates out-of-sample too
+    assert(got.getLong(7) == 1000L, s"held-out accuracy must be 1000 pm, got $got")
+  }
+
   test("thresholdPpb is a real knob: raising it past the best score keeps nothing") {
     val weights = CorpusOps.trainHashedClassifier(
       docs.filter("doc_id % 2 = 0"), posExpr = "lang = 'en'")
