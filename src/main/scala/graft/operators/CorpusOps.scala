@@ -695,6 +695,57 @@ object CorpusOps {
          |  CAST(SUM(n_chars) AS BIGINT) // COUNT(*) AS avg_chars
          |FROM d GROUP BY ROLLUP (source, lang) ORDER BY lvl, src, lng""".stripMargin),
 
+    // ---- CCNet bucketing over the LEARNED score — the composition the
+    // two round-10 lifts exist for: Wenzek et al.'s actual design
+    // buckets by a trained LM's quality signal, not a heuristic, so this
+    // entry feeds hashedClassifierScore's per-doc score_ppb (trained on
+    // the doc_id % 2 half, scored over the whole corpus) into
+    // `TextOps.ccnetBuckets(scored, scoreCol)` unchanged. Head = the
+    // per-language third the classifier rates best — the "train on the
+    // head" frame. Scale shape: the classifier pass is corpus-linear
+    // with the ≤ B broadcast (quality_classifier's shape) and the
+    // bucketing adds only the distribution-window + broadcast cutoffs
+    // (ccnet_buckets' shape) — no new corpus-volume stage appears in
+    // the composition. ---------------------------------------------------
+    "classifier_buckets" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val w = trainHashedClassifier(
+          d.filter("doc_id % 2 = 0"), posExpr = "lang = 'en'")
+        TextOps.ccnetBuckets(
+          hashedClassifierScore(d, w), scoreCol = "score_ppb")
+      },
+      s"""WITH th AS (SELECT doc_id, lang,
+         |    ${graft.functions.Portable.duckHashTokensSql(duckToks)} AS th
+         |  FROM documents),
+         |f AS (SELECT doc_id, lang, unnest($duckBigramBkt) AS bkt FROM th),
+         |tr AS (SELECT lang, bkt FROM f WHERE doc_id % 2 = 0),
+         |pos AS (SELECT bkt, COUNT(*)::BIGINT AS pc FROM tr WHERE lang = 'en' GROUP BY bkt),
+         |neg AS (SELECT bkt, COUNT(*)::BIGINT AS nc FROM tr WHERE NOT (lang = 'en') GROUP BY bkt),
+         |pt AS (SELECT COALESCE((SELECT SUM(pc) FROM pos), 0)::BIGINT AS ptot),
+         |nt AS (SELECT COALESCE((SELECT SUM(nc) FROM neg), 0)::BIGINT AS ntot),
+         |dom AS (SELECT UNNEST(range(0, 8192)) AS bkt),
+         |w AS (SELECT dom.bkt,
+         |    ((COALESCE(pc, 0) + 1) * 1000000000) // (ptot + 8192)
+         |      - ((COALESCE(nc, 0) + 1) * 1000000000) // (ntot + 8192) AS w
+         |  FROM dom CROSS JOIN pt CROSS JOIN nt
+         |  LEFT JOIN pos ON pos.bkt = dom.bkt
+         |  LEFT JOIN neg ON neg.bkt = dom.bkt),
+         |scores AS (SELECT doc_id, lang,
+         |    CAST(SUM(w.w) AS BIGINT) // COUNT(*) AS score_ppb
+         |  FROM f JOIN w USING (bkt) GROUP BY doc_id, lang),
+         |dist AS (SELECT lang, score_ppb, COUNT(*) AS c FROM scores GROUP BY lang, score_ppb),
+         |nl AS (SELECT lang, COUNT(*) AS n FROM scores GROUP BY lang),
+         |cw AS (SELECT lang, score_ppb, SUM(c) OVER (PARTITION BY lang ORDER BY score_ppb DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM dist),
+         |cut AS (SELECT cw.lang, MAX(CASE WHEN cum >= (n + 2) // 3 THEN score_ppb END) AS c2,
+         |    MAX(CASE WHEN cum >= (2 * n + 2) // 3 THEN score_ppb END) AS c1
+         |  FROM cw JOIN nl USING (lang) GROUP BY cw.lang)
+         |SELECT s.doc_id, s.lang, s.score_ppb,
+         |  CASE WHEN s.score_ppb >= c2 THEN 'head'
+         |       WHEN s.score_ppb >= c1 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM scores s JOIN cut USING (lang) ORDER BY s.doc_id""".stripMargin),
+
     // ---- classifier evaluation on the HELD-OUT half: the confusion
     // matrix + integer per-mille precision/recall/accuracy for
     // quality_classifier's gate, computed strictly on the doc_id % 2 = 1
