@@ -120,6 +120,52 @@ object StreamingProbe {
         s" state_mem=${so.map(_.memoryUsedBytes).getOrElse(-1L)}" +
         s" commit_state_ms=${so.map(_.commitTimeMs).getOrElse(-1L)}")
     }
+    // ---- StreamingEmbeddingNearDup: the embedding twin's state story.
+    // On the SALTED corpus the perturbed copies are ~1.0-cosine
+    // near-dups of their source, so (like the text probe above) buckets
+    // fill toward the cap and the pair stream saturates toward K² per
+    // source vector; on the ROTATED corpus copies are decorrelated and
+    // the probe measures pure bucket-state cost. Width 8 = the
+    // production occupancy default. Same 1 h TTL / +60 s step: nothing
+    // evicts, state is maximal by the last batch.
+    val espool = new java.io.File(workDir, "espool")
+    espool.mkdirs()
+    val vecs = graft.Tables.load(spark, srcDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    for (i <- 0 until nFiles) {
+      val tmp = new java.io.File(workDir, s"etmp$i")
+      vecs.filter(col("vec_id") % nFiles === i)
+        .withColumn("ts", expr(s"timestamp_seconds(1704067200 + $i * 60)"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(f =>
+        f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(espool, f"f$i%04d.parquet").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    }
+    val eschema = vecs.withColumn("ts", expr("timestamp_seconds(0)")).schema
+    val end = graft.streaming.StreamingEmbeddingNearDup.pairs(
+        spark.readStream.schema(eschema).option("maxFilesPerTrigger", "1")
+          .parquet(espool.getAbsolutePath),
+        ttlMs = 60L * 60 * 1000)
+      .writeStream.format("noop")
+      .option("checkpointLocation", s"$workDir/end_chk")
+      .outputMode("append").start()
+    end.processAllAvailable()
+    val endProg = end.recentProgress.toSeq
+    end.stop()
+    println("== StreamingEmbeddingNearDup (SRP band-bucket keyed state) ==")
+    endProg.filter(_.numInputRows > 0).foreach { p =>
+      val so = p.stateOperators.headOption
+      println(s"batch=${p.batchId} rows=${p.numInputRows}" +
+        s" pairs_out=${p.sink.numOutputRows}" +
+        s" trigger_ms=${p.durationMs.get("triggerExecution")}" +
+        s" addBatch_ms=${p.durationMs.get("addBatch")}" +
+        s" state_rows=${so.map(_.numRowsTotal).getOrElse(-1L)}" +
+        s" state_mem=${so.map(_.memoryUsedBytes).getOrElse(-1L)}" +
+        s" commit_state_ms=${so.map(_.commitTimeMs).getOrElse(-1L)}")
+    }
     spark.stop()
   }
 }
