@@ -481,6 +481,32 @@ class PlanAuditSpec extends SparkSpec {
       "distribution and per-language counts must aggregate partial+final")
   }
 
+  test("snapshot_diff: ONE full-outer equi-join, no cartesian, digests map-side") {
+    val p = plan("snapshot_diff")
+    // the whole diff is a single doc_id-keyed full-outer join of the two
+    // digest frames — the three-join anti/anti/inner shape (three
+    // shuffles of the same inputs) must never creep in
+    assert(p.contains("FullOuter"), "the diff join must be full-outer")
+    val joins = nodeIds(p, "SortMergeJoin") ++ nodeIds(p, "ShuffledHashJoin") ++
+      nodeIds(p, "BroadcastHashJoin")
+    assert(joins.size == 1, s"exactly one join, got ${joins.size}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "no all-pairs shape in the diff")
+  }
+
+  test("classifier_buckets: the composition adds no corpus-volume stage — one Window over the distribution") {
+    val p = plan("classifier_buckets")
+    // classifier shape: weight broadcast; ccnet shape: distribution
+    // window + broadcast cutoffs — and still exactly ONE window total
+    assert(nodeIds(p, "Window").size == 1,
+      "bucketing must window over the score distribution only")
+    assert(nodeIds(p, "BroadcastHashJoin").size >= 3,
+      "weights, per-language counts, and cutoffs must all broadcast")
+    assert(!p.contains("CartesianProduct"), "no cartesian in the composition")
+    assert(nodeIds(p, "BroadcastNestedLoopJoin").size <= 1,
+      "only the 1-row totals frame may nested-loop join")
+  }
+
   test("tokenizer_apply: trained vocab broadcasts onto the corpus token stream") {
     val p = plan("tokenizer_apply")
     assert(p.contains("BroadcastHashJoin"),

@@ -92,6 +92,34 @@ class StreamingEmbeddingNearDupSpec extends SparkSpec {
       "maxMs = 0 still sets a watermark-clamped timeout")
   }
 
+  test("band-bucket state survives a stop + restart from checkpoint (RocksDB)") {
+    val src = tmpDir("endsrc"); val out = tmpDir("endout"); val chk = tmpDir("endchk")
+    def spool(rows: Seq[(Long, Array[Float], Timestamp)]): Unit =
+      rows.toDF("vec_id", "embedding", "ts")
+        .write.mode("append").parquet(src)
+    spool(Seq((1L, base, t("2024-01-01 00:00:01")),
+      (2L, anti, t("2024-01-01 00:00:02"))))
+    val schema = Seq((1L, base, t("2024-01-01 00:00:01")))
+      .toDF("vec_id", "embedding", "ts").schema
+    def start() = StreamingEmbeddingNearDup.pairs(
+        spark.readStream.schema(schema).parquet(src))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .outputMode("append").start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.parquet(out).count() == 0, "no pairs in batch 1")
+    // the near-copy arrives in a NEW query instance: pairing requires the
+    // resident (vec_id, embedding) state to have survived the restart
+    spool(Seq((3L, near, t("2024-01-01 00:01:00"))))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val pairs = spark.read.parquet(out)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 3L)),
+      s"state must survive restart — the cross-instance pair is the proof, got $pairs")
+  }
+
   test("zero-norm vectors never pair (NaN cosine); width mismatch fails loudly") {
     import org.apache.spark.sql.streaming.TestGroupState
     import org.apache.spark.api.java.Optional
