@@ -39,6 +39,45 @@ object Similarity {
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
   }
 
+  /** DuckDB replay of [[kmeansAssign]] at the fixture's (k = 4 seeds,
+    * 2 Lloyd rounds): the WITH-clause body ending in
+    * `af(vec_id, cell, sim)` — the final assignment under the
+    * last-round centroids, scaled-int64 centroid arithmetic and the
+    * -2 zero-norm sentinel replayed exactly. ONE definition shared by
+    * the `embedding_kmeans` and `prototype_prune` oracles (the same
+    * desync argument as `Portable.duckToksSql`: the Lloyd replay must
+    * be editable in one place). */
+  private lazy val duckKmeansAf: String = {
+    def round(cin: String, n: Int): String = {
+      s"""s$n AS (SELECT e.vec_id, c.c_id, coalesce(${duckCos("c_emb", "embedding")}, -2.0) AS sim
+         |  FROM embeddings e CROSS JOIN $cin c),
+         |a$n AS (SELECT vec_id, c_id AS cell FROM (
+         |    SELECT vec_id, c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
+         |    FROM s$n) WHERE rn = 1),
+         |u$n AS (SELECT a.cell,
+         |    UNNEST(range(1, 65)) AS dim,
+         |    UNNEST(list_transform(range(1, 65),
+         |      j -> CAST(floor(e.embedding[j]::DOUBLE * 1048576) AS BIGINT))) AS q
+         |  FROM a$n a JOIN embeddings e USING (vec_id)),
+         |g$n AS (SELECT cell, dim, CAST(SUM(q) AS BIGINT) AS sq, COUNT(*) AS n
+         |  FROM u$n GROUP BY cell, dim),
+         |c${n + 1} AS (SELECT cell AS c_id,
+         |    list(CAST(sq::DOUBLE / n / 1048576 AS FLOAT) ORDER BY dim) AS c_emb
+         |  FROM g$n GROUP BY cell)""".stripMargin
+    }
+    s"""c0 AS (SELECT vec_id AS c_id, embedding AS c_emb
+       |  FROM embeddings WHERE vec_id < 4),
+       |${round("c0", 0)},
+       |${round("c1", 1)},
+       |sf AS (SELECT e.vec_id, c.c_id, coalesce(${duckCos("c_emb", "embedding")}, -2.0) AS sim
+       |  FROM embeddings e CROSS JOIN c2 c),
+       |af AS (SELECT vec_id, c_id AS cell, sim FROM (
+       |    SELECT vec_id, c_id, sim,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
+       |    FROM sf) WHERE rn = 1)""".stripMargin
+  }
+
   private val duckDot =
     "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(q_emb) + 1), i -> (q_emb[i] * embedding[i])::DOUBLE)), (a, b) -> a + b)"
   private val duckQNorm =
@@ -633,37 +672,9 @@ object Similarity {
     // production keeps the stale centroid via a left join — documented, not
     // needed at any tested SF. --------------------------------------------
     "embedding_kmeans" -> QueryDef(
-      (s, dir) => kmeansAssign(Tables.load(s, dir, "embeddings"), k = 4, iters = 2), {
-        def round(cin: String, n: Int): String = {
-          s"""s$n AS (SELECT e.vec_id, c.c_id, coalesce(${duckCos("c_emb", "embedding")}, -2.0) AS sim
-             |  FROM embeddings e CROSS JOIN $cin c),
-             |a$n AS (SELECT vec_id, c_id AS cell FROM (
-             |    SELECT vec_id, c_id,
-             |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
-             |    FROM s$n) WHERE rn = 1),
-             |u$n AS (SELECT a.cell,
-             |    UNNEST(range(1, 65)) AS dim,
-             |    UNNEST(list_transform(range(1, 65),
-             |      j -> CAST(floor(e.embedding[j]::DOUBLE * 1048576) AS BIGINT))) AS q
-             |  FROM a$n a JOIN embeddings e USING (vec_id)),
-             |g$n AS (SELECT cell, dim, CAST(SUM(q) AS BIGINT) AS sq, COUNT(*) AS n
-             |  FROM u$n GROUP BY cell, dim),
-             |c${n + 1} AS (SELECT cell AS c_id,
-             |    list(CAST(sq::DOUBLE / n / 1048576 AS FLOAT) ORDER BY dim) AS c_emb
-             |  FROM g$n GROUP BY cell)""".stripMargin
-        }
-        s"""WITH c0 AS (SELECT vec_id AS c_id, embedding AS c_emb
-           |  FROM embeddings WHERE vec_id < 4),
-           |${round("c0", 0)},
-           |${round("c1", 1)},
-           |sf AS (SELECT e.vec_id, c.c_id, coalesce(${duckCos("c_emb", "embedding")}, -2.0) AS sim
-           |  FROM embeddings e CROSS JOIN c2 c),
-           |af AS (SELECT vec_id, c_id AS cell, sim FROM (
-           |    SELECT vec_id, c_id, sim,
-           |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
-           |    FROM sf) WHERE rn = 1)
-           |SELECT vec_id, cell, sim FROM af ORDER BY vec_id""".stripMargin
-      }),
+      (s, dir) => kmeansAssign(Tables.load(s, dir, "embeddings"), k = 4, iters = 2),
+      s"""WITH $duckKmeansAf
+         |SELECT vec_id, cell, sim FROM af ORDER BY vec_id""".stripMargin),
 
     // ---- SemDeDup-style semantic dedup — see [[semanticDedup]]; the
     // fixture instantiates k = 4 cells (matching the seed count the other
@@ -812,7 +823,30 @@ object Similarity {
          |SELECT label, COUNT(*) AS n,
          |  CAST(SUM(margin_ppm) AS BIGINT) // COUNT(*) AS mean_margin_ppm,
          |  CAST(SUM(CASE WHEN margin_ppm > 0 THEN 1 ELSE 0 END) AS BIGINT) * 1000 // COUNT(*) AS pos_pm
-         |FROM mm GROUP BY label ORDER BY label""".stripMargin)
+         |FROM mm GROUP BY label ORDER BY label""".stripMargin),
+
+    // ---- prototypicality pruning (SSL prototypes, Sorscher et al. 2022
+    // "Beyond neural scaling laws"): cluster the corpus with k-means,
+    // score each example by cosine to its own centroid (the prototype),
+    // and KEEP the hardest keepPm per mille of each cluster — in the
+    // abundant-data regime, pruning the easy/prototypical examples beats
+    // any random subset, and the per-CLUSTER quota preserves coverage of
+    // the embedding space (a global threshold would empty the tight
+    // clusters first). See [[prototypePrune]] for the scale shape; the
+    // fixture instantiates the kmeans fixture's (k = 4, iters = 2) and
+    // keepPm = 700. Oracle replays Lloyd via the shared duckKmeansAf
+    // prefix, then the same per-cell hardness rank. --------------------
+    "prototype_prune" -> QueryDef(
+      (s, dir) => prototypePrune(
+        Tables.load(s, dir, "embeddings"), k = 4, iters = 2, keepPm = 700),
+      s"""WITH $duckKmeansAf,
+         |pr AS (SELECT vec_id, cell, sim,
+         |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY sim, vec_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY cell) AS nc
+         |  FROM af)
+         |SELECT vec_id, cell, sim,
+         |  CAST(rn <= (nc * 700 + 999) // 1000 AS INT) AS keep
+         |FROM pr ORDER BY vec_id""".stripMargin)
   )
 
   /** Coarse cell assignment shared by [[semanticDedup]] and
@@ -1163,6 +1197,35 @@ object Similarity {
     // final assignment under the last-round centroids; emb cache stays
     // for this lazy frame (the harness clears cache per query)
     scoreCells(emb, cents)
+      .transform(graft.Sorted.byNames(_, "vec_id"))
+  }
+
+  /** Prototypicality pruning (Sorscher et al. 2022): keep the hardest
+    * `keepPm` per mille of each k-means cell, hardness = ascending
+    * cosine to the own-cell centroid (the cell's prototype), ties to
+    * the smaller vec_id. `keep_n = ceil(n_cell * keepPm / 1000)` in
+    * exact integer arithmetic, so a non-empty cell always keeps at
+    * least one example when keepPm > 0. Scale shape: the clustering is
+    * [[kmeansAssign]] (assignment broadcast-scored, update a k×dim
+    * group — documented there, k ~ √N at scale via [[sqrtCellK]]'s
+    * sizing argument); the prune adds exactly ONE extra exchange — a
+    * window partitioned BY CELL carrying both the hardness rank and
+    * the cell count (same partitioning, one shuffle, never a
+    * SinglePartition sort) — and the per-cell sort is (N/k)·log(N/k)
+    * work on cells the k ~ √N sizing keeps bounded. Nothing here is
+    * pair-volume: the quota is a rank against a windowed count, not a
+    * comparison against other examples. */
+  def prototypePrune(emb: DataFrame, k: Int = 4, iters: Int = 2,
+      keepPm: Int = 700): DataFrame = {
+    require(keepPm >= 0 && keepPm <= 1000,
+      s"keepPm must be in [0, 1000], got $keepPm")
+    val byCell = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+    kmeansAssign(emb, k, iters)
+      .withColumn("rn",
+        row_number().over(byCell.orderBy(col("sim").asc, col("vec_id").asc)))
+      .withColumn("nc", count(lit(1)).over(byCell))
+      .selectExpr("vec_id", "cell", "sim",
+        s"CAST(rn <= (nc * ${keepPm}L + 999L) div 1000L AS INT) AS keep")
       .transform(graft.Sorted.byNames(_, "vec_id"))
   }
 }

@@ -507,6 +507,19 @@ class PlanAuditSpec extends SparkSpec {
       "only the 1-row totals frame may nested-loop join")
   }
 
+  test("prototype_prune: the prune windows BY CELL — one exchange, never a global funnel") {
+    val p = plan("prototype_prune")
+    // both window functions (hardness rank + cell count) partition by
+    // the cell key, so the added shuffle is one cell-keyed exchange and
+    // per-task sort volume is cell-bounded (k ~ sqrt(N) at scale)
+    assert(p.contains("hashpartitioning(cell"),
+      "the prune windows must partition by cell")
+    assert(!p.contains("Exchange SinglePartition"),
+      "a global rank would funnel the corpus through one task")
+    assert(!p.contains("CartesianProduct"),
+      "centroid scoring stays broadcast — no all-pairs anywhere")
+  }
+
   test("tokenizer_apply: trained vocab broadcasts onto the corpus token stream") {
     val p = plan("tokenizer_apply")
     assert(p.contains("BroadcastHashJoin"),

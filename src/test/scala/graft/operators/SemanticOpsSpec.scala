@@ -187,4 +187,40 @@ class SemanticOpsSpec extends SparkSpec {
     val b = Similarity.labelCentroidMargin(mk(padded)).collect().toSeq
     assert(a == b, s"ragged vs padded must agree exactly:\n$a\n$b")
   }
+
+  test("prototype_prune: per-cell ceil quota keeps exactly the hardest (lowest-sim) examples") {
+    // behavioral invariant against the operator's own cell/sim columns
+    // (cross-engine exactness is the oracle's job): within every cell the
+    // kept set must be PRECISELY the ceil(n * 700 / 1000) lowest by
+    // (sim, vec_id) — prototypical (high-sim) examples are pruned first
+    val rows = run("prototype_prune").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.length == 8 && rows.map(_._1).toSeq == (0L to 7L).toSeq)
+    rows.groupBy(_._2).foreach { case (cell, members) =>
+      val quota = (members.length * 700 + 999) / 1000
+      val hardest = members.sortBy(m => (m._3, m._1)).take(quota).map(_._1).toSet
+      val kept = members.filter(_._4 == 1).map(_._1).toSet
+      assert(kept == hardest,
+        s"cell $cell: kept $kept must be the $quota hardest $hardest")
+    }
+  }
+
+  test("prototypePrune: keepPm sweep — 1000 keeps all, 0 keeps none, 500 halves with ceil") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    def keeps(pm: Int): Map[Long, (Int, Int)] =
+      Similarity.prototypePrune(emb, keepPm = pm).collect()
+        .map(r => (r.getLong(1), r.getInt(3)))
+        .groupBy(_._1).map { case (c, ms) => c -> (ms.length, ms.count(_._2 == 1)) }
+    keeps(1000).foreach { case (c, (n, k)) => assert(k == n, s"cell $c at 1000") }
+    keeps(0).foreach { case (c, (n, k)) => assert(k == 0, s"cell $c at 0") }
+    keeps(500).foreach { case (c, (n, k)) =>
+      assert(k == (n * 500 + 999) / 1000, s"cell $c at 500: n=$n kept=$k")
+    }
+    // ceil floor: every non-empty cell retains at least one example even
+    // at the minimum non-zero quota — coverage of the space never drops
+    keeps(1).foreach { case (c, (_, k)) => assert(k == 1, s"cell $c at 1") }
+    intercept[IllegalArgumentException] {
+      Similarity.prototypePrune(emb, keepPm = 1001)
+    }
+  }
 }
