@@ -18,6 +18,14 @@ object Portable {
   val P61: Long = 2305843009213693951L
   /** Knuth multiplicative constant for bit mixing. */
   val MIX: Long = 2654435761L
+  /** Second (independent) chain for paired fingerprints: a hash value
+    * mod P alone is a ~30-bit space, which SATURATES once distinct keys
+    * approach 1e9 (any 100 TB n-gram census) — pairing a second chain
+    * (mod P2, mixed by MIX2) widens identity to ~60 bits at the cost of
+    * one more int64 expression, keeping every product < 2^63
+    * (h < 2^30, MIX2 < 2^32). Combined key = hA * 2^31 + hB. */
+  val P2: Long = 999999937L
+  val MIX2: Long = 2654435789L
 
   /** MinHash lane-multiplier step. The round-6 DedupGoldenSpec exposed
     * that the original tiny step (40503) left every lane's multiplier

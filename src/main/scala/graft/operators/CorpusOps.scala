@@ -889,7 +889,50 @@ object CorpusOps {
          |  WHERE g.n - t.n_s > 0)
          |SELECT source, n_s AS n_tokens, n_r AS rest_tokens,
          |  CAST(SUM(d) AS BIGINT) // 2 AS tvd_ppb
-         |FROM d GROUP BY source, n_s, n_r ORDER BY source""".stripMargin)
+         |FROM d GROUP BY source, n_s, n_r ORDER BY source""".stripMargin),
+
+    // ---- corpus diversity report: per-source distinct-n ratios
+    // (distinct n-grams / total n-grams, n ∈ {1,2,3}, parts-per-million)
+    // — the distinct-n diversity statistic (Li et al. 2016) a data card
+    // publishes per source: templated/boilerplate-heavy sources read low
+    // (few distinct n-grams repeated many times), organic text reads
+    // high, and a release-over-release DROP in distinct-2/3 is the
+    // canonical "a generator is flooding this source" alarm. N-gram
+    // identity is the PAIRED 60-bit fingerprint (two independent modular
+    // chains, Portable.P2/MIX2): a single mod-P chain is a ~2^30 space
+    // that saturates at a 100 TB census (birthday undercount ~d²/2P —
+    // 5% wrong at 1e8 distinct); the pair keeps the undercount below
+    // 1e-6 at 1e9 distinct for one extra int64 expression. See
+    // [[corpusDiversity]] for the scale shape. -------------------------
+    "corpus_diversity" -> QueryDef(
+      (s, dir) => corpusDiversity(Tables.load(s, dir, "documents")), {
+        import graft.functions.Portable.{MIX, MIX2, P, P2}
+        s"""WITH th AS (SELECT source,
+           |    ${graft.functions.Portable.duckHashTokensSql(duckToks)} AS th
+           |  FROM documents),
+           |f AS (
+           |  SELECT source, 1 AS n,
+           |    unnest(list_transform(th, x -> x * 2147483648 + (x * $MIX2) % $P2)) AS fp
+           |  FROM th
+           |  UNION ALL
+           |  SELECT source, 2 AS n,
+           |    unnest(CASE WHEN len(th) >= 2 THEN list_transform(range(2, len(th) + 1),
+           |      i -> ((th[i-1] * $MIX + th[i]) % $P) * 2147483648
+           |         + (th[i-1] * $MIX2 + th[i]) % $P2)
+           |      ELSE CAST([] AS BIGINT[]) END) AS fp
+           |  FROM th
+           |  UNION ALL
+           |  SELECT source, 3 AS n,
+           |    unnest(CASE WHEN len(th) >= 3 THEN list_transform(range(3, len(th) + 1),
+           |      i -> ((((th[i-2] * $MIX + th[i-1]) % $P) * $MIX + th[i]) % $P) * 2147483648
+           |         + (((th[i-2] * $MIX2 + th[i-1]) % $P2) * $MIX2 + th[i]) % $P2)
+           |      ELSE CAST([] AS BIGINT[]) END) AS fp
+           |  FROM th)
+           |SELECT source, n, COUNT(*)::BIGINT AS total_ngrams,
+           |  COUNT(DISTINCT fp)::BIGINT AS distinct_ngrams,
+           |  COUNT(DISTINCT fp)::BIGINT * 1000000 // COUNT(*)::BIGINT AS distinct_ppm
+           |FROM f GROUP BY source, n ORDER BY source, n""".stripMargin
+      })
   )
 
   /** Confusion-matrix evaluation of a scored gate frame against a truth
@@ -932,6 +975,43 @@ object CorpusOps {
           |     WHEN d1 <=> d2 THEN 'unchanged'
           |     ELSE 'changed' END AS status""".stripMargin)
       .transform(Sorted.byNames(_, "doc_id"))
+  }
+
+  /** Per-source distinct-n diversity — see the `corpus_diversity`
+    * registry comment. Scale shape: ONE tokenize+hash pass emits the
+    * (source, n, fingerprint) stream via a single concat of three
+    * in-array transforms (never three scans of the corpus); the only
+    * corpus-volume shuffle is the (source, n, fp) hash-group — the same
+    * family as ngram_top_corpus, with map-side combining collapsing
+    * every within-partition repeat — and the final per-(source, n) fold
+    * is |sources|×3 groups. Exact distinct is the oracle-able contract;
+    * at the extreme tail swap the second stage for
+    * approx_count_distinct (HLL, mergeable partial+final) and drop the
+    * oracle row — documented knob, not the default. */
+  def corpusDiversity(docs: DataFrame): DataFrame = {
+    graft.functions.HashExpressions.register(docs.sparkSession)
+    import graft.functions.Portable.{MIX, MIX2, P, P2}
+    val empty = "CAST(array() AS array<struct<n: int, fp: bigint>>)"
+    def at(off: Int) = s"element_at(th, i - $off)"
+    val one = s"transform(th, x -> struct(1 AS n, " +
+      s"x * 2147483648L + (x * ${MIX2}L) % ${P2}L AS fp))"
+    val two = s"CASE WHEN size(th) >= 2 THEN transform(sequence(2, size(th)), " +
+      s"i -> struct(2 AS n, ((${at(1)} * ${MIX}L + ${at(0)}) % ${P}L) * 2147483648L" +
+      s" + (${at(1)} * ${MIX2}L + ${at(0)}) % ${P2}L AS fp)) ELSE $empty END"
+    val three = s"CASE WHEN size(th) >= 3 THEN transform(sequence(3, size(th)), " +
+      s"i -> struct(3 AS n, ((((${at(2)} * ${MIX}L + ${at(1)}) % ${P}L) * ${MIX}L + ${at(0)}) % ${P}L) * 2147483648L" +
+      s" + (((${at(2)} * ${MIX2}L + ${at(1)}) % ${P2}L) * ${MIX2}L + ${at(0)}) % ${P2}L AS fp)) ELSE $empty END"
+    docs
+      .select(col("source"), expr("graft_token_hashes(text)").as("th"))
+      .select(col("source"), explode(expr(s"concat($one, $two, $three)")).as("g"))
+      .select(col("source"), col("g.n").as("n"), col("g.fp").as("fp"))
+      .groupBy(col("source"), col("n"), col("fp"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"), col("n"))
+      .agg(sum(col("c")).as("total_ngrams"), count(lit(1)).as("distinct_ngrams"))
+      .selectExpr("source", "n", "total_ngrams", "distinct_ngrams",
+        "distinct_ngrams * 1000000L div total_ngrams AS distinct_ppm")
+      .transform(Sorted.byNames(_, "source", "n"))
   }
 
   /** The hashed-bigram feature explosion shared by the classifier pair:

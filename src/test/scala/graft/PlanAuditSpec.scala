@@ -520,6 +520,17 @@ class PlanAuditSpec extends SparkSpec {
       "centroid scoring stays broadcast — no all-pairs anywhere")
   }
 
+  test("corpus_diversity: one corpus scan feeds all three n-gram widths; distinct is a two-stage group") {
+    val p = plan("corpus_diversity")
+    assert(nodeIds(p, "Scan parquet").size == 1,
+      "the three n-gram widths must ride ONE tokenize pass (concat of in-array transforms), never three scans")
+    assert(nodeIds(p, "HashAggregate").size >= 4,
+      "the (source, n, fp) distinct and the per-(source, n) fold must each be partial+final")
+    assert(!p.contains("Window ["), "no window anywhere — ratios are aggregates")
+    assert(p.contains("graft_token_hashes"),
+      "tokenize+hash must be the native codegen'd expression")
+  }
+
   test("tokenizer_apply: trained vocab broadcasts onto the corpus token stream") {
     val p = plan("tokenizer_apply")
     assert(p.contains("BroadcastHashJoin"),

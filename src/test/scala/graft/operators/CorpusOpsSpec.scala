@@ -229,6 +229,63 @@ class CorpusOpsSpec extends SparkSpec {
       "a doc made of target-frequent bigrams must score above one with target-unseen bigrams")
   }
 
+  test("corpus_diversity: full frame matches an independent in-JVM distinct-n model") {
+    val d = tmpDir("corpdiv")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val docs = Seq(
+      Row(0L, "cat cat cat cat", "en", "templ", 15L),  // 1 distinct unigram
+      Row(1L, "cat cat cat", "en", "templ", 11L),      // repeats across docs too
+      Row(2L, "cat dog fish bird", "en", "organic", 17L), // all distinct
+      Row(3L, "dog fish", "en", "organic", 8L),      // bigram unseen, unigrams repeat
+      Row(4L, "solo", "en", "tiny", 4L),             // no bigrams/trigrams rows
+      Row(5L, "", "en", "emptysrc", 0L))             // no rows at all
+    spark.createDataFrame(spark.sparkContext.parallelize(docs, 1), docSchema)
+      .write.parquet(s"$d/documents.parquet")
+
+    // independent model: plain-Scala polyhash + the paired 60-bit chain,
+    // not the Catalyst expression path the operator rides
+    import graft.functions.Portable.{MIX, MIX2, P, P2}
+    def ph(t: String): Long = t.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % P)
+    def fps(s: String): Seq[(Int, Long)] = {
+      val th = s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).map(ph).toSeq
+      def chain(g: Seq[Long], mix: Long, m: Long): Long =
+        g.reduceLeft((a, b) => (a * mix + b) % m)
+      val grams = th.map(Seq(_)) ++ th.sliding(2).filter(_.size == 2) ++
+        th.sliding(3).filter(_.size == 3)
+      grams.map { g =>
+        // n = 1 decorrelates the pair with (x*MIX2) % P2 (a bare second
+        // chain would collapse to the first); n >= 2 folds both chains
+        val b = if (g.size == 1) (g.head * MIX2) % P2 else chain(g, MIX2, P2)
+        (g.size, chain(g, MIX, P) * 2147483648L + b)
+      }
+    }
+    val all = docs.flatMap(r => fps(r.getString(1)).map { case (n, fp) =>
+      (r.getString(3), n, fp)
+    })
+    val expected = all.groupBy(t => (t._1, t._2)).map { case ((src, n), g) =>
+      val total = g.size.toLong
+      val distinct = g.map(_._3).distinct.size.toLong
+      (src, n, total, distinct, distinct * 1000000L / total)
+    }.toSeq.sortBy(t => (t._1, t._2))
+
+    val got = run2("corpus_diversity", d).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == expected, s"got $got, expected $expected")
+    // the semantic reading: the templated source's distinct ratios sit
+    // BELOW the organic source's at every n that exists for both
+    val ppm = got.map(r => (r._1, r._2) -> r._5).toMap
+    for (n <- 1 to 3)
+      assert(ppm(("templ", n)) < ppm(("organic", n)),
+        s"templated source must read less diverse at n=$n")
+    // unigram-only doc emits no n>=2 rows; empty text emits nothing
+    assert(!got.exists(r => r._1 == "tiny" && r._2 > 1))
+    assert(!got.exists(_._1 == "emptysrc"))
+  }
+
   test("source_drift: full frame matches an independent in-JVM TVD model; identical sources read zero") {
     val d = tmpDir("srcdrift")
     val docSchema = StructType(Seq(
