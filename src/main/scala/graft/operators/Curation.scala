@@ -581,6 +581,45 @@ object Curation {
          |  (n_tokens * least(4000, epochs_m)) // 1000 AS planned_tokens
          |FROM e ORDER BY source""".stripMargin),
 
+    // ---- UniMax allocation (Chung et al. 2023): the budget step
+    // mix_epoch_plan deliberately lacks — when a low-resource source hits
+    // its epoch cap, its UNUSED share of the budget is redistributed to
+    // the sources that still have headroom (waterfilling), instead of
+    // silently shrinking the realized token count. Closed form over the
+    // ascending-capacity prefix: source i (capacity c_i, prefix sum
+    // P_{i-1}, m sources) is capped iff c_i·(m−i+1) + P_{i-1} ≤ B — a
+    // monotone predicate, so the capped set is a prefix — everyone else
+    // gets the level L = (B − P_t) div (m − t). Pure int64, both
+    // engines. See [[mixUnimax]] for the scale shape. ---------------------
+    "mix_unimax" -> QueryDef(
+      (s, dir) => mixUnimax(Tables.load(s, dir, "documents"),
+        budgetTokens = 1000000L, capMilliEpochs = 4000L),
+      s"""WITH c AS (SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(len(${graft.functions.Portable.duckToksSql("coalesce(text, '')")})) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |cap AS (SELECT source, n_docs, n_tokens,
+         |    (n_tokens * 4000) // 1000 AS capacity FROM c),
+         |r AS (SELECT *, COUNT(*) OVER () AS m,
+         |    ROW_NUMBER() OVER (ORDER BY capacity, source) AS i,
+         |    COALESCE(SUM(capacity) OVER (ORDER BY capacity, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pprev
+         |  FROM cap),
+         |f AS (SELECT *,
+         |    CASE WHEN capacity * (m - i + 1) + pprev <= 1000000 THEN 1 ELSE 0 END AS capped
+         |  FROM r),
+         |lev AS (SELECT CAST(SUM(capped) AS BIGINT) AS t,
+         |    CAST(COALESCE(SUM(CASE WHEN capped = 1 THEN capacity END), 0) AS BIGINT) AS pt,
+         |    MAX(m) AS m2 FROM f)
+         |SELECT source, n_docs, n_tokens, capacity AS capacity_tokens,
+         |  CASE WHEN capped = 1 THEN capacity
+         |       ELSE (1000000 - pt) // (m2 - t) END AS alloc_tokens,
+         |  CASE WHEN n_tokens = 0 THEN 0
+         |       ELSE (CASE WHEN capped = 1 THEN capacity
+         |             ELSE (1000000 - pt) // (m2 - t) END) * 1000 // n_tokens
+         |       END AS epochs_m,
+         |  capped
+         |FROM f CROSS JOIN lev ORDER BY source""".stripMargin),
+
     // ---- filter-funnel attrition report: per-stage docs-in/kept/dropped
     // for the canonical gate order (exact dedup → length → repetition →
     // stop words) — the pipeline card every released corpus publishes
@@ -730,6 +769,57 @@ object Curation {
         "epochs_m", s"least(${capMilliEpochs}L, epochs_m) AS epochs_capped_m",
         s"(n_tokens * least(${capMilliEpochs}L, epochs_m)) div 1000 AS planned_tokens")
       .orderBy("source")
+  }
+
+  /** UniMax waterfilling — see the `mix_unimax` registry comment
+    * (Chung et al. 2023: as uniform an allocation as the per-source
+    * epoch caps admit, with capped sources' unused budget flowing to
+    * the ones with headroom). Scale shape: the ONLY corpus-volume work
+    * is the one tokenize+count pass (identical to [[mixEpochPlan]]'s
+    * first stage); everything after operates on the |sources|-row
+    * frame, where the ascending-capacity rank/prefix windows and the
+    * single-row level aggregate are model-sized by construction — a
+    * SinglePartition sort of |sources| rows, the ccnet-cutoff
+    * precedent, never a corpus funnel. If the whole corpus fits the
+    * budget under the cap (Σ capacity ≤ B), every source is capped and
+    * the leftover budget is deliberately unallocated — that is the
+    * data-constrained regime where the cap binds globally. int64
+    * bound: capacity·m must stay < 2^63 — at 1e3 sources that admits
+    * ~9e15 capacity tokens per source, beyond any single source. */
+  def mixUnimax(docs: DataFrame, budgetTokens: Long = 1000000L,
+      capMilliEpochs: Long = 4000L): DataFrame = {
+    require(budgetTokens > 0 && capMilliEpochs > 0,
+      s"budget and cap must be positive, got ($budgetTokens, $capMilliEpochs)")
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .selectExpr("source",
+        s"CAST(size(${graft.functions.Portable.tokensSql("coalesce(text, '')")}) AS BIGINT) AS toks")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .selectExpr("source", "n_docs", "n_tokens",
+        s"(n_tokens * ${capMilliEpochs}L) div 1000 AS capacity")
+    val ord = Window.orderBy(col("capacity").asc, col("source").asc)
+    val ranked = counts
+      .withColumn("i", row_number().over(ord))
+      .withColumn("pprev", coalesce(sum(col("capacity")).over(
+        ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("capped",
+        expr(s"CAST(capacity * (m - i + 1) + pprev <= ${budgetTokens}L AS INT)"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val lev = ranked.agg(
+      sum(col("capped").cast("long")).as("t"),
+      coalesce(sum(expr("IF(capped = 1, capacity, CAST(NULL AS BIGINT))")),
+        lit(0L)).as("pt"),
+      max(col("m")).as("m2"))
+    val alloc =
+      s"IF(capped = 1, capacity, (${budgetTokens}L - pt) div (m2 - t))"
+    ranked.crossJoin(broadcast(lev))
+      .selectExpr("source", "n_docs", "n_tokens", "capacity AS capacity_tokens",
+        s"$alloc AS alloc_tokens",
+        s"CASE WHEN n_tokens = 0 THEN 0L ELSE $alloc * 1000L div n_tokens END AS epochs_m",
+        "capped")
+      .transform(graft.Sorted.byNames(_, "source"))
   }
 
   def mixTemperature(docs: DataFrame, alpha: Double = 0.5): DataFrame = {

@@ -108,6 +108,54 @@ class CurationSpec extends SparkSpec {
       ("src1", 1000000L, 20000L, 2000L, 100000L)))
   }
 
+  test("mix_unimax: capped sources free budget that waterfills to the ones with headroom") {
+    val d = tmpDir("unimax")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+    // srcA 100 tokens, srcB 1000, srcC 5000 -> capacities at 4 epochs:
+    // 400 / 4000 / 20000
+    val rows = (Seq((0L, "srcA", 100)) ++ Seq((1L, "srcB", 1000)) ++
+      (0 until 5).map(i => (10L + i, "srcC", 1000)))
+      .map { case (id, src, n) => org.apache.spark.sql.Row(
+        id, Seq.fill(n)("tok").mkString(" "), "en", src, 0L) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.parquet(s"$d/documents.parquet")
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    def run(b: Long): Seq[(String, Long, Long, Long, Int)] =
+      Curation.mixUnimax(docs, budgetTokens = b, capMilliEpochs = 4000L)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getInt(6))).toSeq
+
+    // B = 10000: A and B hit the cap (400*3 = 1200 <= 10k; 4000*2 + 400 =
+    // 8400 <= 10k), C takes the ENTIRE freed remainder 10000 - 4400 =
+    // 5600 — far above the naive uniform share 3333 mix_epoch_plan stops
+    // at. Budget is exactly exhausted.
+    assert(run(10000L) == Seq(
+      ("srcA", 400L, 400L, 4000L, 1),
+      ("srcB", 4000L, 4000L, 4000L, 1),
+      ("srcC", 20000L, 5600L, 1120L, 0)))
+    // B = 5000: only A capped; B and C share the remainder at one common
+    // level (5000 - 400) div 2 = 2300 — maximal uniformity under the cap
+    assert(run(5000L) == Seq(
+      ("srcA", 400L, 400L, 4000L, 1),
+      ("srcB", 4000L, 2300L, 2300L, 0),
+      ("srcC", 20000L, 2300L, 460L, 0)))
+    // B = 100000 >= total capacity 24400: the data-constrained regime —
+    // every source capped at capacity, the leftover deliberately unspent
+    assert(run(100000L) == Seq(
+      ("srcA", 400L, 400L, 4000L, 1),
+      ("srcB", 4000L, 4000L, 4000L, 1),
+      ("srcC", 20000L, 20000L, 4000L, 1)))
+    intercept[IllegalArgumentException] {
+      Curation.mixUnimax(docs, budgetTokens = 0L)
+    }
+  }
+
   test("quality_funnel: stage chaining, and each gate discriminates on a constructed corpus") {
     val d = tmpDir("funnel")
     val schema = org.apache.spark.sql.types.StructType(Seq(
