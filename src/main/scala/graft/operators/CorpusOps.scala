@@ -60,7 +60,11 @@ object CorpusOps {
     * bucket = ((h1*MIX + h2) % P) % B; h < P ≈ 1e9 so h*MIX ≈ 2.7e18
     * stays in int64. `sequence(2, size)` is DESCENDING for size < 2 (the
     * chunk_text pitfall) — the CASE guards it and types the empty branch. */
-  private val bigramBktExpr = {
+  // private[graft]: StreamingCuration's map-side classifier gate scores
+  // over the SAME B = 8192 bigram feature fragment the batch trainer and
+  // scorer use — a copied fragment desyncing would silently misroute
+  // every streaming score to the wrong weight slot
+  private[graft] val bigramBktExpr = {
     import graft.functions.Portable.{MIX, P}
     "CASE WHEN size(th) >= 2 THEN transform(sequence(2, size(th)), " +
       s"i -> ((element_at(th, i - 1) * ${MIX}L + element_at(th, i)) % ${P}L) % 8192) " +

@@ -63,6 +63,50 @@ object StreamingCuration {
       case None => scored(batch).withColumn("hist_hit", lit(false))
     }
 
+  /** The batch-trained weight table (`CorpusOps.trainHashedClassifier`,
+    * exactly the generated B = 8192 bucket domain) densified ONCE per
+    * query into a bkt-indexed long array — the deploy step of the
+    * train-batch / score-stream composition. 64 KB, embedded in each
+    * trigger's plan as an array literal (the Bloom-bytes precedent
+    * below): the per-row cost is an element_at, not a per-batch
+    * broadcast join of the weight frame. */
+  def denseWeights(weights: DataFrame): Array[Long] = {
+    val rows = weights.orderBy("bkt").collect()
+    require(rows.length == 8192,
+      s"weight table must be the full 8192-bucket domain, got ${rows.length}")
+    rows.map(_.getLong(1))
+  }
+
+  /** Learned-classifier gate for the intake path: score each document
+    * map-side over the SAME hashed-bigram feature fragment the batch
+    * trainer used (`CorpusOps.bigramBktExpr` — one definition, so the
+    * stream can never score against misrouted weight slots) and AND the
+    * verdict into `keep`. Score semantics are bit-identical to
+    * `hashedClassifierScore`: sum of bucket weights trunc-divided by
+    * the bigram count; documents with no bigrams have no evidence and
+    * fail the gate (`score_ppb` null), mirroring the batch scorer where
+    * they simply have no row. Pure projection — zero joins, zero
+    * shuffles, stays inside whole-stage codegen (spec-pinned). */
+  def classifierGate(batch: DataFrame, w: Array[Long],
+      thresholdPpb: Long = 0L): DataFrame = {
+    require(w.length == 8192, s"expected 8192 weights, got ${w.length}")
+    graft.functions.HashExpressions.register(batch.sparkSession)
+    // null text: graft_token_hashes yields no usable array, the CASE
+    // guard in bigramBktExpr falls through to the empty branch, and the
+    // empty-bkts IF below leaves score_ppb null -> gate fails closed
+    batch
+      .withColumn("th", expr("graft_token_hashes(text)"))
+      .withColumn("bkts", expr(graft.operators.CorpusOps.bigramBktExpr))
+      .withColumn("wl", typedLit(w))
+      .withColumn("score_ppb", expr(
+        "IF(size(bkts) > 0, aggregate(bkts, 0L, " +
+          "(acc, b) -> acc + element_at(wl, CAST(b AS INT) + 1)) div size(bkts), " +
+          "CAST(NULL AS BIGINT))"))
+      .withColumn("keep",
+        col("keep") && coalesce(col("score_ppb") > thresholdPpb, lit(false)))
+      .drop("th", "bkts", "wl")
+  }
+
   /** One micro-batch: quality-score, gate against the historical corpus
     * (when a serialized Bloom filter of historical digest hashes is
     * supplied), stamp the batch id, split kept/rejected in a single
@@ -79,8 +123,13 @@ object StreamingCuration {
     * where false drops are unacceptable, verify hits against the exact
     * historical digest store batch-side (dedup_incremental's exact layer). */
   def processBatch(batch: DataFrame, outDir: String, batchId: Long,
-      historical: Option[Array[Byte]] = None): Unit = {
-    val s = gate(batch, historical).withColumn("batch_id", lit(batchId)).persist()
+      historical: Option[Array[Byte]] = None,
+      classifier: Option[(Array[Long], Long)] = None): Unit = {
+    val gated = classifier match {
+      case Some((w, thr)) => classifierGate(gate(batch, historical), w, thr)
+      case None           => gate(batch, historical)
+    }
+    val s = gated.withColumn("batch_id", lit(batchId)).persist()
     try {
       s.filter(col("keep")).drop("keep")
         .write.mode("append").parquet(s"$outDir/kept")
@@ -148,10 +197,20 @@ object StreamingCuration {
     * path, and rows-per-trigger outnumber triggers by many orders of
     * magnitude at the rates this gate exists for. Note on resume: outDirs
     * written by versions without the `hist_hit` column need `mergeSchema`
-    * on read (the column is always written since it was introduced). */
+    * on read (the column is always written since it was introduced).
+    *
+    * Pass `classifier` = (denseWeights(trainedTable), thresholdPpb) to
+    * additionally gate on the batch-trained learned quality classifier
+    * (`CorpusOps.trainHashedClassifier` → [[denseWeights]] →
+    * [[classifierGate]]): train on the ingested corpus batch-side,
+    * deploy the 8192-slot weight array in the stream — the
+    * train-offline / score-online composition a production intake runs.
+    * Adds a `score_ppb` column to both outputs (mergeSchema note above
+    * applies). */
   def run(spark: SparkSession, raw: DataFrame, outDir: String,
       horizon: String = "1 hour",
-      historical: Option[BloomFilter] = None): StreamingQuery = {
+      historical: Option[BloomFilter] = None,
+      classifier: Option[(Array[Long], Long)] = None): StreamingQuery = {
     val histB = historical.map(serialize)
     val deduped = raw
       // null text digests to null, and dropDuplicatesWithinWatermark would
@@ -166,7 +225,7 @@ object StreamingCuration {
     deduped.writeStream
       .option("checkpointLocation", s"$outDir/_chk")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, outDir, batchId, histB)
+        processBatch(batch, outDir, batchId, histB, classifier)
       }
       .start()
   }

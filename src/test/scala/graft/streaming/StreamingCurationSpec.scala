@@ -110,4 +110,65 @@ class StreamingCurationSpec extends SparkSpec {
     jdk.keys.foreach(id =>
       assert(hits(id), s"filter missed true member doc $id (a Bloom filter never misses)"))
   }
+
+  test("classifier gate: batch-trained weights score the stream bit-identically to the batch scorer") {
+    implicit val sq = spark.sqlContext
+    // batch-side training corpus: positives (en) share bigrams, negatives
+    // (de) share different bigrams
+    val train = Seq(
+      (0L, "good clean training text sample", "en"),
+      (1L, "good clean training text another", "en"),
+      (2L, "schlecht unrein beispiel text probe", "de"),
+      (3L, "schlecht unrein beispiel text mehr", "de"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.lit(0L))
+    val weights = graft.operators.CorpusOps.trainHashedClassifier(train, "lang = 'en'")
+    val w = StreamingCuration.denseWeights(weights)
+    assert(w.length == 8192)
+
+    // parity: the map-side stream score must equal the batch scorer's
+    // (join + group) score on the SAME documents, doc for doc
+    val probe = Seq(
+      (10L, "good clean training text fresh", "en"),
+      (11L, "schlecht unrein beispiel text neu", "de"),
+      (12L, "totally unseen vocabulary here now", "en"))
+      .toDF("doc_id", "text", "lang")
+    val batchScores = graft.operators.CorpusOps
+      .hashedClassifierScore(probe, weights)
+      .select($"doc_id", $"score_ppb").as[(Long, Long)].collect().toMap
+    val streamGate = StreamingCuration.classifierGate(
+      StreamingCuration.gate(probe), w)
+    val streamScores = streamGate
+      .select($"doc_id", $"score_ppb").as[(Long, Long)].collect().toMap
+    assert(streamScores == batchScores,
+      s"stream $streamScores must equal batch $batchScores")
+    // the gate is a pure projection: no shuffle, no Scala UDF in the plan
+    val plan = streamGate.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "classifier scoring must add no shuffle")
+    assert(!plan.contains("ScalaUDF"), "no boxed UDF in the intake hot path")
+
+    // end-to-end: positive-bigram doc kept; negative-bigram doc passes the
+    // heuristic gate but dies at the learned gate
+    val out = tmpDir("streamcur-clf")
+    val ms = MemoryStream[(Long, String, String, Timestamp)]
+    val raw = ms.toDF().toDF("doc_id", "text", "lang", "ts")
+    val q = StreamingCuration.run(spark, raw, out, classifier = Some((w, 0L)))
+    try {
+      ms.addData(
+        (20L, "good clean training text flows", "en", t("2024-01-01 00:00:01")),
+        (21L, "schlecht unrein beispiel text kommt", "de", t("2024-01-01 00:00:02")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = StreamingCuration.kept(spark, out)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(20L), s"only the positive-scored doc survives, got $kept")
+    val rej = StreamingCuration.rejected(spark, out)
+      .select($"doc_id", $"score_ppb").as[(Long, Long)].collect().toMap
+    assert(rej.contains(21L) && rej(21L) <= 0L,
+      s"the negative-scored doc lands in rejected with its score, got $rej")
+    intercept[IllegalArgumentException] {
+      StreamingCuration.classifierGate(StreamingCuration.gate(probe), w.take(100))
+    }
+  }
 }
