@@ -1207,14 +1207,20 @@ object Similarity {
     * exact integer arithmetic, so a non-empty cell always keeps at
     * least one example when keepPm > 0. Scale shape: the clustering is
     * [[kmeansAssign]] (assignment broadcast-scored, update a k×dim
-    * group — documented there, k ~ √N at scale via [[sqrtCellK]]'s
-    * sizing argument); the prune adds exactly ONE extra exchange — a
-    * window partitioned BY CELL carrying both the hardness rank and
-    * the cell count (same partitioning, one shuffle, never a
-    * SinglePartition sort) — and the per-cell sort is (N/k)·log(N/k)
-    * work on cells the k ~ √N sizing keeps bounded. Nothing here is
-    * pair-volume: the quota is a rank against a windowed count, not a
-    * comparison against other examples. */
+    * group — documented there); the prune adds exactly ONE extra
+    * exchange — a window partitioned BY CELL carrying both the
+    * hardness rank and the cell count (same partitioning, one shuffle,
+    * never a SinglePartition sort). Nothing here is pair-volume: the
+    * quota is a rank against a windowed count, not a comparison
+    * against other examples — so unlike the in-cell pair family, k is
+    * NOT a safety knob. Measured (SCALE.md round-10 continuation):
+    * fixed k stays near-flat across two decades (1.89 → 3.88 s) while
+    * k ~ √N drives the N·k assignment cosines to N^1.5 (267 s at
+    * 100×). Size k for clustering granularity and so N/k rows fit one
+    * window task (the shard_shuffle argument); beyond that the
+    * documented paths are two-level coarse-to-fine assignment and the
+    * ccnet_buckets distribution-cutoff replacement for the per-cell
+    * sort. */
   def prototypePrune(emb: DataFrame, k: Int = 4, iters: Int = 2,
       keepPm: Int = 700): DataFrame = {
     require(keepPm >= 0 && keepPm <= 1000,

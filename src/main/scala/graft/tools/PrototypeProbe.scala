@@ -2,12 +2,13 @@ package graft.tools
 
 /** Scratch probe for prototype_prune's decade behavior: times the full
   * kmeans + per-cell hardness-rank prune across embedding-corpus decades
-  * at BOTH the fixture cell count (k = 4) and the scale sizing
-  * (k ~ √N) — the same contrast the semantic-dedup probe measured: at
-  * fixed k the per-cell window sort absorbs the whole decade (cells grow
-  * 10× and the sort is the only superlinear stage), while k ~ √N keeps
-  * cells near-constant so the prune stays scan-dominated. Timing
-  * discipline is identical to `graft.Bench` via `graft.BenchAction`.
+  * at BOTH the fixture cell count (k = 4) and k ~ √N. Measured outcome
+  * (SCALE.md round-10 continuation): the INVERSE of the semantic-dedup
+  * knob — the prune has no pair volume, so fixed k is near-flat across
+  * decades while k ~ √N pushes the N·k assignment cosines to N^1.5.
+  * k is a granularity/per-task-volume knob here, not a safety knob.
+  * Timing discipline is identical to `graft.Bench` via
+  * `graft.BenchAction`.
   *
   * Usage: PrototypeProbe <dir>[,<dir>...] [reps]
   */
