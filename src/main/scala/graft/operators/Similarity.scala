@@ -825,6 +825,23 @@ object Similarity {
          |  CAST(SUM(CASE WHEN margin_ppm > 0 THEN 1 ELSE 0 END) AS BIGINT) * 1000 // COUNT(*) AS pos_pm
          |FROM mm GROUP BY label ORDER BY label""".stripMargin),
 
+    // ---- top principal component + per-vector projection — the
+    // dominant-direction diagnostic behind "all-but-the-top" embedding
+    // postprocessing (Mu & Viswanath 2018: embeddings share a large
+    // common direction; removing it improves downstream similarity) and
+    // the PCA step of any whitening/compression pass before ANN. The
+    // whole pipeline is DETERMINISTIC cross-engine: means and the 64×64
+    // covariance accumulate floor(x·2^20) scaled int64 (exact,
+    // commutative — the kmeans centroid arithmetic), and each of the 8
+    // power-iteration steps quantizes the matrix-vector product to
+    // int64 before the (fixed-order) norm and divide, so both engines
+    // walk bit-identical doubles. v₀ = e₁; a zero-covariance corpus
+    // keeps v (norm-0 guard). See [[embeddingPca]] for the scale
+    // shape. ------------------------------------------------------------
+    "embedding_pca" -> QueryDef(
+      (s, dir) => embeddingPca(Tables.load(s, dir, "embeddings"), iters = 8),
+      duckPcaSql(8)),
+
     // ---- prototypicality pruning (SSL prototypes, Sorscher et al. 2022
     // "Beyond neural scaling laws"): cluster the corpus with k-means,
     // score each example by cosine to its own centroid (the prototype),
@@ -1221,6 +1238,123 @@ object Similarity {
     * documented paths are two-level coarse-to-fine assignment and the
     * ccnet_buckets distribution-cutoff replacement for the per-cell
     * sort. */
+  /** Top principal component by deterministic power iteration — see the
+    * `embedding_pca` registry comment. Scale shape: TWO corpus passes
+    * (the mean fold, then the covariance fold) plus one projection
+    * pass; the covariance explode emits dim² = 4096 quantized products
+    * per vector, but they flow into a combiner-perfect 4096-group
+    * aggregate — map-side partials absorb the volume, nothing
+    * corpus-sized crosses an exchange (plan-pinned: the only wide
+    * exchanges carry ≤ 4096 rows). The iteration itself runs on the
+    * ONE-ROW (covariance, means) frame — 8 chained projections, each a
+    * 64×64 HOF — and the resulting direction re-enters the projection
+    * pass as a broadcast. dim is the knob: the update is dim² groups
+    * (d = 1024 → 1M groups, still model-sized); components beyond the
+    * first come from deflation (S ← S − λvvᵀ on the same one-row
+    * frame), same arithmetic, documented not duplicated. */
+  def embeddingPca(embIn: DataFrame, iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 32, s"iters must be in [1, 32], got $iters")
+    // the labelCentroidMargin 64-dim contract: slice+zero-pad up front
+    val emb = embIn.withColumn("e64", expr(
+      """transform(sequence(0, 63), i ->
+        |  CASE WHEN i < size(embedding) THEN embedding[i]
+        |       ELSE CAST(0.0 AS FLOAT) END)""".stripMargin))
+    val mrow = emb
+      .select(posexplode(col("e64")))
+      .selectExpr("pos AS dim",
+        "CAST(floor(CAST(col AS DOUBLE) * 1048576) AS BIGINT) AS q")
+      .groupBy(col("dim"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .selectExpr("dim", "CAST(sq AS DOUBLE) / n / 1048576 AS comp")
+      .groupBy()
+      .agg(expr("transform(array_sort(collect_list(struct(dim, comp)))," +
+        " s -> s.comp)").as("md"))
+    val centered = emb.crossJoin(broadcast(mrow))
+      .selectExpr("vec_id", "label",
+        "transform(sequence(0, 63), ci -> " +
+          "CAST(element_at(e64, ci + 1) AS DOUBLE) - element_at(md, ci + 1)) AS cent")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var srow = centered
+      .select(explode(expr("sequence(0, 4095)")).as("ij"), col("cent"))
+      .selectExpr("ij",
+        "CAST(floor(element_at(cent, CAST(ij div 64 AS INT) + 1) * " +
+          "element_at(cent, CAST(ij % 64 AS INT) + 1) * 1048576D) AS BIGINT) AS q")
+      .groupBy(col("ij"))
+      .agg(sum(col("q")).as("s"))
+      .groupBy()
+      .agg(expr("transform(array_sort(collect_list(struct(ij, s)))," +
+        " x -> CAST(x.s AS DOUBLE))").as("sm"))
+      .crossJoin(broadcast(mrow))
+      .withColumn("v", expr("transform(sequence(0, 63), i -> IF(i = 0, 1.0D, 0.0D))"))
+    for (_ <- 1 to iters) {
+      srow = srow
+        .withColumn("wd", expr(
+          "transform(sequence(0, 63), wi -> CAST(aggregate(sequence(0, 63), 0L, " +
+            "(acc, wj) -> acc + CAST(floor(element_at(sm, wi * 64 + wj + 1) * " +
+            "element_at(v, wj + 1) * 1048576D) AS BIGINT)) AS DOUBLE) / 1048576D)"))
+        .withColumn("nrm",
+          expr("sqrt(aggregate(wd, 0.0D, (na, nx) -> na + nx * nx))"))
+        .withColumn("v",
+          expr("IF(nrm = 0.0D, v, transform(wd, vx -> vx / nrm))"))
+        .drop("wd", "nrm")
+    }
+    centered.crossJoin(broadcast(srow.select(col("v"))))
+      .selectExpr("vec_id", "label",
+        "CAST(aggregate(sequence(0, 63), 0L, (acc, pi) -> " +
+          "acc + CAST(floor(element_at(cent, pi + 1) * element_at(v, pi + 1) * " +
+          "1048576D) AS BIGINT)) AS DOUBLE) / 1048576D AS pc1")
+      .transform(graft.Sorted.byNames(_, "vec_id"))
+  }
+
+  /** DuckDB replay of [[embeddingPca]] at `iters` power iterations —
+    * the same scaled-int64 arithmetic, generated (not hand-unrolled) so
+    * the per-iteration text cannot drift between steps. */
+  private def duckPcaSql(iters: Int): String = {
+    // matvec + norm + guarded normalize, expanded textually per CTE;
+    // duplicate evaluation is fine on the one-row frame
+    val d = "list_transform(range(0, 64), wi -> " +
+      "list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 64), " +
+      "wj -> CAST(floor(sm[wi * 64 + wj + 1] * v[wj + 1] * 1048576) AS BIGINT))), " +
+      "(acc, x) -> acc + x)::DOUBLE / 1048576)"
+    val nrm = s"sqrt(list_reduce(list_prepend(0.0::DOUBLE, " +
+      s"list_transform($d, nx -> nx * nx)), (na, nx) -> na + nx))"
+    val its = (1 to iters).map { k =>
+      val prev = if (k == 1) "s0" else s"it${k - 1}"
+      s"""it$k AS (SELECT sm, md,
+         |  CASE WHEN $nrm = 0.0 THEN v
+         |       ELSE list_transform($d, vx -> vx / $nrm) END AS v
+         |FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, label,
+       |    list_transform(range(1, 65), i ->
+       |      CASE WHEN i <= len(embedding) THEN embedding[i]::DOUBLE
+       |           ELSE 0.0::DOUBLE END) AS e64
+       |  FROM embeddings),
+       |mq AS (SELECT dim,
+       |    CAST(SUM(CAST(floor(e64[dim] * 1048576) AS BIGINT)) AS BIGINT) AS sq,
+       |    COUNT(*) AS n
+       |  FROM (SELECT e64, UNNEST(range(1, 65)) AS dim FROM e) GROUP BY dim),
+       |m AS (SELECT list(sq::DOUBLE / n / 1048576 ORDER BY dim) AS md FROM mq),
+       |c AS (SELECT e.vec_id, e.label,
+       |    list_transform(range(1, 65), ci -> e.e64[ci] - m.md[ci]) AS cent
+       |  FROM e CROSS JOIN m),
+       |sq AS (SELECT ij,
+       |    CAST(SUM(CAST(floor(cent[ij // 64 + 1] * cent[ij % 64 + 1] * 1048576)
+       |      AS BIGINT)) AS BIGINT) AS s
+       |  FROM (SELECT cent, UNNEST(range(0, 4096)) AS ij FROM c) GROUP BY ij),
+       |s0 AS (SELECT (SELECT list(s::DOUBLE ORDER BY ij) FROM sq) AS sm,
+       |    md,
+       |    list_transform(range(0, 64), i ->
+       |      CASE WHEN i = 0 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) AS v
+       |  FROM m),
+       |$its
+       |SELECT c.vec_id, c.label,
+       |  list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 64), pi ->
+       |    CAST(floor(c.cent[pi + 1] * f.v[pi + 1] * 1048576) AS BIGINT))),
+       |    (acc, x) -> acc + x)::DOUBLE / 1048576 AS pc1
+       |FROM c CROSS JOIN it$iters f ORDER BY c.vec_id""".stripMargin
+  }
+
   def prototypePrune(emb: DataFrame, k: Int = 4, iters: Int = 2,
       keepPm: Int = 700): DataFrame = {
     require(keepPm >= 0 && keepPm <= 1000,

@@ -520,6 +520,21 @@ class PlanAuditSpec extends SparkSpec {
       "centroid scoring stays broadcast — no all-pairs anywhere")
   }
 
+  test("embedding_pca: corpus never crosses an exchange — folds are partial+final, direction broadcasts") {
+    val p = plan("embedding_pca")
+    // the mean fold (64 groups) and covariance fold (4096 groups) must
+    // both aggregate partial+final so the dim2-per-vector explode is
+    // absorbed map-side; the iteration frame and direction re-enter as
+    // broadcasts (1-row cross joins)
+    assert(nodeIds(p, "HashAggregate").size >= 4,
+      "mean and covariance folds must each be partial+final")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "means/direction must broadcast onto the corpus passes")
+    assert(!p.contains("Window ["), "no window anywhere")
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row frames must broadcast, never cartesian")
+  }
+
   test("corpus_diversity: one corpus scan feeds all three n-gram widths; distinct is a two-stage group") {
     val p = plan("corpus_diversity")
     assert(nodeIds(p, "Scan parquet").size == 1,

@@ -44,7 +44,7 @@ EMB_QUERIES = """ann_cosine_topk ann_cosine_bucketed ann_ivf_probe
 ann_ivf_nprobe ann_ivf_pq ann_recall_report dedup_embedding_cosine
 vector_norms embedding_quantize embedding_pq embedding_kmeans rank_fusion
 dedup_semantic knn_label_probe ann_range_search hard_negatives
-label_centroid_margin prototype_prune""".split()
+label_centroid_margin prototype_prune embedding_pca""".split()
 
 ASCII_WORDS = ("spark join window data model train corpus token quality "
                "filter sample batch shard merge index scan probe the a of "
