@@ -520,6 +520,22 @@ class PlanAuditSpec extends SparkSpec {
       "centroid scoring stays broadcast — no all-pairs anywhere")
   }
 
+  test("mix_unimax: one corpus pass; waterfilling windows run on the model-sized source frame") {
+    val p = plan("mix_unimax")
+    assert(nodeIds(p, "Scan parquet").size == 1,
+      "the tokenize+count pass is the only corpus work — one scan")
+    assert(nodeIds(p, "HashAggregate").size >= 2,
+      "the per-source count must be partial+final")
+    // the rank/prefix windows DO funnel to a single partition — that is
+    // correct here because their input is the aggregated |sources|-row
+    // frame (the ccnet-cutoff precedent), and the windows must sit
+    // strictly above the aggregation in the plan
+    assert(p.contains("Window"), "waterfilling needs the rank/prefix windows")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the 1-row level frame re-enters as a broadcast")
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere")
+  }
+
   test("embedding_pca: corpus never crosses an exchange — folds are partial+final, direction broadcasts") {
     val p = plan("embedding_pca")
     // the mean fold (64 groups) and covariance fold (4096 groups) must
