@@ -335,6 +335,75 @@ object TextOps {
          |  CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1000000) AS fluency
          |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
+    // ---- Stupid Backoff trigram LM (Brants et al. 2007 §4, "Large
+    // Language Models in Machine Translation" — THE distributed-LM
+    // recipe: unnormalized relative frequencies with a fixed 0.4
+    // backoff multiplier, chosen precisely because it needs no
+    // normalization pass and shards by n-gram key). Unlike
+    // lm_bigram_score (model and scores from the same corpus — every
+    // bigram trivially seen), this trains on the doc_id%2=0 half and
+    // scores the HELD-OUT half, so the backoff ladder actually fires:
+    // trigram hit -> c123/c(ctx); miss -> 0.4 * c(w2w3)/c(w2); miss ->
+    // 0.4^2 * c(w3)/N; unseen word -> 0. Integer-exact: each rung is a
+    // floor-scaled int64 (x·10^6 div y, then ·2 div 5 per 0.4 factor —
+    // floor composition identical in both engines), summed exactly; one
+    // double division at the end. Scale shape: model = three linear
+    // passes over the cached train-token frame (tri/big/uni counts; N
+    // folds off the unigram table); scoring = trigram + two bigram
+    // shuffle joins (pair-keyed models grow toward vocab^n — must NOT
+    // broadcast) + vocab-bounded unigram broadcasts + a 1-row N
+    // broadcast. Headroom: c·10^6 < 2^63 up to c = 10^12 (100 TB-safe,
+    // the lm_bigram argument). ----------------------------------------
+    "lm_trigram_score" -> QueryDef(
+      (s, dir) => lmTrigramScore(
+        Tables.load(s, dir, "documents"), "doc_id % 2 = 0", "doc_id % 2 = 1"),
+      s"""WITH toks AS (SELECT doc_id, $duckToksFluency AS ts FROM documents),
+         |train AS (SELECT ts FROM toks WHERE doc_id % 2 = 0),
+         |tric AS (SELECT tri, COUNT(*) AS c123 FROM (
+         |    SELECT unnest(list_transform(range(3, len(ts) + 1),
+         |      i -> ts[i-2] || ' ' || ts[i-1] || ' ' || ts[i])) AS tri
+         |    FROM train WHERE len(ts) >= 3) GROUP BY tri),
+         |bigc AS (SELECT big, COUNT(*) AS cb FROM (
+         |    SELECT unnest(list_transform(range(2, len(ts) + 1),
+         |      i -> ts[i-1] || ' ' || ts[i])) AS big
+         |    FROM train WHERE len(ts) >= 2) GROUP BY big),
+         |unic AS (SELECT w, COUNT(*) AS cw FROM (
+         |    SELECT unnest(ts) AS w FROM train) GROUP BY w),
+         |tot AS (SELECT COALESCE(SUM(cw), 0)::BIGINT AS nt FROM unic),
+         |sc AS (SELECT doc_id,
+         |    unnest(list_transform(range(3, len(ts) + 1),
+         |      i -> ts[i-2] || ' ' || ts[i-1] || ' ' || ts[i])) AS tri,
+         |    unnest(list_transform(range(3, len(ts) + 1),
+         |      i -> ts[i-2] || ' ' || ts[i-1])) AS ctx,
+         |    unnest(list_transform(range(3, len(ts) + 1),
+         |      i -> ts[i-1] || ' ' || ts[i])) AS b23,
+         |    unnest(list_transform(range(3, len(ts) + 1), i -> ts[i-1])) AS w2,
+         |    unnest(list_transform(range(3, len(ts) + 1), i -> ts[i])) AS w3
+         |  FROM toks WHERE doc_id % 2 = 1 AND len(ts) >= 3),
+         |q AS (SELECT doc_id,
+         |    CASE WHEN t.c123 IS NOT NULL THEN t.c123 * 1000000 // bc.cb
+         |         WHEN bb.cb IS NOT NULL THEN (bb.cb * 1000000 // u2.cw) * 2 // 5
+         |         WHEN u3.cw IS NOT NULL THEN
+         |           ((u3.cw * 1000000 // tot.nt) * 2 // 5) * 2 // 5
+         |         ELSE 0 END AS q,
+         |    CASE WHEN t.c123 IS NOT NULL THEN 1 ELSE 0 END AS ht,
+         |    CASE WHEN t.c123 IS NULL AND bb.cb IS NOT NULL THEN 1 ELSE 0 END AS hb,
+         |    CASE WHEN t.c123 IS NULL AND bb.cb IS NULL AND u3.cw IS NOT NULL
+         |      THEN 1 ELSE 0 END AS hu
+         |  FROM sc
+         |  LEFT JOIN tric t ON sc.tri = t.tri
+         |  LEFT JOIN bigc bc ON sc.ctx = bc.big
+         |  LEFT JOIN bigc bb ON sc.b23 = bb.big
+         |  LEFT JOIN unic u2 ON sc.w2 = u2.w
+         |  LEFT JOIN unic u3 ON sc.w3 = u3.w
+         |  CROSS JOIN tot)
+         |SELECT doc_id, COUNT(*) AS n_trigrams,
+         |  CAST(SUM(ht) AS BIGINT) AS n_tri_hit,
+         |  CAST(SUM(hb) AS BIGINT) AS n_big_hit,
+         |  CAST(SUM(hu) AS BIGINT) AS n_uni_hit,
+         |  CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1000000) AS lm_score
+         |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     // ---- CCNet corpus bucketing (Wenzek et al. 2020 §4.3): split each
     // language's documents into head/middle/tail thirds by LM quality —
     // the canonical "train on the head" curation step. CCNet orders by
@@ -757,4 +826,70 @@ object TextOps {
   // one tokenization contract with the shared fragment (the fluency
   // oracle composes it like every other oracle in this file)
   private def duckToksFluency: String = Portable.duckToksSql("text")
+
+  /** Stupid Backoff trigram scoring (Brants et al. 2007 §4) of the
+    * `scoreExpr` slice of `docs` under a model counted on the
+    * `trainExpr` slice — see the `lm_trigram_score` registry comment
+    * for the arithmetic and scale-shape contract. `docs` needs
+    * (doc_id, text); the two slices may overlap (score-on-train gives
+    * the degenerate all-trigram-hit case, which LmTrigramSpec pins).
+    */
+  def lmTrigramScore(docs: DataFrame,
+      trainExpr: String = "doc_id % 2 = 0",
+      scoreExpr: String = "doc_id % 2 = 1"): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      expr(Portable.tokensSql("text")).as("ts"))
+    // the train-token frame feeds three count passes — cache the arrays,
+    // not three re-reads + re-tokenizations of the corpus
+    val train = toks.filter(trainExpr).select(col("ts"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val triC = train.filter("size(ts) >= 3").select(explode(expr(
+        "transform(sequence(3, size(ts)), i -> concat(ts[i-3], ' ', ts[i-2], ' ', ts[i-1]))")).as("tri"))
+      .groupBy(col("tri")).agg(count(lit(1)).as("c123"))
+    val bigC = train.filter("size(ts) >= 2").select(explode(expr(
+        "transform(sequence(2, size(ts)), i -> concat(ts[i-2], ' ', ts[i-1]))")).as("big"))
+      .groupBy(col("big")).agg(count(lit(1)).as("cb"))
+    val uniC = train.select(explode(col("ts")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val tot = uniC.agg(coalesce(sum(col("cw")), lit(0L)).as("nt"))
+    val sc = toks.filter(scoreExpr).filter("size(ts) >= 3")
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(3, size(ts)), i -> struct(
+          |  concat(ts[i-3], ' ', ts[i-2], ' ', ts[i-1]) AS tri,
+          |  concat(ts[i-3], ' ', ts[i-2]) AS ctx,
+          |  concat(ts[i-2], ' ', ts[i-1]) AS b23,
+          |  ts[i-2] AS w2, ts[i-1] AS w3))""".stripMargin)).as("g"))
+      .selectExpr("doc_id", "g.tri", "g.ctx", "g.b23", "g.w2", "g.w3")
+    // tri + both bigram lookups are PAIR/TRIPLE-keyed (grow toward
+    // vocab^n) — shuffle joins; unigrams and N are vocab-bounded/1-row
+    // and broadcast. A trigram hit implies its context bigram exists,
+    // a bigram hit implies its prefix unigram exists, so no rung ever
+    // divides by NULL.
+    sc.join(triC, Seq("tri"), "left")
+      .join(bigC.withColumnRenamed("big", "ctx").withColumnRenamed("cb", "cctx"),
+        Seq("ctx"), "left")
+      .join(bigC.withColumnRenamed("big", "b23").withColumnRenamed("cb", "c23"),
+        Seq("b23"), "left")
+      .join(broadcast(uniC.withColumnRenamed("w", "w2").withColumnRenamed("cw", "c2")),
+        Seq("w2"), "left")
+      .join(broadcast(uniC.withColumnRenamed("w", "w3").withColumnRenamed("cw", "c3")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(tot))
+      .selectExpr("doc_id",
+        """CASE WHEN c123 IS NOT NULL THEN c123 * 1000000L div cctx
+          |     WHEN c23 IS NOT NULL THEN (c23 * 1000000L div c2) * 2L div 5L
+          |     WHEN c3 IS NOT NULL THEN
+          |       ((c3 * 1000000L div nt) * 2L div 5L) * 2L div 5L
+          |     ELSE 0L END AS q""".stripMargin,
+        "CAST(c123 IS NOT NULL AS INT) AS ht",
+        "CAST(c123 IS NULL AND c23 IS NOT NULL AS INT) AS hb",
+        "CAST(c123 IS NULL AND c23 IS NULL AND c3 IS NOT NULL AS INT) AS hu")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("ht")).as("n_tri_hit"),
+        sum(col("hb")).as("n_big_hit"), sum(col("hu")).as("n_uni_hit"),
+        sum(col("q")).as("sq"))
+      .selectExpr("doc_id", "n_trigrams", "n_tri_hit", "n_big_hit", "n_uni_hit",
+        "CAST(sq AS DOUBLE) / (n_trigrams * 1000000) AS lm_score")
+      .transform(graft.Sorted.byNames(_, "doc_id"))
+  }
 }

@@ -462,6 +462,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window ["))
   }
 
+  test("lm_trigram_score: unigrams broadcast, n-gram models stay equi; train tokens cached once") {
+    val p = plan("lm_trigram_score")
+    // the two vocab-bounded unigram lookups (w2, w3) are pinned with
+    // explicit broadcast() — both must broadcast onto the scoring pass
+    assert(nodeIds(p, "BroadcastHashJoin").size >= 2,
+      "both unigram lookups must broadcast onto the scoring pass")
+    // tri/bigram models are pair/triple-keyed (grow toward vocab^n) and
+    // deliberately NOT pinned: intended scale plan is the shuffle
+    // equi-join; fixture-scale auto-broadcast is fine. The only
+    // permitted nested-loop is the 1-row total-N frame re-entering.
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere")
+    assert(nodeIds(p, "BroadcastNestedLoopJoin").size <= 1,
+      "only the 1-row N frame may enter as a nested-loop broadcast")
+    assert(p.contains("InMemoryRelation"),
+      "the train-token frame is persisted — tri, big and uni counts all read it")
+    assert(!p.contains("Window ["))
+  }
+
   test("ccnet_buckets: cutoffs broadcast; the only window runs over the score distribution") {
     val p = plan("ccnet_buckets")
     // the 2-values-per-language cutoff frame (and the |langs|-row count
