@@ -845,6 +845,151 @@ object Dedup {
         |  CAST(COALESCE(SUM(CAST(doc_id % 97 = 0 AND text IS NOT NULL AS INT)), 0) AS BIGINT) AS n_true_members,
         |  CAST(0 AS BIGINT) AS false_negatives,
         |  1 AS fp_ok
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin),
+
+    // ---- winnowing fingerprints + overlap pairs (Schleimer, Wilkerson
+    // & Aiken, SIGMOD 2003 — the MOSS algorithm): per doc, hash every
+    // token 3-gram, slide a w = 4 window over the hash sequence and
+    // select the RIGHTMOST minimum of each window; the selected
+    // (pos, hash) set is the fingerprint. The guarantee the
+    // rolling-prefix doc_fingerprint can't give: any shared run of
+    // >= w + k - 1 = 6 tokens is caught by at least one shared
+    // fingerprint, at expected density 2/(w+1) of positions — LOCAL
+    // document fingerprinting, robust to reordering and partial overlap
+    // where whole-doc hashes see nothing. Selection is pure map-side
+    // higher-order-function work over the ONE native token-hash array
+    // (O(len) per doc — see winnowSelect for why NOT char grams);
+    // the only corpus-volume shuffle is the fingerprint hash-group, and
+    // pairing rides the ngram-jaccard two-tier bucket policy (df<=50
+    // full in-bucket pairing, df>50 hub pairing) so a boilerplate
+    // fingerprint can never go quadratic. ---------------------------------
+    "dedup_winnow" -> QueryDef(
+      (s, dir) => {
+        graft.functions.HashExpressions.register(s)
+        winnowPairs(Tables.load(s, dir, "documents"))
+      },
+      {
+        s"""WITH toks AS (SELECT doc_id,
+           |    ${graft.functions.Portable.duckToksSql("text")} AS toks
+           |  FROM documents),
+           |tt AS (SELECT doc_id,
+           |    ${graft.functions.Portable.duckHashTokensSql("toks")} AS th
+           |  FROM toks),
+           |h AS (SELECT doc_id, list_transform(
+           |    range(1, greatest(len(th) - 2, 0) + 1),
+           |    gi -> ((th[gi] * 31 + th[gi+1]) * 31 + th[gi+2]) % ${P}) AS h
+           |  FROM tt),
+           |sel AS (SELECT doc_id, list_distinct(list_transform(
+           |    range(1, greatest(len(h) - 3, 0) + 1),
+           |    j -> list_max(list_filter(range(j, j + 4),
+           |           p -> h[p] = list_min(h[j:j+3])))::BIGINT * 2147483648
+           |         + list_min(h[j:j+3]))) AS sel FROM h),
+           |fps AS (SELECT DISTINCT doc_id, c % 2147483648 AS fp FROM
+           |  (SELECT doc_id, unnest(sel) AS c FROM sel)),
+           |nf AS (SELECT doc_id, COUNT(*) AS nf FROM fps GROUP BY doc_id),
+           |depth AS (SELECT fp, COUNT(*) AS df, MIN(doc_id) AS hub
+           |  FROM fps GROUP BY fp),
+           |self_pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |  JOIN depth d ON d.fp = a.fp WHERE d.df BETWEEN 2 AND 50),
+           |hub_pairs AS (SELECT d.hub AS doc_a, f.doc_id AS doc_b
+           |  FROM fps f JOIN depth d ON d.fp = f.fp
+           |  WHERE d.df > 50 AND f.doc_id <> d.hub),
+           |pairs AS (SELECT doc_a, doc_b, COUNT(*) AS shared_fp FROM
+           |  (SELECT * FROM self_pairs UNION ALL SELECT * FROM hub_pairs)
+           |  GROUP BY doc_a, doc_b)
+           |SELECT doc_a, doc_b, shared_fp,
+           |  shared_fp * 1000 // least(na.nf, nb.nf) AS overlap_pm
+           |FROM pairs JOIN nf na ON na.doc_id = doc_a
+           |JOIN nf nb ON nb.doc_id = doc_b
+           |WHERE shared_fp >= 2 ORDER BY doc_a, doc_b""".stripMargin
+      })
   )
+
+  /** Winnowing selection (see the `dedup_winnow` registry comment):
+    * (doc_id, pos, fp) rows — the rightmost window minimum per w-window
+    * over token k-gram hashes, distinct per (pos, fp). Token grams, not
+    * char grams, deliberately: a char k-gram needs substring(s, i, k)
+    * per position, and UTF8String substring is a scan from the string
+    * start — O(len) per gram, O(len²) per document (measured: minutes
+    * on the sf0.01 fixture). Token grams combine k consecutive entries
+    * of the ONE native token-hash array by O(1) element_at — O(len)
+    * per document. Selection is entirely map-side; `graft_token_hashes`
+    * must be registered on the session.
+    */
+  private[operators] def winnowSelect(docs: DataFrame, k: Int = 3,
+      w: Int = 4): DataFrame = {
+    val km1 = k - 1
+    val wm1 = w - 1
+    // gram hash = polyhash-style fold of k consecutive token hashes:
+    // ((th_i * 31 + th_{i+1}) * 31 + ...) % P — every partial product
+    // < P·31^k + P < 2^63 for k = 3 (th < P ~ 2^30)
+    val gram = (2 to k).foldLeft("element_at(th, gi)") { (acc, j) =>
+      s"($acc * 31 + element_at(th, gi + ${j - 1}))"
+    } + s" % ${P}L"
+    // ONE expression with explicit let-bindings. Catalyst substitutes a
+    // projected column's defining expression into every reference site
+    // (projection collapse / filter pushdown), and inside a lambda that
+    // recomputation runs PER ELEMENT: with h as a plain column, every
+    // window's element_at(h, p) re-ran token-hashing + the gram
+    // transform — O(len²·w) per document, measured 1m43s on the
+    // sf0.001 fixture alone. `transform(array(x), v -> body)[0]`
+    // is the let: the argument array is materialized once and v is the
+    // bound VALUE, so th / h / mv each evaluate exactly once per
+    // row / row / window. slice(sequence(0, n), 2, n) = [1..n] that is
+    // EMPTY at n = 0 — a bare sequence(1, 0) would generate the
+    // DESCENDING [1, 0].
+    docs
+      .selectExpr("doc_id",
+        s"""transform(array(graft_token_hashes(text)), th ->
+           |  transform(array(transform(
+           |      slice(sequence(0, greatest(size(th) - $km1, 0)), 2, greatest(size(th) - $km1, 0)),
+           |      gi -> $gram)), h ->
+           |    array_distinct(transform(
+           |      slice(sequence(0, greatest(size(h) - $wm1, 0)), 2, greatest(size(h) - $wm1, 0)),
+           |      j -> transform(array(array_min(slice(h, j, $w))), mv ->
+           |             array_max(filter(sequence(j, j + $wm1),
+           |               p -> element_at(h, p) = mv)) * ${1L << 31}L + mv)[0]))
+           |  )[0]
+           |)[0] AS sel""".stripMargin)
+      .selectExpr("doc_id", "explode(sel) AS c")
+      .selectExpr("doc_id", s"c div ${1L << 31}L AS pos", s"c % ${1L << 31}L AS fp")
+  }
+
+  /** Cross-doc winnowing overlap: pairs sharing >= `minShared` distinct
+    * fingerprints, with `overlap_pm` = shared·1000 div min(|fp_a|,|fp_b|)
+    * (the containment-style plagiarism score). Two-tier bucket policy on
+    * fingerprint document-frequency, exactly the ngram-jaccard shape:
+    * df in [2, dfCap] pairs fully inside the bucket; df > dfCap emits
+    * only (bucket-min hub, member) pairs — crowded boilerplate
+    * fingerprints contribute hub-member evidence instead of df² pairs.
+    */
+  def winnowPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
+      dfCap: Int = 50, minShared: Int = 2): DataFrame = {
+    // distinct fp VALUES per doc; persisted — feeds the df census, both
+    // pairing tiers and the per-doc fingerprint counts
+    val fps = winnowSelect(docs, k, w).select(col("doc_id"), col("fp"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nf = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+    val depth = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("hub"))
+    val capped = fps.join(
+      depth.filter(s"df BETWEEN 2 AND $dfCap").select(col("fp")), "fp")
+    val selfPairs = capped.alias("a").join(capped.alias("b"),
+        expr("a.fp = b.fp AND a.doc_id < b.doc_id"))
+      .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b")
+    val hubPairs = fps.join(
+        depth.filter(s"df > $dfCap").select(col("fp"), col("hub")), "fp")
+      .filter(col("doc_id") =!= col("hub"))
+      .selectExpr("hub AS doc_a", "doc_id AS doc_b")
+    selfPairs.unionByName(hubPairs)
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared_fp"))
+      .filter(s"shared_fp >= $minShared")
+      .join(nf.selectExpr("doc_id AS doc_a", "nf AS nfa"), "doc_a")
+      .join(nf.selectExpr("doc_id AS doc_b", "nf AS nfb"), "doc_b")
+      .selectExpr("doc_a", "doc_b", "shared_fp",
+        "shared_fp * 1000L div least(nfa, nfb) AS overlap_pm")
+      .transform(graft.Sorted.byNames(_, "doc_a", "doc_b"))
+  }
 }

@@ -480,6 +480,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window ["))
   }
 
+  test("dedup_winnow: selection is map-side off one cached fp table; pairing stays equi") {
+    val p = plan("dedup_winnow")
+    assert(p.contains("InMemoryRelation"),
+      "the distinct (doc_id, fp) table is persisted — df census, both pairing tiers " +
+        "and per-doc counts all read it")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "every pairing join keys on fp / doc ids — never all-pairs")
+    assert(!p.contains("Window ["), "no window anywhere — ranks play no part")
+  }
+
   test("ccnet_buckets: cutoffs broadcast; the only window runs over the score distribution") {
     val p = plan("ccnet_buckets")
     // the 2-values-per-language cutoff frame (and the |langs|-row count
