@@ -701,8 +701,71 @@ object Curation {
          |  docs_in - docs_kept AS dropped,
          |  CASE WHEN docs_in = 0 THEN 0
          |       ELSE (docs_in - docs_kept) * 1000 // docs_in END AS drop_pm
-         |FROM st ORDER BY stage_ord""".stripMargin)
+         |FROM st ORDER BY stage_ord""".stripMargin),
+
+    // ---- curriculum plan (Bengio et al. 2009): assign every doc a
+    // training STAGE by difficulty quantile (easy = low score first)
+    // and a deterministic within-(stage, shard) position — the data
+    // order a curriculum loader consumes stage by stage. Stage cutoffs
+    // ride the ccnet_buckets distribution trick: the only window over
+    // all scores runs on the (score, count) DISTRIBUTION (distinct
+    // score values, bounded), stage = 1 + (cum-1)·S div n off the
+    // 1-row total broadcast, assignment a broadcast map-side join.
+    // Ordering rides the shard_shuffle shape: per-(stage, shard) rank
+    // windows — never a per-stage SinglePartition sort. The fixture's
+    // difficulty signal is token length (the canonical short-first
+    // curriculum); any score column plugs in via curriculumPlan. ----------
+    "curriculum_plan" -> QueryDef(
+      (s, dir) => curriculumPlan(
+        Tables.load(s, dir, "documents").selectExpr("doc_id",
+          s"CAST(size(${graft.functions.Portable.tokensSql("coalesce(text, '')")}) AS BIGINT) AS score")),
+      s"""WITH sc AS (SELECT doc_id,
+         |    len(${graft.functions.Portable.duckToksSql("coalesce(text, '')")})::BIGINT AS score
+         |  FROM documents),
+         |tot AS (SELECT COUNT(*) AS n FROM sc),
+         |dist AS (SELECT score, COUNT(*) AS c FROM sc GROUP BY score),
+         |cums AS (SELECT score,
+         |    SUM(c) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM dist),
+         |stg AS (SELECT score, (1 + (cum - 1) * 4 // n)::BIGINT AS stage
+         |  FROM cums CROSS JOIN tot),
+         |keyed AS (SELECT doc_id, score,
+         |    ((doc_id % 999983) * $MIX + 5081) % $P AS skey FROM sc)
+         |SELECT k.doc_id, g.stage, CAST(k.skey % 8 AS INT) AS shard, k.skey,
+         |  ROW_NUMBER() OVER (PARTITION BY g.stage, k.skey % 8
+         |    ORDER BY k.skey, k.doc_id) AS pos
+         |FROM keyed k JOIN stg g USING (score)
+         |ORDER BY stage, shard, pos""".stripMargin)
   )
+
+  /** Curriculum staging of any (doc_id, score) frame — see the
+    * `curriculum_plan` registry comment. Low score = easy = stage 1;
+    * a tie-group of equal scores lands entirely in the stage of its
+    * cumulative endpoint (deterministic, the distribution-cutoff rule).
+    */
+  def curriculumPlan(scored: DataFrame, stages: Int = 4,
+      nShards: Int = 8): DataFrame = {
+    require(stages >= 1 && nShards >= 1, s"stages=$stages nShards=$nShards")
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("score"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val dist = scored.groupBy(col("score")).agg(count(lit(1)).as("c"))
+    val cums = dist.withColumn("cum", sum(col("c")).over(wCum))
+      .select(col("score"), col("cum"))
+    val tot = scored.agg(count(lit(1)).as("n"))
+    val stg = cums.crossJoin(broadcast(tot))
+      .selectExpr("score", s"CAST(1L + (cum - 1L) * ${stages}L div n AS BIGINT) AS stage")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stage"), col("shard")).orderBy(col("skey"), col("doc_id"))
+    scored
+      .selectExpr("doc_id", "score",
+        s"((doc_id % 999983L) * ${MIX}L + 5081L) % ${P}L AS skey")
+      .join(broadcast(stg), "score")
+      .withColumn("shard", expr(s"CAST(skey % $nShards AS INT)"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("stage"), col("shard"), col("skey"), col("pos"))
+      .orderBy("stage", "shard", "pos")
+  }
 
   /** The quantized temperature weight s_l = floor(n^alpha * 1e6) for the
     * two exponents whose cross-engine arithmetic is EXACT: IEEE-754 sqrt

@@ -490,6 +490,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window ["), "no window anywhere — ranks play no part")
   }
 
+  test("curriculum_plan: stage cutoffs off the distribution; rank windows partition by (stage, shard)") {
+    val p = plan("curriculum_plan")
+    // exactly two windows: the cumulative sum over the (score, count)
+    // DISTRIBUTION (single-partition over distinct scores — the ccnet
+    // precedent) and the per-(stage, shard) rank
+    assert(nodeIds(p, "Window").size == 2,
+      "distribution cum + partitioned rank, nothing else")
+    assert("""\], \[stage#\d+L?, shard#\d+\]""".r.findFirstIn(p).isDefined,
+      "the corpus rank window must partition by (stage, shard), never funnel")
+    assert(nodeIds(p, "BroadcastHashJoin").size >= 1,
+      "the (score -> stage) cutoff frame must broadcast back for map-side assignment")
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere")
+  }
+
   test("ccnet_buckets: cutoffs broadcast; the only window runs over the score distribution") {
     val p = plan("ccnet_buckets")
     // the 2-values-per-language cutoff frame (and the |langs|-row count
