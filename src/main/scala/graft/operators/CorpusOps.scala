@@ -936,8 +936,53 @@ object CorpusOps {
            |  COUNT(DISTINCT fp)::BIGINT AS distinct_ngrams,
            |  COUNT(DISTINCT fp)::BIGINT * 1000000 // COUNT(*)::BIGINT AS distinct_ppm
            |FROM f GROUP BY source, n ORDER BY source, n""".stripMargin
-      })
+      }),
+
+    // ---- rare-vocabulary density per document: the long-tail mining
+    // signal — rare_pm high on genuinely specialized content (the docs a
+    // curation pipeline UP-samples for coverage: technical vocabulary,
+    // named entities, low-resource domains) and EXTREME on OCR garbage /
+    // mojibake (the same census doubles as a quality gate at the far
+    // tail). df counts DOCUMENTS containing the token (distinct per
+    // doc), rare = df <= rareDf. Scale shape: one tokenize pass ->
+    // distinct (doc_id, tok) hash-group (persisted — feeds the df
+    // census AND the scoring join), vocab-keyed df table joins back by
+    // SHUFFLE (the vocabulary tail grows with the corpus — never
+    // broadcast by design), then one partial+final per-doc fold. ----------
+    "rare_token_docs" -> QueryDef(
+      (s, dir) => rareTokenDocs(Tables.load(s, dir, "documents")),
+      s"""WITH dt AS (SELECT DISTINCT doc_id, unnest($duckToks) AS tok
+         |  FROM documents),
+         |df AS (SELECT tok, COUNT(*) AS df FROM dt GROUP BY tok),
+         |j AS (SELECT doc_id, CAST(df <= 2 AS INT) AS is_rare
+         |  FROM dt JOIN df USING (tok))
+         |SELECT doc_id, COUNT(*)::BIGINT AS n_distinct,
+         |  COALESCE(SUM(is_rare), 0)::BIGINT AS n_rare,
+         |  COALESCE(SUM(is_rare), 0)::BIGINT * 1000 // COUNT(*)::BIGINT AS rare_pm
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
+
+  /** Rare-vocabulary density of any (doc_id, text) frame — see the
+    * `rare_token_docs` registry comment. `rareDf` is the
+    * document-frequency cutoff: a token is rare iff it appears in at
+    * most `rareDf` documents.
+    */
+  def rareTokenDocs(docs: DataFrame, rareDf: Int = 2): DataFrame = {
+    require(rareDf >= 1, s"rareDf must be >= 1, got $rareDf")
+    val dt = docs.selectExpr("doc_id",
+        s"explode(${graft.functions.Portable.tokensSql("text")}) AS tok")
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dfc = dt.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    dt.join(dfc, "tok")
+      .selectExpr("doc_id", s"CAST(df <= $rareDf AS INT) AS is_rare")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct"),
+        coalesce(sum(col("is_rare")), lit(0L)).as("n_rare"))
+      .selectExpr("doc_id", "n_distinct", "n_rare",
+        "n_rare * 1000L div n_distinct AS rare_pm")
+      .transform(Sorted.byNames(_, "doc_id"))
+  }
 
   /** Confusion-matrix evaluation of a scored gate frame against a truth
     * expression — see the `classifier_eval` registry comment. `scored`

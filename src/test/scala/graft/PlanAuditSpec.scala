@@ -504,6 +504,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "no cartesian anywhere")
   }
 
+  test("rare_token_docs: one cached distinct token table; the df join-back is an equi-join") {
+    val p = plan("rare_token_docs")
+    assert(p.contains("InMemoryRelation"),
+      "the distinct (doc_id, tok) frame is persisted — df census and scoring both read it")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the vocab-keyed df table joins back as an equi-join — never all-pairs")
+    assert(!p.contains("Window ["), "pure group-and-join, no windows")
+  }
+
   test("ccnet_buckets: cutoffs broadcast; the only window runs over the score distribution") {
     val p = plan("ccnet_buckets")
     // the 2-values-per-language cutoff frame (and the |langs|-row count
