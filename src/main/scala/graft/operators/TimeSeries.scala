@@ -234,6 +234,81 @@ object TimeSeries {
         |FROM monthly JOIN stats USING (seg)
         |WHERE (n * rev_c - s_sum) * (n * rev_c - s_sum)
         |    > 4 * (n * q_sum - s_sum * s_sum)
-        |ORDER BY seg, m""".stripMargin)
+        |ORDER BY seg, m""".stripMargin),
+
+    // ---- CUSUM changepoint (Page 1954, the AMOC estimator): per
+    // segment, the month where the cumulative deviation from the series
+    // mean peaks — the single most likely mean-shift point. Exact
+    // integer algebra, no means materialized: D_i = n·prefix_i − i·total
+    // (DECIMAL(38,0)/HUGEINT — a 100 TB month grid at cent precision
+    // needs ~10^18·n headroom), changepoint = argmax |D_i| with
+    // earliest-month tie-break; shift_dir = +1 when the mean shifts UP
+    // at the changepoint (D < 0: early months run below the overall
+    // mean). Scale shape: the corpus-volume work is the monthly
+    // pre-aggregation; every window partitions BY SEG over the
+    // months-per-segment frame (model-sized — never a corpus funnel),
+    // stats broadcast back. -----------------------------------------------
+    "ts_changepoint" -> QueryDef(
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val c = Tables.load(s, dir, "customer")
+        val monthly = o.join(c, col("o_custkey") === col("c_custkey"))
+          .selectExpr("c_mktsegment AS seg",
+            "CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m",
+            "CAST(o_totalprice AS DECIMAL(18,2)) AS p")
+          .groupBy("seg", "m")
+          .agg(expr("CAST(SUM(p) * 100 AS BIGINT)").as("rev_c"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        cusumChangepoint(monthly)
+      },
+      """WITH monthly AS (
+        |  SELECT c_mktsegment AS seg,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |stats AS (SELECT seg, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(rev_c) AS HUGEINT) AS tot
+        |  FROM monthly GROUP BY seg),
+        |cum AS (SELECT seg, m, n,
+        |    n * SUM(CAST(rev_c AS HUGEINT)) OVER (PARTITION BY seg
+        |      ORDER BY m ROWS UNBOUNDED PRECEDING)
+        |    - ROW_NUMBER() OVER (PARTITION BY seg ORDER BY m) * tot AS d
+        |  FROM monthly JOIN stats USING (seg)),
+        |pick AS (SELECT seg, m, n, d, ROW_NUMBER() OVER (PARTITION BY seg
+        |    ORDER BY abs(d) DESC, m) AS rn FROM cum)
+        |SELECT seg, m AS cp_month, CAST(n AS BIGINT) AS n_months,
+        |  CAST(abs(d) // n AS BIGINT) AS cusum_c,
+        |  CAST(CASE WHEN d < 0 THEN 1 ELSE -1 END AS INT) AS shift_dir
+        |FROM pick WHERE rn = 1 ORDER BY seg""".stripMargin)
   )
+
+  /** AMOC CUSUM changepoint of any (seg, m, rev_c) series frame — see
+    * the `ts_changepoint` registry comment for the arithmetic and the
+    * per-segment window-shape contract.
+    */
+  def cusumChangepoint(
+      monthly: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val stats = monthly.groupBy("seg")
+      .agg(expr("CAST(COUNT(*) AS DECIMAL(38,0))").as("n"),
+        expr("CAST(SUM(rev_c) AS DECIMAL(38,0))").as("tot"))
+    val wSeg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seg")).orderBy(col("m"))
+    val cum = monthly.join(broadcast(stats), "seg")
+      .withColumn("i", row_number().over(wSeg).cast("long"))
+      .withColumn("pre", sum(expr("CAST(rev_c AS DECIMAL(38,0))"))
+        .over(wSeg.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .selectExpr("seg", "m", "n",
+        "CAST(n * pre - i * tot AS DECIMAL(38,0)) AS d")
+    val wPick = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seg")).orderBy(abs(col("d")).desc, col("m").asc)
+    cum.withColumn("rn", row_number().over(wPick))
+      .filter("rn = 1")
+      .selectExpr("seg", "m AS cp_month", "CAST(n AS BIGINT) AS n_months",
+        "CAST(abs(d) div n AS BIGINT) AS cusum_c",
+        "CAST(CASE WHEN d < 0 THEN 1 ELSE -1 END AS INT) AS shift_dir")
+      .orderBy("seg")
+  }
 }

@@ -513,6 +513,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window ["), "pure group-and-join, no windows")
   }
 
+  test("ts_changepoint: windows partition by segment; stats broadcast onto the cached monthly frame") {
+    val p = plan("ts_changepoint")
+    assert("""\], \[seg#\d+\]""".r.findFirstIn(p).isDefined,
+      "both the prefix and the pick window must partition BY SEG — never a global funnel")
+    assert(nodeIds(p, "BroadcastHashJoin").size >= 1,
+      "the per-segment stats frame must broadcast back")
+    assert(p.contains("InMemoryRelation"),
+      "the monthly pre-aggregation is persisted — stats and the cum pass both read it")
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere")
+  }
+
   test("ccnet_buckets: cutoffs broadcast; the only window runs over the score distribution") {
     val p = plan("ccnet_buckets")
     // the 2-values-per-language cutoff frame (and the |langs|-row count
