@@ -316,6 +316,50 @@ object CorpusOps {
         |SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram
         |ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin),
 
+    // ---- PMI collocations (Church & Hanks 1990): bigrams ranked by
+    // association lift p(xy)/(p(x)p(y)) — raw count ranking
+    // (ngram_top_corpus) surfaces "of the"; lift surfaces the pairs that
+    // co-occur far above chance (multiword expressions, named entities),
+    // the phrase-mining signal a tokenizer/vocab pipeline consumes
+    // (word2vec's phrase pass uses exactly this statistic). lift_ppm is
+    // monotone in PMI (log of it), so the ranking is PMI's without any
+    // transcendental in the output. Exact staged DECIMAL(38,0)/HUGEINT
+    // arithmetic both engines share:
+    //   lift_ppm = ((c12·N·10⁶) div (c1·c2)) · N div M
+    // staged so the worst intermediate at a 100 TB corpus (N ~ 1e14
+    // tokens) stays ~1e34 < 1e38 where the single-expression form
+    // c12·N²·10⁶ overflows at ~1e32; the staging truncation costs at
+    // most ~N/M ≈ 1 ppm, far below the min-count noise floor. Scale
+    // shape: ONE tokenize pass (persisted array frame feeds pair counts,
+    // unigram counts and both totals) → pair hash-group with the
+    // min-count HAVING applied BEFORE any join (the pair table is the
+    // only vocab²-shaped thing here and the filter prunes it to the
+    // frequent head) → two vocab-keyed unigram joins by SHUFFLE (the
+    // vocabulary grows with the corpus — never broadcast by design,
+    // rare_token_docs' rule) → 1-row totals broadcast →
+    // TakeOrderedAndProject (≤ k rows cross the final stage). ------------
+    "pmi_collocations" -> QueryDef(
+      (s, dir) => pmiCollocations(Tables.load(s, dir, "documents")),
+      s"""WITH toks AS (SELECT $duckToks AS ts FROM documents),
+        |tot AS (SELECT CAST(COALESCE(SUM(len(ts)), 0) AS HUGEINT) AS nt,
+        |    CAST(COALESCE(SUM(GREATEST(len(ts) - 1, 0)), 0) AS HUGEINT) AS mt
+        |  FROM toks),
+        |bg AS (SELECT unnest(list_transform(range(2, len(ts) + 1),
+        |    i -> ts[i-1] || ' ' || ts[i])) AS big FROM toks),
+        |pairc AS (SELECT big, COUNT(*) AS c12 FROM bg GROUP BY big
+        |  HAVING COUNT(*) >= 5),
+        |unic AS (SELECT w, COUNT(*) AS cw
+        |  FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY w),
+        |sp AS (SELECT string_split(big, ' ')[1] AS w1,
+        |    string_split(big, ' ')[2] AS w2, c12 FROM pairc)
+        |SELECT w1, w2, c12, u1.cw AS c1, u2.cw AS c2,
+        |  CAST((CAST(c12 AS HUGEINT) * nt * 1000000
+        |      // (CAST(u1.cw AS HUGEINT) * u2.cw)) * nt // mt AS BIGINT)
+        |    AS lift_ppm
+        |FROM sp JOIN unic u1 ON sp.w1 = u1.w JOIN unic u2 ON sp.w2 = u2.w
+        |CROSS JOIN tot
+        |ORDER BY lift_ppm DESC, w1, w2 LIMIT 50""".stripMargin),
+
     // ---- content-defined chunking (the storage-dedup/CDC shape): cut
     // after every position whose rolling 16-char hash ≡ 0 (mod 64), so
     // chunk boundaries move WITH the content — an insertion early in a
@@ -982,6 +1026,45 @@ object CorpusOps {
       .selectExpr("doc_id", "n_distinct", "n_rare",
         "n_rare * 1000L div n_distinct AS rare_pm")
       .transform(Sorted.byNames(_, "doc_id"))
+  }
+
+  /** PMI-ranked bigram collocations of any (doc_id, text) frame — see the
+    * `pmi_collocations` registry comment for the lift arithmetic and the
+    * staged-headroom contract. `minCount` prunes the pair table before
+    * any join (the frequent-head filter that keeps the only vocab²-shaped
+    * frame bounded); `topK` bounds the presentation output.
+    */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5L,
+      topK: Int = 50): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toks = docs
+      .select(expr(graft.functions.Portable.tokensSql("text")).as("ts"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tot = toks.agg(
+      coalesce(sum(expr("size(ts)")), lit(0L))
+        .cast("decimal(38,0)").as("nt"),
+      coalesce(sum(expr("GREATEST(size(ts) - 1, 0)")), lit(0L))
+        .cast("decimal(38,0)").as("mt"))
+    val pairC = toks.filter("size(ts) >= 2")
+      .select(explode(expr(
+        "transform(sequence(2, size(ts)), i -> concat(ts[i-2], ' ', ts[i-1]))"))
+        .as("big"))
+      .groupBy(col("big")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val uniC = toks.select(explode(col("ts")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    pairC
+      .selectExpr("split(big, ' ')[0] AS w1", "split(big, ' ')[1] AS w2", "c12")
+      .join(uniC.withColumnRenamed("w", "w1").withColumnRenamed("cw", "c1"), "w1")
+      .join(uniC.withColumnRenamed("w", "w2").withColumnRenamed("cw", "c2"), "w2")
+      .crossJoin(broadcast(tot))
+      .selectExpr("w1", "w2", "c12", "c1", "c2",
+        "CAST((CAST(c12 AS DECIMAL(38,0)) * nt * 1000000" +
+          " div (CAST(c1 AS DECIMAL(38,0)) * c2)) * nt div mt AS BIGINT)" +
+          " AS lift_ppm")
+      .orderBy(col("lift_ppm").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
   }
 
   /** Confusion-matrix evaluation of a scored gate frame against a truth
