@@ -280,8 +280,108 @@ object TimeSeries {
         |SELECT seg, m AS cp_month, CAST(n AS BIGINT) AS n_months,
         |  CAST(abs(d) // n AS BIGINT) AS cusum_c,
         |  CAST(CASE WHEN d < 0 THEN 1 ELSE -1 END AS INT) AS shift_dir
-        |FROM pick WHERE rn = 1 ORDER BY seg""".stripMargin)
+        |FROM pick WHERE rn = 1 ORDER BY seg""".stripMargin),
+
+    // ---- per-segment autocorrelation at lags 1..3 (Box & Jenkins): the
+    // seasonality/momentum diagnostic a forecasting pass reads before
+    // picking a model — acf(l) = Σ dev_i·dev_{i+l} / Σ dev_i², with
+    // dev_i = n·x_i − total so no fractional mean ever materializes
+    // (ts_changepoint's trick); every product/sum is exact
+    // DECIMAL(38,0)/HUGEINT. The per-mille-style quotient is emitted with
+    // EXPLICIT toward-zero sign decomposition (sign · (|num|·10⁶ div
+    // den)) because the numerator can be negative and Spark's `div`
+    // truncates while DuckDB's `//` floors — decomposing keeps every
+    // division non-negative where the two agree. Headroom: dev² at cent
+    // precision bounds ~1e34·10⁶ inside DECIMAL(38,0) up to ~1e15-cent
+    // monthly revenues; past that, quantize the series to dollars first.
+    // Scale shape: corpus-volume work is the (seg, month) pre-agg only;
+    // the lead() windows partition BY SEG over the calendar-bounded month
+    // grid (model-sized — never a corpus funnel), stats broadcast. --------
+    "ts_acf" -> QueryDef(
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+        val c = Tables.load(s, dir, "customer")
+        val monthly = o.join(c, col("o_custkey") === col("c_custkey"))
+          .selectExpr("c_mktsegment AS seg",
+            "CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m",
+            "CAST(o_totalprice AS DECIMAL(18,2)) AS p")
+          .groupBy("seg", "m")
+          .agg(expr("CAST(SUM(p) * 100 AS BIGINT)").as("rev_c"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        tsAutocorrelation(monthly)
+      },
+      """WITH monthly AS (
+        |  SELECT c_mktsegment AS seg,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |stats AS (SELECT seg, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(rev_c) AS HUGEINT) AS tot
+        |  FROM monthly GROUP BY seg),
+        |dev AS (SELECT seg, m, CAST(n AS BIGINT) AS n_months,
+        |    n * rev_c - tot AS dev
+        |  FROM monthly JOIN stats USING (seg)),
+        |lagged AS (SELECT seg, n_months, dev,
+        |    LEAD(dev, 1) OVER (PARTITION BY seg ORDER BY m) AS dev_1,
+        |    LEAD(dev, 2) OVER (PARTITION BY seg ORDER BY m) AS dev_2,
+        |    LEAD(dev, 3) OVER (PARTITION BY seg ORDER BY m) AS dev_3
+        |  FROM dev),
+        |agg AS (SELECT seg, MAX(n_months) AS n_months,
+        |    SUM(dev * dev) AS d0, SUM(dev * dev_1) AS num_1,
+        |    SUM(dev * dev_2) AS num_2, SUM(dev * dev_3) AS num_3
+        |  FROM lagged GROUP BY seg),
+        |st AS (
+        |  SELECT seg, n_months, d0, 1 AS lag, num_1 AS num FROM agg
+        |  UNION ALL
+        |  SELECT seg, n_months, d0, 2, num_2 FROM agg
+        |  UNION ALL
+        |  SELECT seg, n_months, d0, 3, num_3 FROM agg)
+        |SELECT seg, CAST(lag AS INT) AS lag, n_months,
+        |  CAST(CASE WHEN d0 = 0 THEN 0
+        |       WHEN num >= 0 THEN num * 1000000 // d0
+        |       ELSE -((-num) * 1000000 // d0) END AS BIGINT) AS acf_ppm
+        |FROM st WHERE num IS NOT NULL ORDER BY seg, lag""".stripMargin)
   )
+
+  /** Autocorrelation at lags 1..`maxLag` of any (seg, m, rev_c) series
+    * frame — see the `ts_acf` registry comment for the arithmetic,
+    * sign-decomposition and window-shape contracts. Lags with fewer than
+    * one overlapping pair (n ≤ lag) are absent from the output rather
+    * than emitted as NULL.
+    */
+  def tsAutocorrelation(
+      monthly: org.apache.spark.sql.DataFrame,
+      maxLag: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val stats = monthly.groupBy("seg")
+      .agg(expr("CAST(COUNT(*) AS DECIMAL(38,0))").as("n"),
+        expr("CAST(SUM(rev_c) AS DECIMAL(38,0))").as("tot"))
+    val wSeg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seg")).orderBy(col("m"))
+    val dev = monthly.join(broadcast(stats), "seg")
+      .selectExpr("seg", "m", "CAST(n AS BIGINT) AS n_months",
+        "CAST(n * rev_c - tot AS DECIMAL(38,0)) AS dev")
+    val lagged = dev.select(
+      Seq(col("seg"), col("n_months"), col("dev")) ++
+        (1 to maxLag).map(l => lead(col("dev"), l).over(wSeg).as(s"dev_$l")): _*)
+    val agg = lagged.groupBy(col("seg")).agg(
+      max(col("n_months")).as("n_months"),
+      (sum(expr("dev * dev")).as("d0") +:
+        (1 to maxLag).map(l => sum(expr(s"dev * dev_$l")).as(s"num_$l"))): _*)
+    val stackArgs = (1 to maxLag)
+      .map(l => s"CAST($l AS INT), num_$l").mkString(", ")
+    agg
+      .selectExpr("seg", "n_months", "d0",
+        s"stack($maxLag, $stackArgs) AS (lag, num)")
+      .filter("num IS NOT NULL")
+      .selectExpr("seg", "lag", "n_months",
+        """CAST(CASE WHEN d0 = 0 THEN 0
+          |     WHEN num >= 0 THEN num * 1000000 div d0
+          |     ELSE -((-num) * 1000000 div d0) END AS BIGINT) AS acf_ppm"""
+          .stripMargin)
+      .orderBy("seg", "lag")
+  }
 
   /** AMOC CUSUM changepoint of any (seg, m, rev_c) series frame — see
     * the `ts_changepoint` registry comment for the arithmetic and the
