@@ -903,7 +903,66 @@ object Dedup {
            |FROM pairs JOIN nf na ON na.doc_id = doc_a
            |JOIN nf nb ON nb.doc_id = doc_b
            |WHERE shared_fp >= 2 ORDER BY doc_a, doc_b""".stripMargin
-      })
+      }),
+
+    // ---- edit-distance near-dup with record-linkage blocking (the
+    // Fellegi–Sunter blocking shape): candidates from a cheap block key
+    // (lang, FIRST TOKEN, overlapping length band), verified by exact
+    // Levenshtein — the character-level complement to the set-based
+    // families: token-set jaccard is blind to ORDER (a shuffled
+    // boilerplate page scores 1.0) while edit similarity is exactly the
+    // per-character rewrite cost a plagiarism/revision detector wants.
+    // Both engines run their built-in levenshtein (unit-cost DP — same
+    // definition) on candidates only. Two sound prunes precede the
+    // O(len²) DP: the block join itself, and |len_a − len_b| ≤
+    // (1000−simPm)/1000 · max_len (length difference lower-bounds edit
+    // distance), applied on slim rows BEFORE any text ships. Blocks ride
+    // the ngram-jaccard two-tier depth policy (df ≤ 50 full in-bucket
+    // pairing, df > 50 hub pairing) so a boilerplate first token can
+    // never go quadratic. Production note at 100 TB: swap the full DP
+    // for the threshold-banded variant (levenshtein(a, b, k) — O(len·k))
+    // once simPm fixes k; the full DP here keeps the oracle contract
+    // engine-identical. First-token blocking misses near-dups whose
+    // leading token differs — the standard blocking tradeoff; add a
+    // second blocking pass (e.g. last token) to tighten recall. ----------
+    "dedup_edit_blocked" -> QueryDef(
+      (s, dir) => editBlockedPairs(Tables.load(s, dir, "documents")),
+      s"""WITH d2 AS (SELECT doc_id, lang, text, length(text) AS len,
+         |    ${graft.functions.Portable.duckToksSql("text")}[1] AS tok1
+         |  FROM documents
+         |  WHERE text IS NOT NULL
+         |    AND len(${graft.functions.Portable.duckToksSql("text")}) >= 1),
+         |blocks AS (SELECT DISTINCT doc_id, lang, tok1, band FROM
+         |  (SELECT doc_id, lang, tok1,
+         |     unnest([len // 100, (len + 50) // 100]) AS band FROM d2)),
+         |depth AS (SELECT lang, tok1, band, COUNT(*) AS df,
+         |    MIN(doc_id) AS hub
+         |  FROM blocks GROUP BY 1, 2, 3),
+         |self_pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM blocks a
+         |  JOIN blocks b ON a.lang = b.lang AND a.tok1 = b.tok1
+         |    AND a.band = b.band AND a.doc_id < b.doc_id
+         |  JOIN depth t ON t.lang = a.lang AND t.tok1 = a.tok1
+         |    AND t.band = a.band
+         |  WHERE t.df BETWEEN 2 AND 50),
+         |hub_pairs AS (SELECT t.hub AS doc_a, f.doc_id AS doc_b
+         |  FROM blocks f JOIN depth t USING (lang, tok1, band)
+         |  WHERE t.df > 50 AND f.doc_id <> t.hub),
+         |cand AS (SELECT DISTINCT doc_a, doc_b FROM
+         |  (SELECT * FROM self_pairs UNION ALL SELECT * FROM hub_pairs)),
+         |pruned AS (SELECT doc_a, doc_b, ta.text AS text_a,
+         |    tb.text AS text_b, greatest(ta.len, tb.len) AS max_len
+         |  FROM cand JOIN d2 ta ON ta.doc_id = doc_a
+         |  JOIN d2 tb ON tb.doc_id = doc_b
+         |  WHERE greatest(ta.len, tb.len) > 0
+         |    AND abs(ta.len - tb.len) * 1000 <= 200 * greatest(ta.len, tb.len)),
+         |v AS (SELECT doc_a, doc_b,
+         |    CAST(levenshtein(text_a, text_b) AS BIGINT) AS dist, max_len
+         |  FROM pruned)
+         |SELECT doc_a, doc_b, dist,
+         |  (max_len - dist) * 1000 // max_len AS sim_pm
+         |FROM v WHERE (max_len - dist) * 1000 // max_len >= 800
+         |ORDER BY doc_a, doc_b""".stripMargin)
   )
 
   /** Winnowing selection (see the `dedup_winnow` registry comment):
@@ -990,6 +1049,64 @@ object Dedup {
       .join(nf.selectExpr("doc_id AS doc_b", "nf AS nfb"), "doc_b")
       .selectExpr("doc_a", "doc_b", "shared_fp",
         "shared_fp * 1000L div least(nfa, nfb) AS overlap_pm")
+      .transform(graft.Sorted.byNames(_, "doc_a", "doc_b"))
+  }
+
+  /** Levenshtein-verified near-dup pairs of any (doc_id, lang, text)
+    * frame via (lang, first-token, length-band) blocking — see the
+    * `dedup_edit_blocked` registry comment for the pruning, depth-policy
+    * and engine-parity contracts. `simPm` is the per-mille edit
+    * similarity floor ((max_len − dist)·1000 div max_len ≥ simPm);
+    * `dfCap` is the full-pairing block-depth ceiling.
+    */
+  def editBlockedPairs(docs: DataFrame, simPm: Long = 800L,
+      dfCap: Int = 50): DataFrame = {
+    require(simPm >= 1 && simPm <= 1000, s"simPm must be in [1,1000], got $simPm")
+    require(dfCap >= 2, s"dfCap must be >= 2, got $dfCap")
+    val d2 = docs.filter(col("text").isNotNull)
+      .selectExpr("doc_id", "lang", "text", "length(text) AS len",
+        // try_element_at: ANSI element_at throws on a token-free doc
+        s"try_element_at(${tokensSql("text")}, 1) AS tok1")
+      .filter(col("tok1").isNotNull)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // two overlapping 100-char bands so near-dups straddling a band edge
+    // still collide (the ngram-jaccard banding); distinct per doc
+    val blocks = d2
+      .selectExpr("doc_id", "lang", "tok1",
+        "explode(array(len div 100, (len + 50) div 100)) AS band")
+      .distinct()
+    val bKey = Seq("lang", "tok1", "band")
+    val depth = blocks.groupBy(bKey.map(col): _*)
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("hub"))
+    val capped = blocks.join(
+      depth.filter(s"df BETWEEN 2 AND $dfCap").select(bKey.map(col): _*), bKey)
+    val selfPairs = capped.alias("a").join(capped.alias("b"),
+        expr(bKey.map(c => s"a.$c = b.$c").mkString(" AND ") +
+          " AND a.doc_id < b.doc_id"))
+      .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b")
+    val hubPairs = blocks.join(
+        depth.filter(s"df > $dfCap").select((bKey.map(col) :+ col("hub")): _*), bKey)
+      .filter(col("doc_id") =!= col("hub"))
+      .selectExpr("hub AS doc_a", "doc_id AS doc_b")
+    val cand = selfPairs.unionByName(hubPairs).distinct()
+    // length prune on slim rows first, THEN the text join — |Δlen|
+    // lower-bounds the edit distance, so this is sound for the floor
+    val lens = d2.selectExpr("doc_id", "len")
+    val pruned = cand
+      .join(lens.selectExpr("doc_id AS doc_a", "len AS len_a"), "doc_a")
+      .join(lens.selectExpr("doc_id AS doc_b", "len AS len_b"), "doc_b")
+      .filter("greatest(len_a, len_b) > 0")
+      .filter(s"abs(len_a - len_b) * 1000 <= ${1000 - simPm} * greatest(len_a, len_b)")
+      .select(col("doc_a"), col("doc_b"))
+    pruned
+      .join(d2.selectExpr("doc_id AS doc_a", "text AS text_a", "len AS len_a"), "doc_a")
+      .join(d2.selectExpr("doc_id AS doc_b", "text AS text_b", "len AS len_b"), "doc_b")
+      .selectExpr("doc_a", "doc_b",
+        "CAST(levenshtein(text_a, text_b) AS BIGINT) AS dist",
+        "greatest(len_a, len_b) AS max_len")
+      .selectExpr("doc_a", "doc_b", "dist",
+        "(max_len - dist) * 1000L div max_len AS sim_pm")
+      .filter(s"sim_pm >= $simPm")
       .transform(graft.Sorted.byNames(_, "doc_a", "doc_b"))
   }
 }
