@@ -620,6 +620,38 @@ object Curation {
          |  capped
          |FROM f CROSS JOIN lev ORDER BY source""".stripMargin),
 
+    // ---- Chinchilla compute-optimal plan (Hoffmann et al. 2022): for a
+    // ladder of model sizes, the rule-of-thumb data requirement
+    // D_opt = 20·N tokens against THIS corpus — the sizing table read
+    // before committing compute: which rungs this corpus can feed
+    // compute-optimally, which need repetition (milli-epochs, against
+    // mix_epoch_plan's 4-epoch Muennighoff cap where repeated tokens
+    // stop paying), and the largest data-bound model (T·cap/20/1000).
+    // flops_t is the 6·N·D approximation in TERAFLOPs: 120·N² runs to
+    // ~6e23 at the 70B rung, so the product folds in DECIMAL(38,0)/
+    // HUGEINT and only the ÷1e12 quotient returns to int64. Scale shape:
+    // ONE corpus-linear tokenize+count pass into a 1-row total, cross
+    // joined with the |grid|-row broadcast ladder — everything after the
+    // count is model-sized map-side arithmetic. --------------------------
+    "chinchilla_plan" -> QueryDef(
+      (s, dir) => chinchillaPlan(Tables.load(s, dir, "documents")),
+      s"""WITH t AS (SELECT CAST(COALESCE(
+         |    SUM(len(${graft.functions.Portable.duckToksSql("coalesce(text, '')")})), 0) AS BIGINT) AS corpus_tokens
+         |  FROM documents),
+         |grid AS (SELECT unnest([125000000, 350000000, 1300000000,
+         |    2700000000, 6700000000, 13000000000, 30000000000,
+         |    70000000000]) AS params)
+         |SELECT params, params * 20 AS d_opt,
+         |  CAST(CAST(params AS HUGEINT) * params * 120
+         |    // 1000000000000 AS BIGINT) AS flops_t,
+         |  corpus_tokens,
+         |  CASE WHEN corpus_tokens = 0 THEN -1
+         |       ELSE params * 20000 // corpus_tokens END AS epochs_m,
+         |  CASE WHEN corpus_tokens > 0
+         |        AND params * 20000 // corpus_tokens <= 4000
+         |       THEN 1 ELSE 0 END AS fits_cap
+         |FROM grid CROSS JOIN t ORDER BY params""".stripMargin),
+
     // ---- filter-funnel attrition report: per-stage docs-in/kept/dropped
     // for the canonical gate order (exact dedup → length → repetition →
     // stop words) — the pipeline card every released corpus publishes
@@ -812,6 +844,40 @@ object Curation {
     * Scale shape: ONE corpus-linear tokenize+count pass into a
     * |sources|-row persisted frame feeding both the n_src count and the
     * plan; the budget arithmetic is model-sized. */
+  /** Chinchilla compute-optimal sizing table of any (text) corpus over a
+    * model-parameter ladder — see the `chinchilla_plan` registry comment
+    * for the arithmetic, headroom and scale-shape contracts. `grid` is
+    * the parameter ladder; `tokensPerParam` the D/N rule (20 is the
+    * Hoffmann et al. fit); `capMilliEpochs` the repetition ceiling the
+    * feasibility flag tests against.
+    */
+  def chinchillaPlan(docs: DataFrame,
+      grid: Seq[Long] = Seq(125000000L, 350000000L, 1300000000L,
+        2700000000L, 6700000000L, 13000000000L, 30000000000L, 70000000000L),
+      tokensPerParam: Long = 20L,
+      capMilliEpochs: Long = 4000L): DataFrame = {
+    require(grid.nonEmpty && grid.forall(_ > 0), "grid must be positive")
+    require(tokensPerParam > 0 && capMilliEpochs > 0,
+      s"rule and cap must be positive, got ($tokensPerParam, $capMilliEpochs)")
+    val total = docs.agg(coalesce(sum(expr(
+        s"CAST(size(${graft.functions.Portable.tokensSql("coalesce(text, '')")}) AS BIGINT)")),
+      lit(0L)).as("corpus_tokens"))
+    total
+      .selectExpr("corpus_tokens",
+        s"explode(array(${grid.map(_ + "L").mkString(", ")})) AS params")
+      .selectExpr("params",
+        s"params * ${tokensPerParam}L AS d_opt",
+        s"CAST(CAST(params AS DECIMAL(38,0)) * params * ${6 * tokensPerParam}L" +
+          " div 1000000000000 AS BIGINT) AS flops_t",
+        "corpus_tokens",
+        s"CASE WHEN corpus_tokens = 0 THEN -1L" +
+          s" ELSE params * ${tokensPerParam * 1000}L div corpus_tokens END AS epochs_m",
+        s"CASE WHEN corpus_tokens > 0 AND" +
+          s" params * ${tokensPerParam * 1000}L div corpus_tokens <= ${capMilliEpochs}L" +
+          s" THEN 1 ELSE 0 END AS fits_cap")
+      .orderBy("params")
+  }
+
   def mixEpochPlan(docs: DataFrame, budgetTokens: Long = 1000000L,
       capMilliEpochs: Long = 4000L): DataFrame = {
     require(budgetTokens > 0 && capMilliEpochs > 0,
