@@ -325,6 +325,55 @@ object Extras {
         |  quantile_cont(cnt, 0.5) AS p50_cnt, quantile_cont(cnt, 0.99) AS p99_cnt,
         |  (MAX(struct_pack(cnt := cnt, u := user_id))).u AS heaviest_key,
         |  CAST(MAX(cnt) AS DOUBLE) * COUNT(*) / CAST(SUM(cnt) AS BIGINT) AS skew_ratio
-        |FROM c""".stripMargin)
+        |FROM c""".stripMargin),
+
+    // ---- leave-one-out target encoding (Micci-Barreca 2001, the LOO
+    // variant): encode each order's priority category by the mean target
+    // (totalprice) of the OTHER rows in its category — the standard
+    // high-cardinality categorical feature for tree/GBM models, computed
+    // leave-one-out so a row never sees its own target (the
+    // target-leakage guard that plain mean encoding violates).
+    // Singleton categories fall back to the global LOO mean; a 1-row
+    // input encodes 0. Parity: per-category Σ and n are exact DECIMAL
+    // sums; loo = (Σ − y)/(n − 1) evaluated in DOUBLE from the exact
+    // sums in one fixed expression order (QueryDef rules). Scale shape:
+    // one partial+final per-category agg (category domain is bounded) +
+    // a 1-row global agg, both broadcast back; the encoding itself is
+    // pure map-side projection — zero pair volume, no window. --------------
+    "target_encode_loo" -> QueryDef(
+      (s, dir) => targetEncodeLoo(Tables.load(s, dir, "orders")
+        .selectExpr("o_orderkey AS id", "o_orderpriority AS cat",
+          "CAST(o_totalprice AS DECIMAL(18,2)) AS y")),
+      """WITH r AS (SELECT o_orderkey AS id, o_orderpriority AS cat,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS y FROM orders),
+        |cats AS (SELECT cat, COUNT(*) AS n_cat, SUM(y) AS s_cat
+        |  FROM r GROUP BY cat),
+        |tot AS (SELECT COUNT(*) AS n_all, SUM(y) AS s_all FROM r)
+        |SELECT id, cat, CAST(y AS DOUBLE) AS y,
+        |  CASE WHEN n_cat > 1 THEN
+        |      (CAST(s_cat AS DOUBLE) - CAST(y AS DOUBLE)) / (n_cat - 1)
+        |    WHEN n_all > 1 THEN
+        |      (CAST(s_all AS DOUBLE) - CAST(y AS DOUBLE)) / (n_all - 1)
+        |    ELSE CAST(0 AS DOUBLE) END AS loo_enc
+        |FROM r JOIN cats USING (cat) CROSS JOIN tot ORDER BY id""".stripMargin)
   )
+
+  /** Leave-one-out target encoding of any (id, cat, y) frame with `y`
+    * an exact DECIMAL — see the `target_encode_loo` registry comment for
+    * the leakage, fallback and parity contracts.
+    */
+  def targetEncodeLoo(rows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cats = rows.groupBy(col("cat"))
+      .agg(count(lit(1)).as("n_cat"), sum(col("y")).as("s_cat"))
+    val glob = rows.agg(count(lit(1)).as("n_all"), sum(col("y")).as("s_all"))
+    rows.join(broadcast(cats), "cat")
+      .crossJoin(broadcast(glob))
+      .selectExpr("id", "cat", "CAST(y AS DOUBLE) AS y",
+        """CASE WHEN n_cat > 1 THEN
+          |    (CAST(s_cat AS DOUBLE) - CAST(y AS DOUBLE)) / (n_cat - 1)
+          |  WHEN n_all > 1 THEN
+          |    (CAST(s_all AS DOUBLE) - CAST(y AS DOUBLE)) / (n_all - 1)
+          |  ELSE CAST(0 AS DOUBLE) END AS loo_enc""".stripMargin)
+      .transform(graft.Sorted.byNames(_, "id"))
+  }
 }
