@@ -912,4 +912,62 @@ class PlanAuditSpec extends SparkSpec {
     assert("\\[codegen id : \\d+\\]".r.findFirstIn(p).isDefined,
       "the gate must stay inside whole-stage codegen")
   }
+
+  test("pmi_collocations: one cached token pass; pair table pruned before joins; bounded top-k") {
+    val p = plan("pmi_collocations")
+    assert(p.contains("InMemoryRelation"),
+      "the token-array frame is persisted — pair counts, unigram counts and totals all read it")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be TakeOrdered — <= k rows cross the final stage at any corpus size")
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere")
+    assert(nodeIds(p, "BroadcastNestedLoopJoin").size <= 1,
+      "only the 1-row totals frame may enter as a nested-loop broadcast")
+    assert(!p.contains("Window ["), "ranking rides TakeOrdered, never a window")
+  }
+
+  test("ts_acf: lead windows partition by segment; stats broadcast onto the cached monthly frame") {
+    val p = plan("ts_acf")
+    assert("""\], \[seg#\d+\]""".r.findFirstIn(p).isDefined,
+      "the lead windows must partition BY SEG — never a global funnel")
+    assert(nodeIds(p, "BroadcastHashJoin").size >= 1,
+      "the per-segment stats frame must broadcast back")
+    assert(p.contains("InMemoryRelation"),
+      "the monthly pre-aggregation is persisted — stats and the dev pass both read it")
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere")
+  }
+
+  test("dedup_edit_blocked: blocking stays equi; slim length prune precedes the text joins") {
+    val p = plan("dedup_edit_blocked")
+    assert(p.contains("InMemoryRelation"),
+      "the slim doc frame is persisted — blocks, the length prune and the text verify all read it")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "every pairing join keys on the block tuple / doc ids — never all-pairs")
+    assert(!p.contains("Window ["), "no window anywhere")
+    assert(p.contains("levenshtein"),
+      "the exact DP verify must appear (and only after the equi-join candidates)")
+  }
+
+  test("chinchilla_plan: one corpus count pass; the ladder is map-side generate arithmetic") {
+    val p = plan("chinchilla_plan")
+    assert(nodeIds(p, "Scan parquet").size == 1,
+      "documents must be scanned exactly once — one tokenize+count pass")
+    assert(nodeIds(p, "HashAggregate").size >= 2,
+      "the corpus token count must be partial+final")
+    assert(p.contains("Generate"),
+      "the parameter ladder explodes from the 1-row total — no join at all")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window ["),
+      "pure projection after the count")
+  }
+
+  test("target_encode_loo: category and global stats broadcast; encoding is map-side") {
+    val p = plan("target_encode_loo")
+    assert(nodeIds(p, "BroadcastHashJoin").size >= 1,
+      "the bounded per-category frame must broadcast onto the row stream")
+    assert(nodeIds(p, "BroadcastNestedLoopJoin").size <= 1,
+      "only the 1-row global frame may enter as a nested-loop broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "nothing corpus-sized may shuffle-join — both joins are broadcasts")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window ["),
+      "the encoding itself is pure map-side projection")
+  }
 }
