@@ -45,8 +45,9 @@ object Round10bProbe {
       val (tc, rc) = time(graft.operators.Curation.curriculumPlan(
         docs.selectExpr("doc_id",
           s"CAST(size(${graft.functions.Portable.tokensSql("coalesce(text, '')")}) AS BIGINT) AS score")))
+      val (tp, rp) = time(graft.SparkEntry.registry("ts_changepoint").fn(spark, dir))
       println(f"$dir%s n_docs=$n%d trigram=$tt%.2f($rt%d) winnow=$tw%.2f($rw%d) " +
-        f"rare=$tr%.2f($rr%d) curriculum=$tc%.2f($rc%d)")
+        f"rare=$tr%.2f($rr%d) curriculum=$tc%.2f($rc%d) changepoint=$tp%.2f($rp%d)")
     }
     spark.stop()
   }
