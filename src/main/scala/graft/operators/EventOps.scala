@@ -345,6 +345,66 @@ object EventOps {
         |LEFT JOIN customer ON o_custkey = c_custkey
         |LEFT JOIN nation ON c_nationkey = n_nationkey
         |LEFT JOIN region ON n_regionkey = r_regionkey
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // ---- transition-lift path mining: consecutive event-type pairs per
+    // user, ranked by association lift (c12·T)/(c_from·c_to) — the
+    // funnel-mining statistic behind "which step-pairs co-occur above
+    // chance": raw transition counts surface the high-traffic edges,
+    // lift surfaces the DEPENDENT ones (the pmi_collocations argument on
+    // the clickstream). lift_ppm = c12·T·10⁶ div (c_from·c_to), exact
+    // single-stage DECIMAL(38,0)/HUGEINT (T²·10⁶ ≈ 1e30 at a 10¹²-
+    // transition clickstream — inside 38 digits, no staging needed).
+    // Scale shape: transitions come from ONE lead() window partitioned
+    // BY USER (the sessionize shape — user histories are bounded, never
+    // a global funnel), persisted once to feed the pair counts, both
+    // marginals and the total; the pair/marginal frames are bounded by
+    // the event-type DOMAIN (not the corpus) so both marginals
+    // broadcast; min-count prunes before the joins. ----------------------
+    "event_path_lift" -> QueryDef(
+      (s, dir) => transitionLift(Tables.load(s, dir, "events")),
+      """WITH tr AS (SELECT event_type AS from_type,
+        |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_type
+        |  FROM events),
+        |t2 AS (SELECT from_type, to_type FROM tr WHERE to_type IS NOT NULL),
+        |pc AS (SELECT from_type, to_type, COUNT(*) AS n_trans FROM t2
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |fc AS (SELECT from_type, COUNT(*) AS c_from FROM t2 GROUP BY 1),
+        |tc AS (SELECT to_type, COUNT(*) AS c_to FROM t2 GROUP BY 1),
+        |tt AS (SELECT CAST(COUNT(*) AS HUGEINT) AS t FROM t2)
+        |SELECT from_type, to_type, n_trans, c_from, c_to,
+        |  CAST(CAST(n_trans AS HUGEINT) * t * 1000000
+        |    // (CAST(c_from AS HUGEINT) * c_to) AS BIGINT) AS lift_ppm
+        |FROM pc JOIN fc USING (from_type) JOIN tc USING (to_type)
+        |CROSS JOIN tt ORDER BY from_type, to_type""".stripMargin)
   )
+
+  /** Transition-lift mining of any (user_id, ts, event_id, event_type)
+    * frame — see the `event_path_lift` registry comment for the lift
+    * arithmetic and window-shape contracts. `minCount` prunes the pair
+    * table before any join.
+    */
+  def transitionLift(ev: DataFrame, minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val trans = ev
+      .withColumn("next_type", lead(col("event_type"), 1).over(userW))
+      .filter(col("next_type").isNotNull)
+      .selectExpr("event_type AS from_type", "next_type AS to_type")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairC = trans.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+      .filter(col("n_trans") >= minCount)
+    val fromC = trans.groupBy(col("from_type")).agg(count(lit(1)).as("c_from"))
+    val toC = trans.groupBy(col("to_type")).agg(count(lit(1)).as("c_to"))
+    val tot = trans.agg(count(lit(1)).cast("decimal(38,0)").as("t"))
+    pairC
+      .join(broadcast(fromC), "from_type")
+      .join(broadcast(toC), "to_type")
+      .crossJoin(broadcast(tot))
+      .selectExpr("from_type", "to_type", "n_trans", "c_from", "c_to",
+        "CAST(CAST(n_trans AS DECIMAL(38,0)) * t * 1000000" +
+          " div (CAST(c_from AS DECIMAL(38,0)) * c_to) AS BIGINT) AS lift_ppm")
+      .transform(graft.Sorted.byNames(_, "from_type", "to_type"))
+  }
 }
