@@ -79,6 +79,55 @@ object TextOps {
          |  s_en, s_es, s_de, s_fr
          |FROM sc ORDER BY doc_id""".stripMargin),
 
+    // ---- language-ID confusion matrix: the labeled `lang` column vs the
+    // stop-word-score prediction text_lang_id emits — the evaluation
+    // harness for the heuristic itself (classifier_eval's shape, for
+    // langid): per (truth, predicted) counts plus row-normalized
+    // per-mille recall, the matrix a pipeline reads before trusting the
+    // cheap n-gram gate on a new corpus slice. Same argmax contract as
+    // text_lang_id (ties break en > es > de > fr, one definition in both
+    // engines). Scale shape: ONE persisted map-side prediction pass
+    // (native graft_text_stats, codegen'd) feeds the confusion agg AND
+    // the per-truth totals; both aggs are partial+final over the
+    // |langs|²- and |langs|-row domains; totals broadcast back. ----------
+    "langid_eval" -> QueryDef(
+      (s, dir) => {
+        graft.functions.HashExpressions.register(s)
+        val pred = Tables.load(s, dir, "documents")
+          .selectExpr("lang AS labeled_lang", "graft_text_stats(text) AS st")
+          .selectExpr("labeled_lang",
+            """CASE WHEN st.s_en >= st.s_es AND st.s_en >= st.s_de AND st.s_en >= st.s_fr THEN 'en'
+              |     WHEN st.s_es >= st.s_de AND st.s_es >= st.s_fr THEN 'es'
+              |     WHEN st.s_de >= st.s_fr THEN 'de'
+              |     ELSE 'fr' END AS pred_lang""".stripMargin)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val tot = pred.groupBy(col("labeled_lang"))
+          .agg(count(lit(1)).as("n_true"))
+        pred.groupBy(col("labeled_lang"), col("pred_lang"))
+          .agg(count(lit(1)).as("n"))
+          .join(broadcast(tot), "labeled_lang")
+          .selectExpr("labeled_lang", "pred_lang", "n", "n_true",
+            "n * 1000L div n_true AS row_pm")
+          .orderBy("labeled_lang", "pred_lang")
+      },
+      s"""WITH t AS (SELECT lang AS labeled_lang,
+         |    ${Portable.duckToksSql("text")} AS toks FROM documents),
+         |sc AS (SELECT labeled_lang,
+         |    ${duckScoreSql("en")} AS s_en, ${duckScoreSql("es")} AS s_es,
+         |    ${duckScoreSql("de")} AS s_de, ${duckScoreSql("fr")} AS s_fr
+         |  FROM t),
+         |p AS (SELECT labeled_lang,
+         |    CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+         |         WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+         |         WHEN s_de >= s_fr THEN 'de'
+         |         ELSE 'fr' END AS pred_lang FROM sc),
+         |tot AS (SELECT labeled_lang, COUNT(*) AS n_true FROM p GROUP BY 1)
+         |SELECT labeled_lang, pred_lang, COUNT(*) AS n, n_true,
+         |  COUNT(*) * 1000 // n_true AS row_pm
+         |FROM p JOIN tot USING (labeled_lang)
+         |GROUP BY labeled_lang, pred_lang, n_true
+         |ORDER BY labeled_lang, pred_lang""".stripMargin),
+
     // ---- quality scoring: length/punctuation/stopword/uniqueness ratios ---
     "text_quality" -> QueryDef(
       (s, dir) => {

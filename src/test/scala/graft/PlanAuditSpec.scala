@@ -959,6 +959,29 @@ class PlanAuditSpec extends SparkSpec {
       "pure projection after the count")
   }
 
+  test("event_path_lift: one per-user lead window; marginals broadcast off the cached transitions") {
+    val p = plan("event_path_lift")
+    assert("""\], \[user_id#\d+L?\]""".r.findFirstIn(p).isDefined,
+      "the lead window must partition BY USER — the sessionize shape, never a global funnel")
+    assert(p.contains("InMemoryRelation"),
+      "the transition frame persists once — pair counts, both marginals and the total read it")
+    assert(nodeIds(p, "BroadcastHashJoin").size >= 2,
+      "both event-type-domain marginals must broadcast")
+    assert(nodeIds(p, "BroadcastNestedLoopJoin").size <= 1,
+      "only the 1-row total frame may enter as a nested-loop broadcast")
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere")
+  }
+
+  test("langid_eval: one cached prediction pass; truth totals broadcast; window-free") {
+    val p = plan("langid_eval")
+    assert(p.contains("InMemoryRelation"),
+      "the per-doc prediction pass persists once — the confusion agg and totals both read it")
+    assert(nodeIds(p, "BroadcastHashJoin").size >= 1,
+      "the |langs|-row totals frame must broadcast back")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window ["),
+      "two partial+final aggs over the langs domain — no window, no product")
+  }
+
   test("target_encode_loo: category and global stats broadcast; encoding is map-side") {
     val p = plan("target_encode_loo")
     assert(nodeIds(p, "BroadcastHashJoin").size >= 1,
