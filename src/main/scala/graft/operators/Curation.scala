@@ -313,6 +313,34 @@ object Curation {
          |SELECT lang, doc_id, rn::INT AS pick FROM h
          |WHERE rn <= 5 ORDER BY lang, pick""".stripMargin),
 
+    // ---- weighted priority sampling (the Efraimidis–Spirakis shape):
+    // k docs per source, inclusion biased toward heavier docs —
+    // sample_fixed_per_lang's uniform hash pick, made WEIGHT-AWARE:
+    // priority = (h·10⁶) div weight with h a deterministic affine hash
+    // of doc_id, keep the k SMALLEST per source. Exact E–S keys are
+    // u^(1/w) (equivalently −ln(u)/w) — transcendental, banned by the
+    // parity rules — so this is the deterministic integer surrogate:
+    // monotone in weight (doubling w halves the expected priority, so
+    // inclusion probability grows with weight) though not exactly
+    // proportional-without-replacement; at 100 TB swap the priority
+    // expression for the true −ln(u)/w key if calibrated inclusion
+    // matters (same bounded fold either side). Scale shape: map-side
+    // hash+priority, then ONE partial+final bounded TopK fold — every
+    // map task reduces to ≤ k entries before the shuffle, vs the window
+    // form funneling every row of a source into one reducer task. -------
+    "weighted_sample" -> QueryDef(
+      (s, dir) => weightedSample(Tables.load(s, dir, "documents")),
+      s"""WITH w AS (SELECT source, doc_id, n_chars,
+         |    ((doc_id % 999983) * $MIX + 17) % $P AS h
+         |  FROM documents WHERE n_chars >= 1),
+         |p AS (SELECT source, doc_id,
+         |    (h * 1000000) // n_chars AS priority FROM w),
+         |r AS (SELECT source, doc_id, priority,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY priority, doc_id) AS rn FROM p)
+         |SELECT source, doc_id, CAST(rn AS INT) AS smp_rank, priority
+         |FROM r WHERE rn <= 20 ORDER BY source, smp_rank""".stripMargin),
+
     // ---- sequence-length bucketing (power-of-2 token-count bands) — the
     // histogram a batch-packing scheduler needs. Integer CASE bands, no
     // floating log2. Single partial+final aggregation. ----------------------
@@ -844,6 +872,30 @@ object Curation {
     * Scale shape: ONE corpus-linear tokenize+count pass into a
     * |sources|-row persisted frame feeding both the n_src count and the
     * plan; the budget arithmetic is model-sized. */
+  /** Weighted priority sample of any (source, doc_id, n_chars) frame —
+    * see the `weighted_sample` registry comment for the E–S-surrogate
+    * and bounded-fold contracts. `k` docs per source; weight = n_chars.
+    */
+  def weightedSample(docs: DataFrame, k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val topk = udaf(new graft.functions.TopK(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong))
+    docs.filter("n_chars >= 1")
+      .selectExpr("source", "doc_id",
+        // same overflow-safe affine reduction as sample_fixed_per_lang;
+        // priority < 1e15 so the negated DOUBLE in the fold is exact
+        s"(((doc_id % 999983L) * ${MIX}L + 17L) % ${P}L) * 1000000L div n_chars AS priority")
+      .groupBy(col("source"))
+      .agg(topk(expr("CAST(-priority AS DOUBLE)"), col("doc_id")).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
+      .selectExpr("source", "t._2 AS doc_id",
+        "CAST(pos + 1 AS INT) AS smp_rank",
+        "CAST(-t._1 AS BIGINT) AS priority")
+      .orderBy("source", "smp_rank")
+  }
+
   /** Chinchilla compute-optimal sizing table of any (text) corpus over a
     * model-parameter ladder — see the `chinchilla_plan` registry comment
     * for the arithmetic, headroom and scale-shape contracts. `grid` is

@@ -982,6 +982,17 @@ class PlanAuditSpec extends SparkSpec {
       "two partial+final aggs over the langs domain — no window, no product")
   }
 
+  test("weighted_sample: bounded TopK fold, window-free; priority is map-side arithmetic") {
+    val p = plan("weighted_sample")
+    assert(nodeIds(p, "ObjectHashAggregate").size >= 2,
+      "the per-source pick must be the bounded TopK aggregator, partial+final — " +
+        "map tasks reduce to <= k entries before the shuffle")
+    assert(!p.contains("Window ["),
+      "never the row_number window form — that funnels every row of a source into one task")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "no join anywhere — priority is pure map-side arithmetic")
+  }
+
   test("target_encode_loo: category and global stats broadcast; encoding is map-side") {
     val p = plan("target_encode_loo")
     assert(nodeIds(p, "BroadcastHashJoin").size >= 1,
