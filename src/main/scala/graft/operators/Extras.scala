@@ -355,8 +355,69 @@ object Extras {
         |    WHEN n_all > 1 THEN
         |      (CAST(s_all AS DOUBLE) - CAST(y AS DOUBLE)) / (n_all - 1)
         |    ELSE CAST(0 AS DOUBLE) END AS loo_enc
-        |FROM r JOIN cats USING (cat) CROSS JOIN tot ORDER BY id""".stripMargin)
+        |FROM r JOIN cats USING (cat) CROSS JOIN tot ORDER BY id""".stripMargin),
+
+    // ---- SCD type-2 dimension history from a changelog --------------------
+    // The auditable twin of the reference's HBase dim upserts (RT/app/func/
+    // DimSink upsert path): instead of overwriting the latest attribute
+    // value per key (cdc_latest_state), materialize the full version
+    // history — consecutive identical values COLLAPSE into one validity
+    // interval [valid_from, valid_to), the open interval is is_current.
+    // Scale shape: every window partitions by the KEY ALONE, so the whole
+    // operator runs off ONE hashpartitioning(user_id) exchange that
+    // Catalyst reuses across the raw-ordering, change-collapse and
+    // interval-closing windows (plan audit pins exchange count and no
+    // SinglePartition). Per-task sort volume is bounded by per-key version
+    // count — the changelog shape where this holds at 100 TB. -------------
+    "scd2_history" -> QueryDef(
+      (s, dir) => scd2History(Tables.load(s, dir, "events")
+        .selectExpr("user_id AS key", "unix_micros(ts) AS ts_us",
+          "event_id AS seq", "event_type AS attr")),
+      """WITH r AS (SELECT user_id AS key, epoch_us(ts) AS ts_us,
+        |    event_id AS seq, event_type AS attr FROM events),
+        |o AS (SELECT key, ts_us, seq, attr,
+        |    ROW_NUMBER() OVER w AS rn,
+        |    LAG(attr) OVER w AS prev_attr,
+        |    COUNT(*) OVER (PARTITION BY key) AS n_key
+        |  FROM r WINDOW w AS (PARTITION BY key ORDER BY ts_us, seq)),
+        |c AS (SELECT * FROM o
+        |  WHERE rn = 1 OR attr IS DISTINCT FROM prev_attr),
+        |v AS (SELECT key, attr, ts_us AS valid_from_us, rn, n_key,
+        |    ROW_NUMBER() OVER w2 AS version,
+        |    LEAD(ts_us) OVER w2 AS valid_to_us,
+        |    LEAD(rn) OVER w2 AS next_rn
+        |  FROM c WINDOW w2 AS (PARTITION BY key ORDER BY ts_us, seq))
+        |SELECT key, version, valid_from_us, valid_to_us, attr,
+        |  COALESCE(next_rn, n_key + 1) - rn AS n_rows,
+        |  CAST(valid_to_us IS NULL AS INT) AS is_current
+        |FROM v ORDER BY key, version""".stripMargin)
   )
+
+  /** SCD type-2 history of any `(key, ts_us, seq, attr)` changelog —
+    * see the `scd2_history` registry comment for the collapse, interval
+    * and single-exchange contracts. `seq` breaks same-timestamp ties
+    * deterministically; a run of identical consecutive `attr` values
+    * (null-safely compared) becomes ONE version row whose `n_rows`
+    * counts the collapsed raw updates.
+    */
+  def scd2History(changelog: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey   = Window.partitionBy(col("key"))
+    val ordered = byKey.orderBy(col("ts_us"), col("seq"))
+    val o = changelog
+      .withColumn("rn", row_number().over(ordered))
+      .withColumn("prev_attr", lag(col("attr"), 1).over(ordered))
+      .withColumn("n_key", count(lit(1)).over(byKey))
+    val c = o.filter(col("rn") === 1 || !(col("attr") <=> col("prev_attr")))
+    c.withColumn("version", row_number().over(ordered))
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(ordered))
+      .withColumn("next_rn", lead(col("rn"), 1).over(ordered))
+      .select(col("key"), col("version"), col("ts_us").as("valid_from_us"),
+        col("valid_to_us"), col("attr"),
+        (coalesce(col("next_rn"), col("n_key") + 1) - col("rn")).as("n_rows"),
+        col("valid_to_us").isNull.cast("int").as("is_current"))
+      .transform(graft.Sorted.byNames(_, "key", "version"))
+  }
 
   /** Leave-one-out target encoding of any (id, cat, y) frame with `y`
     * an exact DECIMAL — see the `target_encode_loo` registry comment for

@@ -1004,4 +1004,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("Window ["),
       "the encoding itself is pure map-side projection")
   }
+
+  test("scd2_history: every window shares ONE per-key exchange; no single-partition funnel") {
+    val p = plan("scd2_history")
+    assert(!p.contains("Exchange SinglePartition"),
+      "version windows must partition by the changelog key, never globally")
+    // raw-ordering, change-collapse and interval-closing windows all
+    // partition by the bare key, so Catalyst plans exactly one
+    // hashpartitioning exchange (the final ORDER BY adds a range exchange)
+    val hashEx = "hashpartitioning\\([^\\n]*".r.findAllIn(p).toList
+    assert(hashEx.size == 1,
+      s"all three windows must reuse one per-key shuffle, got:\n${hashEx.mkString("\n")}")
+    assert(hashEx.head.contains("key"), "the one exchange partitions by key")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "the collapse is window arithmetic, not a self-join")
+  }
 }
