@@ -361,6 +361,89 @@ object Graph {
          |l2 AS (SELECT u AS page, lbl FROM (
          |    SELECT u, lbl, ROW_NUMBER() OVER (PARTITION BY u ORDER BY vw DESC, lbl) AS rn
          |    FROM v2) WHERE rn = 1)
-         |SELECT page, lbl AS community FROM l2 ORDER BY page""".stripMargin)
+         |SELECT page, lbl AS community FROM l2 ORDER BY page""".stripMargin),
+
+    // ---- k-core decomposition of the part co-purchase graph ---------------
+    // Dense-community mining over the market-basket projection: parts
+    // co-occurring in an order form an edge; the k-core (every surviving
+    // node keeps >= k surviving neighbors) isolates the densely
+    // cross-sold assortment. Substrate choice is deliberate: the
+    // co-purchase node domain GROWS with the corpus while the degree
+    // distribution stays put (measured sf0.001/0.01/0.1 medians 89/115/119)
+    // — so a fixed k keeps meaning at any scale, unlike the bounded
+    // page-id graph, which saturates toward complete. Scale shape: the
+    // only corpus-sized frames are the per-order pair expansion (bounded
+    // per-key quadratic: order size is ~7 lines at any SF) and the edge
+    // set; each peel round is one partial+final degree sum plus two
+    // broadcast anti-joins on the PEELED set (small by construction —
+    // nodes near the threshold), and localCheckpoint truncates lineage so
+    // plan depth is constant per round. Semantics contract: the result is
+    // "after exactly `rounds` peels", which EQUALS the true k-core
+    // whenever peeling converges within the budget (KcoreSpec pins both a
+    // converged case and a cascade that needs every round). -------------
+    "graph_kcore" -> QueryDef(
+      (s, dir) => {
+        val lp = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val und = lp.alias("x")
+          .join(lp.alias("y"), expr("x.o = y.o AND x.p < y.p"))
+          .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val out = kcore(und, k = 80, rounds = 3)
+          .transform(graft.Sorted.byNames(_, "part"))
+        und.unpersist()
+        out
+      }, {
+        val rounds = 3
+        val peels = (1 to rounds).map { i =>
+          s"""d$i AS (SELECT v, COUNT(*) AS deg FROM (
+             |    SELECT a AS v FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}) GROUP BY v),
+             |b$i AS (SELECT v FROM d$i WHERE deg < 80),
+             |e$i AS (SELECT a, b FROM e${i - 1}
+             |  WHERE NOT EXISTS (SELECT 1 FROM b$i WHERE b$i.v = a)
+             |    AND NOT EXISTS (SELECT 1 FROM b$i WHERE b$i.v = b))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+           |e0 AS (SELECT DISTINCT x.p AS a, y.p AS b
+           |  FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),
+           |$peels
+           |SELECT v AS part, COUNT(*) AS deg FROM (
+           |  SELECT a AS v FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+           |GROUP BY v ORDER BY part""".stripMargin
+      })
   )
+
+  /** `rounds` synchronous peels of the (`a` < `b`) undirected simple edge
+    * frame: each round drops every node whose surviving degree is below
+    * `k` together with its incident edges. Returns surviving (part, deg)
+    * where deg is the degree INSIDE the surviving subgraph — equal to the
+    * true k-core at convergence (see the `graph_kcore` registry comment).
+    * The peeled set is explicitly [[broadcast]]: it is bounded by the
+    * near-threshold population, not the corpus; on a graph where a round
+    * peels a large fraction the knob is a plain shuffle anti-join.
+    */
+  private[graft] def kcore(und: org.apache.spark.sql.DataFrame, k: Int, rounds: Int): org.apache.spark.sql.DataFrame = {
+    var e = und.localCheckpoint(true)
+    for (_ <- 1 to rounds)
+      e = kcorePeel(e, k).localCheckpoint(true)
+    kcoreDegrees(e).select(col("v").as("part"), col("deg"))
+  }
+
+  /** Surviving-subgraph degrees: one partial+final sum over the two edge
+    * endpoints — never a window. */
+  private[graft] def kcoreDegrees(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+
+  /** One peel round, exposed (pre-checkpoint) so PlanAuditSpec can pin the
+    * broadcast anti-join shape the loop consumes. */
+  private[graft] def kcorePeel(e: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    // the peeled set is materialized ONCE per round (eager checkpoint):
+    // both anti-join build sides read the same small frame instead of
+    // re-running the degree aggregation per join
+    val bad = kcoreDegrees(e).filter(col("deg") < k).select(col("v"))
+      .localCheckpoint(true)
+    e.join(broadcast(bad), col("a") === col("v"), "left_anti")
+      .join(broadcast(bad), col("b") === col("v"), "left_anti")
+  }
 }

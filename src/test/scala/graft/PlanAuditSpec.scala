@@ -1019,4 +1019,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       "the collapse is window arithmetic, not a self-join")
   }
+
+  test("kcore peel: peeled set anti-joins as a pinned broadcast on BOTH endpoints") {
+    import spark.implicits._
+    // the per-round plan is consumed by localCheckpoint inside kcore, so
+    // audit the exposed single-peel builder (pagerank-iteration precedent)
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val p = graft.operators.Graph.kcorePeel(e, 2)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val anti = "BroadcastHashJoin [\\s\\S]{0,200}?LeftAnti".r.findAllIn(p).size
+    assert(anti >= 2 || nodeIds(p, "BroadcastHashJoin").size >= 2,
+      s"both endpoint prunes must be broadcast anti-joins, plan:\n${p.take(600)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "nothing edge-sized may shuffle-join against the small peeled set")
+    val d = graft.operators.Graph.kcoreDegrees(e)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(nodeIds(d, "HashAggregate").size >= 2,
+      "degree sum must be partial+final (map-side combine before the shuffle)")
+    assert(!d.contains("Window ["), "degrees are an aggregate, not a window")
+  }
 }
