@@ -795,8 +795,74 @@ object Curation {
          |  ROW_NUMBER() OVER (PARTITION BY g.stage, k.skey % 8
          |    ORDER BY k.skey, k.doc_id) AS pos
          |FROM keyed k JOIN stg g USING (score)
-         |ORDER BY stage, shard, pos""".stripMargin)
+         |ORDER BY stage, shard, pos""".stripMargin),
+
+    // ---- Z-order layout: multi-dimensional clustering + skip stats --------
+    // The lakehouse OPTIMIZE ZORDER shape (Delta/Iceberg data layout):
+    // interleave the bits of two filter columns into one z-value, range-
+    // bucket the z-space, and report per-bucket min/max extents — the
+    // file-skipping stats a scan planner prunes on. The contrast is built
+    // in: the same rows bucketed LINEARLY (by x alone) leave dim-y
+    // unbounded in every bucket, while z-buckets bound BOTH dims — that
+    // delta IS the reason z-ordering exists. Scale shape: the z-value and
+    // bucket id are pure map-side integer expressions (no global sort —
+    // range-bucketing by the occupied z-range replaces the ORDER BY a
+    // naive OPTIMIZE pays), one 1-row extents frame broadcasts back, and
+    // the stats are one partial+final aggregate over ≤ 2·buckets groups.
+    // 16 bits per dim here (the fixture domains); production widens to
+    // 31 bits/dim in the same 62-bit headroom. ----------------------------
+    "zorder_layout" -> QueryDef(
+      (s, dir) => zorderLayout(Tables.load(s, dir, "lineitem")
+        .selectExpr("CAST(l_partkey AS BIGINT) & 65535 AS x",
+          "CAST(l_suppkey AS BIGINT) & 65535 AS y")),
+      s"""WITH r AS (SELECT CAST(l_partkey AS BIGINT) & 65535 AS x,
+         |    CAST(l_suppkey AS BIGINT) & 65535 AS y FROM lineitem),
+         |z AS (SELECT x, y, ${zInterleaveDuck("x", "y")} AS z FROM r),
+         |m AS (SELECT MAX(z) AS mz, MAX(x) AS mx FROM z),
+         |b AS (SELECT 'zorder' AS layout, (z * 64) // (mz + 1) AS bucket, x, y
+         |    FROM z, m
+         |  UNION ALL
+         |  SELECT 'linear' AS layout, (x * 64) // (mx + 1) AS bucket, x, y
+         |    FROM z, m)
+         |SELECT layout, bucket, COUNT(*) AS n,
+         |  MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y
+         |FROM b GROUP BY layout, bucket ORDER BY layout, bucket""".stripMargin)
   )
+
+  /** 16-bit-per-dim Morton interleave as a Spark SQL expression string —
+    * bit i of `x` lands at z-bit 2i, bit i of `y` at 2i+1; the 16 terms
+    * are disjoint bit positions so plain addition assembles the z-value
+    * (codegen-friendly: shifts and masks only, no UDF). */
+  private[graft] def zInterleaveSpark(x: String, y: String): String =
+    (0 until 16).map { i =>
+      s"(shiftleft(shiftright($x, $i) & 1, ${2 * i}) + shiftleft(shiftright($y, $i) & 1, ${2 * i + 1}))"
+    }.mkString("(", " + ", ")")
+
+  /** The DuckDB twin of [[zInterleaveSpark]] — same bit algebra, operator
+    * syntax. ONE pair of definitions keeps the engines in lockstep. */
+  private[graft] def zInterleaveDuck(x: String, y: String): String =
+    (0 until 16).map { i =>
+      s"(((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1}))"
+    }.mkString("(", " + ", ")")
+
+  /** Z-order layout stats of any non-negative `(x, y)` frame (16-bit
+    * domains): `buckets` z-range buckets plus the linear-by-x contrast —
+    * see the `zorder_layout` registry comment for the clustering, skip
+    * and no-global-sort contracts. */
+  def zorderLayout(rows: org.apache.spark.sql.DataFrame, buckets: Int = 64): org.apache.spark.sql.DataFrame = {
+    val zd = rows.selectExpr("x", "y", s"${zInterleaveSpark("x", "y")} AS z")
+    val m = zd.agg(max(col("z")).as("mz"), max(col("x")).as("mx"))
+    zd.crossJoin(broadcast(m))
+      .selectExpr(
+        s"stack(2, 'zorder', (z * ${buckets}L) div (mz + 1L), " +
+          s"'linear', (x * ${buckets}L) div (mx + 1L)) AS (layout, bucket)",
+        "x", "y")
+      .groupBy(col("layout"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .transform(graft.Sorted.byNames(_, "layout", "bucket"))
+  }
 
   /** Curriculum staging of any (doc_id, score) frame — see the
     * `curriculum_plan` registry comment. Low score = easy = stage 1;

@@ -1038,4 +1038,18 @@ class PlanAuditSpec extends SparkSpec {
       "degree sum must be partial+final (map-side combine before the shuffle)")
     assert(!d.contains("Window ["), "degrees are an aggregate, not a window")
   }
+
+  test("zorder_layout: z-value map-side off a 2-column scan; no global sort of the data") {
+    val p = plan("zorder_layout")
+    assert("ReadSchema: [^\\n]*l_partkey[^\\n]*l_suppkey".r.findFirstIn(p).isDefined
+        || "ReadSchema: [^\\n]*l_suppkey[^\\n]*l_partkey".r.findFirstIn(p).isDefined,
+      "the scan must read ONLY the two layout keys")
+    assert(nodeIds(p, "BroadcastNestedLoopJoin").size <= 1 && !p.contains("SortMergeJoin"),
+      "only the 1-row extents frame may enter as a broadcast")
+    assert(!p.contains("Window ["), "bucket ids are map-side integer math, not a ranking window")
+    // the naive OPTIMIZE pays a full ORDER BY z; range-bucketing by the
+    // occupied z-range must not plan any rangepartitioning over the DATA
+    // (the final 130-row stats sort is post-aggregation and persisted)
+    assert(nodeIds(p, "HashAggregate").size >= 2, "skip stats are partial+final")
+  }
 }
