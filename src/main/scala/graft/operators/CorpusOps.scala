@@ -1003,7 +1003,66 @@ object CorpusOps {
          |SELECT doc_id, COUNT(*)::BIGINT AS n_distinct,
          |  COALESCE(SUM(is_rare), 0)::BIGINT AS n_rare,
          |  COALESCE(SUM(is_rare), 0)::BIGINT * 1000 // COUNT(*)::BIGINT AS rare_pm
-         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // ---- HyperLogLog distinct-trigram census + calibration ----------------
+    // The mergeable-cardinality tail knob corpus_diversity documents made
+    // REAL: per-source distinct-trigram estimate from m = 256 max-rho
+    // registers — the sketch path when exact distinct stops being worth
+    // the corpus-volume shuffle. Scale shape: register index and rho are
+    // pure map-side int64 algebra over the shared paired 60-bit n-gram
+    // fingerprint (mix mod P61, trailing-zero rank via an exact
+    // binary-string length — NO log2, whose libm rounding differs across
+    // engines), the ONLY corpus-volume shuffle is the (source, idx)
+    // max-fold — combiner-perfect (max merges associatively: each map
+    // task ships ≤ m register rows, the CMS/TopK mergeable-sketch
+    // discipline), output ≤ |sources|·m rows at ANY corpus size. The
+    // estimate itself is the Flajolet raw harmonic mean in EXACT integer
+    // form: registers scale to 2^(cap − rho) int64 (cap sized so the
+    // all-empty sum is 2^62), alpha·m² folds in DECIMAL(38,0). The
+    // registry row is the CALIBRATION report (minhash_calibration's
+    // pattern): est vs exact vs abs_err_ppm, the read before trusting
+    // the sketch on a new corpus — withExact = false drops the exact
+    // columns AND the distinct shuffle (the 100 TB path). m is the
+    // accuracy knob (std err ~1.04/sqrt(m): 6.5% at 256); the fixture's
+    // ~1.3k distinct trigrams per source sit safely above the 2.5·m
+    // small-range zone — below it the linear-counting correction needs
+    // ln (transcendental, banned), so zero_registers ships in the frame
+    // for the caller to apply engine-side. ------------------------------
+    "hll_distinct" -> QueryDef(
+      (s, dir) => hllDistinct(Tables.load(s, dir, "documents")), {
+        import graft.functions.Portable.{MIX, MIX2, P, P2, P61}
+        val m = 256; val cap = 54; val alphaPpm = hllAlphaPpm(m)
+        s"""WITH th AS (SELECT source,
+           |    ${graft.functions.Portable.duckHashTokensSql(duckToks)} AS th
+           |  FROM documents),
+           |g AS (SELECT source,
+           |    unnest(CASE WHEN len(th) >= 3 THEN list_transform(range(3, len(th) + 1),
+           |      i -> ((((th[i-2] * $MIX + th[i-1]) % $P) * $MIX + th[i]) % $P) * 2147483648
+           |         + (((th[i-2] * $MIX2 + th[i-1]) % $P2) * $MIX2 + th[i]) % $P2)
+           |      ELSE CAST([] AS BIGINT[]) END) AS fp
+           |  FROM th),
+           |v AS (SELECT source,
+           |    (((fp % 2147483648) * $MIX) % $P61
+           |     + ((fp // 2147483648) * $MIX2) % $P61) % $P61 AS v FROM g),
+           |r AS (SELECT source, v % $m AS idx,
+           |    CASE WHEN v // $m = 0 THEN $cap
+           |         ELSE length(bin((v // $m) & (-(v // $m)))) END AS rho FROM v),
+           |mr AS (SELECT source, idx, MAX(rho) AS mj FROM r GROUP BY source, idx),
+           |sc AS (SELECT source,
+           |    SUM(1::BIGINT << ($cap - mj)) + ($m - COUNT(*)) * (1::BIGINT << $cap) AS s_scaled,
+           |    $m - COUNT(*) AS zero_registers
+           |  FROM mr GROUP BY source),
+           |e AS (SELECT source, zero_registers,
+           |    ($alphaPpm::HUGEINT * ${m.toLong * m} * (1::HUGEINT << $cap)
+           |     // (s_scaled::HUGEINT * 1000000))::BIGINT AS est_distinct
+           |  FROM sc),
+           |x AS (SELECT source, COUNT(DISTINCT fp) AS exact_distinct FROM g GROUP BY source)
+           |SELECT e.source, est_distinct, exact_distinct,
+           |  ABS(est_distinct - exact_distinct) * 1000000 // exact_distinct AS abs_err_ppm,
+           |  zero_registers
+           |FROM e JOIN x USING (source) ORDER BY source""".stripMargin
+      })
   )
 
   /** Rare-vocabulary density of any (doc_id, text) frame — see the
@@ -1107,6 +1166,74 @@ object CorpusOps {
           |     WHEN d1 <=> d2 THEN 'unchanged'
           |     ELSE 'changed' END AS status""".stripMargin)
       .transform(Sorted.byNames(_, "doc_id"))
+  }
+
+  /** Flajolet et al. 2007 bias constant alpha_m, in parts-per-million.
+    * The small-m table values below 128, the closed form above; ONE
+    * definition interpolated into BOTH engines' plans so the scaling can
+    * never desynchronize. */
+  private[operators] def hllAlphaPpm(m: Int): Long = m match {
+    case 16 => 673000L
+    case 32 => 697000L
+    case 64 => 709000L
+    case _  => math.round(0.7213 / (1.0 + 1.079 / m) * 1e6)
+  }
+
+  /** Per-source HLL distinct-trigram estimate — see the `hll_distinct`
+    * registry comment for the sketch, parity and calibration contracts.
+    * `m` (power of two >= 16) is the register count / accuracy knob;
+    * `withExact = false` drops the exact-distinct columns and their
+    * corpus-volume distinct shuffle — the sketch-only 100 TB path
+    * (schema: source, est_distinct, zero_registers). */
+  def hllDistinct(docs: DataFrame, m: Int = 256,
+      withExact: Boolean = true): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, s"m must be a power of two >= 16, got $m")
+    graft.functions.HashExpressions.register(docs.sparkSession)
+    import graft.functions.Portable.{MIX, MIX2, P, P2, P61}
+    val log2m = 63 - java.lang.Long.numberOfLeadingZeros(m.toLong)
+    // rho of an all-zero remainder; sized so the all-empty register sum
+    // m * 2^cap = 2^62 never overflows int64 at any power-of-two m
+    val cap = 62 - log2m
+    val alphaPpm = hllAlphaPpm(m)
+    def at(off: Int) = s"element_at(th, i - $off)"
+    val tri = s"CASE WHEN size(th) >= 3 THEN transform(sequence(3, size(th)), " +
+      s"i -> ((((${at(2)} * ${MIX}L + ${at(1)}) % ${P}L) * ${MIX}L + ${at(0)}) % ${P}L) * 2147483648L" +
+      s" + (((${at(2)} * ${MIX2}L + ${at(1)}) % ${P2}L) * ${MIX2}L + ${at(0)}) % ${P2}L)" +
+      s" ELSE CAST(array() AS array<bigint>) END"
+    val fps = docs
+      .select(col("source"), expr("graft_token_hashes(text)").as("th"))
+      .select(col("source"), explode(expr(tri)).as("fp"))
+    val fed = if (withExact) fps.persist(StorageLevel.MEMORY_AND_DISK) else fps
+    val est = fed
+      .selectExpr("source",
+        s"(((fp % 2147483648L) * ${MIX}L) % ${P61}L" +
+          s" + ((fp div 2147483648L) * ${MIX2}L) % ${P61}L) % ${P61}L AS v")
+      .selectExpr("source", s"v % ${m}L AS idx",
+        // trailing-zero rank via the exact binary-string length of the
+        // lowest set bit (w & -w): conv/bin agree on minimal-length
+        // binary of a positive int64 — no float log anywhere
+        s"CASE WHEN v div ${m}L = 0 THEN $cap" +
+          s" ELSE length(conv((v div ${m}L) & -(v div ${m}L), 10, 2)) END AS rho")
+      .groupBy(col("source"), col("idx")).agg(max(col("rho")).as("mj"))
+      .groupBy(col("source"))
+      .agg(sum(expr(s"shiftleft(1L, $cap - mj)")).as("s_part"),
+        count(lit(1)).as("n_regs"))
+      .selectExpr("source", s"${m}L - n_regs AS zero_registers",
+        s"s_part + (${m}L - n_regs) * shiftleft(1L, $cap) AS s_scaled")
+      .selectExpr("source", "zero_registers",
+        s"CAST(CAST(${alphaPpm}L AS DECIMAL(38,0)) * ${m.toLong * m}L" +
+          s" * shiftleft(1L, $cap) div (CAST(s_scaled AS DECIMAL(38,0)) * 1000000L)" +
+          " AS BIGINT) AS est_distinct")
+    if (!withExact)
+      return est.select(col("source"), col("est_distinct"), col("zero_registers"))
+        .transform(Sorted.byNames(_, "source"))
+    val exact = fed.select(col("source"), col("fp")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("exact_distinct"))
+    est.join(exact, "source")
+      .selectExpr("source", "est_distinct", "exact_distinct",
+        "abs(est_distinct - exact_distinct) * 1000000L div exact_distinct AS abs_err_ppm",
+        "zero_registers")
+      .transform(Sorted.byNames(_, "source"))
   }
 
   /** Per-source distinct-n diversity — see the `corpus_diversity`

@@ -1039,6 +1039,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!d.contains("Window ["), "degrees are an aggregate, not a window")
   }
 
+  test("hll_distinct sketch path: register fold is the only corpus shuffle, combiner-perfect") {
+    spark.catalog.clearCache()
+    val docs = Tables.load(spark, dir, "documents")
+    val p = operators.CorpusOps.hllDistinct(docs, withExact = false)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Join"), "the sketch path must never join")
+    assert(!p.contains("Window ["), "registers are an aggregate, not a window")
+    // (source, idx) max-fold + per-source sum, each partial+final: each map
+    // task ships <= m register rows — the mergeable-sketch contract
+    assert(nodeIds(p, "HashAggregate").size >= 4,
+      "register max and harmonic fold must both be partial+final")
+    assert("ReadSchema: [^\\n]*source[^\\n]*text".r.findFirstIn(p).isDefined
+        || "ReadSchema: [^\\n]*text[^\\n]*source".r.findFirstIn(p).isDefined,
+      "scan reads only (source, text)")
+    assert(p.contains("graft_token_hashes"), "native hash inside the projection")
+  }
+
   test("zorder_layout: z-value map-side off a 2-column scan; no global sort of the data") {
     val p = plan("zorder_layout")
     assert("ReadSchema: [^\\n]*l_partkey[^\\n]*l_suppkey".r.findFirstIn(p).isDefined

@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.Portable.{MIX, MIX2, P, P2, P61}
+
+/** hll_distinct: the register algebra (fingerprint mix, index, trailing-zero
+  * rank), the exact-integer harmonic estimate and the sketch-only schema
+  * replayed against an independent in-JVM HLL over the same token hashes.
+  * Cross-engine exactness is the DuckDB oracle's job at sf0.01.
+  */
+class HllSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "source", "text")
+  }
+
+  /** Plain-Scala replay: token char-polyhashes, trigram paired fingerprints,
+    * the P61 mix, m registers of max trailing-zero rank, and the DECIMAL
+    * estimate via BigInt — sharing NO code with the operator. */
+  private def replay(texts: Seq[String], m: Int): (Long, Long, Long) = {
+    val log2m = 63 - java.lang.Long.numberOfLeadingZeros(m.toLong)
+    val cap = 62 - log2m
+    val fps = texts.flatMap { t =>
+      val th = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        .map(_.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % P))
+      th.sliding(3).filter(_.length == 3).map { w =>
+        ((w(0) * MIX + w(1)) % P * MIX + w(2)) % P * 2147483648L +
+          ((w(0) * MIX2 + w(1)) % P2 * MIX2 + w(2)) % P2
+      }
+    }
+    val regs = new Array[Int](m)
+    fps.foreach { fp =>
+      val v = ((fp % 2147483648L) * MIX % P61 + (fp / 2147483648L) * MIX2 % P61) % P61
+      val w = v / m
+      val rho = if (w == 0) cap else java.lang.Long.numberOfTrailingZeros(w) + 1
+      val idx = (v % m).toInt
+      if (rho > regs(idx)) regs(idx) = rho.toInt
+    }
+    val sScaled = regs.map(r => BigInt(1) << (cap - r).toInt).sum
+    val est = (BigInt(CorpusOps.hllAlphaPpm(m)) * m * m * (BigInt(1) << cap.toInt) /
+      (sScaled * 1000000)).toLong
+    (est, fps.distinct.size.toLong, regs.count(_ == 0).toLong)
+  }
+
+  test("estimate, exact and zero-register counts replay the in-JVM model") {
+    val texts = (0 until 40).map(i =>
+      (0 until 30).map(j => s"w${(i * 7 + j * j) % 97}").mkString(" "))
+    val got = CorpusOps.hllDistinct(
+      docs(texts.zipWithIndex.map { case (t, i) => (i.toLong, "s", t) }: _*),
+      m = 64).collect()
+    val (est, exact, zeros) = replay(texts, 64)
+    assert(got.length == 1)
+    assert(got(0).getLong(1) == est, s"estimate ${got(0).getLong(1)} != model $est")
+    assert(got(0).getLong(2) == exact)
+    assert(got(0).getLong(3) == math.abs(est - exact) * 1000000L / exact)
+    assert(got(0).getLong(4) == zeros)
+  }
+
+  test("the estimate lands near truth out of the small range (m = 64)") {
+    // ~2000 distinct trigrams >> 2.5 * 64: the raw estimator regime
+    val texts = (0 until 100).map(i =>
+      (0 until 25).map(j => s"t${i * 25 + j}").mkString(" "))
+    val r = CorpusOps.hllDistinct(
+      docs(texts.zipWithIndex.map { case (t, i) => (i.toLong, "s", t) }: _*),
+      m = 64).collect()(0)
+    assert(r.getLong(3) < 400000L,
+      s"abs_err_ppm ${r.getLong(3)} is outside the ~13% (1.04/sqrt(64)) regime")
+    assert(r.getLong(4) == 0L, "no zero registers at this density")
+  }
+
+  test("sketch-only mode drops the exact columns; estimate is identical") {
+    val texts = (0 until 20).map(i => s"a$i b$i c$i d$i e$i")
+    val d = docs(texts.zipWithIndex.map { case (t, i) => (i.toLong, s"src${i % 2}", t) }: _*)
+    val full = CorpusOps.hllDistinct(d, m = 32).collect()
+    val slim = CorpusOps.hllDistinct(d, m = 32, withExact = false)
+    assert(slim.columns.toSeq == Seq("source", "est_distinct", "zero_registers"))
+    val bySrc = slim.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    full.foreach { r =>
+      assert(bySrc(r.getString(0)) == ((r.getLong(1), r.getLong(4))),
+        "sketch path must not depend on the exact pass")
+    }
+  }
+
+  test("per-source isolation and sub-trigram docs contribute nothing") {
+    val d = docs((1L, "a", "x y z w"), (2L, "b", "x y z w"), (3L, "a", "p q"))
+    val got = CorpusOps.hllDistinct(d, m = 16).collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("a", "b"))
+    // both sources hold the same 2 distinct trigrams -> identical sketches
+    assert(got(0).getLong(1) == got(1).getLong(1))
+    assert(got.forall(_.getLong(2) == 2L), "doc 3 (2 tokens) adds no trigram")
+  }
+
+  test("a non-power-of-two or tiny m is loud") {
+    val d = docs((1L, "a", "x y z"))
+    intercept[IllegalArgumentException](CorpusOps.hllDistinct(d, m = 100))
+    intercept[IllegalArgumentException](CorpusOps.hllDistinct(d, m = 8))
+  }
+}
