@@ -390,8 +390,84 @@ object Extras {
         |SELECT key, version, valid_from_us, valid_to_us, attr,
         |  COALESCE(next_rn, n_key + 1) - rn AS n_rows,
         |  CAST(valid_to_us IS NULL AS INT) AS is_current
-        |FROM v ORDER BY key, version""".stripMargin)
+        |FROM v ORDER BY key, version""".stripMargin),
+
+    // ---- market-basket association rules over the order baskets ----------
+    // Agrawal-style support/confidence/lift mining of the (order, part)
+    // baskets — the cross-sell report beside graph_kcore's density view
+    // of the SAME co-purchase projection, and pmi_collocations' lift
+    // statistic on commerce data (there the association is textual
+    // adjacency; here it is basket co-membership). Scale shape: the
+    // per-basket pair expansion is a bounded per-key quadratic (order
+    // size is ~7 lines at ANY SF; the maxBasket knob broadcast-anti-drops
+    // pathological mega-baskets BEFORE any pair exists — the df-cap
+    // discipline), the min-support HAVING prunes the only pair-shaped
+    // frame before any join, marginals stay shuffle-equi (the item
+    // domain is the catalog — grows with the business, never broadcast
+    // by design), the basket total broadcasts as one row, and
+    // TakeOrderedAndProject bounds the tail at topK. lift_ppm folds in
+    // DECIMAL(38,0): c12·nb·10⁶ ≈ 1e30 at a 10¹²-basket corpus — inside
+    // 38 digits where int64 overflows; conf_pm = c12·1000 div c_ante is
+    // plain int64. --------------------------------------------------------
+    "basket_rules" -> QueryDef(
+      (s, dir) => basketRules(Tables.load(s, dir, "lineitem")
+        .selectExpr("l_orderkey AS basket", "l_partkey AS item")),
+      """WITH lp0 AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        |    FROM lineitem),
+        |big AS (SELECT basket FROM lp0 GROUP BY basket HAVING COUNT(*) > 1000),
+        |lp AS (SELECT * FROM lp0
+        |  WHERE NOT EXISTS (SELECT 1 FROM big WHERE big.basket = lp0.basket)),
+        |t AS (SELECT COUNT(DISTINCT basket) AS nb FROM lp),
+        |pr AS (SELECT x.item AS a, y.item AS b, COUNT(*) AS c12
+        |  FROM lp x JOIN lp y ON x.basket = y.basket AND x.item < y.item
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |m AS (SELECT item, COUNT(*) AS c FROM lp GROUP BY item),
+        |d AS (SELECT a AS ante, b AS cons, c12 FROM pr
+        |  UNION ALL SELECT b, a, c12 FROM pr)
+        |SELECT ante, cons, c12,
+        |  c12 * 1000 // ma.c AS conf_pm,
+        |  (c12::HUGEINT * nb * 1000000 // (ma.c::HUGEINT * mc.c))::BIGINT AS lift_ppm
+        |FROM d JOIN m ma ON ma.item = d.ante JOIN m mc ON mc.item = d.cons
+        |CROSS JOIN t
+        |ORDER BY lift_ppm DESC, ante, cons LIMIT 100""".stripMargin)
   )
+
+  /** Association rules of any `(basket, item)` frame — see the
+    * `basket_rules` registry comment for the support/confidence/lift,
+    * prune and bounded-quadratic contracts. Duplicate (basket, item)
+    * rows collapse first (a basket holds an item once); baskets larger
+    * than `maxBasket` are dropped whole before pairing. */
+  def basketRules(baskets: org.apache.spark.sql.DataFrame, minSupport: Long = 2L,
+      topK: Int = 100, maxBasket: Int = 1000): org.apache.spark.sql.DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    require(topK >= 1 && maxBasket >= 2,
+      s"topK and maxBasket must be sane, got ($topK, $maxBasket)")
+    import org.apache.spark.storage.StorageLevel
+    val lp0 = baskets.select(col("basket"), col("item")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val big = lp0.groupBy(col("basket")).agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBasket).select(col("basket"))
+    val lp = lp0.join(broadcast(big), Seq("basket"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tot = lp.agg(count_distinct(col("basket")).cast("decimal(38,0)").as("nb"))
+    val pairs = lp.alias("x")
+      .join(lp.alias("y"), expr("x.basket = y.basket AND x.item < y.item"))
+      .select(col("x.item").as("a"), col("y.item").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minSupport)
+    val marg = lp.groupBy(col("item")).agg(count(lit(1)).as("c"))
+    pairs.selectExpr("a AS ante", "b AS cons", "c12")
+      .unionAll(pairs.selectExpr("b AS ante", "a AS cons", "c12"))
+      .join(marg.selectExpr("item AS ante", "c AS c_ante"), "ante")
+      .join(marg.selectExpr("item AS cons", "c AS c_cons"), "cons")
+      .crossJoin(broadcast(tot))
+      .selectExpr("ante", "cons", "c12",
+        "c12 * 1000L div c_ante AS conf_pm",
+        "CAST(CAST(c12 AS DECIMAL(38,0)) * nb * 1000000L" +
+          " div (CAST(c_ante AS DECIMAL(38,0)) * c_cons) AS BIGINT) AS lift_ppm")
+      .orderBy(col("lift_ppm").desc, col("ante").asc, col("cons").asc)
+      .limit(topK)
+  }
 
   /** SCD type-2 history of any `(key, ts_us, seq, attr)` changelog —
     * see the `scd2_history` registry comment for the collapse, interval

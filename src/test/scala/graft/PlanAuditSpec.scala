@@ -1039,6 +1039,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!d.contains("Window ["), "degrees are an aggregate, not a window")
   }
 
+  test("basket_rules: bounded per-key pair join, pruned before marginals, bounded tail") {
+    val p = plan("basket_rules")
+    assert(!p.contains("CartesianProduct"),
+      "pairing must ride the basket equi-join, never all-pairs")
+    assert(!p.contains("Window ["), "counts are aggregates, not windows")
+    assert(p.contains("TakeOrderedAndProject"),
+      "topK must bound the tail — never a full sort of the rule set")
+    assert(p.contains("BroadcastHashJoin"),
+      "the mega-basket drop and the 1-row total must broadcast")
+    // pair count + marginals + basket sizes each partial+final
+    assert(nodeIds(p, "HashAggregate").size >= 6, "aggregates are two-stage")
+  }
+
   test("hll_distinct sketch path: register fold is the only corpus shuffle, combiner-perfect") {
     spark.catalog.clearCache()
     val docs = Tables.load(spark, dir, "documents")
