@@ -429,8 +429,119 @@ object Extras {
         |  (c12::HUGEINT * nb * 1000000 // (ma.c::HUGEINT * mc.c))::BIGINT AS lift_ppm
         |FROM d JOIN m ma ON ma.item = d.ante JOIN m mc ON mc.item = d.cons
         |CROSS JOIN t
-        |ORDER BY lift_ppm DESC, ante, cons LIMIT 100""".stripMargin)
+        |ORDER BY lift_ppm DESC, ante, cons LIMIT 100""".stripMargin),
+
+    // ---- RFM customer segmentation ----------------------------------------
+    // The canonical CRM segmentation (Hughes): per-customer Recency /
+    // Frequency / Monetary, each quintile-scored 1..5 (recency INVERTED —
+    // most recent = 5), segment = r·100 + f·10 + m. Quintile cutoffs come
+    // from the ccnet/curriculum distribution-cutoff trick: an integer
+    // cumulative window over the (value, count) DISTRIBUTION, never an
+    // NTILE over the customer corpus — recency (day domain) and
+    // frequency (orders-per-customer domain) are bounded outright, and
+    // monetary buckets on `monetary_cents div monetaryUnit` so ITS
+    // distribution is domain-bounded too (the quantization knob; raw
+    // cents stay in the output). Equal values share a bucket (the
+    // deterministic tie rule both engines agree on). Scale shape: one
+    // per-customer partial+final agg is the only corpus-volume shuffle;
+    // the three cutoff frames are 1-row broadcasts; scoring is pure
+    // map-side. ------------------------------------------------------------
+    "rfm_segments" -> QueryDef(
+      (s, dir) => rfmSegments(Tables.load(s, dir, "orders")
+        .selectExpr("o_custkey AS cust",
+          "unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS ts_us",
+          "CAST(o_totalprice AS DECIMAL(18,2)) AS price")),
+      """WITH base AS (SELECT o_custkey AS cust,
+        |    MAX(epoch_us(o_orderdate) // 86400000000) AS last_day,
+        |    COUNT(*) AS frequency,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+        |      AS monetary_cents
+        |  FROM orders GROUP BY 1),
+        |g AS (SELECT MAX(last_day) AS max_day FROM base),
+        |r AS (SELECT cust, max_day - last_day AS recency_days, frequency,
+        |    monetary_cents, monetary_cents // 100 AS m_unit FROM base, g),
+        |rc AS (SELECT MIN(CASE WHEN cum >= (1*n + 4) // 5 THEN v END) AS c1,
+        |    MIN(CASE WHEN cum >= (2*n + 4) // 5 THEN v END) AS c2,
+        |    MIN(CASE WHEN cum >= (3*n + 4) // 5 THEN v END) AS c3,
+        |    MIN(CASE WHEN cum >= (4*n + 4) // 5 THEN v END) AS c4
+        |  FROM (SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n
+        |    FROM (SELECT recency_days AS v, COUNT(*) AS c FROM r GROUP BY 1))),
+        |fc AS (SELECT MIN(CASE WHEN cum >= (1*n + 4) // 5 THEN v END) AS c1,
+        |    MIN(CASE WHEN cum >= (2*n + 4) // 5 THEN v END) AS c2,
+        |    MIN(CASE WHEN cum >= (3*n + 4) // 5 THEN v END) AS c3,
+        |    MIN(CASE WHEN cum >= (4*n + 4) // 5 THEN v END) AS c4
+        |  FROM (SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n
+        |    FROM (SELECT frequency AS v, COUNT(*) AS c FROM r GROUP BY 1))),
+        |mc AS (SELECT MIN(CASE WHEN cum >= (1*n + 4) // 5 THEN v END) AS c1,
+        |    MIN(CASE WHEN cum >= (2*n + 4) // 5 THEN v END) AS c2,
+        |    MIN(CASE WHEN cum >= (3*n + 4) // 5 THEN v END) AS c3,
+        |    MIN(CASE WHEN cum >= (4*n + 4) // 5 THEN v END) AS c4
+        |  FROM (SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n
+        |    FROM (SELECT m_unit AS v, COUNT(*) AS c FROM r GROUP BY 1)))
+        |SELECT cust, recency_days, frequency, monetary_cents,
+        |  6 - (1 + CAST(recency_days > rc.c1 AS INT) + CAST(recency_days > rc.c2 AS INT)
+        |    + CAST(recency_days > rc.c3 AS INT) + CAST(recency_days > rc.c4 AS INT)) AS r_score,
+        |  1 + CAST(frequency > fc.c1 AS INT) + CAST(frequency > fc.c2 AS INT)
+        |    + CAST(frequency > fc.c3 AS INT) + CAST(frequency > fc.c4 AS INT) AS f_score,
+        |  1 + CAST(m_unit > mc.c1 AS INT) + CAST(m_unit > mc.c2 AS INT)
+        |    + CAST(m_unit > mc.c3 AS INT) + CAST(m_unit > mc.c4 AS INT) AS m_score,
+        |  (6 - (1 + CAST(recency_days > rc.c1 AS INT) + CAST(recency_days > rc.c2 AS INT)
+        |    + CAST(recency_days > rc.c3 AS INT) + CAST(recency_days > rc.c4 AS INT))) * 100
+        |  + (1 + CAST(frequency > fc.c1 AS INT) + CAST(frequency > fc.c2 AS INT)
+        |    + CAST(frequency > fc.c3 AS INT) + CAST(frequency > fc.c4 AS INT)) * 10
+        |  + 1 + CAST(m_unit > mc.c1 AS INT) + CAST(m_unit > mc.c2 AS INT)
+        |    + CAST(m_unit > mc.c3 AS INT) + CAST(m_unit > mc.c4 AS INT) AS segment
+        |FROM r, rc, fc, mc ORDER BY cust""".stripMargin)
   )
+
+  /** RFM segmentation of any `(cust, ts_us, price DECIMAL)` order frame —
+    * see the `rfm_segments` registry comment for the cutoff, tie and
+    * quantization contracts. `buckets` scores each dimension 1..buckets
+    * (5 = the classic quintiles); `monetaryUnit` (in cents) bounds the
+    * monetary distribution's value domain. */
+  def rfmSegments(orders: org.apache.spark.sql.DataFrame, buckets: Int = 5,
+      monetaryUnit: Long = 100L): org.apache.spark.sql.DataFrame = {
+    require(buckets >= 2 && buckets <= 100, s"buckets must be in [2,100], got $buckets")
+    require(monetaryUnit >= 1, s"monetaryUnit must be >= 1, got $monetaryUnit")
+    import org.apache.spark.storage.StorageLevel
+    val base = orders
+      .groupBy(col("cust"))
+      .agg(max(expr("ts_us div 86400000000L")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(col("price") * 100).cast("bigint").as("monetary_cents"))
+    val g = base.agg(max(col("last_day")).as("max_day"))
+    val r = base.crossJoin(broadcast(g))
+      .selectExpr("cust", "max_day - last_day AS recency_days", "frequency",
+        "monetary_cents", s"monetary_cents div ${monetaryUnit}L AS m_unit")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // quintile cutoffs of one dimension: an integer cumulative window over
+    // the (value, count) distribution — the ccnet/curriculum trick; the
+    // 1-row result broadcasts back
+    def cuts(vCol: String): org.apache.spark.sql.DataFrame = {
+      val dist = r.groupBy(col(vCol).as("v")).agg(count(lit(1)).as("c"))
+      val w = dist
+        .withColumn("cum", sum(col("c")).over(org.apache.spark.sql.expressions
+          .Window.orderBy(col("v")).rowsBetween(Long.MinValue, 0)))
+        .withColumn("n", sum(col("c")).over())
+      val cs = (1 until buckets).map(q =>
+        min(when(expr(s"cum >= ($q * n + ${buckets - 1}) div $buckets"), col("v")))
+          .as(s"${vCol.head}c$q"))
+      w.agg(cs.head, cs.tail: _*)
+    }
+    def score(vCol: String): String =
+      (1 until buckets).map(q => s"IF($vCol > ${vCol.head}c$q, 1, 0)")
+        .mkString("1 + ", " + ", "")
+    r.crossJoin(broadcast(cuts("recency_days")))
+      .crossJoin(broadcast(cuts("frequency")))
+      .crossJoin(broadcast(cuts("m_unit")))
+      .selectExpr("cust", "recency_days", "frequency", "monetary_cents",
+        s"${buckets + 1} - (${score("recency_days")}) AS r_score",
+        s"${score("frequency")} AS f_score",
+        s"${score("m_unit")} AS m_score",
+        s"(${buckets + 1} - (${score("recency_days")})) * 100" +
+          s" + (${score("frequency")}) * 10 + ${score("m_unit")} AS segment")
+      .transform(graft.Sorted.byNames(_, "cust"))
+  }
 
   /** Association rules of any `(basket, item)` frame — see the
     * `basket_rules` registry comment for the support/confidence/lift,

@@ -1052,6 +1052,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(nodeIds(p, "HashAggregate").size >= 6, "aggregates are two-stage")
   }
 
+  test("rfm_segments: one corpus agg; cutoff windows run over distributions; scoring broadcast") {
+    val p = plan("rfm_segments")
+    assert(nodeIds(p, "BroadcastNestedLoopJoin").size >= 3 || nodeIds(p, "BroadcastExchange").size >= 4,
+      "the three 1-row cutoff frames and the max-day frame enter as broadcasts")
+    assert(!p.contains("SortMergeJoin"), "nothing customer-sized joins by shuffle")
+    // the per-customer base agg is the only corpus-volume shuffle, two-stage
+    assert(nodeIds(p, "HashAggregate").size >= 2, "base agg is partial+final")
+    // every window's input is a (value, count) distribution behind an
+    // aggregate, never raw customer rows: each Window node must sit above
+    // a HashAggregate in its subtree — cheap proxy: windows <= dims and
+    // no window partitions by cust
+    assert(!p.contains("windowspecdefinition(cust"), "no per-customer window")
+  }
+
   test("hll_distinct sketch path: register fold is the only corpus shuffle, combiner-perfect") {
     spark.catalog.clearCache()
     val docs = Tables.load(spark, dir, "documents")
