@@ -377,8 +377,95 @@ object EventOps {
         |  CAST(CAST(n_trans AS HUGEINT) * t * 1000000
         |    // (CAST(c_from AS HUGEINT) * c_to) AS BIGINT) AS lift_ppm
         |FROM pc JOIN fc USING (from_type) JOIN tc USING (to_type)
-        |CROSS JOIN tt ORDER BY from_type, to_type""".stripMargin)
+        |CROSS JOIN tt ORDER BY from_type, to_type""".stripMargin),
+
+    // ---- A/B experiment readout: 2x2 chi-square in staged integers -------
+    // The experiment report read before shipping a variant: per-variant
+    // unit and conversion counts, conversion per-mille, the signed lift,
+    // and Pearson's chi-square for the 2x2 table — in EXACT staged
+    // integer arithmetic: chi2 = N·(ad−bc)²/(r1·r2·c1·c2) staged as
+    // (D² div (r1·r2)) · 1000 · N div (c1·c2), divisors COMBINED per
+    // stage because Spark's IntegralDivide returns int64 and wraps
+    // silently — each quotient is bounded (inner ≤ r1·r2, outer ≤
+    // 1000·N) while the products stage in DECIMAL(38,0)/HUGEINT; D² ≤
+    // N⁴/16 is the binding term, good to N ≈ 2e9 units (past that,
+    // pre-scale D). Trunc-division staging is the deterministic
+    // cross-engine contract (the pmi_collocations precedent).
+    // significant = chi2_milli >= 3841,
+    // the 95% critical value for 1 df, a pure integer comparison — no
+    // p-value transcendentals. Fixture: variant = user_id % 2, conversion
+    // = >= 14 purchase events. Scale shape: the per-unit reduction in the
+    // registry wiring is the only corpus-volume shuffle (partial+final);
+    // the operator itself folds the unit frame into ONE row map-side +
+    // a single final agg. ---------------------------------------------------
+    "ab_test_chi2" -> QueryDef(
+      (s, dir) => abTestChi2(Tables.load(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+        .selectExpr("CAST(user_id % 2 AS INT) AS variant",
+          "CAST(np >= 14 AS INT) AS converted")),
+      """WITH u AS (SELECT CAST(user_id % 2 AS INT) AS variant,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+        |      AS INT) AS converted
+        |  FROM events GROUP BY user_id),
+        |c AS (SELECT
+        |    SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END)::BIGINT AS conv_a,
+        |    SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |    SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END)::BIGINT AS conv_b
+        |  FROM u),
+        |d AS (SELECT *, CAST(conv_a AS HUGEINT) * (n_b - conv_b)
+        |    - CAST(conv_b AS HUGEINT) * (n_a - conv_a) AS dd FROM c),
+        |k AS (SELECT *, CASE WHEN n_a = 0 OR n_b = 0 OR conv_a + conv_b = 0
+        |      OR n_a - conv_a + n_b - conv_b = 0 THEN 0
+        |    ELSE CAST((((dd * dd) // (CAST(n_a AS HUGEINT) * n_b))
+        |        * 1000 * (n_a + n_b))
+        |      // (CAST(conv_a + conv_b AS HUGEINT)
+        |        * (n_a - conv_a + n_b - conv_b)) AS BIGINT)
+        |    END AS chi2_milli FROM d)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  CASE WHEN n_a = 0 THEN 0 ELSE conv_a * 1000 // n_a END AS conv_a_pm,
+        |  CASE WHEN n_b = 0 THEN 0 ELSE conv_b * 1000 // n_b END AS conv_b_pm,
+        |  CASE WHEN n_b = 0 THEN 0 ELSE conv_b * 1000 // n_b END
+        |    - CASE WHEN n_a = 0 THEN 0 ELSE conv_a * 1000 // n_a END AS lift_pm,
+        |  chi2_milli, CAST(chi2_milli >= 3841 AS INT) AS significant
+        |FROM k""".stripMargin)
   )
+
+  /** 2x2 chi-square readout of any one-row-per-unit `(variant INT 0/1,
+    * converted INT 0/1)` frame — see the `ab_test_chi2` registry comment
+    * for the staging, headroom and significance contracts. */
+  def abTestChi2(units: DataFrame): DataFrame =
+    units
+      .agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 0, col("converted").cast("long"))
+          .otherwise(0L)).as("conv_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === 1, col("converted").cast("long"))
+          .otherwise(0L)).as("conv_b"))
+      .selectExpr("n_a", "conv_a", "n_b", "conv_b",
+        "CAST(conv_a AS DECIMAL(38,0)) * (n_b - conv_b)" +
+          " - CAST(conv_b AS DECIMAL(38,0)) * (n_a - conv_a) AS dd")
+      .selectExpr("n_a", "conv_a", "n_b", "conv_b",
+        // every `div` RESULT must fit int64 (Spark's IntegralDivide on
+        // decimals returns LONG and wraps silently past 2^63): the inner
+        // quotient is bounded by n_a*n_b, the outer by 1000*N — both safe
+        // to the documented N <= 2e9 headroom, each input staged in
+        // DECIMAL(38,0)
+        "CASE WHEN n_a = 0 OR n_b = 0 OR conv_a + conv_b = 0" +
+          " OR n_a - conv_a + n_b - conv_b = 0 THEN 0L" +
+          " ELSE CAST((CAST((dd * dd) div (CAST(n_a AS DECIMAL(38,0)) * n_b)" +
+          " AS DECIMAL(38,0)) * 1000 * (n_a + n_b))" +
+          " div (CAST(conv_a + conv_b AS DECIMAL(38,0))" +
+          " * (n_a - conv_a + n_b - conv_b)) AS BIGINT)" +
+          " END AS chi2_milli")
+      .selectExpr("n_a", "conv_a", "n_b", "conv_b",
+        "IF(n_a = 0, 0L, conv_a * 1000L div n_a) AS conv_a_pm",
+        "IF(n_b = 0, 0L, conv_b * 1000L div n_b) AS conv_b_pm",
+        "IF(n_b = 0, 0L, conv_b * 1000L div n_b)" +
+          " - IF(n_a = 0, 0L, conv_a * 1000L div n_a) AS lift_pm",
+        "chi2_milli", "CAST(chi2_milli >= 3841 AS INT) AS significant")
 
   /** Transition-lift mining of any (user_id, ts, event_id, event_type)
     * frame — see the `event_path_lift` registry comment for the lift

@@ -1066,6 +1066,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("windowspecdefinition(cust"), "no per-customer window")
   }
 
+  test("ab_test_chi2: per-user reduction is the only corpus shuffle; readout is one row") {
+    val p = plan("ab_test_chi2")
+    assert(!p.contains("Join"), "the readout folds in place — no join anywhere")
+    assert(!p.contains("Window ["), "no window")
+    // per-user agg AND the 1-row fold, each partial+final
+    assert(nodeIds(p, "HashAggregate").size >= 4, "both aggregates are two-stage")
+    assert("ReadSchema: [^\\n]*event_type[^\\n]*user_id".r.findFirstIn(p).isDefined
+        || "ReadSchema: [^\\n]*user_id[^\\n]*event_type".r.findFirstIn(p).isDefined,
+      "scan reads only (user_id, event_type)")
+  }
+
   test("hll_distinct sketch path: register fold is the only corpus shuffle, combiner-perfect") {
     spark.catalog.clearCache()
     val docs = Tables.load(spark, dir, "documents")
