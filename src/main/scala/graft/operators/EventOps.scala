@@ -436,14 +436,21 @@ object EventOps {
     * converted INT 0/1)` frame — see the `ab_test_chi2` registry comment
     * for the staging, headroom and significance contracts. */
   def abTestChi2(units: DataFrame): DataFrame =
-    units
+    chi2Readout(units
       .agg(
         sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
         sum(when(col("variant") === 0, col("converted").cast("long"))
           .otherwise(0L)).as("conv_a"),
         sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
         sum(when(col("variant") === 1, col("converted").cast("long"))
-          .otherwise(0L)).as("conv_b"))
+          .otherwise(0L)).as("conv_b")))
+
+  /** The readout stage alone, over a 1-row `(n_a, conv_a, n_b, conv_b)`
+    * counts frame — ONE definition of the staged chi-square shared by the
+    * batch operator above and `streaming/StreamingAbMonitor`, so the two
+    * paths cannot drift. */
+  def chi2Readout(counts: DataFrame): DataFrame =
+    counts
       .selectExpr("n_a", "conv_a", "n_b", "conv_b",
         "CAST(conv_a AS DECIMAL(38,0)) * (n_b - conv_b)" +
           " - CAST(conv_b AS DECIMAL(38,0)) * (n_a - conv_a) AS dd")
