@@ -435,7 +435,7 @@ object EventOps {
   /** 2x2 chi-square readout of any one-row-per-unit `(variant INT 0/1,
     * converted INT 0/1)` frame — see the `ab_test_chi2` registry comment
     * for the staging, headroom and significance contracts. */
-  def abTestChi2(units: DataFrame): DataFrame =
+  def abTestChi2(units: DataFrame, critMilli: Long = 3841L): DataFrame =
     chi2Readout(units
       .agg(
         sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
@@ -443,13 +443,14 @@ object EventOps {
           .otherwise(0L)).as("conv_a"),
         sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
         sum(when(col("variant") === 1, col("converted").cast("long"))
-          .otherwise(0L)).as("conv_b")))
+          .otherwise(0L)).as("conv_b")), critMilli)
 
   /** The readout stage alone, over a 1-row `(n_a, conv_a, n_b, conv_b)`
     * counts frame — ONE definition of the staged chi-square shared by the
     * batch operator above and `streaming/StreamingAbMonitor`, so the two
     * paths cannot drift. */
-  def chi2Readout(counts: DataFrame): DataFrame =
+  def chi2Readout(counts: DataFrame, critMilli: Long = 3841L): DataFrame = {
+    require(critMilli >= 0, s"critMilli must be >= 0, got $critMilli")
     counts
       .selectExpr("n_a", "conv_a", "n_b", "conv_b",
         "CAST(conv_a AS DECIMAL(38,0)) * (n_b - conv_b)" +
@@ -472,7 +473,8 @@ object EventOps {
         "IF(n_b = 0, 0L, conv_b * 1000L div n_b) AS conv_b_pm",
         "IF(n_b = 0, 0L, conv_b * 1000L div n_b)" +
           " - IF(n_a = 0, 0L, conv_a * 1000L div n_a) AS lift_pm",
-        "chi2_milli", "CAST(chi2_milli >= 3841 AS INT) AS significant")
+        "chi2_milli", s"CAST(chi2_milli >= ${critMilli}L AS INT) AS significant")
+  }
 
   /** Transition-lift mining of any (user_id, ts, event_id, event_type)
     * frame — see the `event_path_lift` registry comment for the lift

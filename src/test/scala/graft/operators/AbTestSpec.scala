@@ -58,6 +58,15 @@ class AbTestSpec extends SparkSpec {
     assert(none.getLong(7) == 0L)
   }
 
+  test("critMilli is the significance knob, not a hardcoded constant") {
+    val rows = Seq.fill(40)((0, 1)) ++ Seq.fill(40)((1, 0))
+    val strict = EventOps.abTestChi2(units(rows: _*), critMilli = 100000L).collect()(0)
+    assert(strict.getLong(7) == 80000L && strict.getInt(8) == 0,
+      "chi2 = 80 is insignificant under a 100.0 critical value")
+    intercept[IllegalArgumentException](
+      EventOps.abTestChi2(units(rows: _*), critMilli = -1L))
+  }
+
   test("a perfect separation maxes the statistic near N") {
     val rows = Seq.fill(40)((0, 1)) ++ Seq.fill(40)((1, 0))
     val r = EventOps.abTestChi2(units(rows: _*)).collect()(0)
