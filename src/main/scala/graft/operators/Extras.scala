@@ -491,8 +491,65 @@ object Extras {
         |    + CAST(frequency > fc.c3 AS INT) + CAST(frequency > fc.c4 AS INT)) * 10
         |  + 1 + CAST(m_unit > mc.c1 AS INT) + CAST(m_unit > mc.c2 AS INT)
         |    + CAST(m_unit > mc.c3 AS INT) + CAST(m_unit > mc.c4 AS INT) AS segment
-        |FROM r, rc, fc, mc ORDER BY cust""".stripMargin)
+        |FROM r, rc, fc, mc ORDER BY cust""".stripMargin),
+
+    // ---- cohort lifetime-value matrix --------------------------------------
+    // The LTV report beside user_retention's presence matrix: customers
+    // cohorted by FIRST-order month, revenue accumulated per (cohort,
+    // month-offset) cell with the per-user cumulative — the curve a
+    // payback model reads. All money exact int64 cents (DECIMAL-staged
+    // sums, trunc division both engines share). Scale shape: first-order
+    // month is one per-customer partial+final min; the revenue join back
+    // is co-partitioned on the SAME customer key (one shuffle key
+    // throughout — the funnel_conversion discipline); the (cohort,
+    // offset) cell agg is calendar-bounded, so the cumulative window
+    // runs over the model-sized GRID, never corpus rows (the
+    // ts_features/changepoint argument); cohort sizes broadcast. --------
+    "cohort_ltv" -> QueryDef(
+      (s, dir) => cohortLtv(Tables.load(s, dir, "orders")
+        .selectExpr("o_custkey AS cust",
+          "CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m",
+          "CAST(o_totalprice AS DECIMAL(18,2)) AS price")),
+      """WITH o AS (SELECT o_custkey AS cust,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        |f AS (SELECT cust, MIN(m) AS cm FROM o GROUP BY 1),
+        |sz AS (SELECT cm, COUNT(*) AS n_cohort FROM f GROUP BY 1),
+        |r AS (SELECT cm, m - cm AS off,
+        |    SUM(CAST(price * 100 AS HUGEINT)) AS rev
+        |  FROM o JOIN f USING (cust) GROUP BY 1, 2),
+        |c AS (SELECT cm, off, rev,
+        |    SUM(rev) OVER (PARTITION BY cm ORDER BY off) AS cum FROM r)
+        |SELECT cm AS cohort_m, off AS month_offset, n_cohort,
+        |  CAST(rev AS BIGINT) AS revenue_cents,
+        |  CAST(cum AS BIGINT) AS cum_revenue_cents,
+        |  CAST(cum // n_cohort AS BIGINT) AS cum_per_user_cents
+        |FROM c JOIN sz USING (cm)
+        |ORDER BY cohort_m, month_offset""".stripMargin)
   )
+
+  /** Cohort LTV of any `(cust, m, price DECIMAL)` order frame (`m` a
+    * month index) — see the `cohort_ltv` registry comment for the
+    * cohorting, exact-cents and grid-window contracts. */
+  def cohortLtv(orders: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val first = orders.groupBy(col("cust")).agg(min(col("m")).as("cm"))
+    val sized = first.groupBy(col("cm")).agg(count(lit(1)).as("n_cohort"))
+    orders.join(first, "cust")
+      .selectExpr("cm", "m - cm AS off",
+        "CAST(price * 100 AS DECIMAL(38,0)) AS cents")
+      .groupBy(col("cm"), col("off"))
+      .agg(sum(col("cents")).as("rev_dec"))
+      .withColumn("cum_dec", sum(col("rev_dec")).over(
+        Window.partitionBy(col("cm")).orderBy(col("off"))
+          .rowsBetween(Long.MinValue, 0)))
+      .join(broadcast(sized), "cm")
+      .selectExpr("cm AS cohort_m", "off AS month_offset", "n_cohort",
+        "CAST(rev_dec AS BIGINT) AS revenue_cents",
+        "CAST(cum_dec AS BIGINT) AS cum_revenue_cents",
+        "CAST(cum_dec div n_cohort AS BIGINT) AS cum_per_user_cents")
+      .transform(graft.Sorted.byNames(_, "cohort_m", "month_offset"))
+  }
 
   /** RFM segmentation of any `(cust, ts_us, price DECIMAL)` order frame —
     * see the `rfm_segments` registry comment for the cutoff, tie and

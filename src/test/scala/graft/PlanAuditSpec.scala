@@ -1066,6 +1066,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("windowspecdefinition(cust"), "no per-customer window")
   }
 
+  test("cohort_ltv: one customer shuffle key; cumulative window over the grid only") {
+    val p = plan("cohort_ltv")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "joins stay equi")
+    // the cumulative window partitions by cohort month over the
+    // (cohort, offset) grid — never by customer, never SinglePartition
+    assert(p.contains("windowspecdefinition(cm"), "window partitions by cohort")
+    assert(!p.contains("windowspecdefinition(cust"), "no per-customer window")
+    assert(nodeIds(p, "HashAggregate").size >= 4,
+      "first-month and cell aggs are partial+final")
+    assert(p.contains("BroadcastHashJoin"), "cohort sizes broadcast")
+  }
+
   test("ab_test_chi2: per-user reduction is the only corpus shuffle; readout is one row") {
     val p = plan("ab_test_chi2")
     assert(!p.contains("Join"), "the readout folds in place — no join anywhere")
