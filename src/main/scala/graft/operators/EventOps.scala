@@ -429,8 +429,72 @@ object EventOps {
         |  CASE WHEN n_b = 0 THEN 0 ELSE conv_b * 1000 // n_b END
         |    - CASE WHEN n_a = 0 THEN 0 ELSE conv_a * 1000 // n_a END AS lift_pm,
         |  chi2_milli, CAST(chi2_milli >= 3841 AS INT) AS significant
-        |FROM k""".stripMargin)
+        |FROM k""".stripMargin),
+
+    // ---- linear multi-touch attribution ------------------------------------
+    // The marketing-analytics staple: each conversion's credit splits
+    // EQUALLY across the user's touch events (view/click) inside the
+    // lookback window before it; a conversion with no touch credits
+    // '(direct)'. Credits are integer milli-units (1000 div k — trunc
+    // both engines share; the ≤ k−1 milli remainder per conversion is
+    // documented, not smeared). Scale shape: the touch join is the
+    // interval-join family (q19/order_wide) — equi on USER with the
+    // range as residual, so pair volume is bounded by per-user activity
+    // inside the window, never a cross; the per-conversion k window
+    // partitions by conversion id (bounded groups, the sessionize
+    // discipline); the channel agg is domain-bounded. --------------------
+    "attribution_linear" -> QueryDef(
+      (s, dir) => attributionLinear(Tables.load(s, dir, "events")),
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |p AS (SELECT user_id, event_id AS conv_id, us AS p_us FROM e
+        |  WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_type AS channel, us AS t_us FROM e
+        |  WHERE event_type IN ('view', 'click')),
+        |j AS (SELECT p.conv_id, t.channel FROM p LEFT JOIN t
+        |  ON p.user_id = t.user_id AND t.t_us < p.p_us
+        |    AND t.t_us >= p.p_us - 172800000000),
+        |k AS (SELECT conv_id, channel,
+        |    COUNT(channel) OVER (PARTITION BY conv_id) AS k FROM j),
+        |c AS (SELECT conv_id, COALESCE(channel, '(direct)') AS channel,
+        |    CASE WHEN k = 0 THEN 1000 ELSE 1000 // k END AS credit FROM k)
+        |SELECT channel, COUNT(DISTINCT conv_id) AS n_conversions,
+        |  SUM(credit)::BIGINT AS credit_milli
+        |FROM c GROUP BY 1 ORDER BY channel""".stripMargin)
   )
+
+  /** Linear multi-touch attribution of any event frame — see the
+    * `attribution_linear` registry comment for the window, credit and
+    * bounded-join contracts. `touchTypes` are the creditable channels,
+    * `convType` the conversion event, `lookbackHours` the window. */
+  def attributionLinear(ev: DataFrame,
+      touchTypes: Seq[String] = Seq("view", "click"),
+      convType: String = "purchase",
+      lookbackHours: Long = 48L): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(convType),
+      s"touch types must be non-empty and exclude the conversion type")
+    require(lookbackHours >= 1, s"lookbackHours must be >= 1, got $lookbackHours")
+    val hUs = lookbackHours * 3600L * 1000000L
+    val e = ev.selectExpr("user_id", "event_id", "event_type",
+      "unix_micros(ts) AS us")
+    val p = e.filter(col("event_type") === convType)
+      .select(col("user_id"), col("event_id").as("conv_id"), col("us").as("p_us"))
+    val inList = touchTypes.map(t => s"'$t'").mkString(", ")
+    val t = e.filter(expr(s"event_type IN ($inList)"))
+      .select(col("user_id").as("t_user"), col("event_type").as("channel"),
+        col("us").as("t_us"))
+    p.join(t, col("user_id") === col("t_user")
+        && col("t_us") < col("p_us") && col("t_us") >= col("p_us") - lit(hUs),
+        "left")
+      .withColumn("k", count(col("channel")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("conv_id"))))
+      .selectExpr("conv_id", "COALESCE(channel, '(direct)') AS channel",
+        "IF(k = 0, 1000L, 1000L div k) AS credit")
+      .groupBy(col("channel"))
+      .agg(count_distinct(col("conv_id")).as("n_conversions"),
+        sum(col("credit")).as("credit_milli"))
+      .transform(graft.Sorted.byNames(_, "channel"))
+  }
 
   /** 2x2 chi-square readout of any one-row-per-unit `(variant INT 0/1,
     * converted INT 0/1)` frame — see the `ab_test_chi2` registry comment

@@ -1079,6 +1079,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "cohort sizes broadcast")
   }
 
+  test("attribution_linear: interval join equi on user; k window by conversion") {
+    val p = plan("attribution_linear")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the touch join must be equi on user with the range residual, never a product")
+    assert(p.contains("windowspecdefinition(conv_id"),
+      "the split count partitions by conversion id")
+    assert(!p.contains("windowspecdefinition(user_id"), "no per-user window needed")
+    assert(nodeIds(p, "HashAggregate").size >= 2, "channel agg is partial+final")
+  }
+
   test("ab_test_chi2: per-user reduction is the only corpus shuffle; readout is one row") {
     val p = plan("ab_test_chi2")
     assert(!p.contains("Join"), "the readout folds in place — no join anywhere")
