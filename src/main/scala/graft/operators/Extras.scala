@@ -525,8 +525,66 @@ object Extras {
         |  CAST(cum AS BIGINT) AS cum_revenue_cents,
         |  CAST(cum // n_cohort AS BIGINT) AS cum_per_user_cents
         |FROM c JOIN sz USING (cm)
-        |ORDER BY cohort_m, month_offset""".stripMargin)
+        |ORDER BY cohort_m, month_offset""".stripMargin),
+
+    // ---- ABC (Pareto) inventory classification -----------------------------
+    // The supply-chain staple: items ranked by revenue, classed A/B/C at
+    // the 80/95% cumulative-share boundaries — the "which 20% of the
+    // catalog carries 80% of revenue" read. The boundary rule is the
+    // textbook one: an item belongs to the class its cumulative share
+    // STARTED in (computed from cum-before-this-item), so the item that
+    // crosses a boundary stays in the richer class and an all-revenue
+    // first item is A, never B. All money exact int64 cents; shares in
+    // per-mille by shared trunc division. Scale shape: the per-item
+    // revenue agg is the only corpus-volume shuffle (partial+final); the
+    // ranking window runs over the ITEM DOMAIN — catalog-bounded, the
+    // skew_profile "exact percentiles are fine at key-domain size"
+    // argument — never over sales rows. -----------------------------------
+    "inventory_abc" -> QueryDef(
+      (s, dir) => inventoryAbc(Tables.load(s, dir, "lineitem")
+        .selectExpr("l_partkey AS item",
+          "CAST(l_extendedprice AS DECIMAL(18,2)) AS price")),
+      """WITH r AS (SELECT l_partkey AS item,
+        |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT))
+        |      AS rev FROM lineitem GROUP BY 1),
+        |c AS (SELECT item, rev,
+        |    SUM(rev) OVER (ORDER BY rev DESC, item) AS cum,
+        |    SUM(rev) OVER () AS tot FROM r)
+        |SELECT item, CAST(rev AS BIGINT) AS revenue_cents,
+        |  CAST(cum * 1000 // tot AS BIGINT) AS cum_share_pm,
+        |  CASE WHEN (cum - rev) * 1000 // tot < 800 THEN 'A'
+        |    WHEN (cum - rev) * 1000 // tot < 950 THEN 'B'
+        |    ELSE 'C' END AS abc_class
+        |FROM c ORDER BY item""".stripMargin)
   )
+
+  /** ABC (Pareto) classification of any `(item, price DECIMAL)` sales
+    * frame — see the `inventory_abc` registry comment for the boundary
+    * and domain-window contracts. `aPm`/`bPm` are the cumulative-share
+    * class boundaries in per-mille (defaults: the classic 80/95). */
+  def inventoryAbc(sales: org.apache.spark.sql.DataFrame,
+      aPm: Long = 800L, bPm: Long = 950L): org.apache.spark.sql.DataFrame = {
+    require(aPm >= 1 && aPm < bPm && bPm <= 1000,
+      s"need 1 <= aPm < bPm <= 1000, got ($aPm, $bPm)")
+    import org.apache.spark.sql.expressions.Window
+    val rev = sales
+      .groupBy(col("item"))
+      .agg(sum(expr("CAST(price * 100 AS DECIMAL(38,0))")).as("rev_dec"))
+    val w = Window.orderBy(col("rev_dec").desc, col("item"))
+      .rowsBetween(Long.MinValue, 0)
+    rev
+      .withColumn("cum_dec", sum(col("rev_dec")).over(w))
+      .withColumn("tot_dec", sum(col("rev_dec")).over())
+      // the class boundary reads the share BEFORE this item, so the item
+      // that crosses a boundary belongs to the class it started in (the
+      // textbook assignment; an all-revenue first item is A, never B)
+      .selectExpr("item", "CAST(rev_dec AS BIGINT) AS revenue_cents",
+        "CAST(cum_dec * 1000 div tot_dec AS BIGINT) AS cum_share_pm",
+        s"CASE WHEN (cum_dec - rev_dec) * 1000 div tot_dec < ${aPm}L THEN 'A'" +
+          s" WHEN (cum_dec - rev_dec) * 1000 div tot_dec < ${bPm}L THEN 'B'" +
+          " ELSE 'C' END AS abc_class")
+      .transform(graft.Sorted.byNames(_, "item"))
+  }
 
   /** Cohort LTV of any `(cust, m, price DECIMAL)` order frame (`m` a
     * month index) — see the `cohort_ltv` registry comment for the

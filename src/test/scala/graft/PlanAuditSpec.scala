@@ -1089,6 +1089,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(nodeIds(p, "HashAggregate").size >= 2, "channel agg is partial+final")
   }
 
+  test("inventory_abc: per-item agg is the only corpus shuffle; ranking over the domain") {
+    val p = plan("inventory_abc")
+    assert(!p.contains("Join"), "no join anywhere")
+    assert(nodeIds(p, "HashAggregate").size >= 2, "revenue agg is partial+final")
+    // the window input is the per-item aggregate (catalog-domain-sized),
+    // never raw lineitem rows — the scan feeds the agg, the agg feeds
+    // the window
+    assert("ReadSchema: [^\\n]*l_extendedprice[^\\n]*l_partkey".r.findFirstIn(p).isDefined
+        || "ReadSchema: [^\\n]*l_partkey[^\\n]*l_extendedprice".r.findFirstIn(p).isDefined,
+      "scan reads only (l_partkey, l_extendedprice)")
+  }
+
   test("ab_test_chi2: per-user reduction is the only corpus shuffle; readout is one row") {
     val p = plan("ab_test_chi2")
     assert(!p.contains("Join"), "the readout folds in place — no join anywhere")
