@@ -1179,6 +1179,67 @@ object CorpusOps {
     case _  => math.round(0.7213 / (1.0 + 1.079 / m) * 1e6)
   }
 
+  /** `m`-register contract shared by every HLL surface: power-of-two,
+    * >= 16, and the rho cap for an all-zero remainder — sized so the
+    * all-empty register sum m * 2^cap = 2^62 never overflows int64. */
+  private[graft] def hllCap(m: Int): Int = {
+    require(m >= 16 && (m & (m - 1)) == 0, s"m must be a power of two >= 16, got $m")
+    62 - (63 - java.lang.Long.numberOfLeadingZeros(m.toLong))
+  }
+
+  /** Map-side register algebra over an int64 `fp` expression: the P61 mix
+    * to `v`. ONE definition for the batch census and the streaming UV
+    * sketch (the chi2Readout sharing discipline). */
+  private[graft] def hllVExpr(fp: String): String = {
+    import graft.functions.Portable.{MIX, MIX2, P61}
+    s"((($fp % 2147483648L) * ${MIX}L) % ${P61}L" +
+      s" + (($fp div 2147483648L) * ${MIX2}L) % ${P61}L) % ${P61}L"
+  }
+
+  /** Trailing-zero rank of the remainder bits via the exact binary-string
+    * length of the lowest set bit (w & -w): conv/bin agree on
+    * minimal-length binary of a positive int64 — no float log anywhere. */
+  private[graft] def hllRhoExpr(v: String, m: Int): String = {
+    val cap = hllCap(m)
+    s"CASE WHEN $v div ${m}L = 0 THEN $cap" +
+      s" ELSE length(conv(($v div ${m}L) & -($v div ${m}L), 10, 2)) END"
+  }
+
+  /** Raw-int64 pre-hash for HLL over ID-like columns, as (h2Expr, fpExpr).
+    * Sequential ids are lattice-structured and every affine map mod a
+    * prime PRESERVES the lattice — a single linear mix measured +83%
+    * estimate error on 1..900. Two independent MID-SQUARE chains
+    * (x² mod P is non-linear; every product stays < 2^63) build the
+    * paired 60-bit fp; the register INDEX reads the second chain
+    * directly (`h2 % m`) so index occupancy is decoupled from the rho
+    * source (measured Poisson-clean loads where `v % m` left a quarter
+    * of the registers empty). Content-hash inputs (the trigram census)
+    * don't need this — their fps are already wide. */
+  private[graft] def hllIdExprs(id: String): (String, String) = {
+    import graft.functions.Portable.{MIX, MIX2, P, P2}
+    val h1 = s"((((($id % ${P}L) * ($id % ${P}L)) % ${P}L) * ${MIX}L + ($id % ${P}L)) % ${P}L)"
+    val h2 = s"((((($id % ${P2}L) * ($id % ${P2}L)) % ${P2}L) * ${MIX2}L + ($id % ${P2}L)) % ${P2}L)"
+    (h2, s"($h1 * 2147483648L + $h2)")
+  }
+
+  /** The exact-integer harmonic estimate over an `(byCols..., idx, mj)`
+    * register frame — the final fold shared by batch and streaming. */
+  private[graft] def hllEstimate(regs: DataFrame, m: Int,
+      byCols: Seq[String]): DataFrame = {
+    val cap = hllCap(m)
+    val alphaPpm = hllAlphaPpm(m)
+    val g = if (byCols.isEmpty) regs.groupBy()
+      else regs.groupBy(byCols.map(col): _*)
+    g.agg(sum(expr(s"shiftleft(1L, $cap - mj)")).as("s_part"),
+        count(lit(1)).as("n_regs"))
+      .selectExpr(byCols ++ Seq(s"${m}L - n_regs AS zero_registers",
+        s"s_part + (${m}L - n_regs) * shiftleft(1L, $cap) AS s_scaled"): _*)
+      .selectExpr(byCols ++ Seq("zero_registers",
+        s"CAST(CAST(${alphaPpm}L AS DECIMAL(38,0)) * ${m.toLong * m}L" +
+          s" * shiftleft(1L, $cap) div (CAST(s_scaled AS DECIMAL(38,0)) * 1000000L)" +
+          " AS BIGINT) AS est_distinct"): _*)
+  }
+
   /** Per-source HLL distinct-trigram estimate — see the `hll_distinct`
     * registry comment for the sketch, parity and calibration contracts.
     * `m` (power of two >= 16) is the register count / accuracy knob;
@@ -1187,14 +1248,9 @@ object CorpusOps {
     * (schema: source, est_distinct, zero_registers). */
   def hllDistinct(docs: DataFrame, m: Int = 256,
       withExact: Boolean = true): DataFrame = {
-    require(m >= 16 && (m & (m - 1)) == 0, s"m must be a power of two >= 16, got $m")
+    hllCap(m)
     graft.functions.HashExpressions.register(docs.sparkSession)
-    import graft.functions.Portable.{MIX, MIX2, P, P2, P61}
-    val log2m = 63 - java.lang.Long.numberOfLeadingZeros(m.toLong)
-    // rho of an all-zero remainder; sized so the all-empty register sum
-    // m * 2^cap = 2^62 never overflows int64 at any power-of-two m
-    val cap = 62 - log2m
-    val alphaPpm = hllAlphaPpm(m)
+    import graft.functions.Portable.{MIX, MIX2, P, P2}
     def at(off: Int) = s"element_at(th, i - $off)"
     val tri = s"CASE WHEN size(th) >= 3 THEN transform(sequence(3, size(th)), " +
       s"i -> ((((${at(2)} * ${MIX}L + ${at(1)}) % ${P}L) * ${MIX}L + ${at(0)}) % ${P}L) * 2147483648L" +
@@ -1204,26 +1260,11 @@ object CorpusOps {
       .select(col("source"), expr("graft_token_hashes(text)").as("th"))
       .select(col("source"), explode(expr(tri)).as("fp"))
     val fed = if (withExact) fps.persist(StorageLevel.MEMORY_AND_DISK) else fps
-    val est = fed
-      .selectExpr("source",
-        s"(((fp % 2147483648L) * ${MIX}L) % ${P61}L" +
-          s" + ((fp div 2147483648L) * ${MIX2}L) % ${P61}L) % ${P61}L AS v")
-      .selectExpr("source", s"v % ${m}L AS idx",
-        // trailing-zero rank via the exact binary-string length of the
-        // lowest set bit (w & -w): conv/bin agree on minimal-length
-        // binary of a positive int64 — no float log anywhere
-        s"CASE WHEN v div ${m}L = 0 THEN $cap" +
-          s" ELSE length(conv((v div ${m}L) & -(v div ${m}L), 10, 2)) END AS rho")
+    val regs = fed
+      .selectExpr("source", s"${hllVExpr("fp")} AS v")
+      .selectExpr("source", s"v % ${m}L AS idx", s"${hllRhoExpr("v", m)} AS rho")
       .groupBy(col("source"), col("idx")).agg(max(col("rho")).as("mj"))
-      .groupBy(col("source"))
-      .agg(sum(expr(s"shiftleft(1L, $cap - mj)")).as("s_part"),
-        count(lit(1)).as("n_regs"))
-      .selectExpr("source", s"${m}L - n_regs AS zero_registers",
-        s"s_part + (${m}L - n_regs) * shiftleft(1L, $cap) AS s_scaled")
-      .selectExpr("source", "zero_registers",
-        s"CAST(CAST(${alphaPpm}L AS DECIMAL(38,0)) * ${m.toLong * m}L" +
-          s" * shiftleft(1L, $cap) div (CAST(s_scaled AS DECIMAL(38,0)) * 1000000L)" +
-          " AS BIGINT) AS est_distinct")
+    val est = hllEstimate(regs, m, Seq("source"))
     if (!withExact)
       return est.select(col("source"), col("est_distinct"), col("zero_registers"))
         .transform(Sorted.byNames(_, "source"))
