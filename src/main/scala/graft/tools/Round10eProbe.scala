@@ -1,0 +1,61 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Scratch probe for the fifth round-10 continuation additions:
+  * `cohort_ltv` + `attribution_linear` over the orders/events decade
+  * (sf0.01 → graft10x), `inventory_abc` over in-probe lineitem
+  * replication (sales volume scales, the item domain — and therefore
+  * the ranking window's input — stays fixed). Timed with the
+  * `graft.Bench` discipline via `graft.BenchAction`.
+  *
+  * Usage: Round10eProbe <ordersDir>[,<ordersDir>...] [reps]
+  */
+object Round10eProbe {
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: graft.tools.Round10eProbe <ordersDirs> [reps]")
+      sys.exit(2)
+    }
+    val ordDirs = args(0).split(",").map(_.trim).filter(_.nonEmpty)
+    val reps = args.lift(1).map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.GraftSession.build(Some(s"local[$cpus]"), cpus.toInt, "graft-r10eprobe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(mk: => org.apache.spark.sql.DataFrame): (Double, Long) = {
+      val times = (1 to reps).map { _ =>
+        spark.catalog.clearCache(); System.gc()
+        val t0 = System.nanoTime()
+        graft.BenchAction.run(mk)
+        (System.nanoTime() - t0) / 1e9
+      }
+      spark.catalog.clearCache()
+      val rows = mk.count()
+      spark.catalog.clearCache()
+      (graft.BenchAction.median(times), rows)
+    }
+
+    ordDirs.foreach { dir =>
+      val no = graft.Tables.load(spark, dir, "orders").count()
+      val ne = graft.Tables.load(spark, dir, "events").count()
+      def q(name: String) = graft.SparkEntry.registry(name).fn(spark, dir)
+      val (tl, rl) = time(q("cohort_ltv"))
+      val (ta, ra) = time(q("attribution_linear"))
+      println(f"orders $dir%s n_orders=$no%d n_events=$ne%d " +
+        f"cohort_ltv=$tl%.2f($rl%d) attribution=$ta%.2f($ra%d)")
+    }
+
+    val li = graft.Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
+    Seq(1, 10, 30).foreach { k =>
+      val rep = (0 until k).map(_ => li.select(col("l_partkey"), col("l_extendedprice")))
+        .reduce(_ unionAll _)
+      val n = rep.count()
+      val (ti, ri) = time(graft.operators.Extras.inventoryAbc(
+        rep.selectExpr("l_partkey AS item",
+          "CAST(l_extendedprice AS DECIMAL(18,2)) AS price")))
+      println(f"sales x$k%d rows=$n%d inventory_abc=$ti%.2f($ri%d)")
+    }
+    spark.stop()
+  }
+}
