@@ -672,8 +672,124 @@ object TextOps {
          |  COALESCE(st.n_kept, 0) AS n_kept,
          |  CAST(len(d.lines) AS BIGINT) - COALESCE(st.n_kept, 0) AS n_removed,
          |  COALESCE(st.kept_md5, md5('')) AS kept_md5
-         |FROM ld d LEFT JOIN st USING (doc_id) ORDER BY d.doc_id""".stripMargin)
+         |FROM ld d LEFT JOIN st USING (doc_id) ORDER BY d.doc_id""".stripMargin),
+
+    // ---- Flesch readability in exact integer milli-units -------------------
+    // The readability quality signal (Flesch 1948 / Kincaid 1975) several
+    // published curation recipes gate on (too-hard and too-trivial tails
+    // both correlate with junk): reading ease = 206.835 − 1.015·(words/
+    // sentence) − 84.6·(syllables/word), grade = 0.39·w/s + 11.8·syll/w
+    // − 15.59 — both computed ENTIRELY in int64 milli-units with the
+    // shared trunc division (each ratio divides non-negative ints;
+    // subtraction happens after, so trunc-vs-floor can never diverge).
+    // Syllables are the standard vowel-GROUP surrogate ([aeiouy]+ runs,
+    // min 1 per word); sentences are terminal-punct runs (min 1). Plain
+    // character classes — one regex dialect both engines share. Scale
+    // shape: pure map-side over the scan (the text_quality family);
+    // sub-word docs drop (documented — ratios are undefined at 0 words).
+    "text_readability" -> QueryDef(
+      (s, dir) => textReadability(Tables.load(s, dir, "documents")),
+      s"""WITH t AS (SELECT doc_id,
+         |    ${Portable.duckToksSql("text")} AS toks,
+         |    GREATEST(1, len(regexp_extract_all(coalesce(text, ''), '[.!?]+')))
+         |      AS n_sents
+         |  FROM documents),
+         |c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+         |    CAST(n_sents AS BIGINT) AS n_sents,
+         |    CAST(list_sum(list_transform(toks,
+         |      tk -> GREATEST(1, len(regexp_extract_all(tk, '[aeiouy]+')))))
+         |      AS BIGINT) AS n_syll
+         |  FROM t WHERE len(toks) >= 1)
+         |SELECT doc_id, n_words, n_sents, n_syll,
+         |  206835 - (1015 * n_words) // n_sents - (84600 * n_syll) // n_words
+         |    AS fk_ease_milli,
+         |  (390 * n_words) // n_sents + (11800 * n_syll) // n_words - 15590
+         |    AS fk_grade_milli
+         |FROM c ORDER BY doc_id""".stripMargin),
+
+    // ---- code-vs-prose detection gate --------------------------------------
+    // The routing signal the code-era pipelines (StarCoder/Stack-style
+    // curation, and conversely Gopher's code EXCLUSION) need before the
+    // prose gates run — prose heuristics misfire on source code, so route
+    // first: brace/semicolon density, indented-line starts, and
+    // keyword-token hits (counted over the SHARED tokenizer — no regex
+    // word-boundary dialect in play), combined into a per-mille density
+    // score over a char-length floor, thresholded by the signature knob.
+    // Weights are fixed documented constants (the gopher_rules shape);
+    // the threshold is the routing knob a caller tunes per corpus. Scale
+    // shape: pure map-side over the scan (the text_quality family) —
+    // counts by length-difference and one small regexp, no shuffle. -----
+    "code_detect" -> QueryDef(
+      (s, dir) => codeDetect(Tables.load(s, dir, "documents")),
+      s"""WITH t AS (SELECT doc_id, coalesce(text, '') AS t,
+         |    ${Portable.duckToksSql("text")} AS toks FROM documents),
+         |c AS (SELECT doc_id,
+         |    CAST(length(t) - length(replace(t, '{', ''))
+         |      + length(t) - length(replace(t, '}', '')) AS BIGINT) AS n_braces,
+         |    CAST(length(t) - length(replace(t, ';', '')) AS BIGINT) AS n_semis,
+         |    CAST(len(list_filter(toks, tk -> tk IN ('def', 'function',
+         |      'return', 'import', 'class', 'var', 'const', 'void', 'int')))
+         |      AS BIGINT) AS n_kw,
+         |    CAST(len(regexp_extract_all(t, '(^|\n)(  |\t)')) AS BIGINT)
+         |      AS n_indent,
+         |    CAST(length(t) AS BIGINT) AS n_chars
+         |  FROM t),
+         |s AS (SELECT *, LEAST(1000, (30 * n_braces + 20 * n_semis
+         |      + 40 * n_kw + 30 * n_indent) * 1000
+         |    // GREATEST(100, n_chars)) AS score_pm FROM c)
+         |SELECT doc_id, n_braces, n_semis, n_kw, n_indent, n_chars, score_pm,
+         |  CAST(score_pm >= 30 AS INT) AS is_code
+         |FROM s ORDER BY doc_id""".stripMargin)
   )
+
+  /** Code-vs-prose detection of any `(doc_id, text)` frame — see the
+    * `code_detect` registry comment for the signal, weight and routing
+    * contracts. `thresholdPm` is the routing knob. */
+  def codeDetect(docs: org.apache.spark.sql.DataFrame,
+      thresholdPm: Long = 30L): org.apache.spark.sql.DataFrame = {
+    require(thresholdPm >= 0 && thresholdPm <= 1000,
+      s"thresholdPm must be in [0,1000], got $thresholdPm")
+    docs
+      .selectExpr("doc_id", "coalesce(text, '') AS t",
+        s"${Portable.tokensSql("coalesce(text, '')")} AS toks")
+      .selectExpr("doc_id",
+        "CAST(length(t) - length(replace(t, '{', ''))" +
+          " + length(t) - length(replace(t, '}', '')) AS BIGINT) AS n_braces",
+        "CAST(length(t) - length(replace(t, ';', '')) AS BIGINT) AS n_semis",
+        "CAST(size(filter(toks, tk -> tk IN ('def', 'function', 'return'," +
+          " 'import', 'class', 'var', 'const', 'void', 'int'))) AS BIGINT) AS n_kw",
+        "CAST(size(regexp_extract_all(t, '(^|\n)(  |\t)', 0)) AS BIGINT)" +
+          " AS n_indent",
+        "CAST(length(t) AS BIGINT) AS n_chars")
+      .selectExpr("doc_id", "n_braces", "n_semis", "n_kw", "n_indent", "n_chars",
+        "LEAST(1000L, (30L * n_braces + 20L * n_semis + 40L * n_kw" +
+          " + 30L * n_indent) * 1000L div GREATEST(100L, n_chars)) AS score_pm")
+      .selectExpr("doc_id", "n_braces", "n_semis", "n_kw", "n_indent", "n_chars",
+        "score_pm", s"CAST(score_pm >= ${thresholdPm}L AS INT) AS is_code")
+      .transform(graft.Sorted.byNames(_, "doc_id"))
+  }
+
+  /** Flesch reading-ease + FK grade of any `(doc_id, text)` frame in
+    * exact integer milli-units — see the `text_readability` registry
+    * comment for the surrogate, guard and parity contracts. */
+  def textReadability(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .selectExpr("doc_id",
+        s"${Portable.tokensSql("coalesce(text, '')")} AS toks",
+        "GREATEST(1, size(regexp_extract_all(coalesce(text, ''), '[.!?]+', 0)))" +
+          " AS n_sents")
+      .filter("size(toks) >= 1")
+      .selectExpr("doc_id", "CAST(size(toks) AS BIGINT) AS n_words",
+        "CAST(n_sents AS BIGINT) AS n_sents",
+        "CAST(aggregate(transform(toks," +
+          " tk -> GREATEST(1, size(regexp_extract_all(tk, '[aeiouy]+', 0))))," +
+          " 0, (a, x) -> a + x) AS BIGINT) AS n_syll")
+      .selectExpr("doc_id", "n_words", "n_sents", "n_syll",
+        "206835L - (1015L * n_words) div n_sents - (84600L * n_syll) div n_words" +
+          " AS fk_ease_milli",
+        "(390L * n_words) div n_sents + (11800L * n_syll) div n_words - 15590L" +
+          " AS fk_grade_milli")
+      .transform(graft.Sorted.byNames(_, "doc_id"))
 
   /** CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.3) over an
     * ARBITRARY per-document quality score — the reusable core behind the

@@ -1112,6 +1112,17 @@ class PlanAuditSpec extends SparkSpec {
       "scan reads only (user_id, event_type)")
   }
 
+  test("text_readability and code_detect: pure map-side over the scan") {
+    for (name <- Seq("text_readability", "code_detect")) {
+      val p = plan(name)
+      assert(!p.contains("Join") && !p.contains("Window [") &&
+        !p.contains("HashAggregate"),
+        s"$name must be a projection+filter pipeline, got a shuffle stage")
+      assert("ReadSchema: [^\\n]*doc_id[^\\n]*text".r.findFirstIn(p).isDefined,
+        s"$name scan reads only (doc_id, text)")
+    }
+  }
+
   test("hll_distinct sketch path: register fold is the only corpus shuffle, combiner-perfect") {
     spark.catalog.clearCache()
     val docs = Tables.load(spark, dir, "documents")
