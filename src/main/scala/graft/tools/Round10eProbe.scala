@@ -46,6 +46,17 @@ object Round10eProbe {
         f"cohort_ltv=$tl%.2f($rl%d) attribution=$ta%.2f($ra%d)")
     }
 
+    Seq("/root/testdata/sf0.1", "/tmp/graft10x", "/tmp/graft100x").foreach { dir =>
+      if (new java.io.File(dir).isDirectory) {
+        val docs = graft.Tables.load(spark, dir, "documents")
+        val nd = docs.count()
+        val (tr, rr) = time(graft.operators.TextOps.textReadability(docs))
+        val (tc, rc) = time(graft.operators.TextOps.codeDetect(docs))
+        println(f"docs $dir%s n_docs=$nd%d readability=$tr%.2f($rr%d) " +
+          f"code_detect=$tc%.2f($rc%d)")
+      }
+    }
+
     val li = graft.Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
     Seq(1, 10, 30).foreach { k =>
       val rep = (0 until k).map(_ => li.select(col("l_partkey"), col("l_extendedprice")))
