@@ -19,7 +19,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     // the ONE builder list shared with HashExpressions.register — the two
     // registration paths can no longer drift (review find: this class had
     // silently fallen two functions behind the temp-function path)
@@ -28,4 +28,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.functions.HashExpressions", name),
         builder))
     }
+    // No planner strategies are injected BY DESIGN: the one candidate we
+    // prototyped — a heap-based two-stage rewrite of the rank-filter
+    // pattern Filter(row_number() <= k, Window(...)) — turned out to
+    // duplicate Spark 3.5+'s native InferWindowGroupLimit, which already
+    // plans that exact pattern as Partial/Final WindowGroupLimitExec
+    // around the shuffle (PlanAuditSpec pins it firing on
+    // q7_window_rank). Catalyst-first: the native, spill-safe pushdown
+    // wins over a custom operator that re-implements it.
+  }
 }

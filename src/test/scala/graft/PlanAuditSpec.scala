@@ -1123,6 +1123,28 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q7_window_rank: the rank filter plans as native Partial+Final WindowGroupLimit") {
+    // the rank-filter top-k idiom must ride Spark's InferWindowGroupLimit
+    // (3.5+): a Partial group-limit BEFORE the exchange cuts shuffle
+    // volume to <= k rows per group per map task, the Final after it
+    // bounds the sort. We prototyped a custom heap-based strategy for
+    // this exact pattern and DROPPED it as a duplicate of this native
+    // machinery — this audit is the regression guard on that decision:
+    // if an upstream change (or one of ours) breaks the pushdown, the
+    // rank filter silently degrades to whole-group sorts at 100 TB.
+    val p = plan("q7_window_rank")
+    assert(nodeIds(p, "WindowGroupLimit").size == 2,
+      "both the map-side (Partial) and reduce-side (Final) group-limits must fire")
+    // structural pin of the Partial's placement: in the tree section the
+    // two WindowGroupLimit lines bracket an Exchange — limit, shuffle,
+    // limit — which is what makes the shuffle volume <= k per group per task
+    val lines = p.split("\n").takeWhile(!_.startsWith("("))
+    val wgl = lines.zipWithIndex.filter(_._1.contains("WindowGroupLimit")).map(_._2)
+    val ex = lines.zipWithIndex.filter(_._1.contains("Exchange")).map(_._2)
+    assert(wgl.size == 2 && ex.exists(i => i > wgl.min && i < wgl.max),
+      "an Exchange must sit between the two group-limit stages")
+  }
+
   test("hll_distinct sketch path: register fold is the only corpus shuffle, combiner-perfect") {
     spark.catalog.clearCache()
     val docs = Tables.load(spark, dir, "documents")
