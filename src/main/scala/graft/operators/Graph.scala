@@ -410,8 +410,91 @@ object Graph {
            |SELECT v AS part, COUNT(*) AS deg FROM (
            |  SELECT a AS v FROM e$rounds UNION ALL SELECT b FROM e$rounds)
            |GROUP BY v ORDER BY part""".stripMargin
-      })
+      }),
+
+    // ---- degree assortativity of the co-purchase graph --------------------
+    // Newman 2002's mixing coefficient: the degree-degree Pearson r over
+    // edge endpoints — positive (hubs link hubs) vs negative (hub-spoke)
+    // decides whether hub-sampling strategies and the kcore read
+    // generalize. For an UNDIRECTED graph both orientations enter, so by
+    // symmetry sum_x = sum_y and sum_x2 = sum_y2 and the Pearson
+    // denominator's sqrt CANCELS: r = (M·Σxy − (Σx)²)/(M·Σx² − (Σx)²) is
+    // fully rational — emitted as exact integer ppm with the ts_acf sign
+    // decomposition (Spark div truncates, DuckDB // floors; decomposed,
+    // every division is non-negative where they agree). DECIMAL(38,0)
+    // staging headroom: M·Σxy ≈ 4e34 at 1e12 edges × 1e5 max degree.
+    // Scale shape: bounded per-order pair expansion, one partial+final
+    // degree fold, two node-keyed equi joins (node domain = the catalog,
+    // grows — never broadcast by design), a single-row fold. ---------------
+    "graph_assortativity" -> QueryDef(
+      (s, dir) => {
+        val lp = Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val und = lp.alias("x")
+          .join(lp.alias("y"), expr("x.o = y.o AND x.p < y.p"))
+          .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val out = assortativity(und)
+        und.unpersist()
+        out
+      },
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),
+        |d AS (SELECT v, COUNT(*) AS deg FROM (
+        |    SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY v),
+        |j AS (SELECT da.deg AS x, db.deg AS y FROM e0
+        |  JOIN d da ON da.v = e0.a JOIN d db ON db.v = e0.b),
+        |s AS (SELECT COUNT(*)::HUGEINT * 2 AS m,
+        |    SUM((x + y)::HUGEINT) AS sx,
+        |    SUM((x::HUGEINT * x) + (y::HUGEINT * y)) AS sxx,
+        |    SUM(2 * (x::HUGEINT * y)) AS sxy
+        |  FROM j),
+        |r AS (SELECT (SELECT COUNT(*) FROM d) AS n_nodes, m // 2 AS n_edges,
+        |    m * sxy - sx * sx AS num, m * sxx - sx * sx AS den FROM s),
+        |q AS (SELECT n_nodes, n_edges, num, den,
+        |    CASE WHEN den <= 0 THEN 0 ELSE (ABS(num) * 1000) // den END AS q3
+        |  FROM r)
+        |SELECT n_nodes, CAST(n_edges AS BIGINT) AS n_edges,
+        |  CASE WHEN den <= 0 THEN 0
+        |    ELSE CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+        |      * (q3 * 1000 + ((ABS(num) * 1000 - q3 * den) * 1000) // den)
+        |      AS BIGINT) END AS assortativity_ppm
+        |FROM q""".stripMargin)
   )
+
+  /** Newman degree assortativity of an undirected `(a, b)` simple edge
+    * frame, as exact integer ppm — see the `graph_assortativity` registry
+    * comment for the symmetry, sign and staging contracts. */
+  def assortativity(und: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    und
+      .join(deg.selectExpr("v AS a", "deg AS x"), "a")
+      .join(deg.selectExpr("v AS b", "deg AS y"), "b")
+      .agg(
+        (count(lit(1)) * 2).cast("decimal(38,0)").as("m"),
+        sum(expr("CAST(x + y AS DECIMAL(38,0))")).as("sx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x + CAST(y AS DECIMAL(38,0)) * y")).as("sxx"),
+        sum(expr("2 * (CAST(x AS DECIMAL(38,0)) * y)")).as("sxy"))
+      .crossJoin(broadcast(nNodes))
+      .selectExpr("n_nodes", "CAST(m div 2 AS BIGINT) AS n_edges",
+        "m * sxy - sx * sx AS num", "m * sxx - sx * sx AS den")
+      // exact two-step long division: |num| * 1e6 can exceed 38 digits at
+      // the trillion-edge extreme, but |num| <= den (|r| <= 1) keeps each
+      // staged quotient <= 1000 and each product inside DECIMAL(38,0):
+      // floor(a*1e6/d) = floor(a*1e3/d)*1e3 + floor((a*1e3 mod d)*1e3/d)
+      .selectExpr("n_nodes", "n_edges", "num", "den",
+        "CASE WHEN den <= 0 THEN 0L" +
+          " ELSE CAST(ABS(num) * 1000 div den AS BIGINT) END AS q3")
+      .selectExpr("n_nodes", "n_edges",
+        "CASE WHEN den <= 0 THEN 0L" +
+          " ELSE IF(num < 0, -1L, 1L) * (q3 * 1000L" +
+          " + CAST((ABS(num) * 1000 - CAST(q3 AS DECIMAL(38,0)) * den) * 1000" +
+          " div den AS BIGINT)) END AS assortativity_ppm")
+  }
 
   /** `rounds` synchronous peels of the (`a` < `b`) undirected simple edge
     * frame: each round drops every node whose surviving degree is below

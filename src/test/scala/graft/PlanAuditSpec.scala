@@ -1145,6 +1145,14 @@ class PlanAuditSpec extends SparkSpec {
       "an Exchange must sit between the two group-limit stages")
   }
 
+  test("graph_assortativity: degree fold partial+final; node joins stay equi; 1-row fold") {
+    val p = plan("graph_assortativity")
+    assert(!p.contains("CartesianProduct"), "no all-pairs anywhere")
+    assert(!p.contains("Window ["), "sums are aggregates, not windows")
+    // degree fold and the final stats fold are each two-stage
+    assert(nodeIds(p, "HashAggregate").size >= 4, "aggregates are partial+final")
+  }
+
   test("hll_distinct sketch path: register fold is the only corpus shuffle, combiner-perfect") {
     spark.catalog.clearCache()
     val docs = Tables.load(spark, dir, "documents")
