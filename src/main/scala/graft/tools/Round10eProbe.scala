@@ -67,6 +67,22 @@ object Round10eProbe {
           "CAST(l_extendedprice AS DECIMAL(18,2)) AS price")))
       println(f"sales x$k%d rows=$n%d inventory_abc=$ti%.2f($ri%d)")
     }
+
+    val li2 = graft.Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
+    Seq(1, 10, 30).foreach { k =>
+      val rep = (0 until k).map(i => li2.select(
+        (col("l_orderkey") + lit(i.toLong * 10000000L)).as("o"),
+        col("l_partkey").as("p")))
+        .reduce(_ unionAll _)
+      val (ta, ra) = time {
+        val lp = rep.distinct()
+        val und = lp.alias("x")
+          .join(lp.alias("y"), expr("x.o = y.o AND x.p < y.p"))
+          .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+        graft.operators.Graph.assortativity(und)
+      }
+      println(f"baskets x$k%d assortativity=$ta%.2f($ra%d)")
+    }
     spark.stop()
   }
 }
