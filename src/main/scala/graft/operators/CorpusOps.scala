@@ -1223,21 +1223,27 @@ object CorpusOps {
   }
 
   /** The exact-integer harmonic estimate over an `(byCols..., idx, mj)`
-    * register frame — the final fold shared by batch and streaming. */
+    * register frame — the final fold shared by batch and streaming. A
+    * ZERO-row frame (streaming batch 0 before any data) means "nothing
+    * seen": est_distinct = 0 with all m registers empty — never the raw
+    * estimator's alpha-bias floor, and never a NULL that would kill a
+    * streaming query (the batch census can't hit this: its groups exist
+    * only where rows do). */
   private[graft] def hllEstimate(regs: DataFrame, m: Int,
       byCols: Seq[String]): DataFrame = {
     val cap = hllCap(m)
     val alphaPpm = hllAlphaPpm(m)
     val g = if (byCols.isEmpty) regs.groupBy()
       else regs.groupBy(byCols.map(col): _*)
-    g.agg(sum(expr(s"shiftleft(1L, $cap - mj)")).as("s_part"),
+    g.agg(coalesce(sum(expr(s"shiftleft(1L, $cap - mj)")), lit(0L)).as("s_part"),
         count(lit(1)).as("n_regs"))
-      .selectExpr(byCols ++ Seq(s"${m}L - n_regs AS zero_registers",
+      .selectExpr(byCols ++ Seq("n_regs", s"${m}L - n_regs AS zero_registers",
         s"s_part + (${m}L - n_regs) * shiftleft(1L, $cap) AS s_scaled"): _*)
       .selectExpr(byCols ++ Seq("zero_registers",
-        s"CAST(CAST(${alphaPpm}L AS DECIMAL(38,0)) * ${m.toLong * m}L" +
+        s"CASE WHEN n_regs = 0 THEN 0L" +
+          s" ELSE CAST(CAST(${alphaPpm}L AS DECIMAL(38,0)) * ${m.toLong * m}L" +
           s" * shiftleft(1L, $cap) div (CAST(s_scaled AS DECIMAL(38,0)) * 1000000L)" +
-          " AS BIGINT) AS est_distinct"): _*)
+          " AS BIGINT) END AS est_distinct"): _*)
   }
 
   /** Per-source HLL distinct-trigram estimate — see the `hll_distinct`

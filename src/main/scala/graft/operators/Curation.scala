@@ -850,6 +850,8 @@ object Curation {
     * see the `zorder_layout` registry comment for the clustering, skip
     * and no-global-sort contracts. */
   def zorderLayout(rows: org.apache.spark.sql.DataFrame, buckets: Int = 64): org.apache.spark.sql.DataFrame = {
+    require(buckets >= 1 && buckets <= 1000000,
+      s"buckets must be in [1, 1e6], got $buckets")
     val zd = rows.selectExpr("x", "y", s"${zInterleaveSpark("x", "y")} AS z")
     val m = zd.agg(max(col("z")).as("mz"), max(col("x")).as("mx"))
     zd.crossJoin(broadcast(m))

@@ -383,12 +383,9 @@ object Graph {
     // converged case and a cascade that needs every round). -------------
     "graph_kcore" -> QueryDef(
       (s, dir) => {
-        val lp = Tables.load(s, dir, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        val und = lp.alias("x")
-          .join(lp.alias("y"), expr("x.o = y.o AND x.p < y.p"))
-          .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        val und = copurchaseEdges(s, dir)
+        // safe here ONLY because kcore() eagerly localCheckpoints und
+        // before returning — the returned frame no longer references it
         val out = kcore(und, k = 80, rounds = 3)
           .transform(graft.Sorted.byNames(_, "part"))
         und.unpersist()
@@ -427,17 +424,12 @@ object Graph {
     // degree fold, two node-keyed equi joins (node domain = the catalog,
     // grows — never broadcast by design), a single-row fold. ---------------
     "graph_assortativity" -> QueryDef(
-      (s, dir) => {
-        val lp = Tables.load(s, dir, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        val und = lp.alias("x")
-          .join(lp.alias("y"), expr("x.o = y.o AND x.p < y.p"))
-          .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val out = assortativity(und)
-        und.unpersist()
-        out
-      },
+      // the edge cache stays persisted: assortativity() is LAZY and
+      // references und three times (degree union twice, the edge join
+      // once) — unpersisting before the action would silently recompute
+      // the pair-expansion self-join per reference (the Dedup.scala
+      // no-early-unpersist rule; the harness clears caches per query)
+      (s, dir) => assortativity(copurchaseEdges(s, dir)),
       """WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e0 AS (SELECT DISTINCT x.p AS a, y.p AS b
         |  FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),
@@ -462,6 +454,23 @@ object Graph {
         |      AS BIGINT) END AS assortativity_ppm
         |FROM q""".stripMargin)
   )
+
+  /** THE part co-purchase projection, persisted: distinct undirected
+    * `(a < b)` part pairs co-occurring in an order. ONE definition for
+    * both registry consumers (`graph_kcore`, `graph_assortativity`) —
+    * they claim to analyze the SAME graph, so the construction must be
+    * impossible to desynchronize. Callers own the unpersist decision
+    * (kcore may drop it after its eager checkpoint; lazy consumers must
+    * leave it to the harness). */
+  private[graft] def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val lp = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    lp.alias("x")
+      .join(lp.alias("y"), expr("x.o = y.o AND x.p < y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
 
   /** Newman degree assortativity of an undirected `(a, b)` simple edge
     * frame, as exact integer ppm — see the `graph_assortativity` registry

@@ -1178,9 +1178,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(nodeIds(p, "BroadcastNestedLoopJoin").size <= 1 && !p.contains("SortMergeJoin"),
       "only the 1-row extents frame may enter as a broadcast")
     assert(!p.contains("Window ["), "bucket ids are map-side integer math, not a ranking window")
-    // the naive OPTIMIZE pays a full ORDER BY z; range-bucketing by the
-    // occupied z-range must not plan any rangepartitioning over the DATA
-    // (the final 130-row stats sort is post-aggregation and persisted)
     assert(nodeIds(p, "HashAggregate").size >= 2, "skip stats are partial+final")
+    // the naive OPTIMIZE pays a full ORDER BY z over the data; here the
+    // ONLY rangepartitioning allowed is the post-aggregation presentation
+    // sort, which must read the persisted stats (InMemoryTableScan), not
+    // corpus rows
+    val tree = p.split("\n").takeWhile(!_.startsWith("("))
+    val rp = tree.indexWhere(_.contains("rangepartitioning"))
+    if (rp >= 0) {
+      val below = tree.drop(rp + 1)
+      assert(below.exists(_.contains("InMemoryTableScan")) &&
+        !below.exists(_.contains("parquet")),
+        "a rangepartitioning over the DATA scan would be the global sort this operator exists to avoid")
+    }
   }
 }

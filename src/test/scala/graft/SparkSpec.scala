@@ -7,10 +7,11 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
-    // the suites run the SAME session packaging production deploys —
-    // graft_* functions AND the planner strategies (the rank-filter
-    // top-k rewrite) come from the extensions, so plan audits pin the
-    // plans users actually get
+    // the suites run the SAME session packaging production deploys — the
+    // graft_* native functions come from the extensions (no planner
+    // strategies are injected, by the decision recorded in
+    // GraftExtensions' scaladoc), so plan audits pin the plans users
+    // actually get
     .withExtensions(new GraftExtensions)
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")

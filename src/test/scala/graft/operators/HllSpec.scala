@@ -91,6 +91,14 @@ class HllSpec extends SparkSpec {
     assert(got.forall(_.getLong(2) == 2L), "doc 3 (2 tokens) adds no trigram")
   }
 
+  test("an empty register frame reads as nothing-seen: est 0, all registers empty") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Int)].toDF("idx", "mj")
+    val r = CorpusOps.hllEstimate(empty, 64, Seq.empty).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((64L, 0L)),
+      "streaming batch 0 must read est 0, never NULL or the alpha-bias floor")
+  }
+
   test("a non-power-of-two or tiny m is loud") {
     val d = docs((1L, "a", "x y z"))
     intercept[IllegalArgumentException](CorpusOps.hllDistinct(d, m = 100))

@@ -39,6 +39,13 @@ class ZorderSpec extends SparkSpec {
       "every linear bucket is one x-column: dim-y spans the whole domain")
   }
 
+  test("a bad bucket count is loud") {
+    import spark.implicits._
+    val d = Seq((1L, 2L)).toDF("x", "y")
+    intercept[IllegalArgumentException](Curation.zorderLayout(d, buckets = 0))
+    intercept[IllegalArgumentException](Curation.zorderLayout(d, buckets = -4))
+  }
+
   test("a single-point frame is one bucket per layout with point extents") {
     import spark.implicits._
     val rows = Curation.zorderLayout(Seq((7L, 9L)).toDF("x", "y")).collect()
