@@ -555,8 +555,61 @@ object Extras {
         |  CASE WHEN (cum - rev) * 1000 // tot < 800 THEN 'A'
         |    WHEN (cum - rev) * 1000 // tot < 950 THEN 'B'
         |    ELSE 'C' END AS abc_class
-        |FROM c ORDER BY item""".stripMargin)
+        |FROM c ORDER BY item""".stripMargin),
+
+    // ---- Gini revenue concentration ----------------------------------------
+    // The single-number summary beside inventory_abc's per-item classes:
+    // the Gini coefficient of revenue across the catalog (0 = uniform,
+    // →1 = one item carries everything) — the concentration KPI a
+    // category manager trends release over release. Exact integer ppm
+    // via the rank formulation G = (2·Σ i·x_i − (n+1)·Σx)/(n·Σx) over
+    // ascending revenues; num is non-negative and ≤ den by construction
+    // so ONE trunc division suffices (headroom: den·10⁶ < 10³⁸ up to
+    // n·total_cents ≈ 10³², far past any catalog). Scale shape: the
+    // per-item agg is the only corpus-volume shuffle; the rank window
+    // runs over the ITEM DOMAIN (the inventory_abc argument) and the
+    // final fold is one row. ------------------------------------------------
+    "gini_concentration" -> QueryDef(
+      (s, dir) => giniConcentration(Tables.load(s, dir, "lineitem")
+        .selectExpr("l_partkey AS item",
+          "CAST(l_extendedprice AS DECIMAL(18,2)) AS price")),
+      """WITH r AS (SELECT l_partkey AS item,
+        |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT))
+        |      AS rev FROM lineitem GROUP BY 1),
+        |k AS (SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, item) AS i FROM r),
+        |s AS (SELECT COUNT(*)::HUGEINT AS n, SUM(rev) AS sx,
+        |    SUM(i::HUGEINT * rev) AS six FROM k)
+        |SELECT CAST(n AS BIGINT) AS n_items, CAST(sx AS BIGINT) AS total_cents,
+        |  CASE WHEN n * sx <= 0 THEN 0
+        |    ELSE CAST((2 * six - (n + 1) * sx) * 1000000 // (n * sx) AS BIGINT)
+        |    END AS gini_ppm
+        |FROM s""".stripMargin)
   )
+
+  /** Gini concentration of any `(item, price DECIMAL)` sales frame —
+    * see the `gini_concentration` registry comment. Exact integer ppm:
+    * G = (2·Σ(i·x_i) − (n+1)·Σx) / (n·Σx) over ascending-sorted item
+    * revenues (rank i = 1..n, ties broken by item id — a deterministic
+    * total order both engines share; the ppm value is invariant to
+    * which equal-revenue item takes which rank). */
+  def giniConcentration(sales: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = sales
+      .groupBy(col("item"))
+      .agg(sum(expr("CAST(price * 100 AS DECIMAL(38,0))")).as("rev_dec"))
+    rev
+      .withColumn("i", row_number().over(
+        Window.orderBy(col("rev_dec").asc, col("item").asc)))
+      .agg(count(lit(1)).as("n"),
+        sum(col("rev_dec")).as("sx"),
+        sum(expr("CAST(i AS DECIMAL(38,0)) * rev_dec")).as("six"))
+      .selectExpr("n", "CAST(sx AS BIGINT) AS total_cents",
+        "2 * six - (n + 1) * sx AS num", "CAST(n AS DECIMAL(38,0)) * sx AS den")
+      .selectExpr("n AS n_items", "total_cents",
+        // num >= 0 (sorted ascending) and num <= den, single exact division
+        "CASE WHEN den <= 0 THEN 0L" +
+          " ELSE CAST(num * 1000000 div den AS BIGINT) END AS gini_ppm")
+  }
 
   /** ABC (Pareto) classification of any `(item, price DECIMAL)` sales
     * frame — see the `inventory_abc` registry comment for the boundary

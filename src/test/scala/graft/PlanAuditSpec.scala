@@ -1101,6 +1101,16 @@ class PlanAuditSpec extends SparkSpec {
       "scan reads only (l_partkey, l_extendedprice)")
   }
 
+  test("gini_concentration: per-item agg is the only corpus shuffle; rank over the domain") {
+    val p = plan("gini_concentration")
+    assert(!p.contains("Join"), "no join anywhere")
+    assert(nodeIds(p, "HashAggregate").size >= 4,
+      "revenue agg and the final fold are partial+final")
+    assert("ReadSchema: [^\\n]*l_extendedprice[^\\n]*l_partkey".r.findFirstIn(p).isDefined
+        || "ReadSchema: [^\\n]*l_partkey[^\\n]*l_extendedprice".r.findFirstIn(p).isDefined,
+      "scan reads only (l_partkey, l_extendedprice)")
+  }
+
   test("ab_test_chi2: per-user reduction is the only corpus shuffle; readout is one row") {
     val p = plan("ab_test_chi2")
     assert(!p.contains("Join"), "the readout folds in place — no join anywhere")
