@@ -65,7 +65,10 @@ object Round10eProbe {
       val (ti, ri) = time(graft.operators.Extras.inventoryAbc(
         rep.selectExpr("l_partkey AS item",
           "CAST(l_extendedprice AS DECIMAL(18,2)) AS price")))
-      println(f"sales x$k%d rows=$n%d inventory_abc=$ti%.2f($ri%d)")
+      val (tg, rg) = time(graft.operators.Extras.giniConcentration(
+        rep.selectExpr("l_partkey AS item",
+          "CAST(l_extendedprice AS DECIMAL(18,2)) AS price")))
+      println(f"sales x$k%d rows=$n%d inventory_abc=$ti%.2f($ri%d) gini=$tg%.2f($rg%d)")
     }
 
     val li2 = graft.Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
