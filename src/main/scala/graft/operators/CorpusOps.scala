@@ -1005,6 +1005,31 @@ object CorpusOps {
          |  COALESCE(SUM(is_rare), 0)::BIGINT * 1000 // COUNT(*)::BIGINT AS rare_pm
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
+    // ---- k-anonymity profile over quasi-identifiers ------------------------
+    // The data-governance read BESIDE pii_redact's regex scrubbing:
+    // direct identifiers get redacted, but re-identification risk lives
+    // in QUASI-identifier combinations (Sweeney 2002 — zip/birth/sex
+    // identified 87% of the US). Group rows by every column of the
+    // supplied quasi-id frame; the equivalence-class SIZE distribution is
+    // the anonymity profile, and rows in classes smaller than k are the
+    // re-identifiable population a release gate counts (fixture: 432
+    // singleton customers under (nation, segment, balance-band) — the
+    // classic surprise). Scale shape: one partial+final group count is
+    // the only corpus-volume shuffle; the profile is a second agg over
+    // the CLASS-SIZE DOMAIN (bounded by max class size, the rfm/ccnet
+    // distribution argument); k is a pure comparison knob. ------------------
+    "k_anonymity" -> QueryDef(
+      (s, dir) => kAnonymityProfile(Tables.load(s, dir, "customer")
+        .selectExpr("c_nationkey", "c_mktsegment",
+          "CAST(c_acctbal AS BIGINT) div 1000 AS bal_band")),
+      """WITH q AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(c_acctbal AS BIGINT) // 1000 AS bal_band, COUNT(*) AS n
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT n AS class_size, COUNT(*)::BIGINT AS n_classes,
+        |  SUM(n)::BIGINT AS n_rows,
+        |  CAST(n < 5 AS INT) AS below_k
+        |FROM q GROUP BY n ORDER BY class_size""".stripMargin),
+
     // ---- HyperLogLog distinct-trigram census + calibration ----------------
     // The mergeable-cardinality tail knob corpus_diversity documents made
     // REAL: per-source distinct-trigram estimate from m = 256 max-rho
@@ -1177,6 +1202,24 @@ object CorpusOps {
     case 32 => 697000L
     case 64 => 709000L
     case _  => math.round(0.7213 / (1.0 + 1.079 / m) * 1e6)
+  }
+
+  /** k-anonymity profile of a quasi-identifier frame — EVERY column of
+    * `quasiIds` is part of the key (select the quasi-identifier
+    * combination before calling; generalization bands like `bal div
+    * 1000` are the caller's policy). See the `k_anonymity` registry
+    * comment for the risk and scale contracts. */
+  def kAnonymityProfile(quasiIds: DataFrame, k: Long = 5L): DataFrame = {
+    require(k >= 2, s"k must be >= 2 to mean anything, got $k")
+    require(quasiIds.columns.nonEmpty, "need at least one quasi-identifier column")
+    quasiIds
+      .groupBy(quasiIds.columns.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("n").as("class_size"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("n")).as("n_rows"))
+      .selectExpr("class_size", "n_classes", "n_rows",
+        s"CAST(class_size < ${k}L AS INT) AS below_k")
+      .transform(Sorted.byNames(_, "class_size"))
   }
 
   /** `m`-register contract shared by every HLL surface: power-of-two,

@@ -1101,6 +1101,14 @@ class PlanAuditSpec extends SparkSpec {
       "scan reads only (l_partkey, l_extendedprice)")
   }
 
+  test("k_anonymity: one corpus group count; the profile folds over the size domain") {
+    val p = plan("k_anonymity")
+    assert(!p.contains("Join") && !p.contains("Window ["),
+      "two chained aggregates, nothing else")
+    assert(nodeIds(p, "HashAggregate").size >= 4,
+      "class count and the profile fold are each partial+final")
+  }
+
   test("gini_concentration: per-item agg is the only corpus shuffle; rank over the domain") {
     val p = plan("gini_concentration")
     assert(!p.contains("Join"), "no join anywhere")

@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** k_anonymity: the equivalence-class profile pinned by hand, multi-column
+  * keys, the k knob and the loud guards. Cross-engine exactness is the
+  * DuckDB oracle's job at sf0.01.
+  */
+class KAnonymitySpec extends SparkSpec {
+
+  private def q(rows: (String, Long)*) = {
+    import spark.implicits._
+    rows.toDF("zip", "age_band")
+  }
+
+  test("the class-size distribution replays by hand") {
+    // classes: (a,1)x3, (a,2)x1, (b,1)x1, (b,2)x2
+    val got = CorpusOps.kAnonymityProfile(q(
+      ("a", 1L), ("a", 1L), ("a", 1L), ("a", 2L),
+      ("b", 1L), ("b", 2L), ("b", 2L))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.toSeq == Seq((1L, 2L, 2L, 1), (2L, 1L, 2L, 1), (3L, 1L, 3L, 1)))
+  }
+
+  test("k is the gate knob; classes at or above k read safe") {
+    val rows = Seq.fill(5)(("x", 1L)) ++ Seq.fill(2)(("y", 1L))
+    val got = CorpusOps.kAnonymityProfile(q(rows: _*), k = 5L).collect()
+      .map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(got == Map(2L -> 1, 5L -> 0), "the 5-class is exactly at k: safe")
+  }
+
+  test("every column participates in the key; guards are loud") {
+    // same zip, different band -> different classes
+    val got = CorpusOps.kAnonymityProfile(q(("a", 1L), ("a", 2L))).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)),
+      "two singleton classes, not one pair")
+    intercept[IllegalArgumentException](
+      CorpusOps.kAnonymityProfile(q(("a", 1L)), k = 1L))
+    intercept[IllegalArgumentException](
+      CorpusOps.kAnonymityProfile(q(("a", 1L)).select()))
+  }
+}
