@@ -1030,6 +1030,36 @@ object CorpusOps {
         |  CAST(n < 5 AS INT) AS below_k
         |FROM q GROUP BY n ORDER BY class_size""".stripMargin),
 
+    // ---- l-diversity profile over quasi-identifiers ------------------------
+    // The homogeneity-attack guard k_anonymity can't see (Machanavajjhala
+    // et al. 2007): a class of k = 50 identical quasi-ids is k-anonymous,
+    // but if all 50 share ONE sensitive value the attacker learns it
+    // without identifying anybody. Group by the quasi-id columns, count
+    // DISTINCT sensitive values per class — the diversity-level
+    // distribution is the release gate, and rows in classes with fewer
+    // than l distinct sensitive values are the attribute-disclosure
+    // population. Scale shape: Spark expands the distinct agg into a
+    // (QI, sensitive)-keyed partial dedup before the class fold — still
+    // one corpus-volume exchange family; the profile is a second agg over
+    // the DIVERSITY DOMAIN (bounded by the sensitive-attribute domain,
+    // the k_anonymity class-size argument); l is a pure comparison knob.
+    // Fixture: sensitive = mktsegment under (nation, balance-band) —
+    // the bands k_anonymity showed are mostly singletons, so low-diversity
+    // classes dominate. ------------------------------------------------------
+    "l_diversity" -> QueryDef(
+      (s, dir) => lDiversityProfile(Tables.load(s, dir, "customer")
+        .selectExpr("c_nationkey",
+          "CAST(c_acctbal AS BIGINT) div 1000 AS bal_band", "c_mktsegment"),
+        "c_mktsegment"),
+      """WITH q AS (SELECT c_nationkey,
+        |    CAST(c_acctbal AS BIGINT) // 1000 AS bal_band,
+        |    COUNT(DISTINCT c_mktsegment) AS l, COUNT(*) AS n
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT l AS diversity, COUNT(*)::BIGINT AS n_classes,
+        |  SUM(n)::BIGINT AS n_rows,
+        |  CAST(l < 3 AS INT) AS below_l
+        |FROM q GROUP BY l ORDER BY diversity""".stripMargin),
+
     // ---- HyperLogLog distinct-trigram census + calibration ----------------
     // The mergeable-cardinality tail knob corpus_diversity documents made
     // REAL: per-source distinct-trigram estimate from m = 256 max-rho
@@ -1087,6 +1117,75 @@ object CorpusOps {
            |  ABS(est_distinct - exact_distinct) * 1000000 // exact_distinct AS abs_err_ppm,
            |  zero_registers
            |FROM e JOIN x USING (source) ORDER BY source""".stripMargin
+      }),
+
+    // ---- pairwise cross-source overlap via HLL register merge -------------
+    // source_overlap's sketch-path twin: that operator counts exact shared
+    // shingles through a corpus-volume DISTINCT + self-join; this one
+    // MERGES the per-source register tables hll_distinct already builds
+    // (union = per-index max, HLL's defining mergeability) and reads the
+    // intersection from inclusion–exclusion est(A)+est(B)−est(A∪B),
+    // clamped at 0. Scale shape: after the one combiner-perfect register
+    // fold, EVERYTHING pair-shaped is sketch-sized — |sources|²·m register
+    // rows, never corpus rows (the 190-pair fixture costs 48k rows where
+    // source_overlap's self-join fans out every duplicated shingle).
+    // Accuracy: the I–E difference inherits ~1.04/sqrt(m) error from THREE
+    // estimates, so small intersections drown in sketch noise — which is
+    // exactly why the registry row is the CALIBRATION report (est vs the
+    // exact distinct-fp intersection per pair); withExact = false is the
+    // 100 TB sketch-only path. --------------------------------------------
+    "hll_overlap" -> QueryDef(
+      (s, dir) => hllOverlap(Tables.load(s, dir, "documents")), {
+        import graft.functions.Portable.{MIX, MIX2, P, P2, P61}
+        val m = 256; val cap = 54; val alphaPpm = hllAlphaPpm(m)
+        s"""WITH th AS (SELECT source,
+           |    ${graft.functions.Portable.duckHashTokensSql(duckToks)} AS th
+           |  FROM documents),
+           |g AS (SELECT source,
+           |    unnest(CASE WHEN len(th) >= 3 THEN list_transform(range(3, len(th) + 1),
+           |      i -> ((((th[i-2] * $MIX + th[i-1]) % $P) * $MIX + th[i]) % $P) * 2147483648
+           |         + (((th[i-2] * $MIX2 + th[i-1]) % $P2) * $MIX2 + th[i]) % $P2)
+           |      ELSE CAST([] AS BIGINT[]) END) AS fp
+           |  FROM th),
+           |v AS (SELECT source,
+           |    (((fp % 2147483648) * $MIX) % $P61
+           |     + ((fp // 2147483648) * $MIX2) % $P61) % $P61 AS v FROM g),
+           |r AS (SELECT source, v % $m AS idx,
+           |    CASE WHEN v // $m = 0 THEN $cap
+           |         ELSE length(bin((v // $m) & (-(v // $m)))) END AS rho FROM v),
+           |mr AS (SELECT source, idx, MAX(rho) AS mj FROM r GROUP BY source, idx),
+           |sc AS (SELECT source,
+           |    SUM(1::BIGINT << ($cap - mj)) + ($m - COUNT(*)) * (1::BIGINT << $cap) AS s_scaled
+           |  FROM mr GROUP BY source),
+           |e AS (SELECT source,
+           |    ($alphaPpm::HUGEINT * ${m.toLong * m} * (1::HUGEINT << $cap)
+           |     // (s_scaled::HUGEINT * 1000000))::BIGINT AS est FROM sc),
+           |pr AS (SELECT a.source AS src_a, b.source AS src_b
+           |  FROM (SELECT DISTINCT source FROM mr) a
+           |  JOIN (SELECT DISTINCT source FROM mr) b ON a.source < b.source),
+           |ur AS (SELECT src_a, src_b, idx, MAX(mj) AS mj
+           |  FROM pr JOIN mr ON source = src_a OR source = src_b
+           |  GROUP BY 1, 2, 3),
+           |usc AS (SELECT src_a, src_b,
+           |    SUM(1::BIGINT << ($cap - mj)) + ($m - COUNT(*)) * (1::BIGINT << $cap) AS s_scaled
+           |  FROM ur GROUP BY 1, 2),
+           |ue AS (SELECT src_a, src_b,
+           |    ($alphaPpm::HUGEINT * ${m.toLong * m} * (1::HUGEINT << $cap)
+           |     // (s_scaled::HUGEINT * 1000000))::BIGINT AS est_union FROM usc),
+           |ex AS (SELECT DISTINCT source, fp FROM g),
+           |xi AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS exact_intersect
+           |  FROM ex a JOIN ex b ON a.fp = b.fp AND a.source < b.source
+           |  GROUP BY 1, 2)
+           |SELECT ue.src_a, ue.src_b, ea.est AS est_a, eb.est AS est_b, est_union,
+           |  greatest(0, ea.est + eb.est - est_union) AS est_intersect,
+           |  COALESCE(exact_intersect, 0) AS exact_intersect,
+           |  CASE WHEN est_union > 0
+           |    THEN greatest(0, ea.est + eb.est - est_union) * 1000000 // est_union
+           |    ELSE 0 END AS jaccard_ppm
+           |FROM ue JOIN e ea ON ea.source = ue.src_a
+           |JOIN e eb ON eb.source = ue.src_b
+           |LEFT JOIN xi ON xi.src_a = ue.src_a AND xi.src_b = ue.src_b
+           |ORDER BY ue.src_a, ue.src_b""".stripMargin
       })
   )
 
@@ -1222,6 +1321,28 @@ object CorpusOps {
       .transform(Sorted.byNames(_, "class_size"))
   }
 
+  /** l-diversity profile of a quasi-identifier + sensitive-attribute
+    * frame — see the `l_diversity` registry comment. Every column of
+    * `frame` EXCEPT `sensitiveCol` is part of the quasi-identifier key
+    * (the kAnonymityProfile contract); `l` is the distinct-sensitive
+    * threshold below which a class reads attribute-disclosing. */
+  def lDiversityProfile(frame: DataFrame, sensitiveCol: String,
+      l: Long = 3L): DataFrame = {
+    require(l >= 2, s"l must be >= 2 to mean anything, got $l")
+    require(frame.columns.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol not in ${frame.columns.mkString(",")}")
+    val qi = frame.columns.filterNot(_ == sensitiveCol)
+    require(qi.nonEmpty, "need at least one quasi-identifier column")
+    frame
+      .groupBy(qi.map(col): _*)
+      .agg(countDistinct(col(sensitiveCol)).as("l"), count(lit(1)).as("n"))
+      .groupBy(col("l").as("diversity"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("n")).as("n_rows"))
+      .selectExpr("diversity", "n_classes", "n_rows",
+        s"CAST(diversity < ${l}L AS INT) AS below_l")
+      .transform(Sorted.byNames(_, "diversity"))
+  }
+
   /** `m`-register contract shared by every HLL surface: power-of-two,
     * >= 16, and the rho cap for an all-zero remainder — sized so the
     * all-empty register sum m * 2^cap = 2^62 never overflows int64. */
@@ -1295,9 +1416,9 @@ object CorpusOps {
     * `withExact = false` drops the exact-distinct columns and their
     * corpus-volume distinct shuffle — the sketch-only 100 TB path
     * (schema: source, est_distinct, zero_registers). */
-  def hllDistinct(docs: DataFrame, m: Int = 256,
-      withExact: Boolean = true): DataFrame = {
-    hllCap(m)
+  /** The (source, fp) trigram-fingerprint stream shared by the HLL census
+    * and the overlap sketch: one tokenize+hash pass, paired 60-bit fps. */
+  private def triFps(docs: DataFrame): DataFrame = {
     graft.functions.HashExpressions.register(docs.sparkSession)
     import graft.functions.Portable.{MIX, MIX2, P, P2}
     def at(off: Int) = s"element_at(th, i - $off)"
@@ -1305,14 +1426,25 @@ object CorpusOps {
       s"i -> ((((${at(2)} * ${MIX}L + ${at(1)}) % ${P}L) * ${MIX}L + ${at(0)}) % ${P}L) * 2147483648L" +
       s" + (((${at(2)} * ${MIX2}L + ${at(1)}) % ${P2}L) * ${MIX2}L + ${at(0)}) % ${P2}L)" +
       s" ELSE CAST(array() AS array<bigint>) END"
-    val fps = docs
+    docs
       .select(col("source"), expr("graft_token_hashes(text)").as("th"))
       .select(col("source"), explode(expr(tri)).as("fp"))
+  }
+
+  /** The per-source register fold over a (source, fp) stream — the ONE
+    * corpus-volume reduction of every HLL surface here (combiner-perfect
+    * max merge; each map task ships <= m rows per source). */
+  private def hllRegs(fps: DataFrame, m: Int): DataFrame = fps
+    .selectExpr("source", s"${hllVExpr("fp")} AS v")
+    .selectExpr("source", s"v % ${m}L AS idx", s"${hllRhoExpr("v", m)} AS rho")
+    .groupBy(col("source"), col("idx")).agg(max(col("rho")).as("mj"))
+
+  def hllDistinct(docs: DataFrame, m: Int = 256,
+      withExact: Boolean = true): DataFrame = {
+    hllCap(m)
+    val fps = triFps(docs)
     val fed = if (withExact) fps.persist(StorageLevel.MEMORY_AND_DISK) else fps
-    val regs = fed
-      .selectExpr("source", s"${hllVExpr("fp")} AS v")
-      .selectExpr("source", s"v % ${m}L AS idx", s"${hllRhoExpr("v", m)} AS rho")
-      .groupBy(col("source"), col("idx")).agg(max(col("rho")).as("mj"))
+    val regs = hllRegs(fed, m)
     val est = hllEstimate(regs, m, Seq("source"))
     if (!withExact)
       return est.select(col("source"), col("est_distinct"), col("zero_registers"))
@@ -1324,6 +1456,60 @@ object CorpusOps {
         "abs(est_distinct - exact_distinct) * 1000000L div exact_distinct AS abs_err_ppm",
         "zero_registers")
       .transform(Sorted.byNames(_, "source"))
+  }
+
+  /** Pairwise cross-source overlap ESTIMATES from the same per-source HLL
+    * register tables hllDistinct builds — see the `hll_overlap` registry
+    * comment. Sketch algebra: the union of two sources' registers is the
+    * per-index MAX (HLL's mergeability), and the intersection comes from
+    * inclusion–exclusion est(A) + est(B) − est(A∪B), clamped at 0 (the
+    * estimator difference can undershoot). `withExact = true` adds the
+    * exact distinct-fp intersection per pair (a corpus-volume distinct +
+    * self-join — the calibration read); `false` is the sketch-only path
+    * whose pair expansion touches REGISTER rows only. */
+  def hllOverlap(docs: DataFrame, m: Int = 256,
+      withExact: Boolean = true): DataFrame = {
+    hllCap(m)
+    val fps = triFps(docs)
+    val fed = if (withExact) fps.persist(StorageLevel.MEMORY_AND_DISK) else fps
+    // <= |sources| * m rows from here down: everything pair-shaped is
+    // sketch-sized, never corpus-sized
+    val regs = hllRegs(fed, m).persist(StorageLevel.MEMORY_AND_DISK)
+    val est = hllEstimate(regs, m, Seq("source"))
+      .select(col("source"), col("est_distinct"))
+    val srcs = regs.select(col("source")).distinct()
+    val pairs = srcs.select(col("source").as("src_a"))
+      .join(srcs.select(col("source").as("src_b")), expr("src_a < src_b"))
+    val unionRegs = pairs
+      .join(regs, col("source") === col("src_a") || col("source") === col("src_b"))
+      .groupBy(col("src_a"), col("src_b"), col("idx"))
+      .agg(max(col("mj")).as("mj"))
+    val estU = hllEstimate(unionRegs, m, Seq("src_a", "src_b"))
+      .select(col("src_a"), col("src_b"), col("est_distinct").as("est_union"))
+    val out = estU
+      .join(est.withColumnRenamed("source", "src_a")
+        .withColumnRenamed("est_distinct", "est_a"), "src_a")
+      .join(est.withColumnRenamed("source", "src_b")
+        .withColumnRenamed("est_distinct", "est_b"), "src_b")
+      .selectExpr("src_a", "src_b", "est_a", "est_b", "est_union",
+        "greatest(0L, est_a + est_b - est_union) AS est_intersect")
+      .selectExpr("src_a", "src_b", "est_a", "est_b", "est_union",
+        "est_intersect",
+        "CASE WHEN est_union > 0 THEN est_intersect * 1000000L div est_union" +
+          " ELSE 0L END AS jaccard_ppm")
+    if (!withExact)
+      return out.transform(Sorted.byNames(_, "src_a", "src_b"))
+    val ex = fed.select(col("source"), col("fp")).distinct()
+    val exact = ex.alias("a")
+      .join(ex.alias("b"), expr("a.fp = b.fp AND a.source < b.source"))
+      .selectExpr("a.source AS src_a", "b.source AS src_b")
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("exact_intersect"))
+    out.join(exact, Seq("src_a", "src_b"), "left")
+      .selectExpr("src_a", "src_b", "est_a", "est_b", "est_union",
+        "est_intersect", "COALESCE(exact_intersect, 0L) AS exact_intersect",
+        "jaccard_ppm")
+      .transform(Sorted.byNames(_, "src_a", "src_b"))
   }
 
   /** Per-source distinct-n diversity — see the `corpus_diversity`

@@ -1188,6 +1188,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("graft_token_hashes"), "native hash inside the projection")
   }
 
+  test("l_diversity: chained aggregates over the class then diversity domain; no join") {
+    val p = plan("l_diversity")
+    assert(!p.contains("Join") && !p.contains("Window ["),
+      "the distinct-count expansion and both folds are aggregates, nothing else")
+    // the (QI, sensitive) distinct rewrite plus the class fold plus the
+    // diversity-domain profile: every stage partial+final
+    assert(nodeIds(p, "HashAggregate").size >= 4,
+      "class diversity and the profile fold are each partial+final")
+  }
+
+  test("hll_overlap sketch path: pair expansion touches register rows only") {
+    spark.catalog.clearCache()
+    val docs = Tables.load(spark, dir, "documents")
+    val p = operators.CorpusOps.hllOverlap(docs, withExact = false)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the ONLY corpus-volume stage is the per-source register fold; every
+    // join in the plan runs over sketch-sized frames and must broadcast —
+    // a sort-merge join or cartesian product would mean corpus rows
+    // entered the pair expansion
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "pair-shaped joins must broadcast (they are register-table-sized)")
+    assert(nodeIds(p, "HashAggregate").size >= 4,
+      "register max-fold and the harmonic folds are partial+final")
+    assert("ReadSchema: [^\\n]*source[^\\n]*text".r.findFirstIn(p).isDefined
+        || "ReadSchema: [^\\n]*text[^\\n]*source".r.findFirstIn(p).isDefined,
+      "scan reads only (source, text)")
+  }
+
   test("zorder_layout: z-value map-side off a 2-column scan; no global sort of the data") {
     val p = plan("zorder_layout")
     assert("ReadSchema: [^\\n]*l_partkey[^\\n]*l_suppkey".r.findFirstIn(p).isDefined

@@ -104,4 +104,89 @@ class HllSpec extends SparkSpec {
     intercept[IllegalArgumentException](CorpusOps.hllDistinct(d, m = 100))
     intercept[IllegalArgumentException](CorpusOps.hllDistinct(d, m = 8))
   }
+
+  // ---- hll_overlap: register-merge union + inclusion–exclusion ----------
+
+  /** Registers + distinct fp set for one source — the union/intersection
+    * replay composes these the way the operator composes register tables. */
+  private def replayRegs(texts: Seq[String], m: Int): (Array[Int], Set[Long]) = {
+    val log2m = 63 - java.lang.Long.numberOfLeadingZeros(m.toLong)
+    val cap = 62 - log2m
+    val fps = texts.flatMap { t =>
+      val th = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        .map(_.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % P))
+      th.sliding(3).filter(_.length == 3).map { w =>
+        ((w(0) * MIX + w(1)) % P * MIX + w(2)) % P * 2147483648L +
+          ((w(0) * MIX2 + w(1)) % P2 * MIX2 + w(2)) % P2
+      }
+    }
+    val regs = new Array[Int](m)
+    fps.foreach { fp =>
+      val v = ((fp % 2147483648L) * MIX % P61 + (fp / 2147483648L) * MIX2 % P61) % P61
+      val w = v / m
+      val rho = if (w == 0) cap else java.lang.Long.numberOfTrailingZeros(w) + 1
+      val idx = (v % m).toInt
+      if (rho > regs(idx)) regs(idx) = rho.toInt
+    }
+    (regs, fps.toSet)
+  }
+
+  private def estOf(regs: Array[Int], m: Int): Long = {
+    val cap = 62 - (63 - java.lang.Long.numberOfLeadingZeros(m.toLong))
+    val sScaled = regs.map(r => BigInt(1) << (cap - r).toInt).sum
+    (BigInt(CorpusOps.hllAlphaPpm(m)) * m * m * (BigInt(1) << cap.toInt) /
+      (sScaled * 1000000)).toLong
+  }
+
+  test("overlap replays the in-JVM register merge: union is per-index max") {
+    val m = 64
+    val aTexts = (0 until 30).map(i => (0 until 20).map(j => s"w${(i * 3 + j) % 80}").mkString(" "))
+    val bTexts = (0 until 30).map(i => (0 until 20).map(j => s"w${(i * 3 + j) % 80 + 40}").mkString(" "))
+    val d = docs(
+      (aTexts.zipWithIndex.map { case (t, i) => (i.toLong, "sa", t) } ++
+        bTexts.zipWithIndex.map { case (t, i) => (1000L + i, "sb", t) }): _*)
+    val got = CorpusOps.hllOverlap(d, m = m).collect()
+    assert(got.length == 1)
+    val (ra, fa) = replayRegs(aTexts, m)
+    val (rb, fb) = replayRegs(bTexts, m)
+    val union = ra.zip(rb).map { case (x, y) => math.max(x, y) }
+    val (estA, estB, estU) = (estOf(ra, m), estOf(rb, m), estOf(union, m))
+    val r = got(0)
+    assert((r.getString(0), r.getString(1)) == (("sa", "sb")))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((estA, estB, estU)))
+    assert(r.getLong(5) == math.max(0L, estA + estB - estU), "inclusion-exclusion")
+    assert(r.getLong(6) == fa.intersect(fb).size.toLong, "exact intersection")
+    assert(r.getLong(7) == math.max(0L, estA + estB - estU) * 1000000L / estU)
+  }
+
+  test("overlap extremes: identical sources estimate full overlap; disjoint near zero") {
+    val same = (0 until 25).map(i => s"p$i q$i r$i s$i")
+    val d = docs(
+      (same.zipWithIndex.map { case (t, i) => (i.toLong, "x", t) } ++
+        same.zipWithIndex.map { case (t, i) => (100L + i, "y", t) }): _*)
+    val r = CorpusOps.hllOverlap(d, m = 32).collect()(0)
+    // identical register tables: union == each side, intersect == est
+    assert(r.getLong(2) == r.getLong(3) && r.getLong(3) == r.getLong(4))
+    assert(r.getLong(5) == r.getLong(2) && r.getLong(7) == 1000000L)
+    val dj = docs((1L, "x", "a b c d e"), (2L, "y", "p q r s t"))
+    val rd = CorpusOps.hllOverlap(dj, m = 32).collect()(0)
+    assert(rd.getLong(6) == 0L, "disjoint sources share no fingerprint")
+  }
+
+  test("overlap sketch-only mode drops the exact column and its corpus pass") {
+    val texts = (0 until 20).map(i => s"a$i b$i c$i d$i")
+    val d = docs(texts.zipWithIndex.map { case (t, i) =>
+      (i.toLong, s"s${i % 3}", t) }: _*)
+    val slim = CorpusOps.hllOverlap(d, m = 32, withExact = false)
+    assert(slim.columns.toSeq == Seq("src_a", "src_b", "est_a", "est_b",
+      "est_union", "est_intersect", "jaccard_ppm"))
+    val full = CorpusOps.hllOverlap(d, m = 32).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(4), r.getLong(5))).toMap
+    slim.collect().foreach { r =>
+      assert(full((r.getString(0), r.getString(1))) ==
+        ((r.getLong(2), r.getLong(4), r.getLong(5))),
+        "sketch path must not depend on the exact pass")
+    }
+    assert(full.size == 3, "three source pairs")
+  }
 }

@@ -39,4 +39,42 @@ class KAnonymitySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       CorpusOps.kAnonymityProfile(q(("a", 1L)).select()))
   }
+
+  private def s(rows: (String, Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("zip", "age_band", "diagnosis")
+  }
+
+  test("l-diversity: a k-anonymous homogeneous class still reads unsafe") {
+    // (a,1): 3 rows, ALL 'flu'  -> diversity 1 (the homogeneity attack)
+    // (b,1): 3 rows, 3 values   -> diversity 3
+    // (b,2): 2 rows, 2 values   -> diversity 2
+    val got = CorpusOps.lDiversityProfile(s(
+      ("a", 1L, "flu"), ("a", 1L, "flu"), ("a", 1L, "flu"),
+      ("b", 1L, "flu"), ("b", 1L, "cold"), ("b", 1L, "ok"),
+      ("b", 2L, "flu"), ("b", 2L, "cold")), "diagnosis").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.toSeq == Seq((1L, 1L, 3L, 1), (2L, 1L, 2L, 1), (3L, 1L, 3L, 0)),
+      "k_anonymity would pass all three classes at k=2; diversity flags two")
+  }
+
+  test("l-diversity: duplicate sensitive values don't inflate diversity; l is the knob") {
+    val rows = Seq(("a", 1L, "x"), ("a", 1L, "x"), ("a", 1L, "y"))
+    val got2 = CorpusOps.lDiversityProfile(s(rows: _*), "diagnosis", l = 2L)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(got2 == Map(2L -> 0), "two DISTINCT values among three rows; at l=2 safe")
+    val got3 = CorpusOps.lDiversityProfile(s(rows: _*), "diagnosis", l = 3L)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(got3 == Map(2L -> 1))
+  }
+
+  test("l-diversity guards are loud") {
+    intercept[IllegalArgumentException](
+      CorpusOps.lDiversityProfile(s(("a", 1L, "x")), "diagnosis", l = 1L))
+    intercept[IllegalArgumentException](
+      CorpusOps.lDiversityProfile(s(("a", 1L, "x")), "nope"))
+    intercept[IllegalArgumentException](
+      CorpusOps.lDiversityProfile(
+        s(("a", 1L, "x")).select("diagnosis"), "diagnosis"))
+  }
 }
