@@ -730,6 +730,79 @@ object Dedup {
          |FROM train JOIN bench USING (g)
          |GROUP BY doc_id HAVING COUNT(*) >= 3 ORDER BY doc_id""".stripMargin),
 
+    // ---- verbatim memorization spans: decontaminate_overlap counts how
+    // MANY distinct shingles a doc shares with the eval pool; the
+    // memorization audit (Lee et al. 2022, Carlini et al. 2023) asks how
+    // LONG the shared runs are — a benchmark answer leaked verbatim is a
+    // contiguous span, not a bag of grams. For each eval-pool doc: its
+    // k-token windows in position order, flagged present-in-training,
+    // folded into maximal CONSECUTIVE runs (islands: pos − row_number);
+    // max_span_tokens = longest run + k − 1 is the longest verbatim
+    // training substring, n_spans counts runs ≥ minRun windows. Scale
+    // shape: the eval pool is BENCHMARK-sized, so its gram set broadcasts
+    // INTO the one training-corpus scan (map-side semi filter — the
+    // decontaminate shape); the surviving matched-gram stream is
+    // eval-bounded before its distinct; matched grams broadcast back to
+    // the eval positions; the islands window partitions by EVAL doc
+    // (bounded by doc length). The corpus never shuffles. -------------------
+    // The eval pool below is the % 97 stand-in benchmark PLUS deterministic
+    // leaked excerpts — 200-char middle slices of training docs (donors
+    // % 53, excluded from the % 97 pool so every donor stays in training)
+    // re-keyed to doc_id + 2·10⁷: the containment-fixture precedent. The
+    // slices ARE the memorization signal (interior windows match the donor
+    // verbatim, so max_span ≈ the slice's token count), while the % 97
+    // docs pin the near-zero background. In production the caller passes
+    // the real benchmark corpus as `evalDocs`.
+    "memorization_spans" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val evalPool = d.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id"), col("text"))
+          .unionAll(d
+            .filter("doc_id % 53 = 0 AND doc_id % 97 <> 0 AND n_chars >= 300")
+            .selectExpr("doc_id + 20000000 AS doc_id",
+              "substring(text, 51, 200) AS text"))
+        memorizationSpans(
+          d.filter(col("doc_id") % 97 =!= 0).select(col("doc_id"), col("text")),
+          evalPool)
+      },
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text, FALSE AS is_eval FROM documents WHERE doc_id % 97 <> 0
+         |  UNION ALL
+         |  SELECT doc_id, text, TRUE FROM documents WHERE doc_id % 97 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 20000000, substr(text, 51, 200), TRUE FROM documents
+         |  WHERE doc_id % 53 = 0 AND doc_id % 97 <> 0 AND n_chars >= 300),
+         |toks AS (SELECT doc_id, is_eval,
+         |  ${graft.functions.Portable.duckToksSql("text")} AS toks
+         |  FROM corpus),
+         |th AS (SELECT doc_id, is_eval,
+         |  ${graft.functions.Portable.duckHashTokensSql("toks")} AS th
+         |  FROM toks),
+         |ei AS (SELECT doc_id, is_eval, unnest(range(5, len(th) + 1)) AS i, th
+         |  FROM th WHERE len(th) >= 5),
+         |ev AS (SELECT doc_id, is_eval, i - 4 AS pos,
+         |    list_reduce(list_prepend(0::BIGINT, th[i-4:i]), (h, x) -> (h * 31 + x) % $P) AS g
+         |  FROM ei),
+         |e AS (SELECT * FROM ev WHERE is_eval),
+         |tg AS (SELECT DISTINCT g FROM ev WHERE NOT is_eval),
+         |mg AS (SELECT DISTINCT ee.g FROM (SELECT DISTINCT g FROM e) ee
+         |  JOIN tg USING (g)),
+         |mh AS (SELECT e.doc_id, e.pos FROM e JOIN mg ON e.g = mg.g),
+         |runs AS (SELECT doc_id, pos,
+         |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rid
+         |  FROM mh),
+         |rl AS (SELECT doc_id, rid, COUNT(*) AS len FROM runs GROUP BY 1, 2),
+         |sp AS (SELECT doc_id, MAX(len) AS max_run,
+         |    SUM(CAST(len >= 3 AS INT))::BIGINT AS n_spans,
+         |    SUM(len)::BIGINT AS n_matched
+         |  FROM rl GROUP BY doc_id),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_windows FROM e GROUP BY doc_id)
+         |SELECT tot.doc_id, n_windows, COALESCE(n_matched, 0) AS n_matched,
+         |  CASE WHEN max_run IS NULL THEN 0 ELSE max_run + 4 END AS max_span_tokens,
+         |  COALESCE(n_spans, 0) AS n_spans
+         |FROM tot LEFT JOIN sp USING (doc_id) ORDER BY doc_id""".stripMargin),
+
     // ---- incremental dedup: the PRODUCTION shape of deduplication — a new
     // ingest batch (doc_id % 10 = 0 here) deduped AGAINST the historical
     // corpus, not all-pairs within it. Exact layer: flag-join on content
@@ -1108,5 +1181,55 @@ object Dedup {
         "(max_len - dist) * 1000L div max_len AS sim_pm")
       .filter(s"sim_pm >= $simPm")
       .transform(graft.Sorted.byNames(_, "doc_a", "doc_b"))
+  }
+
+  /** Verbatim memorization spans of `evalDocs` against `train` — see the
+    * `memorization_spans` registry comment for the audit and scale
+    * contracts. `k` is the window width in tokens (identity = the shared
+    * rolling polyhash over token hashes); `minRunShingles` is the
+    * consecutive-window threshold for a reportable span (a run of r
+    * windows is a verbatim overlap of r + k − 1 tokens). Eval docs with
+    * fewer than k tokens have no window and are absent by contract. */
+  def memorizationSpans(train: DataFrame, evalDocs: DataFrame, k: Int = 5,
+      minRunShingles: Int = 3): DataFrame = {
+    require(k >= 2, s"window width k must be >= 2 tokens, got $k")
+    require(minRunShingles >= 1, s"minRunShingles must be >= 1, got $minRunShingles")
+    graft.functions.HashExpressions.register(train.sparkSession)
+    // (0-seeded h*31+x fold over the k token hashes ending at i — the
+    // dedup_substring window-hash family, width parameterized)
+    val fold = (k - 1 to 0 by -1).foldLeft("0L")((h, j) =>
+      s"(($h * 31 + element_at(th, i - $j)) % ${P}L)")
+    def winStream(df: DataFrame): DataFrame = df
+      .selectExpr("doc_id", "graft_token_hashes(text) AS th")
+      .where(s"size(th) >= $k")
+      .selectExpr("doc_id",
+        s"explode(transform(sequence($k, size(th)), " +
+          s"i -> struct(CAST(i - ${k - 1} AS BIGINT) AS pos, $fold AS g))) AS w")
+      .selectExpr("doc_id", "w.pos AS pos", "w.g AS g")
+    val evalW = winStream(evalDocs).persist(StorageLevel.MEMORY_AND_DISK)
+    val evalGrams = evalW.select(col("g")).distinct()
+    // the one pass over the training corpus: benchmark-sized gram set
+    // broadcast in as a map-side semi filter; only matches survive to
+    // the (eval-bounded) distinct
+    val matched = winStream(train).select(col("g"))
+      .join(broadcast(evalGrams), Seq("g"), "leftsemi")
+      .distinct()
+    val hits = evalW.join(broadcast(matched), Seq("g"), "leftsemi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = hits
+      .withColumn("rid", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("rid")).agg(count(lit(1)).as("len"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("len")).as("max_run"),
+        sum(expr(s"CAST(len >= $minRunShingles AS BIGINT)")).as("n_spans"),
+        sum(col("len")).as("n_matched"))
+    evalW.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+      .join(spans, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "n_windows",
+        "COALESCE(n_matched, 0L) AS n_matched",
+        s"CASE WHEN max_run IS NULL THEN 0L ELSE max_run + ${k - 1}L END AS max_span_tokens",
+        "COALESCE(n_spans, 0L) AS n_spans")
+      .transform(graft.Sorted.byNames(_, "doc_id"))
   }
 }

@@ -1216,6 +1216,19 @@ class PlanAuditSpec extends SparkSpec {
       "scan reads only (source, text)")
   }
 
+  test("memorization_spans: eval grams broadcast into the corpus scan; islands window by doc") {
+    val p = plan("memorization_spans")
+    // the corpus must never shuffle by gram: the eval set semi-filters it
+    // map-side (broadcast), and matched grams broadcast back — both legs
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "every gram join must broadcast the benchmark-sized side")
+    assert(nodeIds(p, "BroadcastHashJoin").size >= 2,
+      "semi filter into the train scan AND the hit flag-back")
+    // islands fold over eval positions: bounded per-doc groups, never one task
+    assert(!p.contains("SinglePartition"),
+      "the islands window partitions by eval doc, not a global sort")
+  }
+
   test("zorder_layout: z-value map-side off a 2-column scan; no global sort of the data") {
     val p = plan("zorder_layout")
     assert("ReadSchema: [^\\n]*l_partkey[^\\n]*l_suppkey".r.findFirstIn(p).isDefined
