@@ -452,7 +452,57 @@ object Graph {
         |    ELSE CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
         |      * (q3 * 1000 + ((ABS(num) * 1000 - q3 * den) * 1000) // den)
         |      AS BIGINT) END AS assortativity_ppm
-        |FROM q""".stripMargin)
+        |FROM q""".stripMargin),
+
+    // ---- sampled harmonic closeness over the co-purchase graph ------------
+    // Which parts sit CENTRAL in the co-purchase structure (the "everything
+    // is bought with this" staples vs peripheral specialty items)? Exact
+    // closeness needs all-pairs shortest paths — O(N·E), never at 100 TB.
+    // The standard estimator (Eppstein–Wang 2004 shape): BFS from a SEED
+    // SAMPLE, harmonic sum H(v) = Σ_seeds 1/d(seed, v) over reached seeds
+    // (harmonic, not classic closeness, so unreached seeds contribute 0
+    // instead of poisoning the mean — Boldi–Vigna 2014); undirected
+    // symmetry makes d(seed, v) = d(v, seed). Reported as the exact
+    // integer milli-sum over the sample (caller scales by N/|S| for the
+    // population estimate). Scale shape: MULTI-source BFS — state and
+    // frontier are (seed, node) pairs bounded by |S|·N with |S| the
+    // sampling knob; frontier joins are node-keyed equi SHUFFLE joins
+    // (the frontier is |S|·N-shaped — deliberately NOT the broadcast of
+    // the single-seed bfs_levels), the visited anti-join keys (seed,
+    // node), localCheckpoint truncates lineage per round (the pagerank
+    // discipline). `rounds` bounds the radius: distances beyond it read
+    // as unreached (sums bias low at the periphery — the documented
+    // bounded-radius contract). --------------------------------------------
+    "graph_closeness" -> QueryDef(
+      (s, dir) => {
+        val und = copurchaseEdges(s, dir)
+        val out = harmonicCloseness(und)
+        und.unpersist()
+        out
+      }, {
+        val rounds = 3
+        val levels = (1 to rounds).map { i =>
+          s"""l$i AS (SELECT DISTINCT f.seed, ed.dst AS node, CAST($i AS BIGINT) AS level
+             |  FROM ed JOIN l${i - 1} f ON ed.src = f.node
+             |  WHERE NOT EXISTS (SELECT 1 FROM v${i - 1} p
+             |    WHERE p.seed = f.seed AND p.node = ed.dst)),
+             |v$i AS (SELECT * FROM v${i - 1} UNION ALL SELECT * FROM l$i)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+           |e0 AS (SELECT DISTINCT x.p AS a, y.p AS b
+           |  FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),
+           |ed AS (SELECT a AS src, b AS dst FROM e0
+           |  UNION ALL SELECT b AS src, a AS dst FROM e0),
+           |nd AS (SELECT DISTINCT src AS v FROM ed),
+           |l0 AS (SELECT v AS seed, v AS node, CAST(0 AS BIGINT) AS level
+           |  FROM nd WHERE v % 199 = 0),
+           |v0 AS (SELECT * FROM l0),
+           |$levels
+           |SELECT node, COUNT(*)::BIGINT AS n_seeds_reached,
+           |  SUM(1000 // level)::BIGINT AS harmonic_milli
+           |FROM v$rounds WHERE level >= 1
+           |GROUP BY node ORDER BY node""".stripMargin
+      })
   )
 
   /** THE part co-purchase projection, persisted: distinct undirected
@@ -538,4 +588,52 @@ object Graph {
     e.join(broadcast(bad), col("a") === col("v"), "left_anti")
       .join(broadcast(bad), col("b") === col("v"), "left_anti")
   }
+
+  /** Sampled harmonic closeness of an undirected `(a, b)` simple edge
+    * frame — see the `graph_closeness` registry comment for the
+    * estimator, sampling and bounded-radius contracts. `seedEvery`
+    * selects the deterministic seed sample (nodes ≡ 0 mod seedEvery);
+    * `rounds` is the BFS radius. Output: (node, n_seeds_reached,
+    * harmonic_milli = Σ 1000 div d over reached seeds). */
+  def harmonicCloseness(und: org.apache.spark.sql.DataFrame,
+      seedEvery: Long = 199L, rounds: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(seedEvery >= 1, s"seedEvery must be >= 1, got $seedEvery")
+    require(rounds >= 1 && rounds <= 6,
+      s"rounds must be in 1..6 (each round is a full frontier expansion), got $rounds")
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v"))).distinct()
+    var visited = nodes.filter(col("v") % seedEvery === 0)
+      .select(col("v").as("seed"), col("v").as("node"), lit(0L).as("level"))
+      .localCheckpoint(true)
+    var frontier = visited.select(col("seed"), col("node"))
+    for (k <- 1 to rounds) {
+      val next = bfsRound(edges, frontier, visited, k).localCheckpoint(true)
+      visited = visited.union(next).localCheckpoint(true)
+      frontier = next.select(col("seed"), col("node"))
+    }
+    edges.unpersist()
+    visited.filter(col("level") >= 1)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_seeds_reached"),
+        sum(expr("1000L div level")).as("harmonic_milli"))
+      .transform(graft.Sorted.byNames(_, "node"))
+  }
+
+  /** One multi-source frontier expansion, exposed (pre-checkpoint) so
+    * PlanAuditSpec can pin the equi-join shape the loop consumes: the
+    * |S|·N-shaped frontier joins the edge stream BY NODE KEY (shuffle
+    * equi — never a broadcast of the frontier, never a product), and the
+    * dedup-vs-visited anti-join keys (seed, node). */
+  private[graft] def bfsRound(edges: org.apache.spark.sql.DataFrame,
+      frontier: org.apache.spark.sql.DataFrame,
+      visited: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame =
+    edges
+      .join(frontier, edges("src") === frontier("node"))
+      .select(col("seed"), col("dst").as("node")).distinct()
+      .join(visited.select(col("seed"), col("node")),
+        Seq("seed", "node"), "left_anti")
+      .withColumn("level", lit(k.toLong))
 }

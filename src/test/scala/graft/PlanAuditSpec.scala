@@ -1039,6 +1039,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!d.contains("Window ["), "degrees are an aggregate, not a window")
   }
 
+  test("closeness bfs round: frontier expands by node-keyed equi join, never a product") {
+    import spark.implicits._
+    // per-round plan is consumed by localCheckpoint inside harmonicCloseness:
+    // audit the exposed single-round builder (the kcorePeel precedent).
+    // The frontier is |S|·N-shaped, so unlike the single-seed bfs_levels it
+    // must NOT require a broadcast to plan — equi joins are the contract.
+    val e = Seq((1L, 2L), (2L, 3L)).flatMap(t => Seq(t, t.swap)).toDF("src", "dst")
+    val f = Seq((1L, 1L)).toDF("seed", "node")
+    val v = Seq((1L, 1L)).toDF("seed", "node")
+    val p = graft.operators.Graph.bfsRound(e, f, v, 1)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "both joins must stay equi (hash-partitionable at any |S|·N)")
+    assert("LeftAnti".r.findAllIn(p).size >= 1,
+      "visited dedup is an anti-join on (seed, node)")
+    assert(nodeIds(p, "HashAggregate").size >= 2,
+      "the frontier distinct is partial+final")
+  }
+
   test("basket_rules: bounded per-key pair join, pruned before marginals, bounded tail") {
     val p = plan("basket_rules")
     assert(!p.contains("CartesianProduct"),
