@@ -29,6 +29,62 @@ object Extras {
 
   val defs: ListMap[String, QueryDef] = ListMap(
 
+    // ---- pairwise Pearson correlation matrix ------------------------------
+    // The feature-screening read before any modeling (and the multivariate
+    // sibling of ts_acf's autocorrelation): Pearson r for every pair of
+    // measure columns, from ONE corpus pass. Scale shape: a single
+    // partial+final aggregate computes n, Σx_i and Σx_i·x_j for all pairs
+    // (k columns → k(k+3)/2 sums — column-count-bounded, never row-bound);
+    // the correlations are a 1-row projection unpivoted by stack() — the
+    // quality_funnel discipline: adding a column adds sums, not a pass.
+    // Parity: sums are EXACT (per-row int64 products folded into
+    // DECIMAL(38,0)/HUGEINT — price² sums pass 2^63 at ~1e5 rows), then
+    // ONE double combination in fixed order (cast each exact sum once,
+    // multiply/subtract/divide identically — the ts_features rule; sqrt
+    // is IEEE-exact and allowed). Zero-variance columns read corr 0.0 by
+    // guard, not NaN. Contract: per-row |x·y| must fit int64 (quantize
+    // accordingly — the fixture uses cents/percent units). ------------------
+    "corr_matrix" -> QueryDef(
+      (s, dir) => corrMatrix(Tables.load(s, dir, "lineitem").selectExpr(
+        "CAST(l_quantity AS BIGINT) AS qty",
+        "CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS disc",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c")), {
+        def corr(x: String, y: String) =
+          s"""CASE WHEN n > 1
+             |    AND CAST(n AS DOUBLE) * CAST(p_${x}_$x AS DOUBLE)
+             |      - CAST(s_$x AS DOUBLE) * CAST(s_$x AS DOUBLE) > 0
+             |    AND CAST(n AS DOUBLE) * CAST(p_${y}_$y AS DOUBLE)
+             |      - CAST(s_$y AS DOUBLE) * CAST(s_$y AS DOUBLE) > 0
+             |  THEN (CAST(n AS DOUBLE) * CAST(p_${x}_$y AS DOUBLE)
+             |      - CAST(s_$x AS DOUBLE) * CAST(s_$y AS DOUBLE))
+             |    / sqrt(CAST(n AS DOUBLE) * CAST(p_${x}_$x AS DOUBLE)
+             |      - CAST(s_$x AS DOUBLE) * CAST(s_$x AS DOUBLE))
+             |    / sqrt(CAST(n AS DOUBLE) * CAST(p_${y}_$y AS DOUBLE)
+             |      - CAST(s_$y AS DOUBLE) * CAST(s_$y AS DOUBLE))
+             |  ELSE 0.0 END""".stripMargin
+        s"""WITH r AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+           |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS disc,
+           |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+           |  FROM lineitem),
+           |a AS (SELECT COUNT(*)::BIGINT AS n,
+           |    SUM(qty::HUGEINT) AS s_qty, SUM(disc::HUGEINT) AS s_disc,
+           |    SUM(price_c::HUGEINT) AS s_price_c,
+           |    SUM((qty * qty)::HUGEINT) AS p_qty_qty,
+           |    SUM((qty * disc)::HUGEINT) AS p_qty_disc,
+           |    SUM((qty * price_c)::HUGEINT) AS p_qty_price_c,
+           |    SUM((disc * disc)::HUGEINT) AS p_disc_disc,
+           |    SUM((disc * price_c)::HUGEINT) AS p_disc_price_c,
+           |    SUM((price_c * price_c)::HUGEINT) AS p_price_c_price_c
+           |  FROM r)
+           |SELECT pair, n, corr FROM (
+           |  SELECT 'qty~disc' AS pair, n, ${corr("qty", "disc")} AS corr FROM a
+           |  UNION ALL
+           |  SELECT 'qty~price_c', n, ${corr("qty", "price_c")} FROM a
+           |  UNION ALL
+           |  SELECT 'disc~price_c', n, ${corr("disc", "price_c")} FROM a)
+           |ORDER BY pair""".stripMargin
+      }),
+
     // ---- typed Dataset + custom Aggregator --------------------------------
     "typed_aggregator" -> QueryDef(
       (s, dir) => {
@@ -791,5 +847,43 @@ object Extras {
           |    (CAST(s_all AS DOUBLE) - CAST(y AS DOUBLE)) / (n_all - 1)
           |  ELSE CAST(0 AS DOUBLE) END AS loo_enc""".stripMargin)
       .transform(graft.Sorted.byNames(_, "id"))
+  }
+
+  /** Pairwise Pearson correlation of EVERY column pair of an all-int64
+    * frame — see the `corr_matrix` registry comment for the one-pass,
+    * exact-sums and double-combination contracts. Output: (pair = "x~y"
+    * in column order, n, corr), zero-variance pairs read 0.0. */
+  def corrMatrix(rows: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cs = rows.columns.toSeq
+    require(cs.length >= 2, s"need at least two measure columns, got $cs")
+    val selfAndCross = for { i <- cs.indices; j <- i until cs.length }
+      yield (cs(i), cs(j))
+    val aggs =
+      Seq(expr("COUNT(*)").as("n")) ++
+        cs.map(c => expr(s"SUM(CAST($c AS DECIMAL(38,0)))").as(s"s_$c")) ++
+        selfAndCross.map { case (a, b) =>
+          expr(s"SUM(CAST($a * $b AS DECIMAL(38,0)))").as(s"p_${a}_$b")
+        }
+    val a = rows.agg(aggs.head, aggs.tail: _*)
+    def corr(x: String, y: String) =
+      s"""CASE WHEN n > 1
+         |    AND CAST(n AS DOUBLE) * CAST(p_${x}_$x AS DOUBLE)
+         |      - CAST(s_$x AS DOUBLE) * CAST(s_$x AS DOUBLE) > 0
+         |    AND CAST(n AS DOUBLE) * CAST(p_${y}_$y AS DOUBLE)
+         |      - CAST(s_$y AS DOUBLE) * CAST(s_$y AS DOUBLE) > 0
+         |  THEN (CAST(n AS DOUBLE) * CAST(p_${x}_$y AS DOUBLE)
+         |      - CAST(s_$x AS DOUBLE) * CAST(s_$y AS DOUBLE))
+         |    / sqrt(CAST(n AS DOUBLE) * CAST(p_${x}_$x AS DOUBLE)
+         |      - CAST(s_$x AS DOUBLE) * CAST(s_$x AS DOUBLE))
+         |    / sqrt(CAST(n AS DOUBLE) * CAST(p_${y}_$y AS DOUBLE)
+         |      - CAST(s_$y AS DOUBLE) * CAST(s_$y AS DOUBLE))
+         |  ELSE 0.0 END""".stripMargin
+    val pairs = selfAndCross.filter { case (x, y) => x != y }
+    val stackArgs = pairs
+      .map { case (x, y) => s"'$x~$y', ${corr(x, y)}" }
+      .mkString(", ")
+    a.selectExpr("n", s"stack(${pairs.size}, $stackArgs) AS (pair, corr)")
+      .selectExpr("pair", "n", "corr")
+      .transform(graft.Sorted.byNames(_, "pair"))
   }
 }

@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   * (the kcore claim: BFS cost is GRAPH-sized, not corpus-sized). Timed
   * with the `graft.Bench` discipline via `graft.BenchAction`.
   *
-  * Usage: Round10fProbe [reps]
+  * Usage: Round10fProbe [reps] [legs]   (legs: comma list of
+  * docs,ldiv,graph,corr — default all)
   */
 object Round10fProbe {
   def main(args: Array[String]): Unit = {
     val reps = args.lift(0).map(_.toInt).getOrElse(3)
+    val legs = args.lift(1).map(_.split(",").toSet)
+      .getOrElse(Set("docs", "ldiv", "graph", "corr"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.GraftSession.build(Some(s"local[$cpus]"), cpus.toInt, "graft-r10fprobe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -31,7 +34,7 @@ object Round10fProbe {
       (graft.BenchAction.median(times), rows)
     }
 
-    Seq("/root/testdata/sf0.1", "/tmp/graft10x", "/tmp/graft100x").foreach { dir =>
+    if (legs("docs")) Seq("/root/testdata/sf0.1", "/tmp/graft10x", "/tmp/graft100x").foreach { dir =>
       if (new java.io.File(dir).isDirectory) {
         val docs = graft.Tables.load(spark, dir, "documents")
         val nd = docs.count()
@@ -49,7 +52,7 @@ object Round10fProbe {
     }
 
     val cust = graft.Tables.load(spark, "/root/testdata/sf0.1", "customer")
-    Seq(1, 10, 30).foreach { k =>
+    if (legs("ldiv")) Seq(1, 10, 30).foreach { k =>
       val rep = (0 until k).map(_ => cust).reduce(_ unionAll _)
       val n = rep.count()
       val (tl, rl) = time(graft.operators.CorpusOps.lDiversityProfile(
@@ -60,7 +63,16 @@ object Round10fProbe {
     }
 
     val li = graft.Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
-    Seq(1, 10, 30).foreach { k =>
+    if (legs("corr")) Seq(1, 10, 30).foreach { k =>
+      val rep = (0 until k).map(_ => li).reduce(_ unionAll _)
+      val n = rep.count()
+      val (tc, rc) = time(graft.operators.Extras.corrMatrix(rep.selectExpr(
+        "CAST(l_quantity AS BIGINT) AS qty",
+        "CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS disc",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c")))
+      println(f"measures x$k%d rows=$n%d corr_matrix=$tc%.2f($rc%d)")
+    }
+    if (legs("graph")) Seq(1, 10, 30).foreach { k =>
       val rep = (0 until k).map(i => li.select(
         (col("l_orderkey") + lit(i.toLong * 10000000L)).as("l_orderkey"),
         col("l_partkey")))

@@ -1235,6 +1235,18 @@ class PlanAuditSpec extends SparkSpec {
       "scan reads only (source, text)")
   }
 
+  test("corr_matrix: one partial+final pass; correlations are a 1-row projection") {
+    val p = plan("corr_matrix")
+    assert(!p.contains("Join") && !p.contains("Window ["),
+      "one aggregate and an unpivot — nothing else")
+    assert(nodeIds(p, "HashAggregate").size >= 2,
+      "the sums fold is partial+final (map-side combine ships one row per task)")
+    val rs = "ReadSchema: [^\n]*".r.findFirstIn(p).getOrElse("")
+    assert(Seq("l_quantity", "l_extendedprice", "l_discount").forall(rs.contains)
+        && !rs.contains("l_orderkey") && !rs.contains("l_shipdate"),
+      s"scan reads only the three measure columns, got $rs")
+  }
+
   test("memorization_spans: eval grams broadcast into the corpus scan; islands window by doc") {
     val p = plan("memorization_spans")
     // the corpus must never shuffle by gram: the eval set semi-filters it
