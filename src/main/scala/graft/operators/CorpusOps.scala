@@ -844,6 +844,47 @@ object CorpusOps {
          |       ELSE (tp + tn) * 1000 // (tp + fp + fn + tn) END AS accuracy_pm
          |FROM cm""".stripMargin),
 
+    // ---- chi-square feature screen over the hashed bigram space -----------
+    // WHICH features drive the classifier? The model-diagnostics read
+    // beside quality_classifier/classifier_eval (and the classic
+    // feature-selection step — Yang & Pedersen 1997 rank chi² among the
+    // strongest text-feature screens): every bucket of the B = 8192
+    // hashed space is a 2×2 test — occurrences in the positive class vs
+    // the negative class against the shared class margins — scored by
+    // the SAME staged-integer chi-square as ab_test_chi2 /
+    // StreamingAbMonitor (EventOps.chi2Readout, keyCols-generalized: one
+    // definition, a fourth consumer). Scale shape: one tokenize+hash
+    // pass into a combiner-perfect ≤ B-group count, margins = one more
+    // fold broadcast back, the 2×2 arithmetic map-side over ≤ B rows,
+    // TakeOrderedAndProject bounds the tail (chi2 DESC, bkt ASC
+    // tie-break). Same N ≤ 2e9 headroom as the A/B readout. ----------------
+    "feature_chi2" -> QueryDef(
+      (s, dir) => featureChi2(
+        Tables.load(s, dir, "documents").filter("doc_id % 2 = 0"),
+        posExpr = "lang = 'en'"),
+      s"""WITH th AS (SELECT doc_id, lang,
+         |    ${graft.functions.Portable.duckHashTokensSql(duckToks)} AS th
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |f AS (SELECT lang, unnest($duckBigramBkt) AS bkt FROM th),
+         |l AS (SELECT bkt, CAST(lang = 'en' AS INT) AS pos FROM f),
+         |bc AS (SELECT bkt, SUM(pos)::BIGINT AS conv_a,
+         |    SUM(1 - pos)::BIGINT AS conv_b FROM l GROUP BY bkt),
+         |t AS (SELECT SUM(pos)::BIGINT AS n_a, SUM(1 - pos)::BIGINT AS n_b FROM l),
+         |c AS (SELECT bkt, n_a, conv_a, n_b, conv_b,
+         |    conv_a::HUGEINT * (n_b - conv_b) - conv_b::HUGEINT * (n_a - conv_a) AS dd
+         |  FROM bc CROSS JOIN t),
+         |x AS (SELECT bkt, conv_a, conv_b,
+         |    CASE WHEN n_a = 0 OR n_b = 0 OR conv_a + conv_b = 0
+         |           OR n_a - conv_a + n_b - conv_b = 0 THEN 0
+         |      ELSE ((dd * dd // (n_a::HUGEINT * n_b)) * 1000 * (n_a + n_b))
+         |        // ((conv_a + conv_b)::HUGEINT * (n_a - conv_a + n_b - conv_b))
+         |    END AS chi2_milli
+         |  FROM c)
+         |SELECT bkt, conv_a AS pos_count, conv_b AS neg_count,
+         |  chi2_milli::BIGINT AS chi2_milli,
+         |  CAST(chi2_milli >= 3841 AS INT) AS significant
+         |FROM x ORDER BY chi2_milli DESC, bkt LIMIT 50""".stripMargin),
+
     // ---- release-to-release corpus snapshot diff: which documents were
     // added, removed, changed, or untouched between two corpus versions,
     // decided by CONTENT DIGEST (the one content-identity rule the dedup
@@ -1319,6 +1360,30 @@ object CorpusOps {
       .selectExpr("class_size", "n_classes", "n_rows",
         s"CAST(class_size < ${k}L AS INT) AS below_k")
       .transform(Sorted.byNames(_, "class_size"))
+  }
+
+  /** Chi-square screen of every hashed-bigram feature against a binary
+    * label — see the `feature_chi2` registry comment. `posExpr` is a SQL
+    * boolean over the doc columns (the trainHashedClassifier contract);
+    * `topK` bounds the report; `critMilli` is the significance knob
+    * shared with the A/B readout. */
+  def featureChi2(docs: DataFrame, posExpr: String, topK: Int = 50,
+      critMilli: Long = 3841L): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val l = hashedFeatures(docs)
+      .withColumn("pos", expr(s"CAST($posExpr AS INT)"))
+    val bc = l.groupBy(col("bkt")).agg(
+      sum(expr("CAST(pos AS BIGINT)")).as("conv_a"),
+      sum(expr("CAST(1 - pos AS BIGINT)")).as("conv_b"))
+    val tot = bc.agg(
+      coalesce(sum(col("conv_a")), lit(0L)).as("n_a"),
+      coalesce(sum(col("conv_b")), lit(0L)).as("n_b"))
+    EventOps.chi2Readout(bc.crossJoin(broadcast(tot)), critMilli,
+        keyCols = Seq("bkt"))
+      .selectExpr("bkt", "conv_a AS pos_count", "conv_b AS neg_count",
+        "chi2_milli", "significant")
+      .orderBy(col("chi2_milli").desc, col("bkt"))
+      .limit(topK)
   }
 
   /** l-diversity profile of a quasi-identifier + sensitive-attribute

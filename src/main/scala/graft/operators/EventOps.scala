@@ -509,17 +509,21 @@ object EventOps {
         sum(when(col("variant") === 1, col("converted").cast("long"))
           .otherwise(0L)).as("conv_b")), critMilli)
 
-  /** The readout stage alone, over a 1-row `(n_a, conv_a, n_b, conv_b)`
-    * counts frame — ONE definition of the staged chi-square shared by the
-    * batch operator above and `streaming/StreamingAbMonitor`, so the two
-    * paths cannot drift. */
-  def chi2Readout(counts: DataFrame, critMilli: Long = 3841L): DataFrame = {
+  /** The readout stage alone, over an `(n_a, conv_a, n_b, conv_b)` counts
+    * frame — ONE definition of the staged chi-square shared by the batch
+    * operator above, `streaming/StreamingAbMonitor` and
+    * `CorpusOps.featureChi2`, so the paths cannot drift. `keyCols` are
+    * carried through untouched (empty for the 1-row A/B readout; the
+    * bucket id for the per-feature screen, where every ROW is one 2×2
+    * test against shared margins). */
+  def chi2Readout(counts: DataFrame, critMilli: Long = 3841L,
+      keyCols: Seq[String] = Nil): DataFrame = {
     require(critMilli >= 0, s"critMilli must be >= 0, got $critMilli")
     counts
-      .selectExpr("n_a", "conv_a", "n_b", "conv_b",
+      .selectExpr(keyCols ++ Seq("n_a", "conv_a", "n_b", "conv_b",
         "CAST(conv_a AS DECIMAL(38,0)) * (n_b - conv_b)" +
-          " - CAST(conv_b AS DECIMAL(38,0)) * (n_a - conv_a) AS dd")
-      .selectExpr("n_a", "conv_a", "n_b", "conv_b",
+          " - CAST(conv_b AS DECIMAL(38,0)) * (n_a - conv_a) AS dd"): _*)
+      .selectExpr(keyCols ++ Seq("n_a", "conv_a", "n_b", "conv_b",
         // every `div` RESULT must fit int64 (Spark's IntegralDivide on
         // decimals returns LONG and wraps silently past 2^63): the inner
         // quotient is bounded by n_a*n_b, the outer by 1000*N — both safe
@@ -531,13 +535,13 @@ object EventOps {
           " AS DECIMAL(38,0)) * 1000 * (n_a + n_b))" +
           " div (CAST(conv_a + conv_b AS DECIMAL(38,0))" +
           " * (n_a - conv_a + n_b - conv_b)) AS BIGINT)" +
-          " END AS chi2_milli")
-      .selectExpr("n_a", "conv_a", "n_b", "conv_b",
+          " END AS chi2_milli"): _*)
+      .selectExpr(keyCols ++ Seq("n_a", "conv_a", "n_b", "conv_b",
         "IF(n_a = 0, 0L, conv_a * 1000L div n_a) AS conv_a_pm",
         "IF(n_b = 0, 0L, conv_b * 1000L div n_b) AS conv_b_pm",
         "IF(n_b = 0, 0L, conv_b * 1000L div n_b)" +
           " - IF(n_a = 0, 0L, conv_a * 1000L div n_a) AS lift_pm",
-        "chi2_milli", s"CAST(chi2_milli >= ${critMilli}L AS INT) AS significant")
+        "chi2_milli", s"CAST(chi2_milli >= ${critMilli}L AS INT) AS significant"): _*)
   }
 
   /** Transition-lift mining of any (user_id, ts, event_id, event_type)

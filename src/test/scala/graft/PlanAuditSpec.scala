@@ -1247,6 +1247,17 @@ class PlanAuditSpec extends SparkSpec {
       s"scan reads only the three measure columns, got $rs")
   }
 
+  test("feature_chi2: one corpus fold, map-side 2x2 over the bucket domain, bounded tail") {
+    val p = plan("feature_chi2")
+    assert(!p.contains("Window ["), "the screen is aggregates + a bounded top-k")
+    assert(p.contains("TakeOrderedAndProject"),
+      "topK must bound the tail, never a full sort")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "only the 1-row margins frame may enter, broadcast")
+    assert(nodeIds(p, "HashAggregate").size >= 4,
+      "bucket counts and margins are each partial+final")
+  }
+
   test("memorization_spans: eval grams broadcast into the corpus scan; islands window by doc") {
     val p = plan("memorization_spans")
     // the corpus must never shuffle by gram: the eval set semi-filters it
