@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Sorted, Tables}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -1101,6 +1102,57 @@ object CorpusOps {
         |  CAST(l < 3 AS INT) AS below_l
         |FROM q GROUP BY l ORDER BY diversity""".stripMargin),
 
+    // ---- t-closeness profile over quasi-identifiers ------------------------
+    // The skewness-attack guard l-diversity can't see (Li, Li &
+    // Venkatasubramanian ICDE 2007): a class with l = 2 distinct sensitive
+    // values is l-diverse, but if 99% of the GLOBAL population is healthy
+    // and a class is 50/50 sick, membership alone leaks. t-closeness
+    // bounds the distance between each class's sensitive-value
+    // distribution and the global one; for a categorical attribute the
+    // prescribed EMD with uniform ground distance IS the total variation
+    // distance, and TVD = sum over values of (p_v - q_v)+ — values ABSENT
+    // from a class contribute zero to the positive part, so only
+    // (class, value) rows that exist are ever touched. Exact integers
+    // throughout: (c_v*N - g_v*n)+ folds in DECIMAL(38,0) (c*N <= 1e26 at
+    // 100 TB, *1e6 <= 1e32 — inside 38 digits; the single trunc division
+    // lands in [0, 1e6] so IntegralDivide's int64 result can't wrap, the
+    // ab_test_chi2 rule). Scale shape: the (QI, sensitive) group count is
+    // the ONLY corpus-volume shuffle; the class-n window, the broadcast
+    // |values|-row marginal join and the 1-row total are all over the
+    // class domain (the ccnet windows-after-aggregation rule); the
+    // banded profile bounds output at <= 1e6/bandPpm + 1 rows. t sits on
+    // a band boundary by contract, so the banded gate is EXACT (integer
+    // floor preserves the >= t comparison). Fixture: same frame as
+    // l_diversity — the mostly-singleton bands concentrate all mass on
+    // one segment, so high-TVD bands dominate. -------------------------------
+    "t_closeness" -> QueryDef(
+      (s, dir) => tClosenessProfile(Tables.load(s, dir, "customer")
+        .selectExpr("c_nationkey",
+          "CAST(c_acctbal AS BIGINT) div 1000 AS bal_band", "c_mktsegment"),
+        "c_mktsegment"),
+      """WITH cls AS (SELECT c_nationkey,
+        |    CAST(c_acctbal AS BIGINT) // 1000 AS bal_band,
+        |    c_mktsegment, COUNT(*)::BIGINT AS c
+        |  FROM customer GROUP BY 1, 2, 3),
+        |cn AS (SELECT c_nationkey, bal_band, SUM(c)::BIGINT AS n
+        |  FROM cls GROUP BY 1, 2),
+        |gl AS (SELECT c_mktsegment, SUM(c)::BIGINT AS g FROM cls GROUP BY 1),
+        |tt AS (SELECT SUM(g)::BIGINT AS big_n FROM gl),
+        |pv AS (SELECT cls.c_nationkey, cls.bal_band, n, big_n,
+        |    CASE WHEN c::HUGEINT * big_n - g::HUGEINT * n > 0
+        |         THEN c::HUGEINT * big_n - g::HUGEINT * n
+        |         ELSE 0::HUGEINT END AS pos_part
+        |  FROM cls JOIN cn USING (c_nationkey, bal_band)
+        |  JOIN gl USING (c_mktsegment) CROSS JOIN tt),
+        |pc AS (SELECT c_nationkey, bal_band, n,
+        |    CAST(SUM(pos_part) * 1000000 // (n::HUGEINT * big_n) AS BIGINT)
+        |      AS tvd_ppm
+        |  FROM pv GROUP BY c_nationkey, bal_band, n, big_n),
+        |bd AS (SELECT (tvd_ppm // 100000) * 100000 AS band_ppm, n FROM pc)
+        |SELECT band_ppm, COUNT(*)::BIGINT AS n_classes, SUM(n)::BIGINT AS n_rows,
+        |  CAST(band_ppm >= 400000 AS INT) AS above_t
+        |FROM bd GROUP BY band_ppm ORDER BY band_ppm""".stripMargin),
+
     // ---- HyperLogLog distinct-trigram census + calibration ----------------
     // The mergeable-cardinality tail knob corpus_diversity documents made
     // REAL: per-source distinct-trigram estimate from m = 256 max-rho
@@ -1406,6 +1458,54 @@ object CorpusOps {
       .selectExpr("diversity", "n_classes", "n_rows",
         s"CAST(diversity < ${l}L AS INT) AS below_l")
       .transform(Sorted.byNames(_, "diversity"))
+  }
+
+  /** t-closeness profile of a quasi-identifier + sensitive-attribute
+    * frame — see the `t_closeness` registry comment. Every column of
+    * `frame` EXCEPT `sensitiveCol` is part of the quasi-identifier key
+    * (the kAnonymityProfile contract). Per class, tvd_ppm is the exact
+    * integer total variation distance (= categorical EMD) between the
+    * class's sensitive-value distribution and the global one; the output
+    * is the banded profile with the above-t population flagged. `tPpm`
+    * must sit on a `bandPpm` boundary so the banded gate is exact. */
+  def tClosenessProfile(frame: DataFrame, sensitiveCol: String,
+      tPpm: Long = 400000L, bandPpm: Long = 100000L): DataFrame = {
+    require(tPpm > 0 && tPpm <= 1000000L, s"tPpm must be in (0, 1e6], got $tPpm")
+    require(bandPpm > 0 && tPpm % bandPpm == 0,
+      s"tPpm ($tPpm) must be a multiple of bandPpm ($bandPpm) so the banded gate is exact")
+    require(frame.columns.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol not in ${frame.columns.mkString(",")}")
+    val qi = frame.columns.filterNot(_ == sensitiveCol)
+    require(qi.nonEmpty, "need at least one quasi-identifier column")
+    // the ONLY corpus-volume shuffle: (QI, sensitive) counts
+    val cls = frame
+      .groupBy((qi :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("c"))
+    // everything below runs over the class domain
+    val glob = cls.groupBy(col(sensitiveCol)).agg(sum(col("c")).as("g"))
+    val tot = glob.agg(sum(col("g")).as("big_n"))
+    val perVal = cls
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(qi.map(col): _*)))
+      .join(broadcast(glob), Seq(sensitiveCol))
+      .crossJoin(broadcast(tot))
+      .selectExpr(qi ++ Seq("n", "big_n",
+        // (p_v - q_v)+ scaled by n*N, exact in DECIMAL(38,0)
+        """CASE WHEN CAST(c AS DECIMAL(38,0)) * big_n - CAST(g AS DECIMAL(38,0)) * n > 0
+          |     THEN CAST(c AS DECIMAL(38,0)) * big_n - CAST(g AS DECIMAL(38,0)) * n
+          |     ELSE CAST(0 AS DECIMAL(38,0)) END AS pos_part""".stripMargin): _*)
+    val perClass = perVal
+      .groupBy((qi ++ Seq("n", "big_n")).map(col): _*)
+      .agg(sum(col("pos_part")).as("num"))
+      // numerator <= n*N so the quotient lands in [0, 1e6]: int64-safe
+      .selectExpr("n",
+        "(num * 1000000) div (CAST(n AS DECIMAL(38,0)) * big_n) AS tvd_ppm")
+    perClass
+      .selectExpr(s"(tvd_ppm div ${bandPpm}L) * ${bandPpm}L AS band_ppm", "n")
+      .groupBy(col("band_ppm"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("n")).as("n_rows"))
+      .selectExpr("band_ppm", "n_classes", "n_rows",
+        s"CAST(band_ppm >= ${tPpm}L AS INT) AS above_t")
+      .transform(Sorted.byNames(_, "band_ppm"))
   }
 
   /** `m`-register contract shared by every HLL surface: power-of-two,

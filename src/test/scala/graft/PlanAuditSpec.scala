@@ -1128,6 +1128,21 @@ class PlanAuditSpec extends SparkSpec {
       "class count and the profile fold are each partial+final")
   }
 
+  test("t_closeness: one corpus group count; windows and joins over the class domain") {
+    val p = plan("t_closeness")
+    // the (QI, sensitive) count is the only corpus-volume exchange; the
+    // class-n window runs over THAT frame, never the raw rows
+    assert(nodeIds(p, "Window").size == 1,
+      "exactly one window — the class-n sum over the class frame")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "the |values|-row marginal and the 1-row total must broadcast")
+    assert(nodeIds(p, "BroadcastHashJoin").size >= 1
+        && nodeIds(p, "BroadcastNestedLoopJoin").size >= 1,
+      "global marginal broadcasts; the 1-row total enters as a broadcast cross")
+    assert(nodeIds(p, "HashAggregate").size >= 4,
+      "class count and the banded profile are each partial+final")
+  }
+
   test("gini_concentration: per-item agg is the only corpus shuffle; rank over the domain") {
     val p = plan("gini_concentration")
     assert(!p.contains("Join"), "no join anywhere")

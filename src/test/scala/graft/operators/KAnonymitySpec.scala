@@ -77,4 +77,49 @@ class KAnonymitySpec extends SparkSpec {
       CorpusOps.lDiversityProfile(
         s(("a", 1L, "x")).select("diagnosis"), "diagnosis"))
   }
+
+  test("t-closeness: the banded TVD profile replays by hand") {
+    // global: flu=3, cold=3, ok=2, N=8
+    // (a,1): {flu:2}        -> (1 - 3/8)+              = 625000 ppm, band 600000
+    // (b,1): {flu,cold}     -> 2*(1/2 - 3/8)           = 250000 ppm, band 200000
+    // (b,2): {cold:2, ok:2} -> (1/2-3/8) + (1/2-2/8)   = 375000 ppm, band 300000
+    val got = CorpusOps.tClosenessProfile(s(
+      ("a", 1L, "flu"), ("a", 1L, "flu"),
+      ("b", 1L, "flu"), ("b", 1L, "cold"),
+      ("b", 2L, "cold"), ("b", 2L, "cold"), ("b", 2L, "ok"), ("b", 2L, "ok")),
+      "diagnosis").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.toSeq == Seq((200000L, 1L, 2L, 0), (300000L, 1L, 4L, 0),
+      (600000L, 1L, 2L, 1)),
+      "l-diversity would pass (a,1)-style homogeneity only at l; skew is TVD's job")
+  }
+
+  test("t-closeness: a class matching the global distribution reads zero") {
+    val got = CorpusOps.tClosenessProfile(s(
+      ("a", 1L, "x"), ("a", 1L, "y"), ("b", 1L, "x"), ("b", 1L, "y")),
+      "diagnosis").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.toSeq == Seq((0L, 2L, 4L, 0)),
+      "p = q in both classes: TVD exactly 0, nothing above t")
+  }
+
+  test("t-closeness: t gates on the band floor; knobs and guards are loud") {
+    val rows = Seq(("a", 1L, "x"), ("a", 1L, "x"), ("b", 1L, "y"), ("b", 1L, "y"))
+    // each class concentrates on one of two equally-global values:
+    // TVD = 1/2 exactly -> band floor 500000; t = 500000 flags it,
+    // t = 600000 does not (the boundary is INCLUSIVE at the band floor)
+    def bands(t: Long) = CorpusOps.tClosenessProfile(s(rows: _*), "diagnosis",
+      tPpm = t).collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(bands(500000L) == Map(500000L -> 1))
+    assert(bands(600000L) == Map(500000L -> 0))
+    intercept[IllegalArgumentException](
+      CorpusOps.tClosenessProfile(s(rows: _*), "diagnosis", tPpm = 450000L))
+    intercept[IllegalArgumentException](
+      CorpusOps.tClosenessProfile(s(rows: _*), "nope"))
+    intercept[IllegalArgumentException](
+      CorpusOps.tClosenessProfile(s(rows: _*), "diagnosis", tPpm = 0L))
+    intercept[IllegalArgumentException](
+      CorpusOps.tClosenessProfile(
+        s(rows: _*).select("diagnosis"), "diagnosis"))
+  }
 }
