@@ -1153,6 +1153,61 @@ object CorpusOps {
         |  CAST(band_ppm >= 400000 AS INT) AS above_t
         |FROM bd GROUP BY band_ppm ORDER BY band_ppm""".stripMargin),
 
+    // ---- differentially-private count release (geometric mechanism) --------
+    // The release mechanism beside the k/l/t gates: those PROFILE
+    // re-identification risk; this one perturbs the published aggregate
+    // itself. Discrete two-sided geometric noise (Ghosh–Roughgarden–
+    // Sundararajan 2009 — the UNIVERSALLY optimal mechanism for count
+    // queries) at alpha = 1/2, i.e. eps = ln 2 per released count,
+    // sensitivity 1; disjoint groups compose in parallel, so one pass
+    // over a partition of the corpus spends ln 2 total. alpha = 1/2 is
+    // chosen because its CDF is DYADIC: the decode from a uniform
+    // u in [0, 3*2^30 - 2) is EXACT integer arithmetic — u < 2^30 is
+    // Z = 0 (mass exactly 1/3 of 3*2^30: P(0) = (1-a)/(1+a)); the rest
+    // splits sign by parity and magnitude by the binary-string length of
+    // the segment remainder (floor_log2 with NO float log, the hll rho
+    // discipline), each magnitude z getting exactly 2^(30-z) units per
+    // sign — the infinite tail truncates at |z| = 30 (2^-30 mass, the
+    // last unit pair lands on z = 30). The uniform comes from the shared
+    // portable chain: graft_polyhash(key) -> the hllIdExprs mid-square
+    // widening (a linear mix of a ~30-bit hash would under-fill the
+    // 3.2e9-unit domain) -> hllVExpr -> mod. DETERMINISM CAVEAT, stated
+    // honestly: noise derived from the group key is idempotent
+    // re-release (same key, same noise — repeated queries leak nothing
+    // new) but an adversary who knows the key can invert it; a
+    // production release swaps the hash-derived uniform for one fresh
+    // CSPRNG draw per (key, release) while keeping this exact decode.
+    // Scale shape: the group count is the ONLY shuffle (partial+final);
+    // hash, decode and clamp are pure map-side projection over the
+    // group domain. The registry row keeps true_n/noise visible (the
+    // calibration read); withTrue = false is the release path. ----------
+    "dp_counts" -> QueryDef(
+      (s, dir) => dpCounts(Tables.load(s, dir, "orders")
+        .select("o_orderpriority", "o_orderstatus")), {
+        import graft.functions.Portable.{MIX, MIX2, P, P2, P61}
+        s"""WITH g AS (SELECT o_orderpriority, o_orderstatus,
+           |    COUNT(*)::BIGINT AS true_n
+           |  FROM orders GROUP BY 1, 2),
+           |hh AS (SELECT *, ${graft.functions.Portable.duckPolyHashSql(
+                "(o_orderpriority || '|' || o_orderstatus)")} AS h FROM g),
+           |ff AS (SELECT *,
+           |    ((((h % $P) * (h % $P)) % $P) * $MIX + (h % $P)) % $P AS h1,
+           |    ((((h % $P2) * (h % $P2)) % $P2) * $MIX2 + (h % $P2)) % $P2 AS h2
+           |  FROM hh),
+           |vv AS (SELECT *,
+           |    ((((h1 * 2147483648 + h2) % 2147483648) * $MIX) % $P61
+           |     + (((h1 * 2147483648 + h2) // 2147483648) * $MIX2) % $P61)
+           |    % $P61 % 3221225470 AS u FROM ff),
+           |nn AS (SELECT o_orderpriority, o_orderstatus, true_n,
+           |    CASE WHEN u < 1073741824 THEN 0
+           |         ELSE (1 - 2 * ((u - 1073741824) % 2))
+           |            * (31 - length(bin(1073741823 - (u - 1073741824) // 2)))
+           |    END::BIGINT AS noise FROM vv)
+           |SELECT o_orderpriority, o_orderstatus, true_n, noise,
+           |  CASE WHEN true_n + noise < 0 THEN 0 ELSE true_n + noise END AS released
+           |FROM nn ORDER BY o_orderpriority, o_orderstatus""".stripMargin
+      }),
+
     // ---- HyperLogLog distinct-trigram census + calibration ----------------
     // The mergeable-cardinality tail knob corpus_diversity documents made
     // REAL: per-source distinct-trigram estimate from m = 256 max-rho
@@ -1506,6 +1561,38 @@ object CorpusOps {
       .selectExpr("band_ppm", "n_classes", "n_rows",
         s"CAST(band_ppm >= ${tPpm}L AS INT) AS above_t")
       .transform(Sorted.byNames(_, "band_ppm"))
+  }
+
+  /** Exact integer decode of a two-sided geometric(alpha = 1/2) draw from
+    * a uniform int64 `u` expression over [0, 3*2^30 - 2) — see the
+    * `dp_counts` registry comment for the dyadic mass accounting. Shared
+    * by the batch release and the spec's literal-u replay. */
+  private[graft] def geometricNoiseExpr(u: String): String =
+    s"CASE WHEN $u < 1073741824L THEN 0L " +
+      s"ELSE CAST(1L - 2L * (($u - 1073741824L) % 2L) AS BIGINT) * " +
+      s"CAST(31 - length(conv(1073741823L - ($u - 1073741824L) div 2L, 10, 2)) AS BIGINT) END"
+
+  /** Geometric-mechanism count release over a group-key frame — EVERY
+    * column of `frame` is part of the key (the kAnonymityProfile
+    * contract). See the `dp_counts` registry comment for the mechanism,
+    * the eps = ln 2 budget and the determinism caveat. `withTrue = false`
+    * drops the true count and the noise (the release path). */
+  def dpCounts(frame: DataFrame, withTrue: Boolean = true): DataFrame = {
+    val keys = frame.columns.toSeq
+    require(keys.nonEmpty, "need at least one group-key column")
+    val (_, fpE) = hllIdExprs("h")
+    val released = frame
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("true_n")) // the ONLY shuffle
+      .withColumn("h",
+        expr(s"graft_polyhash(concat_ws('|', ${keys.mkString(", ")}))"))
+      .withColumn("u", expr(s"(${hllVExpr(fpE)}) % 3221225470L"))
+      .withColumn("noise", expr(geometricNoiseExpr("u")))
+      .selectExpr(keys ++ Seq("true_n", "noise",
+        "greatest(true_n + noise, 0L) AS released"): _*)
+    val out = if (withTrue) released
+      else released.selectExpr(keys :+ "released": _*)
+    Sorted.byNames(out, keys.head, keys.tail: _*)
   }
 
   /** `m`-register contract shared by every HLL surface: power-of-two,

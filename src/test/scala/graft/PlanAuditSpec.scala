@@ -1128,6 +1128,16 @@ class PlanAuditSpec extends SparkSpec {
       "class count and the profile fold are each partial+final")
   }
 
+  test("dp_counts: one corpus group count; the noise chain is pure projection") {
+    val p = plan("dp_counts")
+    assert(!p.contains("Join") && !p.contains("Window ["),
+      "hash, decode and clamp are map-side over the group domain")
+    assert(nodeIds(p, "HashAggregate").size >= 2,
+      "the group count is the only shuffle, partial+final")
+    assert(p.contains("graft_polyhash"),
+      "the key hash is the native codegen'd expression, not a UDF")
+  }
+
   test("t_closeness: one corpus group count; windows and joins over the class domain") {
     val p = plan("t_closeness")
     // the (QI, sensitive) count is the only corpus-volume exchange; the
