@@ -1208,6 +1208,73 @@ object CorpusOps {
            |FROM nn ORDER BY o_orderpriority, o_orderstatus""".stripMargin
       }),
 
+    // ---- mergeable HDR-histogram quantile sketch + calibration -------------
+    // The quantile member of the mergeable-sketch family (HLL for
+    // distinct, CMS for frequency, THIS for percentiles): exact
+    // percentiles need a per-group corpus sort; the sketch needs one
+    // combiner-perfect histogram fold. Bucket = HdrHistogram/DDSketch
+    // base-2 geometry in pure int64 (no float log, the hll rho
+    // discipline): values below 2^b land in exact identity buckets;
+    // above, bucket = (e − b)·2^b + (x >> (e − b)) with e =
+    // binary-string-length(x) − 1 — monotone in x, relative error
+    // ≤ 2^−b (3.1% at b = 5), domain ≤ (64 − b)·2^b ≈ 1.9k buckets for
+    // ANY int64 input. Counts ADD, so the (group, bucket) count is the
+    // defining mergeable fold: each map task ships ≤ domain rows (the
+    // CMS/HLL discipline) and shards/days/sources merge by summing.
+    // Quantile read = cumulative count over the BUCKET DOMAIN (the
+    // ccnet windows-after-aggregation rule), type-1 rank ceil(q·n/1000),
+    // estimate = the bucket's lower bound — BY CONSTRUCTION est_q <=
+    // exact_q with one-sided error, so the calibration column reads
+    // cleanly. The registry row is the calibration report (the
+    // hll_distinct pattern): est vs the EXACT type-1 percentile computed
+    // over the per-(group, value) distribution — itself the ccnet
+    // distribution-cutoff trick, never a row_number over the corpus —
+    // with withExact = false dropping the exact columns AND the
+    // value-distribution shuffle (the 100 TB path). err_ppm stages in
+    // DECIMAL(38,0) so a 2^62-magnitude estimate can't wrap the int64
+    // product (the ab_test IntegralDivide rule). --------------------------
+    "quantile_sketch" -> QueryDef(
+      (s, dir) => quantileSketch(Tables.load(s, dir, "lineitem")
+        .selectExpr("l_returnflag AS flag",
+          "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x"),
+        "x"),
+      """WITH v AS (SELECT l_returnflag AS flag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM lineitem),
+        |h AS (SELECT flag,
+        |    CASE WHEN x < 32 THEN x
+        |         ELSE (length(bin(x)) - 6) * 32 + (x >> (length(bin(x)) - 6))
+        |    END AS bkt, COUNT(*)::BIGINT AS cnt
+        |  FROM v GROUP BY 1, 2),
+        |c AS (SELECT flag, bkt, cnt,
+        |    SUM(cnt) OVER (PARTITION BY flag)::BIGINT AS n,
+        |    SUM(cnt) OVER (PARTITION BY flag ORDER BY bkt
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+        |  FROM h),
+        |q AS (SELECT unnest([500, 900, 990]) AS q_pm),
+        |e AS (SELECT flag, q_pm, n, MIN(bkt) AS qb
+        |  FROM c CROSS JOIN q WHERE cum >= (q_pm * n + 999) // 1000
+        |  GROUP BY 1, 2, 3),
+        |est AS (SELECT flag, q_pm, n,
+        |    CASE WHEN qb < 32 THEN qb
+        |         ELSE ((qb % 32) + 32) << ((qb // 32) - 1) END AS est_q
+        |  FROM e),
+        |d AS (SELECT flag, x, COUNT(*)::BIGINT AS c FROM v GROUP BY 1, 2),
+        |dc AS (SELECT flag, x,
+        |    SUM(c) OVER (PARTITION BY flag)::BIGINT AS n,
+        |    SUM(c) OVER (PARTITION BY flag ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+        |  FROM d),
+        |ex AS (SELECT flag, q_pm, MIN(x) AS exact_q
+        |  FROM dc CROSS JOIN q WHERE cum >= (q_pm * n + 999) // 1000
+        |  GROUP BY 1, 2)
+        |SELECT est.flag, q_pm, n, est_q, exact_q,
+        |  CASE WHEN exact_q = 0 THEN 0
+        |       ELSE CAST(ABS(est_q - exact_q)::HUGEINT * 1000000 // exact_q
+        |            AS BIGINT) END AS err_ppm
+        |FROM est JOIN ex USING (flag, q_pm)
+        |ORDER BY flag, q_pm""".stripMargin),
+
     // ---- HyperLogLog distinct-trigram census + calibration ----------------
     // The mergeable-cardinality tail knob corpus_diversity documents made
     // REAL: per-source distinct-trigram estimate from m = 256 max-rho
@@ -1593,6 +1660,97 @@ object CorpusOps {
     val out = if (withTrue) released
       else released.selectExpr(keys :+ "released": _*)
     Sorted.byNames(out, keys.head, keys.tail: _*)
+  }
+
+  /** HDR/base-2 bucket id of a non-negative int64 `x` expression —
+    * monotone in x, relative error <= 2^-subBits, exact identity below
+    * 2^subBits. See the `quantile_sketch` registry comment. ONE
+    * definition for the batch sketch and the streaming twin. */
+  private[graft] def hdrBucketExpr(x: String, subBits: Int): String = {
+    val base = 1L << subBits
+    val e = s"(length(conv($x, 10, 2)) - 1)"
+    s"CASE WHEN $x < ${base}L THEN $x " +
+      s"ELSE CAST($e - $subBits AS BIGINT) * ${base}L + shiftright($x, $e - $subBits) END"
+  }
+
+  /** Lower bound of HDR bucket `id` — the quantile estimate read. */
+  private[graft] def hdrRepExpr(id: String, subBits: Int): String = {
+    val base = 1L << subBits
+    s"CASE WHEN $id < ${base}L THEN $id " +
+      s"ELSE shiftleft(($id % ${base}L) + ${base}L, CAST($id div ${base}L AS INT) - 1) END"
+  }
+
+  /** Quantile estimates from an (grp..., bkt, cnt) histogram frame — the
+    * readout fold shared by the batch sketch and the streaming twin.
+    * Output: (grp..., q_pm, n, est_q), one row per group x quantile. The
+    * windows run over the BUCKET DOMAIN (<= ~(64 - b)*2^b rows per
+    * group), never corpus rows. */
+  private[graft] def hdrQuantiles(hist: DataFrame, grp: Seq[String],
+      subBits: Int, qsPm: Seq[Int]): DataFrame = {
+    val wn = Window.partitionBy(grp.map(col): _*)
+    val wc = Window.partitionBy(grp.map(col): _*).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("n", sum(col("cnt")).over(wn))
+      .withColumn("cum", sum(col("cnt")).over(wc))
+      .withColumn("q_pm", explode(array(qsPm.map(lit): _*)))
+      .where(expr("cum >= (q_pm * n + 999) div 1000")) // type-1 rank: ceil(q*n/1000)
+      .groupBy((grp ++ Seq("q_pm", "n")).map(col): _*)
+      .agg(min(col("bkt")).as("qb"))
+      .selectExpr(grp ++ Seq("q_pm", "n",
+        s"${hdrRepExpr("qb", subBits)} AS est_q"): _*)
+  }
+
+  /** Mergeable quantile sketch + calibration over a group-key + value
+    * frame — every column EXCEPT `valueCol` is part of the group key
+    * (the kAnonymityProfile contract); `valueCol` must be a NON-NEGATIVE
+    * int64 (quantize first — the cents contract). See the
+    * `quantile_sketch` registry comment for geometry and scale shape.
+    * `withExact = false` drops the exact percentile columns and their
+    * value-distribution shuffle (the 100 TB path). */
+  def quantileSketch(vals: DataFrame, valueCol: String, subBits: Int = 5,
+      qsPm: Seq[Int] = Seq(500, 900, 990), withExact: Boolean = true): DataFrame = {
+    require(subBits >= 1 && subBits <= 16, s"subBits must be in [1, 16], got $subBits")
+    require(qsPm.nonEmpty && qsPm.forall(q => q >= 1 && q <= 1000),
+      s"quantiles are per-mille in [1, 1000], got $qsPm")
+    require(qsPm == qsPm.sorted && qsPm.distinct == qsPm,
+      s"quantiles must be ascending and distinct, got $qsPm")
+    require(vals.columns.contains(valueCol),
+      s"value column $valueCol not in ${vals.columns.mkString(",")}")
+    val grp = vals.columns.filterNot(_ == valueCol).toSeq
+    require(grp.nonEmpty, "need at least one group column")
+    // the ONLY corpus-volume shuffle of the sketch path: combiner-perfect
+    // (<= bucket-domain rows per map task)
+    val hist = vals
+      .selectExpr(grp :+ s"${hdrBucketExpr(valueCol, subBits)} AS bkt": _*)
+      .groupBy((grp :+ "bkt").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val est = hdrQuantiles(hist, grp, subBits, qsPm)
+    if (!withExact)
+      return Sorted.byNames(est, grp.head, (grp.tail :+ "q_pm"): _*)
+    // calibration path: the EXACT type-1 percentile over the per-(group,
+    // value) DISTRIBUTION (the ccnet cutoff trick — never a row_number
+    // over corpus rows)
+    val wn = Window.partitionBy(grp.map(col): _*)
+    val wc = Window.partitionBy(grp.map(col): _*).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exact = vals
+      .groupBy((grp :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(wn))
+      .withColumn("cum", sum(col("c")).over(wc))
+      .withColumn("q_pm", explode(array(qsPm.map(lit): _*)))
+      .where(expr("cum >= (q_pm * n + 999) div 1000"))
+      .groupBy((grp :+ "q_pm").map(col): _*)
+      .agg(min(col(valueCol)).as("exact_q"))
+    val out = est.join(exact, grp :+ "q_pm")
+      .selectExpr(grp ++ Seq("q_pm", "n", "est_q", "exact_q",
+        // DECIMAL staging: |est - exact| * 1e6 can pass 2^63 at full
+        // int64 magnitudes; the quotient lands in [0, 1e6]
+        """CASE WHEN exact_q = 0 THEN 0L
+          |     ELSE (CAST(abs(est_q - exact_q) AS DECIMAL(38,0)) * 1000000)
+          |          div exact_q END AS err_ppm""".stripMargin): _*)
+    Sorted.byNames(out, grp.head, (grp.tail :+ "q_pm"): _*)
   }
 
   /** `m`-register contract shared by every HLL surface: power-of-two,

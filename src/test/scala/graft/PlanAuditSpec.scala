@@ -1128,6 +1128,28 @@ class PlanAuditSpec extends SparkSpec {
       "class count and the profile fold are each partial+final")
   }
 
+  test("quantile_sketch: combiner-perfect folds; the release path is join-free") {
+    val p = plan("quantile_sketch")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "the est/exact calibration join is domain-sized and must broadcast")
+    assert(p.contains("BroadcastHashJoin"))
+    // hist fold, value-distribution fold, and the two per-(group, q)
+    // min folds — each partial+final
+    assert(nodeIds(p, "HashAggregate").size >= 8)
+    assert("ReadSchema: [^\\n]*l_extendedprice[^\\n]*l_returnflag".r.findFirstIn(p).isDefined,
+      "scan reads only (l_returnflag, l_extendedprice)")
+    // the 100 TB path: ONE corpus fold, no join, windows over the bucket domain
+    spark.catalog.clearCache()
+    val rel = operators.CorpusOps.quantileSketch(
+      Tables.load(spark, dir, "lineitem").selectExpr("l_returnflag AS flag",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x"),
+      "x", withExact = false)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!rel.contains("Join"), "withExact=false must drop the calibration join")
+    assert(nodeIds(rel, "HashAggregate").size <= 4,
+      "one corpus histogram fold + the per-(group, q) min — nothing else")
+  }
+
   test("dp_counts: one corpus group count; the noise chain is pure projection") {
     val p = plan("dp_counts")
     assert(!p.contains("Join") && !p.contains("Window ["),
