@@ -1708,13 +1708,19 @@ object CorpusOps {
     * `quantile_sketch` registry comment for geometry and scale shape.
     * `withExact = false` drops the exact percentile columns and their
     * value-distribution shuffle (the 100 TB path). */
-  def quantileSketch(vals: DataFrame, valueCol: String, subBits: Int = 5,
-      qsPm: Seq[Int] = Seq(500, 900, 990), withExact: Boolean = true): DataFrame = {
+  /** The sketch-knob contract shared by the batch operator and the
+    * streaming twin — loud before any plan is built. */
+  private[graft] def requireSketchKnobs(subBits: Int, qsPm: Seq[Int]): Unit = {
     require(subBits >= 1 && subBits <= 16, s"subBits must be in [1, 16], got $subBits")
     require(qsPm.nonEmpty && qsPm.forall(q => q >= 1 && q <= 1000),
       s"quantiles are per-mille in [1, 1000], got $qsPm")
     require(qsPm == qsPm.sorted && qsPm.distinct == qsPm,
       s"quantiles must be ascending and distinct, got $qsPm")
+  }
+
+  def quantileSketch(vals: DataFrame, valueCol: String, subBits: Int = 5,
+      qsPm: Seq[Int] = Seq(500, 900, 990), withExact: Boolean = true): DataFrame = {
+    requireSketchKnobs(subBits, qsPm)
     require(vals.columns.contains(valueCol),
       s"value column $valueCol not in ${vals.columns.mkString(",")}")
     val grp = vals.columns.filterNot(_ == valueCol).toSeq
