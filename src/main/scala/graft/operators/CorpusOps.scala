@@ -1208,6 +1208,47 @@ object CorpusOps {
            |FROM nn ORDER BY o_orderpriority, o_orderstatus""".stripMargin
       }),
 
+    // ---- Benford first-digit deviation screen -------------------------------
+    // The forensic-audit read beside the governance gates: naturally-grown
+    // multiplicative quantities (revenues, populations, transaction sums)
+    // follow Benford's first-digit law; fabricated, capped or
+    // uniform-generated ones don't (Nigrini 1996 — the standard fraud
+    // screen). Per group: exact-integer TVD between the observed
+    // first-digit distribution and the published Benford ppm constants
+    // (rounded offline by largest remainder to sum to exactly 1e6 —
+    // log10 is transcendental and never runs in-engine). First digit =
+    // head of the decimal string (pure string algebra, identical in both
+    // engines for positive int64 — no float pow/log10). The 9-digit
+    // expected frame broadcasts into the group domain so ABSENT digits
+    // still contribute their expected mass. Scale shape: the (group,
+    // digit) count is the ONLY corpus-volume shuffle, combiner-perfect
+    // at <= 9 rows per group per map task; everything after is
+    // group-domain-sized. Fixture: TPC-H's uniform prices FAIL the
+    // screen loudly (tvd ~ 24%), which is exactly what the screen is
+    // for — the spec pins a 2^k geometric series PASSING it. ---------------
+    "benford_screen" -> QueryDef(
+      (s, dir) => benfordScreen(Tables.load(s, dir, "orders")
+        .selectExpr("o_orderpriority AS prio",
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x"),
+        "x"),
+      s"""WITH v AS (SELECT o_orderpriority AS prio,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+         |  FROM orders),
+         |dg AS (SELECT prio,
+         |    CAST(substring(CAST(x AS VARCHAR), 1, 1) AS BIGINT) AS d,
+         |    COUNT(*)::BIGINT AS c
+         |  FROM v WHERE x > 0 GROUP BY 1, 2),
+         |nf AS (SELECT prio, SUM(c)::BIGINT AS n FROM dg GROUP BY 1),
+         |ds AS (SELECT unnest(range(1, 10)) AS d),
+         |ex AS (SELECT d, ${benfordCaseSql("d")} AS exp_ppm FROM ds),
+         |fl AS (SELECT prio, n,
+         |    ABS(COALESCE(c, 0)::HUGEINT * 1000000 // n - exp_ppm) AS dev
+         |  FROM nf CROSS JOIN ex
+         |  LEFT JOIN dg USING (prio, d))
+         |SELECT prio, n, CAST(SUM(dev) // 2 AS BIGINT) AS tvd_ppm,
+         |  CAST(CAST(SUM(dev) // 2 AS BIGINT) >= 50000 AS INT) AS suspicious
+         |FROM fl GROUP BY prio, n ORDER BY prio""".stripMargin),
+
     // ---- mergeable HDR-histogram quantile sketch + calibration -------------
     // The quantile member of the mergeable-sketch family (HLL for
     // distinct, CMS for frequency, THIS for percentiles): exact
@@ -1708,6 +1749,74 @@ object CorpusOps {
     * `quantile_sketch` registry comment for geometry and scale shape.
     * `withExact = false` drops the exact percentile columns and their
     * value-distribution shuffle (the 100 TB path). */
+  /** Benford's-law first-digit probabilities, ppm. log10(1 + 1/d) is
+    * transcendental, so the nine values are the published constants
+    * rounded offline by largest remainder to sum to EXACTLY 1e6 (the
+    * hllAlphaPpm discipline) — the TVD against them is then a clean
+    * per-mille-of-mass statistic. */
+  // lazy: the defs ListMap at the top of this object embeds
+  // benfordCaseSql in its oracle SQL during object init, which runs
+  // BEFORE later plain vals are assigned
+  private[graft] lazy val benfordExpPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** `CASE d ... END` mapping a digit expression to its Benford ppm —
+    * ONE definition embedded in both the Spark plan and the DuckDB
+    * oracle so the constants cannot desynchronize (plain int literals:
+    * both engines widen them against the int64 observed side). */
+  private[graft] def benfordCaseSql(d: String): String =
+    benfordExpPpm.map { case (dig, ppm) => s"WHEN $d = $dig THEN $ppm" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+
+  /** First-digit Benford deviation screen over a group-key + value frame
+    * — every column EXCEPT `valueCol` is part of the group key (the
+    * kAnonymityProfile contract); `valueCol` must be int64 (quantize
+    * first — the cents contract; rows <= 0 are outside Benford's domain
+    * and are EXCLUDED, with n reporting what was screened). Per group:
+    * TVD between the observed first-digit distribution and Benford's,
+    * in ppm; `suspicious` flags groups above `flagTvdPpm`. The screen
+    * READS as: naturally-grown multiplicative quantities (revenues,
+    * populations) follow Benford; fabricated or uniform-generated ones
+    * don't — TPC-H's uniform prices fail it loudly, which is the point.
+    * Scale shape: the (group, digit) count is the ONLY corpus-volume
+    * shuffle (combiner-perfect, <= 9 rows per group per task); the
+    * 9-digit expected frame broadcasts into the group domain so ABSENT
+    * digits still contribute their expected mass to the TVD. */
+  def benfordScreen(vals: DataFrame, valueCol: String,
+      flagTvdPpm: Long = 50000L): DataFrame = {
+    require(flagTvdPpm > 0 && flagTvdPpm <= 1000000L,
+      s"flagTvdPpm must be in (0, 1e6], got $flagTvdPpm")
+    require(vals.columns.contains(valueCol),
+      s"value column $valueCol not in ${vals.columns.mkString(",")}")
+    val grp = vals.columns.filterNot(_ == valueCol).toSeq
+    require(grp.nonEmpty, "need at least one group column")
+    // first digit via the decimal string head: pure string algebra, no
+    // float pow/log10, identical in both engines for positive int64
+    val dig = vals
+      .where(col(valueCol) > 0L)
+      .selectExpr(grp :+
+        s"CAST(substring(CAST($valueCol AS STRING), 1, 1) AS BIGINT) AS d": _*)
+      .groupBy((grp :+ "d").map(col): _*)
+      .agg(count(lit(1)).as("c")) // the ONLY corpus-volume shuffle
+    val nFrame = dig.groupBy(grp.map(col): _*).agg(sum(col("c")).as("n"))
+    val digits = vals.sparkSession.range(1L, 10L)
+      .selectExpr("id AS d", s"${benfordCaseSql("id")} AS exp_ppm")
+    nFrame
+      .crossJoin(broadcast(digits))
+      .join(dig, grp :+ "d", "left")
+      .selectExpr(grp ++ Seq("n",
+        // DECIMAL staging: c * 1e6 passes 2^63 once group counts reach
+        // ~9e12 rows (the ab_test IntegralDivide rule); the quotient is
+        // ppm-bounded so the int64 result can't wrap
+        "abs(CAST(coalesce(c, 0L) AS DECIMAL(38,0)) * 1000000 div n - exp_ppm) AS dev"): _*)
+      .groupBy((grp :+ "n").map(col): _*)
+      .agg(expr("sum(dev) div 2").as("tvd_ppm"))
+      .selectExpr(grp ++ Seq("n", "tvd_ppm",
+        s"CAST(tvd_ppm >= ${flagTvdPpm}L AS INT) AS suspicious"): _*)
+      .transform(Sorted.byNames(_, grp.head, grp.tail: _*))
+  }
+
   /** The sketch-knob contract shared by the batch operator and the
     * streaming twin — loud before any plan is built. */
   private[graft] def requireSketchKnobs(subBits: Int, qsPm: Seq[Int]): Unit = {

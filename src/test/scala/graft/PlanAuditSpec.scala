@@ -1128,6 +1128,18 @@ class PlanAuditSpec extends SparkSpec {
       "class count and the profile fold are each partial+final")
   }
 
+  test("benford_screen: one corpus digit fold; expected-mass joins over the domain") {
+    val p = plan("benford_screen")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "the 9-digit expected frame and the group-n frame are domain-sized broadcasts")
+    assert(!p.contains("Window ["), "no window anywhere")
+    assert(nodeIds(p, "HashAggregate").size >= 4,
+      "digit count and the TVD fold are each partial+final")
+    assert("ReadSchema: [^\\n]*o_orderpriority[^\\n]*o_totalprice".r.findFirstIn(p).isDefined
+        || "ReadSchema: [^\\n]*o_totalprice[^\\n]*o_orderpriority".r.findFirstIn(p).isDefined,
+      "scan reads only (o_orderpriority, o_totalprice)")
+  }
+
   test("quantile_sketch: combiner-perfect folds; the release path is join-free") {
     val p = plan("quantile_sketch")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
