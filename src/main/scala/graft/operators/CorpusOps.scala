@@ -1249,6 +1249,60 @@ object CorpusOps {
          |  CAST(CAST(SUM(dev) // 2 AS BIGINT) >= 50000 AS INT) AS suspicious
          |FROM fl GROUP BY prio, n ORDER BY prio""".stripMargin),
 
+    // ---- median/MAD robust outlier profile ----------------------------------
+    // The robust screen beside ts_anomaly's mean/stddev z-score: mean and
+    // stddev are themselves dragged by the outliers they hunt (one 1e9
+    // row in a 1e3-median group moves the mean past every legitimate
+    // row); median and MAD have breakdown point 1/2 (Hampel 1974,
+    // Leys et al. 2013 — "detecting outliers: do not use the mean").
+    // All exact integers: the flag is |x − med|·1000 > kMilli·MAD staged
+    // in DECIMAL(38,0) (a comparison, never a division); the float
+    // 1.4826 normal-consistency constant never runs in-engine — kMilli
+    // ABSORBS it (4448 ≈ 3 sigma for normal data; the default 5000 is
+    // deliberately blunter). MAD = 0 (over half the group at the median)
+    // flags every deviant — the textbook degenerate read, kept. Scale
+    // shape: robust stats cost TWO distribution passes (value then
+    // |deviation|), each the ccnet cutoff trick — a corpus-volume
+    // combiner-perfect fold + windows over the DISTRIBUTION domain,
+    // never a corpus sort; the medians broadcast back (group-domain
+    // frames), and the profile fold is combiner-perfect. Output is one
+    // row per group (n, med, mad, n_outliers, outlier_ppm) — the
+    // release-gate read; the flagged rows themselves are the same dev
+    // frame with the comparison kept, a caller filter. -----------------------
+    "mad_outliers" -> QueryDef(
+      (s, dir) => madOutliers(Tables.load(s, dir, "orders")
+        .selectExpr("o_orderpriority AS prio",
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x"),
+        "x", kMilli = 2000L),
+      """WITH v AS (SELECT o_orderpriority AS prio,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM orders),
+        |d AS (SELECT prio, x, COUNT(*)::BIGINT AS c FROM v GROUP BY 1, 2),
+        |dc AS (SELECT prio, x,
+        |    SUM(c) OVER (PARTITION BY prio)::BIGINT AS n,
+        |    SUM(c) OVER (PARTITION BY prio ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+        |  FROM d),
+        |md AS (SELECT prio, MIN(x) AS med FROM dc
+        |  WHERE cum >= (500 * n + 999) // 1000 GROUP BY 1),
+        |dv AS (SELECT prio, med, ABS(x - med) AS adev
+        |  FROM v JOIN md USING (prio)),
+        |a AS (SELECT prio, adev, COUNT(*)::BIGINT AS c FROM dv GROUP BY 1, 2),
+        |ac AS (SELECT prio, adev,
+        |    SUM(c) OVER (PARTITION BY prio)::BIGINT AS n,
+        |    SUM(c) OVER (PARTITION BY prio ORDER BY adev
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+        |  FROM a),
+        |mm AS (SELECT prio, MIN(adev) AS mad FROM ac
+        |  WHERE cum >= (500 * n + 999) // 1000 GROUP BY 1)
+        |SELECT prio, COUNT(*)::BIGINT AS n, med, mad,
+        |  SUM((dv.adev::HUGEINT * 1000 > 2000 * mad::HUGEINT)::INT)::BIGINT
+        |    AS n_outliers,
+        |  CAST(SUM((dv.adev::HUGEINT * 1000 > 2000 * mad::HUGEINT)::INT)::HUGEINT
+        |    * 1000000 // COUNT(*) AS BIGINT) AS outlier_ppm
+        |FROM dv JOIN mm USING (prio)
+        |GROUP BY prio, med, mad ORDER BY prio""".stripMargin),
+
     // ---- mergeable HDR-histogram quantile sketch + calibration -------------
     // The quantile member of the mergeable-sketch family (HLL for
     // distinct, CMS for frequency, THIS for percentiles): exact
@@ -1827,6 +1881,27 @@ object CorpusOps {
       s"quantiles must be ascending and distinct, got $qsPm")
   }
 
+  /** EXACT type-1 per-mille percentiles per group, via the per-(group,
+    * value) DISTRIBUTION — the ccnet cutoff trick, never a row_number
+    * over corpus rows: one corpus-volume fold, then windows over the
+    * value-distribution domain. Output (grp..., q_pm, exact_q). Shared
+    * by quantile_sketch's calibration path and the MAD screen. */
+  private[graft] def exactQuantilesByGroup(vals: DataFrame, valueCol: String,
+      grp: Seq[String], qsPm: Seq[Int]): DataFrame = {
+    val wn = Window.partitionBy(grp.map(col): _*)
+    val wc = Window.partitionBy(grp.map(col): _*).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vals
+      .groupBy((grp :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(wn))
+      .withColumn("cum", sum(col("c")).over(wc))
+      .withColumn("q_pm", explode(array(qsPm.map(lit): _*)))
+      .where(expr("cum >= (q_pm * n + 999) div 1000")) // type-1: ceil(q*n/1000)
+      .groupBy((grp :+ "q_pm").map(col): _*)
+      .agg(min(col(valueCol)).as("exact_q"))
+  }
+
   def quantileSketch(vals: DataFrame, valueCol: String, subBits: Int = 5,
       qsPm: Seq[Int] = Seq(500, 900, 990), withExact: Boolean = true): DataFrame = {
     requireSketchKnobs(subBits, qsPm)
@@ -1843,21 +1918,7 @@ object CorpusOps {
     val est = hdrQuantiles(hist, grp, subBits, qsPm)
     if (!withExact)
       return Sorted.byNames(est, grp.head, (grp.tail :+ "q_pm"): _*)
-    // calibration path: the EXACT type-1 percentile over the per-(group,
-    // value) DISTRIBUTION (the ccnet cutoff trick — never a row_number
-    // over corpus rows)
-    val wn = Window.partitionBy(grp.map(col): _*)
-    val wc = Window.partitionBy(grp.map(col): _*).orderBy(col(valueCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val exact = vals
-      .groupBy((grp :+ valueCol).map(col): _*)
-      .agg(count(lit(1)).as("c"))
-      .withColumn("n", sum(col("c")).over(wn))
-      .withColumn("cum", sum(col("c")).over(wc))
-      .withColumn("q_pm", explode(array(qsPm.map(lit): _*)))
-      .where(expr("cum >= (q_pm * n + 999) div 1000"))
-      .groupBy((grp :+ "q_pm").map(col): _*)
-      .agg(min(col(valueCol)).as("exact_q"))
+    val exact = exactQuantilesByGroup(vals, valueCol, grp, qsPm)
     val out = est.join(exact, grp :+ "q_pm")
       .selectExpr(grp ++ Seq("q_pm", "n", "est_q", "exact_q",
         // DECIMAL staging: |est - exact| * 1e6 can pass 2^63 at full
@@ -1866,6 +1927,47 @@ object CorpusOps {
           |     ELSE (CAST(abs(est_q - exact_q) AS DECIMAL(38,0)) * 1000000)
           |          div exact_q END AS err_ppm""".stripMargin): _*)
     Sorted.byNames(out, grp.head, (grp.tail :+ "q_pm"): _*)
+  }
+
+  /** Robust (median/MAD) outlier profile over a group-key + value frame
+    * — every column EXCEPT `valueCol` is part of the group key (the
+    * kAnonymityProfile contract). A row is an outlier iff
+    * |x − median| · 1000 > kMilli · MAD, all exact integers (the
+    * comparison stages in DECIMAL(38,0) — no division, no float
+    * 1.4826 consistency constant: kMilli ABSORBS it, e.g. kMilli = 4448
+    * ≈ 3σ for normal data). MAD = 0 (over half the group at the median)
+    * makes EVERY deviant an outlier — the textbook degenerate case,
+    * deliberate and documented. See the `mad_outliers` registry comment
+    * for the scale shape. */
+  def madOutliers(vals: DataFrame, valueCol: String,
+      kMilli: Long = 5000L): DataFrame = {
+    require(kMilli > 0, s"kMilli must be positive, got $kMilli")
+    require(vals.columns.contains(valueCol),
+      s"value column $valueCol not in ${vals.columns.mkString(",")}")
+    val grp = vals.columns.filterNot(_ == valueCol).toSeq
+    require(grp.nonEmpty, "need at least one group column")
+    // persisted: the group-domain median frame feeds the deviation
+    // projection AND (through it) the MAD distribution pass AND the final
+    // profile — without this its corpus-volume distribution subplan
+    // re-executes once per consumer (the assortativity dead-cache rule:
+    // persist only what multiple ACTIONS actually read)
+    val med = exactQuantilesByGroup(vals, valueCol, grp, Seq(500))
+      .selectExpr(grp :+ "exact_q AS med": _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dev = vals.join(broadcast(med), grp)
+      .selectExpr(grp ++ Seq("med", s"abs($valueCol - med) AS adev"): _*)
+    val mad = exactQuantilesByGroup(dev.selectExpr(grp :+ "adev": _*),
+      "adev", grp, Seq(500))
+      .selectExpr(grp :+ "exact_q AS mad": _*)
+    dev.join(broadcast(mad), grp)
+      .groupBy((grp ++ Seq("med", "mad")).map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(CAST(adev AS DECIMAL(38,0)) * 1000 > " +
+          s"$kMilli * CAST(mad AS DECIMAL(38,0)) AS INT)")).as("n_outliers"))
+      .selectExpr(grp ++ Seq("n", "med", "mad", "n_outliers",
+        // DECIMAL staging for the rate: n_outliers * 1e6 wraps past ~9e12
+        "CAST(n_outliers AS DECIMAL(38,0)) * 1000000 div n AS outlier_ppm"): _*)
+      .transform(Sorted.byNames(_, grp.head, grp.tail: _*))
   }
 
   /** `m`-register contract shared by every HLL surface: power-of-two,

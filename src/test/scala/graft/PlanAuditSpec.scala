@@ -1128,6 +1128,20 @@ class PlanAuditSpec extends SparkSpec {
       "class count and the profile fold are each partial+final")
   }
 
+  test("mad_outliers: two distribution folds; medians broadcast back map-side") {
+    val p = plan("mad_outliers")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "the group-domain median frames must broadcast into the corpus")
+    assert(nodeIds(p, "BroadcastHashJoin").size >= 2,
+      "median and MAD each join back as a broadcast")
+    // value distribution, deviation distribution, and the profile fold
+    assert(nodeIds(p, "HashAggregate").size >= 6,
+      "each distribution fold and the profile are partial+final")
+    // windows only over the aggregated distributions, never corpus rows:
+    // each exactQuantilesByGroup contributes its n/cum pair
+    assert(nodeIds(p, "Window").size <= 4)
+  }
+
   test("benford_screen: one corpus digit fold; expected-mass joins over the domain") {
     val p = plan("benford_screen")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
