@@ -845,6 +845,66 @@ object CorpusOps {
          |       ELSE (tp + tn) * 1000 // (tp + fp + fn + tn) END AS accuracy_pm
          |FROM cm""".stripMargin),
 
+    // ---- threshold-free AUC of the learned classifier ----------------------
+    // classifier_eval reads the confusion matrix AT one threshold; AUC
+    // reads the whole ranking (Fawcett 2006): the probability a random
+    // positive outscores a random negative, ties at half credit — the
+    // number that tells you whether a bad precision row means a bad
+    // MODEL or a bad THRESHOLD. Exact integers via the Mann–Whitney
+    // rank-sum closed form with doubled midranks (2·mid = 2·cum_prev +
+    // cnt + 1 — integer by construction); the per-score distribution is
+    // the only corpus-volume fold and the ONE rank window runs over that
+    // distribution, never corpus rows (the ccnet_buckets shape and its
+    // documented coarsen-the-quantization knob); the final fold is one
+    // row. Same held-out fixture as classifier_eval: train on doc_id%2=0,
+    // rank the held-out half. Division parity: both engines truncate
+    // integer division toward zero (verified: DuckDB -7//2 = -3), so the
+    // negative per-doc mean scores need no sign decomposition. ---------------
+    "classifier_auc" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val w = trainHashedClassifier(
+          d.filter("doc_id % 2 = 0"), posExpr = "lang = 'en'")
+        classifierAuc(
+          hashedClassifierScore(d.filter("doc_id % 2 = 1"), w),
+          labelExpr = "lang = 'en'")
+      },
+      s"""WITH th AS (SELECT doc_id, lang,
+         |    ${graft.functions.Portable.duckHashTokensSql(duckToks)} AS th
+         |  FROM documents),
+         |f AS (SELECT doc_id, lang, unnest($duckBigramBkt) AS bkt FROM th),
+         |tr AS (SELECT lang, bkt FROM f WHERE doc_id % 2 = 0),
+         |pos AS (SELECT bkt, COUNT(*)::BIGINT AS pc FROM tr WHERE lang = 'en' GROUP BY bkt),
+         |neg AS (SELECT bkt, COUNT(*)::BIGINT AS nc FROM tr WHERE NOT (lang = 'en') GROUP BY bkt),
+         |pt AS (SELECT COALESCE((SELECT SUM(pc) FROM pos), 0)::BIGINT AS ptot),
+         |nt AS (SELECT COALESCE((SELECT SUM(nc) FROM neg), 0)::BIGINT AS ntot),
+         |dom AS (SELECT UNNEST(range(0, 8192)) AS bkt),
+         |w AS (SELECT dom.bkt,
+         |    ((COALESCE(pc, 0) + 1) * 1000000000) // (ptot + 8192)
+         |      - ((COALESCE(nc, 0) + 1) * 1000000000) // (ntot + 8192) AS w
+         |  FROM dom CROSS JOIN pt CROSS JOIN nt
+         |  LEFT JOIN pos ON pos.bkt = dom.bkt
+         |  LEFT JOIN neg ON neg.bkt = dom.bkt),
+         |sc AS (SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS y,
+         |    CAST(SUM(w.w) AS BIGINT) // COUNT(*) AS s
+         |  FROM f JOIN w USING (bkt) WHERE doc_id % 2 = 1 GROUP BY doc_id, lang),
+         |g AS (SELECT s, COUNT(*)::BIGINT AS cnt, SUM(y)::BIGINT AS pos
+         |  FROM sc GROUP BY s),
+         |c AS (SELECT s, cnt, pos,
+         |    COALESCE(SUM(cnt) OVER (ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cp
+         |  FROM g),
+         |t AS (SELECT SUM(pos::HUGEINT * (2 * cp + cnt + 1)) AS s2,
+         |    COALESCE(SUM(pos), 0)::BIGINT AS np,
+         |    COALESCE(SUM(cnt), 0)::BIGINT AS n FROM c),
+         |a AS (SELECT n, np AS n_pos, n - np AS n_neg,
+         |    CASE WHEN np = 0 OR n - np = 0 THEN 0
+         |         ELSE CAST((s2 - np::HUGEINT * (np + 1)) * 1000000
+         |              // (2 * np::HUGEINT * (n - np)) AS BIGINT) END AS auc_ppm
+         |  FROM t)
+         |SELECT n, n_pos, n_neg, auc_ppm, 2 * auc_ppm - 1000000 AS gini_ppm
+         |FROM a""".stripMargin),
+
     // ---- chi-square feature screen over the hashed bigram space -----------
     // WHICH features drive the classifier? The model-diagnostics read
     // beside quality_classifier/classifier_eval (and the classic
@@ -2220,6 +2280,45 @@ object CorpusOps {
     * tokenize+hash pass plus a partial+final per-doc sum — map-side
     * bounded regardless of corpus size. Docs with < 2 tokens have no
     * features and drop, same contract as importance_hashed. */
+  /** Threshold-free ranking quality of a scored frame: exact-integer AUC
+    * via the Mann–Whitney rank-sum identity with MIDRANKS for ties
+    * (AUC = P(score_pos > score_neg) + ½·P(tie) — the probabilistic
+    * definition, computed without sampling). The per-score (cnt, pos)
+    * distribution is the only corpus-volume fold; doubled midranks keep
+    * everything integer (2·mid = 2·cum_prev + cnt + 1), and the closed
+    * form folds to ONE row: auc_ppm = (S2 − np(np+1))·10⁶ / (2·np·nn)
+    * staged in DECIMAL(38,0). The single rank window runs over the score
+    * DISTRIBUTION (the ccnet_buckets rule — never corpus rows; if the
+    * distinct-score domain outgrows a task, coarsen the score
+    * quantization, the same documented knob). A single-class frame reads
+    * auc_ppm = 0 by guard — undefined, never a division error.
+    * `labelExpr` is a SQL boolean over the scored columns (the
+    * classifierEval contract); gini_ppm = 2·auc − 10⁶ ships alongside. */
+  def classifierAuc(scored: DataFrame, labelExpr: String,
+      scoreCol: String = "score_ppb"): DataFrame = {
+    require(scored.columns.contains(scoreCol),
+      s"score column $scoreCol not in ${scored.columns.mkString(",")}")
+    val g = scored
+      .selectExpr(s"$scoreCol AS s",
+        s"CAST(CAST($labelExpr AS BOOLEAN) AS BIGINT) AS y")
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos")) // the ONLY corpus fold
+    val wc = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cp", coalesce(sum(col("cnt")).over(wc), lit(0L)))
+      .agg(
+        sum(expr("CAST(pos AS DECIMAL(38,0)) * (2 * cp + cnt + 1)")).as("s2"),
+        coalesce(sum(col("pos")), lit(0L)).as("np"),
+        coalesce(sum(col("cnt")), lit(0L)).as("n"))
+      .selectExpr("n", "np AS n_pos", "n - np AS n_neg",
+        """CASE WHEN np = 0 OR n - np = 0 THEN 0L
+          |     ELSE (s2 - CAST(np AS DECIMAL(38,0)) * (np + 1)) * 1000000
+          |          div (2 * CAST(np AS DECIMAL(38,0)) * (n - np)) END
+          |  AS auc_ppm""".stripMargin)
+      .selectExpr("n", "n_pos", "n_neg", "auc_ppm",
+        "2 * auc_ppm - 1000000 AS gini_ppm")
+  }
+
   def hashedClassifierScore(docs: DataFrame, weights: DataFrame,
       thresholdPpb: Long = 0L): DataFrame =
     hashedFeatures(docs)

@@ -1128,6 +1128,18 @@ class PlanAuditSpec extends SparkSpec {
       "class count and the profile fold are each partial+final")
   }
 
+  test("classifier_auc: one distribution fold; the rank window never sees corpus rows") {
+    val p = plan("classifier_auc")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "weights broadcast into the scoring pass (the quality_classifier shape)")
+    // exactly ONE window — the cumulative count over the score
+    // DISTRIBUTION; a second would mean per-row ranking crept in
+    assert(nodeIds(p, "Window").size == 1,
+      "rank over the distribution only — never over the corpus")
+    assert(nodeIds(p, "HashAggregate").size >= 6,
+      "scoring, distribution and the one-row fold are each partial+final")
+  }
+
   test("mad_outliers: two distribution folds; medians broadcast back map-side") {
     val p = plan("mad_outliers")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
