@@ -905,6 +905,71 @@ object CorpusOps {
          |SELECT n, n_pos, n_neg, auc_ppm, 2 * auc_ppm - 1000000 AS gini_ppm
          |FROM a""".stripMargin),
 
+    // ---- decile gains/lift table of the learned classifier -----------------
+    // The targeting read beside classifier_auc's single ranking number:
+    // "score the corpus, keep the top decile" is THE production use of a
+    // quality classifier, and the gains table is what justifies the
+    // cutoff — per score-decile volume, positive rate, lift over the
+    // base rate, cumulative capture (the marketing gains curve, equally
+    // the curation yield curve). Deciles from the per-score DISTRIBUTION
+    // cumulative (the ccnet/rfm cutoff trick); a tie group takes the
+    // decile of its first descending rank so equal scores never split
+    // (the rfm rule). One corpus-volume fold; everything after runs over
+    // the distribution then the <= buckets-row frame. Same held-out
+    // fixture as classifier_eval/classifier_auc. --------------------------
+    "classifier_lift" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val w = trainHashedClassifier(
+          d.filter("doc_id % 2 = 0"), posExpr = "lang = 'en'")
+        classifierLift(
+          hashedClassifierScore(d.filter("doc_id % 2 = 1"), w),
+          labelExpr = "lang = 'en'")
+      },
+      s"""WITH th AS (SELECT doc_id, lang,
+         |    ${graft.functions.Portable.duckHashTokensSql(duckToks)} AS th
+         |  FROM documents),
+         |f AS (SELECT doc_id, lang, unnest($duckBigramBkt) AS bkt FROM th),
+         |tr AS (SELECT lang, bkt FROM f WHERE doc_id % 2 = 0),
+         |pos AS (SELECT bkt, COUNT(*)::BIGINT AS pc FROM tr WHERE lang = 'en' GROUP BY bkt),
+         |neg AS (SELECT bkt, COUNT(*)::BIGINT AS nc FROM tr WHERE NOT (lang = 'en') GROUP BY bkt),
+         |pt AS (SELECT COALESCE((SELECT SUM(pc) FROM pos), 0)::BIGINT AS ptot),
+         |nt AS (SELECT COALESCE((SELECT SUM(nc) FROM neg), 0)::BIGINT AS ntot),
+         |dom AS (SELECT UNNEST(range(0, 8192)) AS bkt),
+         |w AS (SELECT dom.bkt,
+         |    ((COALESCE(pc, 0) + 1) * 1000000000) // (ptot + 8192)
+         |      - ((COALESCE(nc, 0) + 1) * 1000000000) // (ntot + 8192) AS w
+         |  FROM dom CROSS JOIN pt CROSS JOIN nt
+         |  LEFT JOIN pos ON pos.bkt = dom.bkt
+         |  LEFT JOIN neg ON neg.bkt = dom.bkt),
+         |sc AS (SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS y,
+         |    CAST(SUM(w.w) AS BIGINT) // COUNT(*) AS s
+         |  FROM f JOIN w USING (bkt) WHERE doc_id % 2 = 1 GROUP BY doc_id, lang),
+         |g AS (SELECT s, COUNT(*)::BIGINT AS cnt, SUM(y)::BIGINT AS pos
+         |  FROM sc GROUP BY s),
+         |c AS (SELECT s, cnt, pos,
+         |    (SELECT SUM(cnt) FROM g)::BIGINT AS tot,
+         |    (SELECT SUM(pos) FROM g)::BIGINT AS ptot,
+         |    COALESCE(SUM(cnt) OVER (ORDER BY s DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cp
+         |  FROM g),
+         |dd AS (SELECT CAST(cp::HUGEINT * 10 // tot + 1 AS BIGINT) AS decile,
+         |    cnt, pos, tot, ptot FROM c),
+         |pd AS (SELECT decile, tot, ptot, SUM(cnt)::BIGINT AS n_d,
+         |    SUM(pos)::BIGINT AS pos_d FROM dd GROUP BY 1, 2, 3),
+         |fl AS (SELECT decile, n_d, pos_d, tot, ptot,
+         |    SUM(pos_d) OVER (ORDER BY decile
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_pos
+         |  FROM pd)
+         |SELECT decile, n_d AS n, pos_d AS n_pos,
+         |  pos_d * 1000 // n_d AS rate_pm,
+         |  CASE WHEN ptot = 0 THEN 0
+         |       ELSE CAST(pos_d::HUGEINT * tot * 1000
+         |            // (n_d::HUGEINT * ptot) AS BIGINT) END AS lift_milli,
+         |  CASE WHEN ptot = 0 THEN 0
+         |       ELSE cum_pos * 1000 // ptot END AS cum_capture_pm
+         |FROM fl ORDER BY decile""".stripMargin),
+
     // ---- chi-square feature screen over the hashed bigram space -----------
     // WHICH features drive the classifier? The model-diagnostics read
     // beside quality_classifier/classifier_eval (and the classic
@@ -2317,6 +2382,57 @@ object CorpusOps {
           |  AS auc_ppm""".stripMargin)
       .selectExpr("n", "n_pos", "n_neg", "auc_ppm",
         "2 * auc_ppm - 1000000 AS gini_ppm")
+  }
+
+  /** Decile gains/lift table of a scored frame — the targeting read
+    * beside classifierAuc's single ranking number: per score-decile
+    * (1 = best scores), volume, positives, positive rate, lift vs the
+    * base rate, and the cumulative capture curve ("the top 20% of scores
+    * hold X% of the positives"). Deciles come from the per-score
+    * DISTRIBUTION cumulative (the ccnet/rfm cutoff trick — never a
+    * row_number over corpus rows): a tie group spanning descending ranks
+    * (cum_prev, cum] takes the decile of its FIRST rank, so equal scores
+    * NEVER split across deciles (the rfm rule) and deciles can be
+    * uneven under heavy ties — deliberate. Exact integers: lift_milli =
+    * pos_d·n·1000 / (n_d·np) staged in DECIMAL(38,0); a frame with no
+    * positives reads lift 0 by guard. One corpus-volume fold; the decile
+    * fold and the cumulative-capture window run over the <= buckets-row
+    * frame. */
+  def classifierLift(scored: DataFrame, labelExpr: String,
+      scoreCol: String = "score_ppb", buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000,
+      s"buckets must be in [2, 1000], got $buckets")
+    require(scored.columns.contains(scoreCol),
+      s"score column $scoreCol not in ${scored.columns.mkString(",")}")
+    val dist = scored
+      .selectExpr(s"$scoreCol AS s",
+        s"CAST(CAST($labelExpr AS BOOLEAN) AS BIGINT) AS y")
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos")) // the ONLY corpus fold
+    val wn = Window.partitionBy()
+    val wc = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perDecile = dist
+      .withColumn("n", sum(col("cnt")).over(wn))
+      .withColumn("np", sum(col("pos")).over(wn))
+      .withColumn("cp", coalesce(sum(col("cnt")).over(wc), lit(0L)))
+      // first descending rank of the tie group decides its decile
+      .selectExpr("cnt", "pos", "n", "np",
+        s"(CAST(cp AS DECIMAL(38,0)) * $buckets) div n + 1L AS decile")
+      .groupBy(col("decile"), col("n"), col("np"))
+      .agg(sum(col("cnt")).as("n_d"), sum(col("pos")).as("pos_d"))
+    perDecile
+      .withColumn("cum_pos", sum(col("pos_d")).over(
+        Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .selectExpr("decile", "n_d AS n", "pos_d AS n_pos",
+        "pos_d * 1000 div n_d AS rate_pm",
+        """CASE WHEN np = 0 THEN 0L
+          |     ELSE (CAST(pos_d AS DECIMAL(38,0)) * n * 1000)
+          |          div (CAST(n_d AS DECIMAL(38,0)) * np) END AS lift_milli""".stripMargin,
+        """CASE WHEN np = 0 THEN 0L
+          |     ELSE cum_pos * 1000 div np END AS cum_capture_pm""".stripMargin)
+      .transform(Sorted.byNames(_, "decile"))
   }
 
   def hashedClassifierScore(docs: DataFrame, weights: DataFrame,

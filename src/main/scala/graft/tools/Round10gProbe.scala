@@ -54,6 +54,36 @@ object Round10gProbe {
       }
     }
 
+    if (legs("screen")) {
+      val ords = graft.Tables.load(spark, "/root/testdata/sf0.1", "orders")
+      Seq(1, 10, 30).foreach { k =>
+        val rep = (0 until k).map(_ => ords).reduce(_ unionAll _)
+        val n = rep.count()
+        val vals = rep.selectExpr("o_orderpriority AS prio",
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x")
+        val (tb, rb) = time(graft.operators.CorpusOps.benfordScreen(vals, "x"))
+        val (tm, rm) = time(graft.operators.CorpusOps.madOutliers(vals, "x",
+          kMilli = 2000L))
+        println(f"screen x$k%d orders=$n%d benford=$tb%.2f($rb%d) mad=$tm%.2f($rm%d)")
+      }
+      // classifier_auc rides the documents corpus decades (the salted
+      // corpora from the classifier probes)
+      Seq("/root/testdata/sf0.1", "/tmp/graft10x", "/tmp/graft100x").foreach { dir =>
+        if (new java.io.File(dir).isDirectory) {
+          val d = graft.Tables.load(spark, dir, "documents")
+          val nd = d.count()
+          val (ta, ra) = time {
+            val w = graft.operators.CorpusOps.trainHashedClassifier(
+              d.filter("doc_id % 2 = 0"), posExpr = "lang = 'en'")
+            graft.operators.CorpusOps.classifierAuc(
+              graft.operators.CorpusOps.hashedClassifierScore(
+                d.filter("doc_id % 2 = 1"), w), labelExpr = "lang = 'en'")
+          }
+          println(f"auc $dir%s n_docs=$nd%d classifier_auc=$ta%.2f($ra%d)")
+        }
+      }
+    }
+
     if (legs("quant")) {
       val li = graft.Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
       Seq(1, 10, 30).foreach { k =>

@@ -1140,6 +1140,17 @@ class PlanAuditSpec extends SparkSpec {
       "scoring, distribution and the one-row fold are each partial+final")
   }
 
+  test("classifier_lift: one distribution fold; deciles and capture over the domain") {
+    val p = plan("classifier_lift")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+    // the distribution windows (n/np/cp) and the buckets-row capture
+    // window — never a per-row NTILE over the corpus
+    assert(!p.toLowerCase.contains("ntile"),
+      "decile assignment must come from the distribution cumulative")
+    assert(nodeIds(p, "HashAggregate").size >= 6,
+      "scoring, distribution and decile folds are each partial+final")
+  }
+
   test("mad_outliers: two distribution folds; medians broadcast back map-side") {
     val p = plan("mad_outliers")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
