@@ -185,6 +185,126 @@ object Retrieval {
            |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rrf DESC, vec_id) AS INT) AS rank,
            |    rrf
            |  FROM fused) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+      }),
+
+    // ---- NDCG@10 ranking-quality eval ---------------------------------------
+    // ann_recall_report grades set overlap; rank_fusion merges rankings;
+    // THIS grades ORDER quality — the standard retrieval metric
+    // (Järvelin & Kekäläinen 2002): graded relevance discounted by
+    // 1/log2(rank+1), normalized by the ideal ordering. log2 is
+    // transcendental, so the 20 discount values are published constants
+    // in ppm (the Benford/hllAlpha discipline — one ndcgDiscCase
+    // definition embedded in BOTH engines). Fixture: three term queries
+    // ranked by exact term frequency (TopK(10) bounded fold — every map
+    // task reduces to <= 10 entries before the shuffle, never a corpus
+    // rank window), graded by the CO-TOPIC term's capped tf (spark↔join,
+    // join↔window, window↔spark) so ranking order and relevance order
+    // genuinely diverge and NDCG lands strictly inside (0, 1). Scale
+    // shape: one tokenize pass feeds all three tf columns and all three
+    // bounded folds; the 30-row ranked set broadcasts back for grades;
+    // every NDCG stage after runs on the result-list domain. -----------------
+    "ndcg_eval" -> QueryDef(
+      (s, dir) => {
+        val topk = udaf(new graft.functions.TopK(10),
+          Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+        val slim = Tables.load(s, dir, "documents")
+          .selectExpr("doc_id", s"${Portable.tokensSql("text")} AS toks")
+          .selectExpr("doc_id",
+            "size(filter(toks, t -> t = 'spark')) AS tfs",
+            "size(filter(toks, t -> t = 'join')) AS tfj",
+            "size(filter(toks, t -> t = 'window')) AS tfw")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // NaN scores are dropped by the TopK buffer: tf = 0 docs never rank
+        def sc(tf: String) =
+          expr(s"IF($tf > 0, CAST($tf AS DOUBLE), CAST('NaN' AS DOUBLE))")
+        val tops = slim.agg(
+          topk(sc("tfs"), col("doc_id")).as("ts"),
+          topk(sc("tfj"), col("doc_id")).as("tj"),
+          topk(sc("tfw"), col("doc_id")).as("tw"))
+        val ranked = Seq(("spark", "ts"), ("join", "tj"), ("window", "tw"))
+          .map { case (q, c) => tops
+            .select(lit(q).as("qid"), posexplode(col(c)).as(Seq("pos", "t")))
+            .selectExpr("qid", "pos + 1 AS rank", "t._2 AS doc_id") }
+          .reduce(_ union _)
+        val graded = slim.join(broadcast(ranked), "doc_id")
+          .selectExpr("qid", "rank",
+            """CAST(CASE qid WHEN 'spark' THEN least(3, tfj)
+              |     WHEN 'join' THEN least(3, tfw)
+              |     ELSE least(3, tfs) END AS BIGINT) AS rel""".stripMargin)
+        ndcgAt(graded, 10)
+      }, {
+        def tf(t: String) = s"len(list_filter(toks, x -> x = '$t'))"
+        s"""WITH tf AS (SELECT doc_id, ${tf("spark")} AS tfs,
+           |    ${tf("join")} AS tfj, ${tf("window")} AS tfw
+           |  FROM (SELECT doc_id, ${Portable.duckToksSql("text")} AS toks
+           |        FROM documents)),
+           |q AS (SELECT * FROM (VALUES ('spark'), ('join'), ('window')) v(qid)),
+           |sc AS (SELECT qid, doc_id,
+           |    CASE qid WHEN 'spark' THEN tfs WHEN 'join' THEN tfj ELSE tfw END AS tf,
+           |    CASE qid WHEN 'spark' THEN LEAST(3, tfj)
+           |         WHEN 'join' THEN LEAST(3, tfw)
+           |         ELSE LEAST(3, tfs) END AS rel
+           |  FROM q CROSS JOIN tf),
+           |rk AS (SELECT qid, rel, ROW_NUMBER() OVER (PARTITION BY qid
+           |    ORDER BY tf DESC, doc_id) AS rank
+           |  FROM sc WHERE tf > 0),
+           |top AS (SELECT * FROM rk WHERE rank <= 10),
+           |dc AS (SELECT qid, SUM(rel * ${ndcgDiscCase("rank")})::BIGINT AS dcg
+           |  FROM top GROUP BY 1),
+           |ir AS (SELECT qid, rel, ROW_NUMBER() OVER (PARTITION BY qid
+           |    ORDER BY rel DESC, rank) AS irank FROM top),
+           |ic AS (SELECT qid, SUM(rel * ${ndcgDiscCase("irank")})::BIGINT AS idcg
+           |  FROM ir GROUP BY 1)
+           |SELECT dc.qid, dcg AS dcg_scaled, idcg AS idcg_scaled,
+           |  CASE WHEN idcg = 0 THEN 0
+           |       ELSE CAST(dcg::HUGEINT * 1000000 // idcg AS BIGINT) END AS ndcg_ppm
+           |FROM dc JOIN ic USING (qid) ORDER BY qid""".stripMargin
       })
   )
+
+  /** 1/log2(rank+1) discount, ppm — log2 is transcendental, so these are
+    * the published constants rounded offline (the Benford discipline),
+    * recorded for ranks 1..20. */
+  private[graft] lazy val ndcgDiscPpm: Seq[Long] = Seq(
+    1000000L, 630930L, 500000L, 430677L, 386853L, 356207L, 333333L,
+    315465L, 301030L, 289065L, 278943L, 270238L, 262650L, 255958L,
+    250000L, 244651L, 239812L, 235409L, 231378L, 227670L)
+
+  /** `CASE rank ... END` mapping a 1-based rank expression to its ppm
+    * discount — ONE definition for both engines. */
+  private[graft] def ndcgDiscCase(rank: String): String =
+    ndcgDiscPpm.zipWithIndex
+      .map { case (ppm, i) => s"WHEN $rank = ${i + 1} THEN $ppm" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+
+  /** NDCG@k over a `(qid, rank, rel)` frame: rank is the system's 1-based
+    * position, rel a non-negative int64 grade. DCG folds rel·disc(rank);
+    * the ideal ordering re-ranks by (rel DESC, rank ASC — deterministic,
+    * and gain-invariant under rel ties); ndcg_ppm = dcg·10⁶/idcg staged
+    * in DECIMAL(38,0), idcg = 0 (no relevant docs retrieved) reads 0 by
+    * guard. All stages run on the RESULT-LIST domain — the corpus never
+    * enters this operator. `k` is capped at the recorded discount table. */
+  def ndcgAt(ranked: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= ndcgDiscPpm.size,
+      s"k must be in [1, ${ndcgDiscPpm.size}] (recorded discounts), got $k")
+    Seq("qid", "rank", "rel").foreach(c => require(ranked.columns.contains(c),
+      s"ranked frame needs column $c, has ${ranked.columns.mkString(",")}"))
+    val g = ranked.where(col("rank") >= 1 && col("rank") <= k)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dcg = g.selectExpr("qid", s"rel * ${ndcgDiscCase("rank")} AS gain")
+      .groupBy(col("qid")).agg(sum(col("gain")).as("dcg_scaled"))
+    val idcg = g
+      .withColumn("irank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("rel").desc, col("rank"))))
+      .where(col("irank") <= k)
+      .selectExpr("qid", s"rel * ${ndcgDiscCase("irank")} AS gain")
+      .groupBy(col("qid")).agg(sum(col("gain")).as("idcg_scaled"))
+    dcg.join(idcg, "qid")
+      .selectExpr("qid", "dcg_scaled", "idcg_scaled",
+        """CASE WHEN idcg_scaled = 0 THEN 0L
+          |     ELSE CAST(dcg_scaled AS DECIMAL(38,0)) * 1000000
+          |          div idcg_scaled END AS ndcg_ppm""".stripMargin)
+      .transform(graft.Sorted.byNames(_, "qid"))
+  }
 }
