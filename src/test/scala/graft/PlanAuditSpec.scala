@@ -1140,6 +1140,21 @@ class PlanAuditSpec extends SparkSpec {
       "scoring, distribution and the one-row fold are each partial+final")
   }
 
+  test("ndcg_eval: bounded TopK folds rank the corpus; NDCG runs on the result list") {
+    val p = plan("ndcg_eval")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "the 30-row ranked set broadcasts back for grades")
+    assert(p.contains("BroadcastHashJoin"))
+    // ranking is the bounded TopK aggregator, never a corpus rank window:
+    // the only true Window is the ideal re-rank over the result list
+    // (WindowGroupLimit nodes are the NATIVE irank<=k pushdown around it
+    // — the same machinery the q7 audit pins — and don't count)
+    assert((nodeIds(p, "Window") -- nodeIds(p, "WindowGroupLimit")).size <= 1,
+      "no per-row corpus window — TopK folds map-side")
+    assert(p.contains("ObjectHashAggregate"),
+      "the TopK buffers aggregate partial+final")
+  }
+
   test("classifier_lift: one distribution fold; deciles and capture over the domain") {
     val p = plan("classifier_lift")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))

@@ -62,6 +62,6 @@ class NdcgSpec extends SparkSpec {
     // q2 dcg = 1*1e6 + 2*630930 = 2261860; idcg = 2*1e6 + 1*630930 = 2630930
     val got = ndcg(10, ("q1", 1, 2L), ("q1", 2, 1L), ("q2", 1, 1L), ("q2", 2, 2L))
     assert(got("q1")._3 == 1000000L)
-    assert(got("q2") == ((2261860L, 2630930L, 859721L)))
+    assert(got("q2") == ((2261860L, 2630930L, 859718L)))
   }
 }
