@@ -259,6 +259,76 @@ object Retrieval {
            |  CASE WHEN idcg = 0 THEN 0
            |       ELSE CAST(dcg::HUGEINT * 1000000 // idcg AS BIGINT) END AS ndcg_ppm
            |FROM dc JOIN ic USING (qid) ORDER BY qid""".stripMargin
+      }),
+
+    // ---- MAP / MRR ranking eval ---------------------------------------------
+    // ndcg_eval grades GRADED relevance; average precision and
+    // reciprocal rank are the binary-judgment standards (TREC's MAP,
+    // the MRR of QA evals). AP = mean over relevant retrieved positions
+    // of precision@that-position; every term is a truncated integer
+    // division SHARED by both engines (the repo's trunc-form
+    // convention), summed then divided by the retrieved-relevant count
+    // (the judged-pool convention, documented); RR = 10⁶ div the first
+    // relevant rank. Same bounded-TopK ranked fixture as ndcg_eval,
+    // binarized at co-topic tf > 0; every stage after the ranking runs
+    // on the result-list domain. -----------------------------------------
+    "map_eval" -> QueryDef(
+      (s, dir) => {
+        val topk = udaf(new graft.functions.TopK(10),
+          Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+        val slim = Tables.load(s, dir, "documents")
+          .selectExpr("doc_id", s"${Portable.tokensSql("text")} AS toks")
+          .selectExpr("doc_id",
+            "size(filter(toks, t -> t = 'spark')) AS tfs",
+            "size(filter(toks, t -> t = 'join')) AS tfj",
+            "size(filter(toks, t -> t = 'window')) AS tfw")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        def sc(tf: String) =
+          expr(s"IF($tf > 0, CAST($tf AS DOUBLE), CAST('NaN' AS DOUBLE))")
+        val tops = slim.agg(
+          topk(sc("tfs"), col("doc_id")).as("ts"),
+          topk(sc("tfj"), col("doc_id")).as("tj"),
+          topk(sc("tfw"), col("doc_id")).as("tw"))
+        val ranked = Seq(("spark", "ts"), ("join", "tj"), ("window", "tw"))
+          .map { case (q, c) => tops
+            .select(lit(q).as("qid"), posexplode(col(c)).as(Seq("pos", "t")))
+            .selectExpr("qid", "pos + 1 AS rank", "t._2 AS doc_id") }
+          .reduce(_ union _)
+        val graded = slim.join(broadcast(ranked), "doc_id")
+          .selectExpr("qid", "rank",
+            """CAST(CASE qid WHEN 'spark' THEN CAST(tfj > 0 AS INT)
+              |     WHEN 'join' THEN CAST(tfw > 0 AS INT)
+              |     ELSE CAST(tfs > 0 AS INT) END AS BIGINT) AS rel""".stripMargin)
+        avgPrecisionAt(graded, 10)
+      }, {
+        def tf(t: String) = s"len(list_filter(toks, x -> x = '$t'))"
+        s"""WITH tf AS (SELECT doc_id, ${tf("spark")} AS tfs,
+           |    ${tf("join")} AS tfj, ${tf("window")} AS tfw
+           |  FROM (SELECT doc_id, ${Portable.duckToksSql("text")} AS toks
+           |        FROM documents)),
+           |q AS (SELECT * FROM (VALUES ('spark'), ('join'), ('window')) v(qid)),
+           |sc AS (SELECT qid, doc_id,
+           |    CASE qid WHEN 'spark' THEN tfs WHEN 'join' THEN tfj ELSE tfw END AS tf,
+           |    CASE qid WHEN 'spark' THEN CAST(tfj > 0 AS BIGINT)
+           |         WHEN 'join' THEN CAST(tfw > 0 AS BIGINT)
+           |         ELSE CAST(tfs > 0 AS BIGINT) END AS rel
+           |  FROM q CROSS JOIN tf),
+           |rk AS (SELECT qid, rel, ROW_NUMBER() OVER (PARTITION BY qid
+           |    ORDER BY tf DESC, doc_id) AS rank
+           |  FROM sc WHERE tf > 0),
+           |top AS (SELECT * FROM rk WHERE rank <= 10),
+           |ch AS (SELECT qid, rank, rel,
+           |    SUM(rel) OVER (PARTITION BY qid ORDER BY rank
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cumhits
+           |  FROM top)
+           |SELECT qid, COUNT(*)::BIGINT AS n_ranked,
+           |  SUM(rel)::BIGINT AS n_rel,
+           |  CASE WHEN SUM(rel) = 0 THEN 0
+           |       ELSE SUM(CASE WHEN rel > 0 THEN cumhits * 1000000 // rank
+           |                ELSE 0 END) // SUM(rel) END::BIGINT AS ap_ppm,
+           |  COALESCE(1000000 // MIN(CASE WHEN rel > 0 THEN rank END), 0)::BIGINT
+           |    AS rr_ppm
+           |FROM ch GROUP BY qid ORDER BY qid""".stripMargin
       })
   )
 
@@ -305,6 +375,34 @@ object Retrieval {
         """CASE WHEN idcg_scaled = 0 THEN 0L
           |     ELSE CAST(dcg_scaled AS DECIMAL(38,0)) * 1000000
           |          div idcg_scaled END AS ndcg_ppm""".stripMargin)
+      .transform(graft.Sorted.byNames(_, "qid"))
+  }
+
+  /** Average precision + reciprocal rank over a `(qid, rank, rel)` frame
+    * with rel > 0 meaning relevant: ap_ppm = Σ_{relevant i}
+    * (cumhits_i·10⁶ div i) div R with R = retrieved-relevant (the
+    * judged-pool convention — only what the ranking surfaced is judged;
+    * every division is the trunc form both engines share), rr_ppm =
+    * 10⁶ div first-relevant rank. R = 0 reads 0 for both. All stages
+    * run on the RESULT-LIST domain. */
+  def avgPrecisionAt(ranked: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    Seq("qid", "rank", "rel").foreach(c => require(ranked.columns.contains(c),
+      s"ranked frame needs column $c, has ${ranked.columns.mkString(",")}"))
+    ranked.where(col("rank") >= 1 && col("rank") <= k)
+      .withColumn("cumhits", sum(expr("CAST(rel > 0 AS BIGINT)")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("rank"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_ranked"),
+        sum(expr("CAST(rel > 0 AS BIGINT)")).as("n_rel"),
+        sum(expr("IF(rel > 0, cumhits * 1000000 div rank, 0L)")).as("ap_num"),
+        min(expr("IF(rel > 0, rank, NULL)")).as("first_hit"))
+      .selectExpr("qid", "n_ranked", "n_rel",
+        "CASE WHEN n_rel = 0 THEN 0L ELSE ap_num div n_rel END AS ap_ppm",
+        "coalesce(1000000L div first_hit, 0L) AS rr_ppm")
       .transform(graft.Sorted.byNames(_, "qid"))
   }
 }

@@ -1155,6 +1155,15 @@ class PlanAuditSpec extends SparkSpec {
       "the TopK buffers aggregate partial+final")
   }
 
+  test("map_eval: bounded TopK folds rank the corpus; AP runs on the result list") {
+    val p = plan("map_eval")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+    assert(p.contains("BroadcastHashJoin"), "ranked set broadcasts back for judgments")
+    assert((nodeIds(p, "Window") -- nodeIds(p, "WindowGroupLimit")).size <= 1,
+      "only the cumhits window over the result list")
+    assert(p.contains("ObjectHashAggregate"), "TopK buffers aggregate partial+final")
+  }
+
   test("classifier_lift: one distribution fold; deciles and capture over the domain") {
     val p = plan("classifier_lift")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
