@@ -1978,10 +1978,21 @@ object CorpusOps {
         s"CAST(substring(CAST($valueCol AS STRING), 1, 1) AS BIGINT) AS d": _*)
       .groupBy((grp :+ "d").map(col): _*)
       .agg(count(lit(1)).as("c")) // the ONLY corpus-volume shuffle
-    val nFrame = dig.groupBy(grp.map(col): _*).agg(sum(col("c")).as("n"))
-    val digits = vals.sparkSession.range(1L, 10L)
+    benfordReadout(dig, grp, flagTvdPpm)
+      .transform(Sorted.byNames(_, grp.head, grp.tail: _*))
+  }
+
+  /** The TVD-vs-Benford readout over a `(grp..., d, c)` digit-count frame
+    * — ONE definition for the batch screen and the streaming monitor
+    * (the chi2Readout sharing discipline). `grp` may be empty (the
+    * streaming global lane). */
+  private[graft] def benfordReadout(dig: DataFrame, grp: Seq[String],
+      flagTvdPpm: Long): DataFrame = {
+    val nFrame = (if (grp.isEmpty) dig.groupBy() else dig.groupBy(grp.map(col): _*))
+      .agg(sum(col("c")).as("n"))
+    val digits = dig.sparkSession.range(1L, 10L)
       .selectExpr("id AS d", s"${benfordCaseSql("id")} AS exp_ppm")
-    nFrame
+    val joined = nFrame
       .crossJoin(broadcast(digits))
       .join(dig, grp :+ "d", "left")
       .selectExpr(grp ++ Seq("n",
@@ -1989,11 +2000,11 @@ object CorpusOps {
         // ~9e12 rows (the ab_test IntegralDivide rule); the quotient is
         // ppm-bounded so the int64 result can't wrap
         "abs(CAST(coalesce(c, 0L) AS DECIMAL(38,0)) * 1000000 div n - exp_ppm) AS dev"): _*)
-      .groupBy((grp :+ "n").map(col): _*)
+    (if (grp.isEmpty) joined.groupBy(col("n"))
+     else joined.groupBy((grp :+ "n").map(col): _*))
       .agg(expr("sum(dev) div 2").as("tvd_ppm"))
       .selectExpr(grp ++ Seq("n", "tvd_ppm",
         s"CAST(tvd_ppm >= ${flagTvdPpm}L AS INT) AS suspicious"): _*)
-      .transform(Sorted.byNames(_, grp.head, grp.tail: _*))
   }
 
   /** The sketch-knob contract shared by the batch operator and the
