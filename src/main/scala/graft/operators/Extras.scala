@@ -639,7 +639,80 @@ object Extras {
         |  CASE WHEN n * sx <= 0 THEN 0
         |    ELSE CAST((2 * six - (n + 1) * sx) * 1000000 // (n * sx) AS BIGINT)
         |    END AS gini_ppm
-        |FROM s""".stripMargin)
+        |FROM s""".stripMargin),
+
+    // ---- table profile (the data card for relational tables) ---------------
+    // corpus_stats is the data card for document corpora; THIS is the one
+    // for tables — the first read on any new dataset: per column, null
+    // rate, distinct cardinality, min/max. The distinct lane is
+    // exact-or-sketch: a BOUNDED distinct aggregator (<= exactK + 1
+    // int64 fingerprints per task buffer — the TopK discipline) answers
+    // exactly for low-cardinality columns, where the raw HLL estimator
+    // is bias-floored and the linear-counting correction would need ln
+    // (transcendental, banned — the hll_distinct zero_registers note);
+    // past exactK the parallel register sketch takes over. Values
+    // canonicalize per type to parity-safe strings (int64 decimal
+    // string; doubles as floor-micro units — floor of the same IEEE
+    // double is engine-identical, where a 6-dp decimal cast would hang
+    // on rounding-boundary ULPs; timestamps as epoch micros), then the
+    // shared portable chain (graft_polyhash -> hllIdExprs -> hllVExpr)
+    // makes the 60-bit fp and registers. Scale shape: one wide agg pass
+    // (counts + typed min/max, combiner-perfect), one stacked
+    // k-column-exploded pass feeding BOTH distinct lanes (register fold
+    // <= |cols|*m rows; bounded buffers <= exactK + 1) — output =
+    // |cols| rows at ANY table size. ------------------------------------------
+    "table_profile" -> QueryDef(
+      (s, dir) => tableProfile(Tables.load(s, dir, "orders")), {
+        import graft.functions.Portable.{MIX, MIX2, P, P2, P61}
+        val alphaPpm = graft.operators.CorpusOps.hllAlphaPpm(256)
+        // (name, dtype, duck canon VARCHAR expr, duck min/max source expr)
+        val cols = Seq(
+          ("o_orderkey", "bigint", "CAST(o_orderkey AS VARCHAR)", "o_orderkey"),
+          ("o_custkey", "bigint", "CAST(o_custkey AS VARCHAR)", "o_custkey"),
+          ("o_orderstatus", "string", "o_orderstatus", ""),
+          ("o_totalprice", "double",
+            "CAST(CAST(floor(o_totalprice * 1000000) AS BIGINT) AS VARCHAR)",
+            "CAST(floor(o_totalprice * 1000000) AS BIGINT)"),
+          ("o_orderdate", "timestamp",
+            "CAST(epoch_us(o_orderdate) AS VARCHAR)", "epoch_us(o_orderdate)"),
+          ("o_orderpriority", "string", "o_orderpriority", ""))
+        val branches = cols.zipWithIndex.map { case ((name, dt, canon, mmSrc), i) =>
+          val (mn, mx) =
+            if (mmSrc.isEmpty) (s"MIN($name)", s"MAX($name)")
+            else (s"CAST(MIN($mmSrc) AS VARCHAR)", s"CAST(MAX($mmSrc) AS VARCHAR)")
+          s"""g$i AS (SELECT h1 * 2147483648 + h2 AS fp, h2 FROM (
+             |  SELECT ((((h % $P) * (h % $P)) % $P) * $MIX + (h % $P)) % $P AS h1,
+             |         ((((h % $P2) * (h % $P2)) % $P2) * $MIX2 + (h % $P2)) % $P2 AS h2
+             |  FROM (SELECT ${graft.functions.Portable.duckPolyHashSql("v")} AS h
+             |        FROM (SELECT $canon AS v FROM orders WHERE $name IS NOT NULL)))),
+             |r$i AS (SELECT h2 % 256 AS idx,
+             |    MAX(CASE WHEN v2 // 256 = 0 THEN 54
+             |        ELSE length(bin((v2 // 256) & (-(v2 // 256)))) END) AS mj
+             |  FROM (SELECT h2, (((fp % 2147483648) * $MIX) % $P61
+             |      + ((fp // 2147483648) * $MIX2) % $P61) % $P61 AS v2 FROM g$i)
+             |  GROUP BY 1),
+             |s$i AS (SELECT SUM(1::BIGINT << (54 - mj))
+             |      + (256 - COUNT(*)) * (1::BIGINT << 54) AS s_scaled FROM r$i),
+             |e$i AS (SELECT CASE WHEN (SELECT COUNT(DISTINCT fp) FROM g$i) <= 1024
+             |    THEN (SELECT COUNT(DISTINCT fp) FROM g$i)
+             |    ELSE (SELECT ($alphaPpm::HUGEINT * 65536 * (1::HUGEINT << 54)
+             |          // (s_scaled::HUGEINT * 1000000))::BIGINT FROM s$i) END AS est,
+             |  CAST((SELECT COUNT(DISTINCT fp) FROM g$i) <= 1024 AS INT) AS is_ex),
+             |p$i AS (SELECT '$name' AS col, '$dt' AS dtype,
+             |    COUNT(*)::BIGINT AS n_rows,
+             |    (COUNT(*) - COUNT($name))::BIGINT AS n_null,
+             |    CAST((COUNT(*) - COUNT($name))::HUGEINT * 1000000
+             |      // COUNT(*) AS BIGINT) AS null_ppm,
+             |    $mn AS min_val, $mx AS max_val
+             |  FROM orders),
+             |b$i AS (SELECT p$i.*, est::BIGINT AS est_distinct,
+             |    is_ex AS distinct_is_exact FROM p$i CROSS JOIN e$i)""".stripMargin
+        }
+        val unions = cols.indices.map(i =>
+          s"SELECT col, dtype, n_rows, n_null, null_ppm, est_distinct, " +
+            s"distinct_is_exact, min_val, max_val FROM b$i").mkString("\nUNION ALL\n")
+        s"WITH ${branches.mkString(",\n")}\n$unions\nORDER BY col"
+      })
   )
 
   /** Gini concentration of any `(item, price DECIMAL)` sales frame —
@@ -885,5 +958,91 @@ object Extras {
     a.selectExpr("n", s"stack(${pairs.size}, $stackArgs) AS (pair, corr)")
       .selectExpr("pair", "n", "corr")
       .transform(graft.Sorted.byNames(_, "pair"))
+  }
+
+  /** Per-column data card of any frame of profileable columns (integral,
+    * float, string, timestamp, date) — see the `table_profile` registry
+    * comment for the canonicalization, the exact-or-sketch distinct lane
+    * and the scale shape. `m` is the register knob, `exactK` the
+    * exact-distinct bound; unsupported column types fail loudly (select
+    * the profileable columns first). */
+  def tableProfile(df: org.apache.spark.sql.DataFrame, m: Int = 256,
+      exactK: Int = 1024): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    import graft.operators.CorpusOps
+    require(exactK >= 1, s"exactK must be positive, got $exactK")
+    graft.functions.HashExpressions.register(df.sparkSession)
+    val fields = df.schema.fields
+    require(fields.nonEmpty, "nothing to profile")
+    // parity-safe int64 canon per type; None = string column (lexical lane)
+    def canonInt(f: StructField): Option[String] = f.dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        Some(s"CAST(`${f.name}` AS BIGINT)")
+      case DoubleType | FloatType =>
+        // floor of the SAME IEEE double is engine-identical; a decimal
+        // cast would hang on rounding-boundary ULPs
+        Some(s"CAST(floor(CAST(`${f.name}` AS DOUBLE) * 1000000D) AS BIGINT)")
+      case TimestampType => Some(s"unix_micros(`${f.name}`)")
+      case TimestampNTZType =>
+        // the session TZ is pinned UTC (GraftSession), so the cast
+        // relabels the same microsecond instant — the Tables.load rule
+        Some(s"unix_micros(CAST(`${f.name}` AS TIMESTAMP))")
+      case DateType => Some(s"CAST(datediff(`${f.name}`, DATE'1970-01-01') AS BIGINT)")
+      case StringType => None
+      case other => throw new IllegalArgumentException(
+        s"column ${f.name}: unprofileable type ${other.simpleString} — select profileable columns first")
+    }
+    // NTZ profiles as plain timestamp (one label for one semantics)
+    def dtypeLabel(f: StructField): String = f.dataType match {
+      case TimestampNTZType => "timestamp"
+      case t => t.simpleString
+    }
+    def canonStr(f: StructField): String =
+      canonInt(f).map(i => s"CAST($i AS STRING)").getOrElse(s"`${f.name}`")
+    // pass 1: one wide combiner-perfect agg — counts + typed min/max
+    val aggCols = fields.zipWithIndex.flatMap { case (f, i) =>
+      val (mn, mx) = canonInt(f) match {
+        case Some(ci) => (s"CAST(min($ci) AS STRING)", s"CAST(max($ci) AS STRING)")
+        case None => (s"min(`${f.name}`)", s"max(`${f.name}`)")
+      }
+      Seq(expr(s"count(`${f.name}`)").as(s"nn_$i"),
+        expr(mn).as(s"mn_$i"), expr(mx).as(s"mx_$i"))
+    }
+    val wide = df.agg(expr("count(1)").as("n_rows"), aggCols: _*)
+    val stackArgs = fields.zipWithIndex.map { case (f, i) =>
+      s"'${f.name}', '${dtypeLabel(f)}', nn_$i, mn_$i, mx_$i"
+    }.mkString(", ")
+    val stats = wide.selectExpr("n_rows",
+      s"stack(${fields.length}, $stackArgs) AS (col, dtype, n_nonnull, min_val, max_val)")
+    // pass 2: stacked (col, canonical value) stream feeds BOTH distinct lanes
+    val vArgs = fields.map(f => s"'${f.name}', ${canonStr(f)}").mkString(", ")
+    val (h2E, fpE) = CorpusOps.hllIdExprs("h")
+    val longf = df
+      .selectExpr(s"stack(${fields.length}, $vArgs) AS (col, v)")
+      .where("v IS NOT NULL")
+      .selectExpr("col", "graft_polyhash(v) AS h")
+      .selectExpr("col", s"$fpE AS fp", s"$h2E AS h2")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val regs = longf
+      .selectExpr("col", s"h2 % ${m}L AS idx",
+        s"${CorpusOps.hllRhoExpr(s"(${CorpusOps.hllVExpr("fp")})", m)} AS rho")
+      .groupBy(col("col"), col("idx")).agg(max(col("rho")).as("mj"))
+    val est = CorpusOps.hllEstimate(regs, m, Seq("col"))
+      .selectExpr("col", "est_distinct")
+    val bd = udaf(new graft.functions.BoundedDistinct(exactK), Encoders.scalaLong)
+    val exact = longf.groupBy(col("col")).agg(bd(col("fp")).as("exact_cnt"))
+    stats
+      .join(exact, Seq("col"), "left")
+      .join(est, Seq("col"), "left")
+      .selectExpr("col", "dtype", "n_rows", "n_rows - n_nonnull AS n_null",
+        """CASE WHEN n_rows = 0 THEN 0L
+          |  ELSE (CAST(n_rows - n_nonnull AS DECIMAL(38,0)) * 1000000) div n_rows
+          |END AS null_ppm""".stripMargin,
+        """CASE WHEN exact_cnt IS NULL THEN 0L
+          |     WHEN exact_cnt >= 0 THEN exact_cnt
+          |     ELSE coalesce(est_distinct, 0L) END AS est_distinct""".stripMargin,
+        "CAST(coalesce(exact_cnt, 0L) >= 0 AS INT) AS distinct_is_exact",
+        "min_val", "max_val")
+      .transform(graft.Sorted.byNames(_, "col"))
   }
 }

@@ -1164,6 +1164,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), "TopK buffers aggregate partial+final")
   }
 
+  test("table_profile: one wide agg + one stacked pass; output is column-domain") {
+    val p = plan("table_profile")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "the column-domain stats/est frames join broadcast")
+    assert(!p.contains("Window ["), "no window anywhere")
+    assert(!p.toLowerCase.contains("count(distinct"),
+      "distincts come from the bounded aggregator + registers, never Expand")
+    // wide agg, register fold, bounded-distinct fold — each partial+final
+    assert(nodeIds(p, "HashAggregate").size >= 4)
+    assert(p.contains("ObjectHashAggregate"),
+      "the BoundedDistinct buffers aggregate partial+final")
+  }
+
   test("classifier_lift: one distribution fold; deciles and capture over the domain") {
     val p = plan("classifier_lift")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
