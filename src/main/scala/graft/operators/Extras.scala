@@ -641,6 +641,42 @@ object Extras {
         |    END AS gini_ppm
         |FROM s""".stripMargin),
 
+    // ---- foreign-key integrity report ---------------------------------------
+    // The relationship half of the data-quality family (table_profile
+    // profiles one table; THIS checks the contract BETWEEN two — dbt's
+    // `relationships` + `unique` tests as one scale-shaped operator):
+    // how many fact rows carry a null FK, how many point at nothing
+    // (orphans), and whether the dimension key is actually unique —
+    // the three ways a star-schema join silently drops or duplicates
+    // revenue. Scale shape: the dim side reduces to its key domain
+    // (one distinct fold — single-column, so no Expand); orphan
+    // detection is ONE left-anti equi-join of the fact keys against it
+    // (broadcast when the key domain fits, the usual dim assumption);
+    // everything else is three 1-row aggregates cross-joined. Output is
+    // ONE row at any scale. Fixture: orders.o_custkey -> customer
+    // .c_custkey reads fully healthy (0 orphans, unique PK) — the
+    // healthy read IS the point of a gate; the spec pins orphans,
+    // nulls and duplicate PKs firing on crafted data. ------------------------
+    "fk_integrity" -> QueryDef(
+      (s, dir) => fkIntegrity(
+        Tables.load(s, dir, "orders"), "o_custkey",
+        Tables.load(s, dir, "customer"), "c_custkey"),
+      """WITH f AS (SELECT COUNT(*)::BIGINT AS n_fact,
+        |    (COUNT(*) - COUNT(o_custkey))::BIGINT AS n_fk_null FROM orders),
+        |d AS (SELECT COUNT(*)::BIGINT AS n_dim,
+        |    COUNT(DISTINCT c_custkey)::BIGINT AS n_pk_distinct FROM customer),
+        |o AS (SELECT COUNT(*)::BIGINT AS n_orphan FROM orders
+        |  WHERE o_custkey IS NOT NULL
+        |    AND o_custkey NOT IN (SELECT c_custkey FROM customer
+        |                          WHERE c_custkey IS NOT NULL))
+        |SELECT n_fact, n_fk_null, n_orphan,
+        |  CASE WHEN n_fact = 0 THEN 0
+        |       ELSE CAST(n_orphan::HUGEINT * 1000000 // n_fact AS BIGINT)
+        |  END AS orphan_ppm,
+        |  n_dim, n_pk_distinct,
+        |  CAST(n_dim = n_pk_distinct AS INT) AS pk_is_unique
+        |FROM f CROSS JOIN d CROSS JOIN o""".stripMargin),
+
     // ---- table profile (the data card for relational tables) ---------------
     // corpus_stats is the data card for document corpora; THIS is the one
     // for tables — the first read on any new dataset: per column, null
@@ -958,6 +994,33 @@ object Extras {
     a.selectExpr("n", s"stack(${pairs.size}, $stackArgs) AS (pair, corr)")
       .selectExpr("pair", "n", "corr")
       .transform(graft.Sorted.byNames(_, "pair"))
+  }
+
+  /** Foreign-key integrity report between a fact frame and a dimension —
+    * see the `fk_integrity` registry comment. NULL dim keys never match
+    * anything (SQL join semantics), so a null-keyed dim row counts
+    * toward n_dim but not n_pk_distinct. One row out at any scale. */
+  def fkIntegrity(fact: org.apache.spark.sql.DataFrame, fkCol: String,
+      dim: org.apache.spark.sql.DataFrame, pkCol: String): org.apache.spark.sql.DataFrame = {
+    require(fact.columns.contains(fkCol),
+      s"fact has no column $fkCol (has ${fact.columns.mkString(",")})")
+    require(dim.columns.contains(pkCol),
+      s"dim has no column $pkCol (has ${dim.columns.mkString(",")})")
+    val fStats = fact.agg(count(lit(1)).as("n_fact"),
+      expr(s"count(1) - count(`$fkCol`)").as("n_fk_null"))
+    val dStats = dim.agg(count(lit(1)).as("n_dim"),
+      countDistinct(col(pkCol)).as("n_pk_distinct")) // single-distinct: no Expand
+    val pk = dim.select(col(pkCol).as("pk")).where(col("pk").isNotNull).distinct()
+    val orphans = fact.select(col(fkCol).as("fk")).where(col("fk").isNotNull)
+      .join(pk, col("fk") === col("pk"), "left_anti")
+      .agg(count(lit(1)).as("n_orphan"))
+    fStats.crossJoin(dStats).crossJoin(orphans)
+      .selectExpr("n_fact", "n_fk_null", "n_orphan",
+        """CASE WHEN n_fact = 0 THEN 0L
+          |  ELSE (CAST(n_orphan AS DECIMAL(38,0)) * 1000000) div n_fact
+          |END AS orphan_ppm""".stripMargin,
+        "n_dim", "n_pk_distinct",
+        "CAST(n_dim = n_pk_distinct AS INT) AS pk_is_unique")
   }
 
   /** Per-column data card of any frame of profileable columns (integral,

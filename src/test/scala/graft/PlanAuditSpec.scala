@@ -1164,6 +1164,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), "TopK buffers aggregate partial+final")
   }
 
+  test("fk_integrity: one anti-join against the key domain; one row out") {
+    val p = plan("fk_integrity")
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row stat frames cross as broadcast nested loops, never a product of data")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+    assert("LeftAnti".r.findFirstIn(p).isDefined, "orphan check is ONE left-anti join")
+    assert(!p.toLowerCase.contains("expand"),
+      "the single-column distinct must not plan an Expand")
+  }
+
   test("table_profile: one wide agg + one stacked pass; output is column-domain") {
     val p = plan("table_profile")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
