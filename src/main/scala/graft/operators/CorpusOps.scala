@@ -1867,6 +1867,11 @@ object CorpusOps {
   def dpCounts(frame: DataFrame, withTrue: Boolean = true): DataFrame = {
     val keys = frame.columns.toSeq
     require(keys.nonEmpty, "need at least one group-key column")
+    // note: the noise seed concatenates key values with '|' — two DISTINCT
+    // key tuples whose concatenations collide (a value containing the
+    // separator) draw the SAME noise; groups stay separate, only their
+    // draws correlate. A production swap to per-release CSPRNG draws (the
+    // registry-comment caveat) removes the concern entirely.
     val (_, fpE) = hllIdExprs("h")
     val released = frame
       .groupBy(keys.map(col): _*)

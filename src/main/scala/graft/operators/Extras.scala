@@ -1043,8 +1043,14 @@ object Extras {
         Some(s"CAST(`${f.name}` AS BIGINT)")
       case DoubleType | FloatType =>
         // floor of the SAME IEEE double is engine-identical; a decimal
-        // cast would hang on rounding-boundary ULPs
-        Some(s"CAST(floor(CAST(`${f.name}` AS DOUBLE) * 1000000D) AS BIGINT)")
+        // cast would hang on rounding-boundary ULPs. NaN/±Inf must be
+        // fenced BEFORE the bigint cast (ANSI mode throws on them) —
+        // they fall out of the int lane and surface as sentinel strings
+        // in the distinct lane below. Finite |x| >= ~9.2e6 (micro-units
+        // past int64) remains the documented canon bound.
+        Some(s"CASE WHEN isnan(CAST(`${f.name}` AS DOUBLE)) " +
+          s"OR abs(CAST(`${f.name}` AS DOUBLE)) = double('inf') THEN NULL " +
+          s"ELSE CAST(floor(CAST(`${f.name}` AS DOUBLE) * 1000000D) AS BIGINT) END")
       case TimestampType => Some(s"unix_micros(`${f.name}`)")
       case TimestampNTZType =>
         // the session TZ is pinned UTC (GraftSession), so the cast
@@ -1060,8 +1066,17 @@ object Extras {
       case TimestampNTZType => "timestamp"
       case t => t.simpleString
     }
-    def canonStr(f: StructField): String =
-      canonInt(f).map(i => s"CAST($i AS STRING)").getOrElse(s"`${f.name}`")
+    def canonStr(f: StructField): String = f.dataType match {
+      case DoubleType | FloatType =>
+        // the non-finite values the int lane fences still carry distinct
+        // identity: surface them as sentinel strings
+        s"CASE WHEN isnan(CAST(`${f.name}` AS DOUBLE)) THEN 'nan' " +
+          s"WHEN CAST(`${f.name}` AS DOUBLE) = double('inf') THEN 'inf' " +
+          s"WHEN CAST(`${f.name}` AS DOUBLE) = double('-inf') THEN '-inf' " +
+          s"ELSE CAST(${canonInt(f).get} AS STRING) END"
+      case _ =>
+        canonInt(f).map(i => s"CAST($i AS STRING)").getOrElse(s"`${f.name}`")
+    }
     // pass 1: one wide combiner-perfect agg — counts + typed min/max
     val aggCols = fields.zipWithIndex.flatMap { case (f, i) =>
       val (mn, mx) = canonInt(f) match {

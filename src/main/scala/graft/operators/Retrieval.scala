@@ -217,10 +217,14 @@ object Retrieval {
         // NaN scores are dropped by the TopK buffer: tf = 0 docs never rank
         def sc(tf: String) =
           expr(s"IF($tf > 0, CAST($tf AS DOUBLE), CAST('NaN' AS DOUBLE))")
+        // persisted: the 1-row TopK frame feeds three union branches AND
+        // the grade join — without this the corpus fold re-executes per
+        // consumer (the mad_outliers median-frame rule)
         val tops = slim.agg(
           topk(sc("tfs"), col("doc_id")).as("ts"),
           topk(sc("tfj"), col("doc_id")).as("tj"),
           topk(sc("tfw"), col("doc_id")).as("tw"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
         val ranked = Seq(("spark", "ts"), ("join", "tj"), ("window", "tw"))
           .map { case (q, c) => tops
             .select(lit(q).as("qid"), posexplode(col(c)).as(Seq("pos", "t")))
@@ -285,10 +289,14 @@ object Retrieval {
           .persist(StorageLevel.MEMORY_AND_DISK)
         def sc(tf: String) =
           expr(s"IF($tf > 0, CAST($tf AS DOUBLE), CAST('NaN' AS DOUBLE))")
+        // persisted: the 1-row TopK frame feeds three union branches AND
+        // the grade join — without this the corpus fold re-executes per
+        // consumer (the mad_outliers median-frame rule)
         val tops = slim.agg(
           topk(sc("tfs"), col("doc_id")).as("ts"),
           topk(sc("tfj"), col("doc_id")).as("tj"),
           topk(sc("tfw"), col("doc_id")).as("tw"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
         val ranked = Seq(("spark", "ts"), ("join", "tj"), ("window", "tw"))
           .map { case (q, c) => tops
             .select(lit(q).as("qid"), posexplode(col(c)).as(Seq("pos", "t")))

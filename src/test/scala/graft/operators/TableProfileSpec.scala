@@ -64,6 +64,18 @@ class TableProfileSpec extends SparkSpec {
     assert(r.isNullAt(7) && r.isNullAt(8))
   }
 
+  test("NaN and infinities profile as sentinel identities, never ANSI cast crashes") {
+    import spark.implicits._
+    val df = Seq(1.5, Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, Double.NaN, 2.5).toDF("v")
+    val r = Extras.tableProfile(df).collect()(0)
+    // distinct identities: 1500000, 2500000, 'nan', 'inf', '-inf' -> 5
+    assert(r.getLong(5) == 5L && r.getInt(6) == 1)
+    // min/max live in the FINITE int lane only
+    assert(r.getString(7) == "1500000" && r.getString(8) == "2500000")
+    assert(r.getLong(3) == 0L, "non-finite values are not nulls")
+  }
+
   test("unprofileable types and bad knobs are loud") {
     import spark.implicits._
     val arr = Seq((1L, Seq(1, 2))).toDF("id", "xs")
