@@ -361,6 +361,33 @@ object EventOps {
     // marginals and the total; the pair/marginal frames are bounded by
     // the event-type DOMAIN (not the corpus) so both marginals
     // broadcast; min-count prunes before the joins. ----------------------
+    // ---- top user journeys (path prefix census) ----------------------------
+    // event_path_lift grades single TRANSITIONS; this one counts whole
+    // JOURNEY PREFIXES — "what are users actually doing first": per user,
+    // the first `depth` events in (ts, event_id) order joined into a
+    // path string, counted, top-k with a deterministic tie-break (the
+    // funnel product's Sankey source). Scale shape: the per-user first-k
+    // is a rank window + rank <= depth filter, which Spark plans as
+    // Partial/Final WindowGroupLimitExec AROUND the shuffle (the native
+    // pushdown the q7 audit pins — each map task forwards at most
+    // `depth` rows per user before anything shuffles); the ordered
+    // collect is depth-bounded per user; the path census is a
+    // combiner-perfect count; TakeOrderedAndProject bounds the tail.
+    // Users with fewer than `depth` events keep their shorter real
+    // journey — a prefix census, not an inner join against completeness.
+    "path_topk" -> QueryDef(
+      (s, dir) => pathTopK(Tables.load(s, dir, "events")),
+      """WITH r AS (SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM events),
+        |f AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 3 GROUP BY user_id),
+        |t AS (SELECT COUNT(*)::BIGINT AS n_total FROM f),
+        |p AS (SELECT path, COUNT(*)::BIGINT AS n_users FROM f GROUP BY 1)
+        |SELECT path, n_users, n_users * 1000 // n_total AS share_pm
+        |FROM p CROSS JOIN t ORDER BY n_users DESC, path LIMIT 10""".stripMargin),
+
     "event_path_lift" -> QueryDef(
       (s, dir) => transitionLift(Tables.load(s, dir, "events")),
       """WITH tr AS (SELECT event_type AS from_type,
@@ -549,6 +576,28 @@ object EventOps {
     * arithmetic and window-shape contracts. `minCount` prunes the pair
     * table before any join.
     */
+  /** Top journey prefixes of an `(user_id, ts, event_id, event_type)`
+    * stream — see the `path_topk` registry comment. `depth` is the
+    * prefix length, `k` the report size; ties break (count DESC, path
+    * ASC) deterministically. */
+  def pathTopK(ev: DataFrame, depth: Int = 3, k: Int = 10): DataFrame = {
+    require(depth >= 1 && depth <= 20, s"depth must be in [1, 20], got $depth")
+    require(k >= 1, s"k must be positive, got $k")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val paths = ev
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= depth) // plans Partial/Final WindowGroupLimit
+      .groupBy(col("user_id"))
+      .agg(expr("array_join(transform(array_sort(collect_list(" +
+        "struct(rn, event_type))), x -> x.event_type), '>')").as("path"))
+    val total = paths.agg(count(lit(1)).as("n_total"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(total))
+      .selectExpr("path", "n_users", "n_users * 1000 div n_total AS share_pm")
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(k)
+  }
+
   def transitionLift(ev: DataFrame, minCount: Long = 5L): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     val trans = ev

@@ -84,6 +84,30 @@ object Round10gProbe {
       }
     }
 
+    if (legs("dq")) {
+      val ords = graft.Tables.load(spark, "/root/testdata/sf0.1", "orders")
+      val cust = graft.Tables.load(spark, "/root/testdata/sf0.1", "customer")
+      Seq(1, 10, 30).foreach { k =>
+        val rep = (0 until k).map(_ => ords).reduce(_ unionAll _)
+        val n = rep.count()
+        val (tp, rp) = time(graft.operators.Extras.tableProfile(rep))
+        val (tf, rf) = time(graft.operators.Extras.fkIntegrity(
+          rep, "o_custkey", cust, "c_custkey"))
+        println(f"dq x$k%d orders=$n%d table_profile=$tp%.2f($rp%d) " +
+          f"fk_integrity=$tf%.2f($rf%d)")
+      }
+      Seq("/root/testdata/sf0.1", "/tmp/graft10x", "/tmp/graft100x").foreach { dir =>
+        if (new java.io.File(dir).isDirectory) {
+          val names = Seq("ndcg_eval", "map_eval")
+          val rs = names.map { nq =>
+            val (t, r) = time(graft.SparkEntry.registry(nq).fn(spark, dir))
+            f"$nq=$t%.2f($r%d)"
+          }
+          println(s"evals $dir ${rs.mkString(" ")}")
+        }
+      }
+    }
+
     if (legs("quant")) {
       val li = graft.Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
       Seq(1, 10, 30).foreach { k =>

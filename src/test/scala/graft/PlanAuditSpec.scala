@@ -1164,6 +1164,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), "TopK buffers aggregate partial+final")
   }
 
+  test("path_topk: native group-limit brackets the per-user window; bounded tail") {
+    val p = plan("path_topk")
+    // the rank <= depth filter must plan Partial/Final WindowGroupLimitExec
+    // around the exchange — each map task forwards <= depth rows per user
+    assert(nodeIds(p, "WindowGroupLimit").size >= 2,
+      "per-user first-k must push down as partial+final group limits")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-k report is a bounded fold, never a global sort")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
+
   test("fk_integrity: one anti-join against the key domain; one row out") {
     val p = plan("fk_integrity")
     assert(!p.contains("CartesianProduct"),
