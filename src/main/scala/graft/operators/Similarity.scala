@@ -676,6 +676,31 @@ object Similarity {
       s"""WITH $duckKmeansAf
          |SELECT vec_id, cell, sim FROM af ORDER BY vec_id""".stripMargin),
 
+    // ---- IVF index balance report -------------------------------------------
+    // The operational read BEFORE trusting an IVF index: nprobe math
+    // assumes cells near N/k; a skewed build (bad seeds, clustered data)
+    // silently turns "probe 2 of 4 cells" into "probe the one cell
+    // holding 80% of the corpus" — recall math intact, latency math
+    // gone. One row: vectors, cells used/empty, min/max cell size, and
+    // imbalance_milli = max_cell·k·1000/N (1000 = perfectly balanced).
+    // Generic over ANY (vec_id, cell) assignment — IVF cells here, SRP
+    // buckets equally. Scale shape: the per-cell count is the only
+    // fold over the assignment; the report aggregates the k-row size
+    // frame. Imbalance stages in DECIMAL(38,0). ------------------------------
+    "ann_index_stats" -> QueryDef(
+      (s, dir) => ivfIndexStats(
+        kmeansAssign(Tables.load(s, dir, "embeddings"), k = 4, iters = 2)
+          .select(col("vec_id"), col("cell")), k = 4),
+      s"""WITH $duckKmeansAf,
+         |sz AS (SELECT cell, COUNT(*)::BIGINT AS n_vecs FROM af GROUP BY 1)
+         |SELECT 4::BIGINT AS k, SUM(n_vecs)::BIGINT AS n_vectors,
+         |  COUNT(*)::BIGINT AS cells_used,
+         |  (4 - COUNT(*))::BIGINT AS empty_cells,
+         |  MIN(n_vecs) AS min_cell, MAX(n_vecs) AS max_cell,
+         |  CAST(MAX(n_vecs)::HUGEINT * 4 * 1000 // SUM(n_vecs) AS BIGINT)
+         |    AS imbalance_milli
+         |FROM sz""".stripMargin),
+
     // ---- SemDeDup-style semantic dedup — see [[semanticDedup]]; the
     // fixture instantiates k = 4 cells (matching the seed count the other
     // IVF-family fixtures use); the scale knob k ~ sqrt(N) is the
@@ -1190,6 +1215,26 @@ object Similarity {
     * Empty cells would drop (fixture cells are all populated);
     * production keeps the stale centroid via a left join — documented,
     * not needed at any tested SF. */
+  /** Balance report of any `(vec_id, cell)` index assignment — see the
+    * `ann_index_stats` registry comment. `k` is the INTENDED cell count
+    * (empty cells = k − cells actually used). One row out. */
+  def ivfIndexStats(assign: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(assign.columns.contains("cell"),
+      s"assignment frame needs a cell column, has ${assign.columns.mkString(",")}")
+    assign
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs")) // the only fold
+      .agg(sum(col("n_vecs")).as("n_vectors"),
+        count(lit(1)).as("cells_used"),
+        min(col("n_vecs")).as("min_cell"),
+        max(col("n_vecs")).as("max_cell"))
+      .selectExpr(s"${k}L AS k", "n_vectors", "cells_used",
+        s"${k}L - cells_used AS empty_cells", "min_cell", "max_cell",
+        s"""CASE WHEN n_vectors IS NULL OR n_vectors = 0 THEN 0L
+           |  ELSE (CAST(max_cell AS DECIMAL(38,0)) * ${k}L * 1000) div n_vectors
+           |END AS imbalance_milli""".stripMargin)
+  }
+
   def kmeansAssign(emb0: DataFrame, k: Int = 4, iters: Int = 2): DataFrame = {
     graft.functions.HashExpressions.register(emb0.sparkSession)
     val emb = emb0.select(col("vec_id"), col("embedding"))

@@ -1164,6 +1164,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), "TopK buffers aggregate partial+final")
   }
 
+  test("ann_index_stats: one fold over the assignment; the report is one row") {
+    val p = plan("ann_index_stats")
+    assert(!p.contains("CartesianProduct"), "no all-pairs anywhere in the build")
+    assert(!p.contains("Window ["), "no window — two chained aggregates")
+    assert(nodeIds(p, "HashAggregate").size >= 4,
+      "cell count and the report fold are each partial+final")
+  }
+
   test("path_topk: native group-limit brackets the per-user window; bounded tail") {
     val p = plan("path_topk")
     // the rank <= depth filter must plan Partial/Final WindowGroupLimitExec
