@@ -361,6 +361,39 @@ object EventOps {
     // marginals and the total; the pair/marginal frames are bounded by
     // the event-type DOMAIN (not the corpus) so both marginals
     // broadcast; min-count prunes before the joins. ----------------------
+    // ---- conversion latency distribution -------------------------------------
+    // funnel_conversion counts WHO converts; this measures HOW LONG it
+    // takes — first view to first subsequent purchase per user, reported
+    // as the latency distribution (n, min, exact type-1 p50/p90, max in
+    // whole seconds). The second-quantization is the scale contract: the
+    // quantile windows run over the latency DISTRIBUTION (bounded by the
+    // horizon in seconds — the ccnet coarsen-the-quantization rule
+    // applied up front), never over converter rows. Scale shape: two
+    // (user)-keyed min-aggs chained on one shuffle key (the funnel
+    // shape), one distribution fold + cutoff windows, a 1-row report. ------
+    "conversion_latency" -> QueryDef(
+      (s, dir) => conversionLatency(Tables.load(s, dir, "events")),
+      """WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS p_ts FROM events e
+        |  JOIN v USING (user_id)
+        |  WHERE event_type = 'purchase' AND e.ts > v_ts GROUP BY 1),
+        |l AS (SELECT (epoch_us(p_ts) - epoch_us(v.v_ts)) // 1000000 AS lat_s
+        |  FROM p JOIN v USING (user_id)),
+        |d AS (SELECT lat_s, COUNT(*)::BIGINT AS c FROM l GROUP BY 1),
+        |dc AS (SELECT lat_s, SUM(c) OVER ()::BIGINT AS n,
+        |    SUM(c) OVER (ORDER BY lat_s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+        |  FROM d),
+        |q AS (SELECT
+        |    MIN(CASE WHEN cum >= (500 * n + 999) // 1000 THEN lat_s END) AS p50_s,
+        |    MIN(CASE WHEN cum >= (900 * n + 999) // 1000 THEN lat_s END) AS p90_s
+        |  FROM dc),
+        |s AS (SELECT COUNT(*)::BIGINT AS n_converters,
+        |    MIN(lat_s) AS min_s, MAX(lat_s) AS max_s FROM l)
+        |SELECT n_converters, min_s, p50_s, p90_s, max_s
+        |FROM s CROSS JOIN q""".stripMargin),
+
     // ---- top user journeys (path prefix census) ----------------------------
     // event_path_lift grades single TRANSITIONS; this one counts whole
     // JOURNEY PREFIXES — "what are users actually doing first": per user,
@@ -576,6 +609,33 @@ object EventOps {
     * arithmetic and window-shape contracts. `minCount` prunes the pair
     * table before any join.
     */
+  /** First-view-to-first-subsequent-purchase latency distribution — see
+    * the `conversion_latency` registry comment. `fromType`/`toType` are
+    * the funnel ends; latency quantizes to whole seconds BEFORE the
+    * distribution fold (the scale contract). One row out. */
+  def conversionLatency(ev: DataFrame, fromType: String = "view",
+      toType: String = "purchase"): DataFrame = {
+    require(fromType != toType, "funnel ends must differ")
+    val v = ev.filter(col("event_type") === fromType)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val p = ev.filter(col("event_type") === toType)
+      .join(v, "user_id").filter(col("ts") > col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    val lat = p.join(v, "user_id")
+      .selectExpr("(unix_micros(p_ts) - unix_micros(v_ts)) div 1000000L AS lat_s")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qs = graft.operators.CorpusOps.exactQuantilesByGroup(
+      lat.withColumn("g", lit(1)), "lat_s", Seq("g"), Seq(500, 900))
+      .groupBy(col("g"))
+      .agg(max(expr("IF(q_pm = 500, exact_q, NULL)")).as("p50_s"),
+        max(expr("IF(q_pm = 900, exact_q, NULL)")).as("p90_s"))
+      .drop("g")
+    lat.agg(count(lit(1)).as("n_converters"),
+        min(col("lat_s")).as("min_s"), max(col("lat_s")).as("max_s"))
+      .crossJoin(broadcast(qs))
+      .selectExpr("n_converters", "min_s", "p50_s", "p90_s", "max_s")
+  }
+
   /** Top journey prefixes of an `(user_id, ts, event_id, event_type)`
     * stream — see the `path_topk` registry comment. `depth` is the
     * prefix length, `k` the report size; ties break (count DESC, path

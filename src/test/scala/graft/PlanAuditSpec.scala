@@ -1164,6 +1164,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), "TopK buffers aggregate partial+final")
   }
 
+  test("conversion_latency: funnel on one shuffle key; quantiles over the distribution") {
+    val p = plan("conversion_latency")
+    assert(!p.contains("CartesianProduct"),
+      "funnel joins are user_id equi-joins; the 1-row report cross is broadcast")
+    // both quantile windows run over the SECOND-quantized latency
+    // distribution, never converter rows
+    assert(nodeIds(p, "Window").size <= 2,
+      "only the n/cum pair over the latency distribution")
+    assert(nodeIds(p, "HashAggregate").size >= 6,
+      "stage mins, the distribution fold and the report are partial+final")
+  }
+
   test("ann_index_stats: one fold over the assignment; the report is one row") {
     val p = plan("ann_index_stats")
     assert(!p.contains("CartesianProduct"), "no all-pairs anywhere in the build")
