@@ -865,7 +865,22 @@ object Similarity {
     // shape. ------------------------------------------------------------
     "embedding_pca" -> QueryDef(
       (s, dir) => embeddingPca(Tables.load(s, dir, "embeddings"), iters = 8),
-      duckPcaSql(8)),
+      duckPcaSelect(8)),
+
+    // ---- all-but-the-top anisotropy report ---------------------------------
+    // Mu & Viswanath (ICLR 2018): trained embeddings concentrate mass in
+    // a common mean and a few dominant directions, and removing both
+    // improves every downstream similarity task — THIS is the diagnostic
+    // you run first: mean_share_ppm (raw second moment captured by the
+    // mean) and pc1_var_ppm (centered variance along the top component;
+    // isotropic 64-dim data reads ~15625 = 1e6/64). Composes the pca
+    // substrate through ONE pcaParts definition (the power iteration can
+    // never fork between the two operators); energies fold as
+    // floor-quantized int64 so both engines sum identical integers; one
+    // row out, one projection pass past the substrate. ----------------------
+    "embedding_anisotropy" -> QueryDef(
+      (s, dir) => embeddingAnisotropy(Tables.load(s, dir, "embeddings"), iters = 8),
+      duckAnisotropySql(8)),
 
     // ---- prototypicality pruning (SSL prototypes, Sorscher et al. 2022
     // "Beyond neural scaling laws"): cluster the corpus with k-means,
@@ -1297,7 +1312,11 @@ object Similarity {
     * (d = 1024 → 1M groups, still model-sized); components beyond the
     * first come from deflation (S ← S − λvvᵀ on the same one-row
     * frame), same arithmetic, documented not duplicated. */
-  def embeddingPca(embIn: DataFrame, iters: Int = 8): DataFrame = {
+  /** The shared PCA substrate: (centered 64-dim frame, 1-row mean list,
+    * 1-row top component) — one definition behind embedding_pca and the
+    * anisotropy report so the power-iteration arithmetic can never fork. */
+  private[graft] def pcaParts(embIn: DataFrame,
+      iters: Int): (DataFrame, DataFrame, DataFrame) = {
     require(iters >= 1 && iters <= 32, s"iters must be in [1, 32], got $iters")
     // the labelCentroidMargin 64-dim contract: slice+zero-pad up front
     val emb = embIn.withColumn("e64", expr(
@@ -1343,17 +1362,70 @@ object Similarity {
           expr("IF(nrm = 0.0D, v, transform(wd, vx -> vx / nrm))"))
         .drop("wd", "nrm")
     }
-    centered.crossJoin(broadcast(srow.select(col("v"))))
-      .selectExpr("vec_id", "label",
-        "CAST(aggregate(sequence(0, 63), 0L, (acc, pi) -> " +
-          "acc + CAST(floor(element_at(cent, pi + 1) * element_at(v, pi + 1) * " +
-          "1048576D) AS BIGINT)) AS DOUBLE) / 1048576D AS pc1")
+    (centered, mrow, srow.select(col("v")))
+  }
+
+  /** The shared per-vector PC1 projection expression (scaled-int64 fold,
+    * same order both engines). */
+  private val pc1Expr: String =
+    "CAST(aggregate(sequence(0, 63), 0L, (acc, pi) -> " +
+      "acc + CAST(floor(element_at(cent, pi + 1) * element_at(v, pi + 1) * " +
+      "1048576D) AS BIGINT)) AS DOUBLE) / 1048576D"
+
+  def embeddingPca(embIn: DataFrame, iters: Int = 8): DataFrame = {
+    val (centered, _, vrow) = pcaParts(embIn, iters)
+    centered.crossJoin(broadcast(vrow))
+      .selectExpr("vec_id", "label", s"$pc1Expr AS pc1")
       .transform(graft.Sorted.byNames(_, "vec_id"))
   }
 
-  /** DuckDB replay of [[embeddingPca]] at `iters` power iterations —
-    * the same scaled-int64 arithmetic, generated (not hand-unrolled) so
-    * the per-iteration text cannot drift between steps. */
+  /** All-but-the-top anisotropy report (Mu & Viswanath 2018): embedding
+    * sets concentrate mass in a common mean and a few dominant
+    * directions; this quantifies both — mean_share_ppm = the raw second
+    * moment captured by the mean, pc1_var_ppm = the centered variance
+    * along the top component. High values justify the mean-subtract +
+    * top-PC-removal preprocessing; isotropic embeddings read pc1 near
+    * 1e6/64. All energies fold as floor-quantized int64 (the pca
+    * discipline) so both engines sum identical integers; the shares are
+    * single ppm-bounded trunc divisions staged in DECIMAL(38,0). One
+    * row out; everything after the pca substrate is one per-vector
+    * projection pass + 1-row folds. */
+  def embeddingAnisotropy(embIn: DataFrame, iters: Int = 8): DataFrame = {
+    val (centered, mrow, vrow) = pcaParts(embIn, iters)
+    val per = centered.crossJoin(broadcast(vrow))
+      .selectExpr(s"$pc1Expr AS pc1",
+        "CAST(aggregate(cent, 0L, (a, x) -> " +
+          "a + CAST(floor(x * x * 1048576D) AS BIGINT)) AS BIGINT) AS qe")
+      .selectExpr("qe", "CAST(floor(pc1 * pc1 * 1048576D) AS BIGINT) AS qp")
+    val tot = per.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("qe")), lit(0L)).as("te"),
+      coalesce(sum(col("qp")), lit(0L)).as("pe"))
+    val mq = mrow.selectExpr(
+      "CAST(aggregate(md, 0L, (a, x) -> " +
+        "a + CAST(floor(x * x * 1048576D) AS BIGINT)) AS BIGINT) AS me")
+    tot.crossJoin(broadcast(mq))
+      .selectExpr("n",
+        """CASE WHEN te = 0 THEN 0L
+          |  ELSE (CAST(pe AS DECIMAL(38,0)) * 1000000) div te
+          |END AS pc1_var_ppm""".stripMargin,
+        """CASE WHEN te + CAST(me AS DECIMAL(38,0)) * n = 0 THEN 0L
+          |  ELSE (CAST(me AS DECIMAL(38,0)) * n * 1000000)
+          |       div (te + CAST(me AS DECIMAL(38,0)) * n)
+          |END AS mean_share_ppm""".stripMargin)
+  }
+
+  /** DuckDB twin of [[pc1Expr]] against centered alias `c` and component
+    * alias `f`. */
+  private def duckPc1: String =
+    "list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 64), pi -> " +
+      "CAST(floor(c.cent[pi + 1] * f.v[pi + 1] * 1048576) AS BIGINT))), " +
+      "(acc, x) -> acc + x)::DOUBLE / 1048576"
+
+  /** DuckDB CTE chain of the pca substrate at `iters` power iterations
+    * (the WITH body, no final SELECT) — the same scaled-int64
+    * arithmetic, generated (not hand-unrolled) so the per-iteration
+    * text cannot drift between steps; shared by the pca and anisotropy
+    * oracles. */
   private def duckPcaSql(iters: Int): String = {
     // matvec + norm + guarded normalize, expanded textually per CTE;
     // duplicate evaluation is fine on the one-row frame
@@ -1370,7 +1442,7 @@ object Similarity {
          |       ELSE list_transform($d, vx -> vx / $nrm) END AS v
          |FROM $prev)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, label,
+    s"""e AS (SELECT vec_id, label,
        |    list_transform(range(1, 65), i ->
        |      CASE WHEN i <= len(embedding) THEN embedding[i]::DOUBLE
        |           ELSE 0.0::DOUBLE END) AS e64
@@ -1392,12 +1464,42 @@ object Similarity {
        |    list_transform(range(0, 64), i ->
        |      CASE WHEN i = 0 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END) AS v
        |  FROM m),
-       |$its
-       |SELECT c.vec_id, c.label,
-       |  list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 64), pi ->
-       |    CAST(floor(c.cent[pi + 1] * f.v[pi + 1] * 1048576) AS BIGINT))),
-       |    (acc, x) -> acc + x)::DOUBLE / 1048576 AS pc1
+       |$its""".stripMargin
+  }
+
+  /** DuckDB replay of [[embeddingPca]] — the generated CTE chain plus
+    * the per-vector projection. */
+  private def duckPcaSelect(iters: Int): String =
+    s"""WITH ${duckPcaSql(iters)}
+       |SELECT c.vec_id, c.label, $duckPc1 AS pc1
        |FROM c CROSS JOIN it$iters f ORDER BY c.vec_id""".stripMargin
+
+  /** DuckDB replay of [[embeddingAnisotropy]] — the pca CTE chain plus
+    * the quantized energy folds and the two ppm shares. */
+  private def duckAnisotropySql(iters: Int): String = {
+    s"""WITH ${duckPcaSql(iters)},
+       |pj AS (SELECT $duckPc1 AS pc1, c.cent
+       |  FROM c CROSS JOIN it$iters f),
+       |per AS (SELECT
+       |    list_reduce(list_prepend(0::BIGINT, list_transform(pj.cent,
+       |      x -> CAST(floor(x * x * 1048576) AS BIGINT))),
+       |      (a, b) -> a + b) AS qe,
+       |    CAST(floor(pc1 * pc1 * 1048576) AS BIGINT) AS qp FROM pj),
+       |t AS (SELECT COUNT(*)::BIGINT AS n,
+       |    COALESCE(SUM(qe), 0)::BIGINT AS te,
+       |    COALESCE(SUM(qp), 0)::BIGINT AS pe FROM per),
+       |men AS (SELECT list_reduce(list_prepend(0::BIGINT, list_transform(md,
+       |      x -> CAST(floor(x * x * 1048576) AS BIGINT))),
+       |      (a, b) -> a + b) AS me FROM m)
+       |SELECT n,
+       |  CASE WHEN te = 0 THEN 0
+       |       ELSE CAST(pe::HUGEINT * 1000000 // te AS BIGINT)
+       |  END AS pc1_var_ppm,
+       |  CASE WHEN te + me::HUGEINT * n = 0 THEN 0
+       |       ELSE CAST(me::HUGEINT * n * 1000000
+       |            // (te + me::HUGEINT * n) AS BIGINT)
+       |  END AS mean_share_ppm
+       |FROM t CROSS JOIN men""".stripMargin
   }
 
   def prototypePrune(emb: DataFrame, k: Int = 4, iters: Int = 2,

@@ -1176,6 +1176,16 @@ class PlanAuditSpec extends SparkSpec {
       "stage mins, the distribution fold and the report are partial+final")
   }
 
+  test("embedding_anisotropy: the pca substrate plus one projection pass") {
+    val p = plan("embedding_anisotropy")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "mean/component rows enter as broadcasts only")
+    assert(!p.contains("Window ["), "no window anywhere")
+    assert(p.contains("InMemoryRelation"),
+      "the centered frame persists — the covariance fold and the "
+        + "projection pass both read it")
+  }
+
   test("ann_index_stats: one fold over the assignment; the report is one row") {
     val p = plan("ann_index_stats")
     assert(!p.contains("CartesianProduct"), "no all-pairs anywhere in the build")
