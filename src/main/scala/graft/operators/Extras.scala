@@ -677,6 +677,42 @@ object Extras {
         |  CAST(n_dim = n_pk_distinct AS INT) AS pk_is_unique
         |FROM f CROSS JOIN d CROSS JOIN o""".stripMargin),
 
+    // ---- exact duplicate-row census ------------------------------------------
+    // The third leg of the data-quality family: table_profile reads one
+    // table, fk_integrity the contract between two, THIS the dedup
+    // hygiene WITHIN one — ingestion replays and at-least-once sinks
+    // manifest as exact duplicate rows, and a fact table with dup rows
+    // double-counts every aggregate downstream. Row identity = md5 over
+    // the type-canonicalized columns (the SAME colCanonStr contract as
+    // table_profile — one definition of value equality across engines;
+    // the contentDigest md5 discipline: 128 bits, no birthday term at
+    // any scale) joined by chr(1), NULLs as chr(2) so ("a", NULL) and
+    // (NULL, "a") stay distinct. One digest group-count is the only
+    // corpus shuffle (combiner-perfect); the report folds the
+    // distinct-digest domain to one row. Fixture: full orders rows read
+    // ZERO dups — the healthy read is the point of a gate; the spec
+    // fires replays and multiplicities on crafted data. ----------------------
+    "row_dupes" -> QueryDef(
+      (s, dir) => rowDupes(Tables.load(s, dir, "orders")),
+      """WITH d AS (SELECT md5(concat_ws(chr(1),
+        |    coalesce(CAST(o_orderkey AS VARCHAR), chr(2)),
+        |    coalesce(CAST(o_custkey AS VARCHAR), chr(2)),
+        |    coalesce(o_orderstatus, chr(2)),
+        |    coalesce(CAST(CAST(floor(o_totalprice * 1000000) AS BIGINT)
+        |      AS VARCHAR), chr(2)),
+        |    coalesce(CAST(epoch_us(o_orderdate) AS VARCHAR), chr(2)),
+        |    coalesce(o_orderpriority, chr(2)))) AS d
+        |  FROM orders),
+        |g AS (SELECT d, COUNT(*)::BIGINT AS c FROM d GROUP BY 1)
+        |SELECT COALESCE(SUM(c), 0)::BIGINT AS n_rows,
+        |  COUNT(*)::BIGINT AS n_distinct,
+        |  (COALESCE(SUM(c), 0) - COUNT(*))::BIGINT AS dup_rows,
+        |  CASE WHEN COALESCE(SUM(c), 0) = 0 THEN 0
+        |       ELSE CAST((COALESCE(SUM(c), 0) - COUNT(*))::HUGEINT * 1000000
+        |            // SUM(c) AS BIGINT) END AS dup_ppm,
+        |  COALESCE(MAX(c), 0)::BIGINT AS max_multiplicity
+        |FROM g""".stripMargin),
+
     // ---- table profile (the data card for relational tables) ---------------
     // corpus_stats is the data card for document corpora; THIS is the one
     // for tables — the first read on any new dataset: per column, null
@@ -1029,16 +1065,39 @@ object Extras {
     * and the scale shape. `m` is the register knob, `exactK` the
     * exact-distinct bound; unsupported column types fail loudly (select
     * the profileable columns first). */
-  def tableProfile(df: org.apache.spark.sql.DataFrame, m: Int = 256,
-      exactK: Int = 1024): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.types._
-    import graft.operators.CorpusOps
-    require(exactK >= 1, s"exactK must be positive, got $exactK")
-    graft.functions.HashExpressions.register(df.sparkSession)
+  /** Exact duplicate-row census of any profileable frame — see the
+    * `row_dupes` registry comment. The row digest is md5 over the
+    * type-canonicalized columns joined by chr(1) with chr(2) for NULLs
+    * (the contentDigest discipline: 128 bits, collision-free in
+    * practice; the separators keep ("a", NULL) and (NULL, "a")
+    * distinct, and only values CONTAINING control chars could ever
+    * merge — documented). One digest fold is the only corpus shuffle;
+    * the report aggregates the distinct-digest domain. */
+  def rowDupes(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val fields = df.schema.fields
-    require(fields.nonEmpty, "nothing to profile")
-    // parity-safe int64 canon per type; None = string column (lexical lane)
-    def canonInt(f: StructField): Option[String] = f.dataType match {
+    require(fields.nonEmpty, "nothing to census")
+    val parts = fields.map(f => s"coalesce(${colCanonStr(f)}, char(2))")
+    val g = df
+      .selectExpr(s"md5(concat_ws(char(1), ${parts.mkString(", ")})) AS d")
+      .groupBy(org.apache.spark.sql.functions.col("d"))
+      .agg(count(lit(1)).as("c")) // the ONLY corpus shuffle
+    g.agg(coalesce(sum(col("c")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_distinct"),
+        coalesce(max(col("c")), lit(0L)).as("max_multiplicity"))
+      .selectExpr("n_rows", "n_distinct", "n_rows - n_distinct AS dup_rows",
+        """CASE WHEN n_rows = 0 THEN 0L
+          |  ELSE (CAST(n_rows - n_distinct AS DECIMAL(38,0)) * 1000000)
+          |       div n_rows
+          |END AS dup_ppm""".stripMargin,
+        "max_multiplicity")
+  }
+
+  /** Parity-safe int64 canon per type; None = string column (lexical
+    * lane). Shared by table_profile and row_dupes — one definition of
+    * what "the same value" means across engines. */
+  private[graft] def colCanonInt(f: org.apache.spark.sql.types.StructField): Option[String] = {
+    import org.apache.spark.sql.types._
+    f.dataType match {
       case LongType | IntegerType | ShortType | ByteType =>
         Some(s"CAST(`${f.name}` AS BIGINT)")
       case DoubleType | FloatType =>
@@ -1046,7 +1105,7 @@ object Extras {
         // cast would hang on rounding-boundary ULPs. NaN/±Inf must be
         // fenced BEFORE the bigint cast (ANSI mode throws on them) —
         // they fall out of the int lane and surface as sentinel strings
-        // in the distinct lane below. Finite |x| >= ~9.2e6 (micro-units
+        // in the string lane below. Finite |x| >= ~9.2e6 (micro-units
         // past int64) remains the documented canon bound.
         Some(s"CASE WHEN isnan(CAST(`${f.name}` AS DOUBLE)) " +
           s"OR abs(CAST(`${f.name}` AS DOUBLE)) = double('inf') THEN NULL " +
@@ -1061,22 +1120,38 @@ object Extras {
       case other => throw new IllegalArgumentException(
         s"column ${f.name}: unprofileable type ${other.simpleString} — select profileable columns first")
     }
+  }
+
+  /** The string form of [[colCanonInt]] (non-finite doubles become
+    * sentinel strings that keep their distinct identity). */
+  private[graft] def colCanonStr(f: org.apache.spark.sql.types.StructField): String = {
+    import org.apache.spark.sql.types._
+    f.dataType match {
+      case DoubleType | FloatType =>
+        s"CASE WHEN isnan(CAST(`${f.name}` AS DOUBLE)) THEN 'nan' " +
+          s"WHEN CAST(`${f.name}` AS DOUBLE) = double('inf') THEN 'inf' " +
+          s"WHEN CAST(`${f.name}` AS DOUBLE) = double('-inf') THEN '-inf' " +
+          s"ELSE CAST(${colCanonInt(f).get} AS STRING) END"
+      case _ =>
+        colCanonInt(f).map(i => s"CAST($i AS STRING)").getOrElse(s"`${f.name}`")
+    }
+  }
+
+  def tableProfile(df: org.apache.spark.sql.DataFrame, m: Int = 256,
+      exactK: Int = 1024): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    import graft.operators.CorpusOps
+    require(exactK >= 1, s"exactK must be positive, got $exactK")
+    graft.functions.HashExpressions.register(df.sparkSession)
+    val fields = df.schema.fields
+    require(fields.nonEmpty, "nothing to profile")
+    def canonInt(f: StructField): Option[String] = colCanonInt(f)
     // NTZ profiles as plain timestamp (one label for one semantics)
     def dtypeLabel(f: StructField): String = f.dataType match {
       case TimestampNTZType => "timestamp"
       case t => t.simpleString
     }
-    def canonStr(f: StructField): String = f.dataType match {
-      case DoubleType | FloatType =>
-        // the non-finite values the int lane fences still carry distinct
-        // identity: surface them as sentinel strings
-        s"CASE WHEN isnan(CAST(`${f.name}` AS DOUBLE)) THEN 'nan' " +
-          s"WHEN CAST(`${f.name}` AS DOUBLE) = double('inf') THEN 'inf' " +
-          s"WHEN CAST(`${f.name}` AS DOUBLE) = double('-inf') THEN '-inf' " +
-          s"ELSE CAST(${canonInt(f).get} AS STRING) END"
-      case _ =>
-        canonInt(f).map(i => s"CAST($i AS STRING)").getOrElse(s"`${f.name}`")
-    }
+    def canonStr(f: StructField): String = colCanonStr(f)
     // pass 1: one wide combiner-perfect agg — counts + typed min/max
     val aggCols = fields.zipWithIndex.flatMap { case (f, i) =>
       val (mn, mx) = canonInt(f) match {

@@ -1215,6 +1215,14 @@ class PlanAuditSpec extends SparkSpec {
       "the single-column distinct must not plan an Expand")
   }
 
+  test("row_dupes: one digest fold; the report aggregates the digest domain") {
+    val p = plan("row_dupes")
+    assert(!p.contains("Join") && !p.contains("Window ["),
+      "two chained aggregates, nothing else")
+    assert(nodeIds(p, "HashAggregate").size >= 4,
+      "digest count and the report fold are each partial+final")
+  }
+
   test("table_profile: one wide agg + one stacked pass; output is column-domain") {
     val p = plan("table_profile")
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
