@@ -495,6 +495,82 @@ object TextOps {
          |       WHEN s.fluency >= c1 THEN 'middle' ELSE 'tail' END AS bucket
          |FROM scores s JOIN cut USING (lang) ORDER BY s.doc_id""".stripMargin),
 
+    // ---- CCNet bucketing over HELD-OUT trigram-LM perplexity — the
+    // composition Wenzek et al. 2020 actually published: a wiki-trained
+    // KenLM scores the crawl, and the crawl buckets per language into
+    // head/middle/tail by that LM signal. Here the doc_id % 2 = 0 half
+    // plays the wiki (the Stupid-Backoff trigram model trains on it,
+    // lm_trigram_score's exact arithmetic) and the held-out % 2 = 1
+    // half plays the crawl (scored, then bucketed). lm_score is the
+    // average backoff-weighted transition probability, so HIGHER =
+    // more fluent = LOWER perplexity — head is the per-language third
+    // the LM rates most wiki-like, exactly CCNet's "train on the head"
+    // frame (ppl ascending == lm_score descending; the monotone
+    // transform changes no bucket boundary). Scale shape: the LM pass
+    // is lm_trigram_score's (pair/triple-keyed shuffle joins + vocab
+    // broadcasts; carryCols threads lang through the existing doc_id
+    // grouping key, so NO second corpus-sized join-back appears) and
+    // the bucketing adds only ccnetBuckets' distribution window +
+    // 2-rows-per-language broadcast cutoffs — plan-pinned: the one new
+    // Window runs over the per-language DISTINCT-score distribution,
+    // never corpus rows. ------------------------------------------------
+    "ccnet_perplexity_buckets" -> QueryDef(
+      (s, dir) => ccnetBuckets(
+        lmTrigramScore(Tables.load(s, dir, "documents"),
+          "doc_id % 2 = 0", "doc_id % 2 = 1", carryCols = Seq("lang"))
+          .select(col("doc_id"), col("lang"), col("lm_score")),
+        scoreCol = "lm_score"),
+      s"""WITH toks AS (SELECT doc_id, lang, $duckToksFluency AS ts FROM documents),
+         |train AS (SELECT ts FROM toks WHERE doc_id % 2 = 0),
+         |tric AS (SELECT tri, COUNT(*) AS c123 FROM (
+         |    SELECT unnest(list_transform(range(3, len(ts) + 1),
+         |      i -> ts[i-2] || ' ' || ts[i-1] || ' ' || ts[i])) AS tri
+         |    FROM train WHERE len(ts) >= 3) GROUP BY tri),
+         |bigc AS (SELECT big, COUNT(*) AS cb FROM (
+         |    SELECT unnest(list_transform(range(2, len(ts) + 1),
+         |      i -> ts[i-1] || ' ' || ts[i])) AS big
+         |    FROM train WHERE len(ts) >= 2) GROUP BY big),
+         |unic AS (SELECT w, COUNT(*) AS cw FROM (
+         |    SELECT unnest(ts) AS w FROM train) GROUP BY w),
+         |tot AS (SELECT COALESCE(SUM(cw), 0)::BIGINT AS nt FROM unic),
+         |sc AS (SELECT doc_id, lang,
+         |    unnest(list_transform(range(3, len(ts) + 1),
+         |      i -> ts[i-2] || ' ' || ts[i-1] || ' ' || ts[i])) AS tri,
+         |    unnest(list_transform(range(3, len(ts) + 1),
+         |      i -> ts[i-2] || ' ' || ts[i-1])) AS ctx,
+         |    unnest(list_transform(range(3, len(ts) + 1),
+         |      i -> ts[i-1] || ' ' || ts[i])) AS b23,
+         |    unnest(list_transform(range(3, len(ts) + 1), i -> ts[i-1])) AS w2,
+         |    unnest(list_transform(range(3, len(ts) + 1), i -> ts[i])) AS w3
+         |  FROM toks WHERE doc_id % 2 = 1 AND len(ts) >= 3),
+         |q AS (SELECT doc_id, lang,
+         |    CASE WHEN t.c123 IS NOT NULL THEN t.c123 * 1000000 // bc.cb
+         |         WHEN bb.cb IS NOT NULL THEN (bb.cb * 1000000 // u2.cw) * 2 // 5
+         |         WHEN u3.cw IS NOT NULL THEN
+         |           ((u3.cw * 1000000 // tot.nt) * 2 // 5) * 2 // 5
+         |         ELSE 0 END AS q
+         |  FROM sc
+         |  LEFT JOIN tric t ON sc.tri = t.tri
+         |  LEFT JOIN bigc bc ON sc.ctx = bc.big
+         |  LEFT JOIN bigc bb ON sc.b23 = bb.big
+         |  LEFT JOIN unic u2 ON sc.w2 = u2.w
+         |  LEFT JOIN unic u3 ON sc.w3 = u3.w
+         |  CROSS JOIN tot),
+         |scores AS (SELECT doc_id, lang,
+         |    CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1000000) AS lm_score
+         |  FROM q GROUP BY doc_id, lang),
+         |dist AS (SELECT lang, lm_score, COUNT(*) AS c FROM scores GROUP BY lang, lm_score),
+         |nl AS (SELECT lang, COUNT(*) AS n FROM scores GROUP BY lang),
+         |cw AS (SELECT lang, lm_score, SUM(c) OVER (PARTITION BY lang ORDER BY lm_score DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM dist),
+         |cut AS (SELECT cw.lang, MAX(CASE WHEN cum >= (n + 2) // 3 THEN lm_score END) AS c2,
+         |    MAX(CASE WHEN cum >= (2 * n + 2) // 3 THEN lm_score END) AS c1
+         |  FROM cw JOIN nl USING (lang) GROUP BY cw.lang)
+         |SELECT s.doc_id, s.lang, s.lm_score,
+         |  CASE WHEN s.lm_score >= c2 THEN 'head'
+         |       WHEN s.lm_score >= c1 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM scores s JOIN cut USING (lang) ORDER BY s.doc_id""".stripMargin),
+
     // ---- Gopher quality rules (Rae et al. 2021 §A1.1): the canonical
     // composite document gate every large-scale text pipeline applies
     // before training. The thresholds are SIGNATURE parameters of
@@ -998,12 +1074,19 @@ object TextOps {
     * for the arithmetic and scale-shape contract. `docs` needs
     * (doc_id, text); the two slices may overlap (score-on-train gives
     * the degenerate all-trigram-hit case, which LmTrigramSpec pins).
+    * `carryCols` names extra per-document columns (e.g. `lang`) carried
+    * through scoring into the output — they ride the doc_id grouping
+    * key, so the default Nil leaves the lm_trigram_score plan and
+    * schema untouched while ccnet_perplexity_buckets gets its
+    * per-language key without a second corpus-sized join-back.
     */
   def lmTrigramScore(docs: DataFrame,
       trainExpr: String = "doc_id % 2 = 0",
-      scoreExpr: String = "doc_id % 2 = 1"): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      expr(Portable.tokensSql("text")).as("ts"))
+      scoreExpr: String = "doc_id % 2 = 1",
+      carryCols: Seq[String] = Nil): DataFrame = {
+    val carry = carryCols.map(col)
+    val toks = docs.select(col("doc_id") +: carry :+
+      expr(Portable.tokensSql("text")).as("ts"): _*)
     // the train-token frame feeds three count passes — cache the arrays,
     // not three re-reads + re-tokenizations of the corpus
     val train = toks.filter(trainExpr).select(col("ts"))
@@ -1018,18 +1101,29 @@ object TextOps {
       .groupBy(col("w")).agg(count(lit(1)).as("cw"))
     val tot = uniC.agg(coalesce(sum(col("cw")), lit(0L)).as("nt"))
     val sc = toks.filter(scoreExpr).filter("size(ts) >= 3")
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id") +: carry :+ explode(expr(
         """transform(sequence(3, size(ts)), i -> struct(
           |  concat(ts[i-3], ' ', ts[i-2], ' ', ts[i-1]) AS tri,
           |  concat(ts[i-3], ' ', ts[i-2]) AS ctx,
           |  concat(ts[i-2], ' ', ts[i-1]) AS b23,
-          |  ts[i-2] AS w2, ts[i-1] AS w3))""".stripMargin)).as("g"))
-      .selectExpr("doc_id", "g.tri", "g.ctx", "g.b23", "g.w2", "g.w3")
+          |  ts[i-2] AS w2, ts[i-1] AS w3))""".stripMargin)).as("g"): _*)
+      .selectExpr(Seq("doc_id") ++ carryCols ++
+        Seq("g.tri", "g.ctx", "g.b23", "g.w2", "g.w3"): _*)
     // tri + both bigram lookups are PAIR/TRIPLE-keyed (grow toward
     // vocab^n) — shuffle joins; unigrams and N are vocab-bounded/1-row
     // and broadcast. A trigram hit implies its context bigram exists,
     // a bigram hit implies its prefix unigram exists, so no rung ever
     // divides by NULL.
+    val scoreCols = Seq("doc_id",
+      """CASE WHEN c123 IS NOT NULL THEN c123 * 1000000L div cctx
+        |     WHEN c23 IS NOT NULL THEN (c23 * 1000000L div c2) * 2L div 5L
+        |     WHEN c3 IS NOT NULL THEN
+        |       ((c3 * 1000000L div nt) * 2L div 5L) * 2L div 5L
+        |     ELSE 0L END AS q""".stripMargin,
+      "CAST(c123 IS NOT NULL AS INT) AS ht",
+      "CAST(c123 IS NULL AND c23 IS NOT NULL AS INT) AS hb",
+      "CAST(c123 IS NULL AND c23 IS NULL AND c3 IS NOT NULL AS INT) AS hu"
+    ) ++ carryCols
     sc.join(triC, Seq("tri"), "left")
       .join(bigC.withColumnRenamed("big", "ctx").withColumnRenamed("cb", "cctx"),
         Seq("ctx"), "left")
@@ -1040,21 +1134,14 @@ object TextOps {
       .join(broadcast(uniC.withColumnRenamed("w", "w3").withColumnRenamed("cw", "c3")),
         Seq("w3"), "left")
       .crossJoin(broadcast(tot))
-      .selectExpr("doc_id",
-        """CASE WHEN c123 IS NOT NULL THEN c123 * 1000000L div cctx
-          |     WHEN c23 IS NOT NULL THEN (c23 * 1000000L div c2) * 2L div 5L
-          |     WHEN c3 IS NOT NULL THEN
-          |       ((c3 * 1000000L div nt) * 2L div 5L) * 2L div 5L
-          |     ELSE 0L END AS q""".stripMargin,
-        "CAST(c123 IS NOT NULL AS INT) AS ht",
-        "CAST(c123 IS NULL AND c23 IS NOT NULL AS INT) AS hb",
-        "CAST(c123 IS NULL AND c23 IS NULL AND c3 IS NOT NULL AS INT) AS hu")
-      .groupBy(col("doc_id"))
+      .selectExpr(scoreCols: _*)
+      .groupBy(col("doc_id") +: carry: _*)
       .agg(count(lit(1)).as("n_trigrams"), sum(col("ht")).as("n_tri_hit"),
         sum(col("hb")).as("n_big_hit"), sum(col("hu")).as("n_uni_hit"),
         sum(col("q")).as("sq"))
-      .selectExpr("doc_id", "n_trigrams", "n_tri_hit", "n_big_hit", "n_uni_hit",
-        "CAST(sq AS DOUBLE) / (n_trigrams * 1000000) AS lm_score")
+      .selectExpr(Seq("doc_id") ++ carryCols ++
+        Seq("n_trigrams", "n_tri_hit", "n_big_hit", "n_uni_hit",
+          "CAST(sq AS DOUBLE) / (n_trigrams * 1000000) AS lm_score"): _*)
       .transform(graft.Sorted.byNames(_, "doc_id"))
   }
 }

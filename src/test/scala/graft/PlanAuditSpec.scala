@@ -480,6 +480,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window ["))
   }
 
+  test("ccnet_perplexity_buckets: the composition adds one distribution window, no new corpus stage") {
+    val p = plan("ccnet_perplexity_buckets")
+    // exactly ONE window in the whole composition — ccnetBuckets' cutoff
+    // search over the per-language DISTINCT-score distribution; the LM
+    // scoring pass must not introduce a second one (a per-doc rank or a
+    // corpus NTILE would show here)
+    assert(nodeIds(p, "Window").size == 1,
+      "the only window is the ccnet cutoff search over the score distribution")
+    // the lm_trigram shape survives the composition: both unigram
+    // lookups broadcast, plus ccnet's per-language counts and cutoffs
+    assert(nodeIds(p, "BroadcastHashJoin").size >= 4,
+      "unigrams, per-language counts and cutoffs must all broadcast")
+    assert(p.contains("InMemoryRelation"),
+      "train tokens (LM) and the scored frame (ccnet) are each persisted once")
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere")
+    assert(nodeIds(p, "BroadcastNestedLoopJoin").size <= 1,
+      "only the 1-row N frame may enter as a nested-loop broadcast")
+  }
+
   test("dedup_winnow: selection is map-side off one cached fp table; pairing stays equi") {
     val p = plan("dedup_winnow")
     assert(p.contains("InMemoryRelation"),
