@@ -71,7 +71,9 @@ object CorpusOps {
       s"i -> ((element_at(th, i - 1) * ${MIX}L + element_at(th, i)) % ${P}L) % 8192) " +
       "ELSE CAST(array() AS array<bigint>) END"
   }
-  private val duckBigramBkt = {
+  // private[operators]: Curation's mix_doremi oracle scores with the SAME
+  // B = 8192 bigram feature fragment (the bigramBktExpr desync rule)
+  private[operators] val duckBigramBkt = {
     import graft.functions.Portable.{MIX, P}
     s"""CASE WHEN len(th) >= 2
        |    THEN list_transform(range(2, len(th) + 1),
@@ -2318,12 +2320,19 @@ object CorpusOps {
   }
 
   /** The hashed-bigram feature explosion shared by the classifier pair:
-    * one tokenize+hash pass into slim (doc_id, lang, bkt) rows. */
-  private def hashedFeatures(docs: DataFrame): DataFrame = {
+    * one tokenize+hash pass into slim (doc_id, lang, bkt) rows.
+    * `carryCols` threads extra per-document columns (e.g. `source`)
+    * through — the lmTrigramScore carry pattern, so a domain-keyed
+    * consumer (mix_doremi) never needs a corpus-sized join-back. */
+  private def hashedFeatures(docs: DataFrame,
+      carryCols: Seq[String] = Nil): DataFrame = {
     graft.functions.HashExpressions.register(docs.sparkSession)
+    val carry = carryCols.map(col)
     docs
-      .select(col("doc_id"), col("lang"), expr("graft_token_hashes(text)").as("th"))
-      .select(col("doc_id"), col("lang"), explode(expr(bigramBktExpr)).as("bkt"))
+      .select(col("doc_id") +: col("lang") +: carry :+
+        expr("graft_token_hashes(text)").as("th"): _*)
+      .select(col("doc_id") +: col("lang") +: carry :+
+        explode(expr(bigramBktExpr)).as("bkt"): _*)
   }
 
   /** Train the fastText-shaped hashed linear quality classifier: given a
@@ -2452,13 +2461,13 @@ object CorpusOps {
   }
 
   def hashedClassifierScore(docs: DataFrame, weights: DataFrame,
-      thresholdPpb: Long = 0L): DataFrame =
-    hashedFeatures(docs)
+      thresholdPpb: Long = 0L, carryCols: Seq[String] = Nil): DataFrame =
+    hashedFeatures(docs, carryCols)
       .join(broadcast(weights), "bkt")
-      .groupBy(col("doc_id"), col("lang"))
+      .groupBy(col("doc_id") +: col("lang") +: carryCols.map(col): _*)
       .agg(count(lit(1)).as("n_bigrams"), sum(col("w")).as("sw"))
-      .selectExpr("doc_id", "lang", "n_bigrams",
+      .selectExpr(Seq("doc_id", "lang") ++ carryCols ++ Seq("n_bigrams",
         "sw div n_bigrams AS score_ppb",
-        s"IF(sw div n_bigrams > ${thresholdPpb}L, 1, 0) AS keep")
+        s"IF(sw div n_bigrams > ${thresholdPpb}L, 1, 0) AS keep"): _*)
       .transform(Sorted.byNames(_, "doc_id"))
 }

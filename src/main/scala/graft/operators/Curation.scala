@@ -648,6 +648,66 @@ object Curation {
          |  capped
          |FROM f CROSS JOIN lev ORDER BY source""".stripMargin),
 
+    // ---- DoReMi domain reweighting (Xie et al. 2023): the one published
+    // mixing algorithm the family lacked — excess-loss-driven
+    // exponentiated-gradient weight updates, smoothed toward uniform,
+    // averaged over steps (Algorithm 1). The proxy/reference signal is
+    // the learned hashed classifier (quality_classifier's exact model:
+    // trained on the doc_id % 2 = 0 half, positive = lang 'en', scored
+    // over the whole corpus with source carried through the scoring
+    // key), so domains the classifier rates furthest below the corpus
+    // mean read as high-excess-loss and get upweighted. See
+    // [[mixDoremi]] for the integer surrogates and the scale-shape
+    // contract (one corpus fold; the step loop runs entirely on the
+    // |domains|-row frame, no driver actions). ---------------------------
+    "mix_doremi" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val wts = CorpusOps.trainHashedClassifier(
+          d.filter("doc_id % 2 = 0"), posExpr = "lang = 'en'")
+        mixDoremi(CorpusOps.hashedClassifierScore(d, wts,
+          carryCols = Seq("source")))
+      },
+      s"""WITH th AS (SELECT doc_id, lang, source,
+         |    ${graft.functions.Portable.duckHashTokensSql(
+               graft.functions.Portable.duckToksSql("text"))} AS th
+         |  FROM documents),
+         |f AS (SELECT doc_id, lang, source,
+         |    unnest(${CorpusOps.duckBigramBkt}) AS bkt FROM th),
+         |tr AS (SELECT lang, bkt FROM f WHERE doc_id % 2 = 0),
+         |pos AS (SELECT bkt, COUNT(*)::BIGINT AS pc FROM tr WHERE lang = 'en' GROUP BY bkt),
+         |neg AS (SELECT bkt, COUNT(*)::BIGINT AS nc FROM tr WHERE NOT (lang = 'en') GROUP BY bkt),
+         |pt AS (SELECT COALESCE((SELECT SUM(pc) FROM pos), 0)::BIGINT AS ptot),
+         |nt AS (SELECT COALESCE((SELECT SUM(nc) FROM neg), 0)::BIGINT AS ntot),
+         |dom AS (SELECT UNNEST(range(0, 8192)) AS bkt),
+         |w AS (SELECT dom.bkt,
+         |    ((COALESCE(pc, 0) + 1) * 1000000000) // (ptot + 8192)
+         |      - ((COALESCE(nc, 0) + 1) * 1000000000) // (ntot + 8192) AS w
+         |  FROM dom CROSS JOIN pt CROSS JOIN nt
+         |  LEFT JOIN pos ON pos.bkt = dom.bkt
+         |  LEFT JOIN neg ON neg.bkt = dom.bkt),
+         |scored AS (SELECT doc_id, source,
+         |    CAST(SUM(w.w) AS BIGINT) // COUNT(*) AS score_ppb
+         |  FROM f JOIN w USING (bkt) GROUP BY doc_id, lang, source),
+         |dm AS (SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(score_ppb) AS BIGINT) AS ssum FROM scored GROUP BY source),
+         |b0 AS (SELECT source, n_docs, ssum // n_docs AS mean_score_ppb,
+         |    GREATEST(0, CAST(SUM(ssum) OVER () // SUM(n_docs) OVER () AS BIGINT)
+         |      - ssum // n_docs) AS excess_ppb
+         |  FROM dm),
+         |b1 AS (SELECT source, n_docs, mean_score_ppb, excess_ppb,
+         |    CASE WHEN MAX(excess_ppb) OVER () = 0 THEN 0
+         |         ELSE CAST(excess_ppb * 1000000 // MAX(excess_ppb) OVER () AS BIGINT)
+         |         END AS ex_n,
+         |    CAST(1000000 // COUNT(*) OVER () AS BIGINT) AS u
+         |  FROM b0),
+         |d0 AS (SELECT source, n_docs, mean_score_ppb, excess_ppb, ex_n, u,
+         |    u AS w, CAST(0 AS BIGINT) AS acc FROM b1),
+         |${(1 to DoremiSteps).map(doremiStepSql(_, 500000L, 1000L)).mkString(",\n")}
+         |SELECT source, n_docs, mean_score_ppb, excess_ppb,
+         |  acc // $DoremiSteps AS weight_ppm
+         |FROM d$DoremiSteps ORDER BY source""".stripMargin),
+
     // ---- Chinchilla compute-optimal plan (Hoffmann et al. 2022): for a
     // ladder of model sizes, the rule-of-thumb data requirement
     // D_opt = 20·N tokens against THIS corpus — the sizing table read
@@ -1070,6 +1130,98 @@ object Curation {
         "capped")
       .transform(graft.Sorted.byNames(_, "source"))
   }
+
+  /** DoReMi steps — 4 reweighting rounds is production-shaped the same
+    * way Tokenizer.Steps = 16 is: each round's cost profile (one
+    * |domains|-row window pass) is already the steady state, and the
+    * oracle unrolls to exactly this depth by construction. (A `def`, not
+    * a `val`: the registry `defs` val initializes earlier in this object,
+    * and a forward val reference would silently read 0 there.) */
+  private[operators] def DoremiSteps = 4
+
+  /** DoReMi domain reweighting (Xie et al. 2023, "DoReMi: Optimizing
+    * Data Mixtures Speeds Up Language Model Pretraining"): iterate
+    * exponentiated-gradient updates on the domain weights driven by
+    * per-domain EXCESS LOSS, smooth each iterate toward uniform, and
+    * ship the AVERAGE of the iterates as the final mixture — the
+    * published Algorithm 1 shape with the engine's substitutions:
+    *
+    *   - proxy/reference signal: the hashed linear classifier's
+    *     per-document score_ppb ([[CorpusOps.hashedClassifierScore]])
+    *     stands in for the proxy-model log-likelihood; the corpus-wide
+    *     mean score is the reference. excess_d = max(0, mean_ref −
+    *     mean_d) — domains the proxy rates hardest get upweighted,
+    *     DoReMi's min-max direction.
+    *   - the exp(η·λ) update linearizes to the first-order multiplier
+    *     1 + η·λ (the hedge/EG small-step form) with λ normalized to
+    *     ppm of the max excess, so every step is exact int64:
+    *     w′ = w·(10⁶ + η_ppm·ex_n div 10⁶) div 10⁶, renormalized to
+    *     ppm, then smoothed w ← ((10⁶−c_ppm)·w + c_ppm·u) div 10⁶.
+    *   - final weight_ppm = (Σ_t w_t) div steps.
+    *
+    * Input: a SCORED frame carrying `domainCol` and integer `scoreCol`
+    * (the registry wires hashedClassifierScore with carryCols = source;
+    * a production caller brings real proxy/reference losses). Scale
+    * shape: ONE corpus-volume fold (the per-domain count/sum agg);
+    * every window after it runs over the |domains|-row frame — a
+    * SinglePartition sort of model-sized rows (the mix_unimax
+    * precedent), and the steps loop composes |domains|-row stages with
+    * NO driver action. int64 headroom: |score_ppb| ≤ ~2e9 ⇒
+    * excess·10⁶ ≤ 2e15; w ≤ 10⁶ and multiplier ≤ 10⁶+η_ppm keep every
+    * product ≤ ~1e13. */
+  def mixDoremi(scored: DataFrame, domainCol: String = "source",
+      scoreCol: String = "score_ppb", etaPpm: Long = 500000L,
+      smoothPpm: Long = 1000L, steps: Int = DoremiSteps): DataFrame = {
+    require(etaPpm >= 0 && etaPpm <= 10000000L,
+      s"etaPpm must be in [0, 1e7], got $etaPpm")
+    require(smoothPpm >= 0 && smoothPpm < 1000000L,
+      s"smoothPpm must be in [0, 1e6), got $smoothPpm")
+    require(steps >= 1 && steps <= 64, s"steps must be in [1, 64], got $steps")
+    require(scored.columns.contains(domainCol) && scored.columns.contains(scoreCol),
+      s"need $domainCol and $scoreCol in ${scored.columns.mkString(",")}")
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+    val base = scored.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col(scoreCol)).as("ssum"))
+      .withColumn("tot_s", sum(col("ssum")).over(wAll))
+      .withColumn("tot_n", sum(col("n_docs")).over(wAll))
+      .withColumn("mean_score_ppb", expr("ssum div n_docs"))
+      .withColumn("excess_ppb",
+        expr("GREATEST(0L, tot_s div tot_n - mean_score_ppb)"))
+      .withColumn("emax", max(col("excess_ppb")).over(wAll))
+      .withColumn("k", count(lit(1)).over(wAll))
+      .withColumn("ex_n", expr("IF(emax = 0, 0L, excess_ppb * 1000000L div emax)"))
+      .withColumn("u", expr("1000000L div k"))
+      .withColumn("w", col("u"))
+      .withColumn("acc", lit(0L))
+      .drop("tot_s", "tot_n", "emax", "k", "ssum")
+    val after = (1 to steps).foldLeft(base) { (df, _) =>
+      df.withColumn("wp",
+          expr(s"(w * (1000000L + (${etaPpm}L * ex_n) div 1000000L)) div 1000000L"))
+        .withColumn("tw", sum(col("wp")).over(wAll))
+        .withColumn("wn", expr("wp * 1000000L div tw"))
+        .withColumn("w",
+          expr(s"(${1000000L - smoothPpm}L * wn + ${smoothPpm}L * u) div 1000000L"))
+        .withColumn("acc", expr("acc + w"))
+        .drop("wp", "tw", "wn")
+    }
+    after.selectExpr(domainCol, "n_docs", "mean_score_ppb", "excess_ppb",
+        s"acc div ${steps}L AS weight_ppm")
+      .transform(graft.Sorted.byNames(_, domainCol))
+  }
+
+  /** One generated mix_doremi oracle step — the Spark loop body's three
+    * floor stages (update, renormalize, smooth) mirrored layer for
+    * layer, GENERATED so oracle depth always equals the steps knob. */
+  private def doremiStepSql(n: Int, etaPpm: Long, smoothPpm: Long): String =
+    s"""p$n AS (SELECT source, n_docs, mean_score_ppb, excess_ppb, ex_n, u, acc,
+       |    (w * (1000000 + ($etaPpm * ex_n) // 1000000)) // 1000000 AS wp FROM d${n - 1}),
+       |q$n AS (SELECT source, n_docs, mean_score_ppb, excess_ppb, ex_n, u, acc,
+       |    CAST(wp * 1000000 // SUM(wp) OVER () AS BIGINT) AS wn FROM p$n),
+       |d$n AS (SELECT source, n_docs, mean_score_ppb, excess_ppb, ex_n, u,
+       |    (${1000000L - smoothPpm} * wn + $smoothPpm * u) // 1000000 AS w,
+       |    acc + (${1000000L - smoothPpm} * wn + $smoothPpm * u) // 1000000 AS acc
+       |  FROM q$n)""".stripMargin
 
   def mixTemperature(docs: DataFrame, alpha: Double = 0.5): DataFrame = {
     val w = weightSql("CAST(n_docs AS DOUBLE)", alpha)

@@ -588,6 +588,22 @@ class PlanAuditSpec extends SparkSpec {
       "only the 1-row totals frame may nested-loop join")
   }
 
+  test("mix_doremi: one corpus fold; the step loop runs on the |domains|-row frame") {
+    val p = plan("mix_doremi")
+    // classifier shape survives: the exactly-8192-row weight table and
+    // the 1-row totals broadcast onto the scoring pass
+    assert(nodeIds(p, "BroadcastHashJoin").size >= 1,
+      "the B-row weight table must broadcast onto the scoring pass")
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere")
+    // the reweighting windows DO funnel to a single partition — correct
+    // here because their input is the per-domain aggregate (the
+    // mix_unimax precedent); the corpus-volume work is the classifier
+    // passes, bounded by the train + score scans
+    assert(p.contains("Window"), "the EG steps run as windows")
+    assert(nodeIds(p, "Scan parquet").size <= 2,
+      "train + score are the only corpus scans; steps must not rescan")
+  }
+
   test("prototype_prune: the prune windows BY CELL — one exchange, never a global funnel") {
     val p = plan("prototype_prune")
     // both window functions (hardness rank + cell count) partition by
