@@ -124,6 +124,153 @@ object Tokenizer {
         |  FROM vocab),
         |${(1 to Steps).map(duckStep).mkString(",\n")}""".stripMargin
 
+  // ---- Unigram-LM tokenizer (Kudo 2018, the SentencePiece algorithm
+  // beside BPE): seed a large candidate-piece vocabulary from corpus
+  // substrings, then EM-prune — segment the corpus under the current
+  // vocabulary, count piece usage, keep the top survivors, repeat.
+  // Engine substitutions, both documented deviations with the published
+  // shape kept: (a) the E-step is HARD-assignment greedy longest-match
+  // segmentation (WordPiece's inference rule) instead of full
+  // forward–backward — deterministic and integer-exact, where Kudo's
+  // marginal expectations need float log-probs; (b) pruning keeps a
+  // fixed top-K per round (K halving each round, ties (usage DESC,
+  // piece ASC)) instead of the likelihood-loss ranking. Single-char
+  // pieces are NEVER pruned (Kudo's rule), which also makes greedy
+  // segmentation total. Scale shape: like BPE the corpus is touched
+  // ONCE (word-frequency table); every EM pass runs over the DISTINCT
+  // word table with the vocabulary attached as ONE sorted-array
+  // broadcast row, seed/keep selection is TakeOrdered (bounded top-K,
+  // never a global window), and plan depth is bounded by one
+  // localCheckpoint per round. --------------------------------------------
+
+  private def UniMaxLen = 4
+  private def UniSeedMulti = 128
+  private def UniRounds = 3
+
+  /** Greedy longest-match segmentation of `word` (against the 1-row
+    * sorted piece array `vs`) as a pure codegen-able fold: the
+    * accumulator walks a cursor; each sequence index acts only when it
+    * equals the cursor, then jumps by the longest vocabulary match
+    * (single chars guarantee one exists). The match length binds ONCE
+    * through a 1-element transform (the dedup_winnow let-binding fix —
+    * naively inlining it twice re-runs the vocabulary scan). */
+  private def segExpr(maxLen: Int): String = {
+    val lexpr = s"array_max(filter(sequence(1, least($maxLen, " +
+      "length(word) - acc.pos + 1)), " +
+      "l -> array_contains(vs, substring(word, acc.pos, l))))"
+    s"""aggregate(sequence(1, length(word)),
+       |  named_struct('pos', 1, 'ps', CAST(array() AS ARRAY<STRING>)),
+       |  (acc, i) -> IF(i != acc.pos, acc,
+       |    element_at(transform(array($lexpr), ml -> named_struct(
+       |      'pos', acc.pos + ml,
+       |      'ps', concat(acc.ps, array(substring(word, acc.pos, ml))))), 1)),
+       |  acc -> acc.ps)""".stripMargin
+  }
+
+  /** DuckDB twin of [[segExpr]] — same fold via the list_prepend-init
+    * list_reduce trick (the w0 recipe; reduce elements and accumulator
+    * must share a type, so indices ride dummy structs), same one-shot
+    * match-length binding. range() is exclusive-end, hence the +1s.
+    * The skip branch rides INSIDE the let-binding as ml = 0 (advance
+    * nothing, append nothing): DuckDB 1.0's CASE with whole-STRUCT
+    * branches inside a list_reduce lambda silently corrupts the
+    * accumulator (observed: every appended piece became ''), while
+    * scalar/list-valued CASE inside struct_pack evaluates correctly. */
+  private def duckSegExpr(maxLen: Int): String = {
+    val lexpr = s"list_max(list_filter(range(1, least($maxLen, " +
+      "length(word) - acc.pos + 1) + 1), " +
+      "l -> list_contains(vs, substr(word, acc.pos, l))))"
+    s"""list_reduce(
+       |  list_prepend(struct_pack(pos := 1::BIGINT, ps := CAST([] AS VARCHAR[])),
+       |    list_transform(range(1, length(word) + 1),
+       |      i -> struct_pack(pos := i, ps := CAST([] AS VARCHAR[])))),
+       |  (acc, x) -> list_transform(
+       |    [CASE WHEN x.pos != acc.pos THEN 0::BIGINT ELSE $lexpr END],
+       |    ml -> struct_pack(
+       |      pos := acc.pos + ml,
+       |      ps := list_concat(acc.ps, CASE WHEN ml = 0 THEN CAST([] AS VARCHAR[])
+       |            ELSE [substr(word, acc.pos, ml)] END)))[1]).ps""".stripMargin
+  }
+
+  /** The unigram EM-prune loop over a `(word, cnt)` frequency table.
+    * Returns (pieces = final (piece, piece_len, usage), seg = final
+    * (word, cnt, ps) encodings). Pieces with zero final usage are
+    * omitted — they remain reachable only as fallback chars. */
+  private[operators] def unigramTrain(wordsIn: org.apache.spark.sql.DataFrame,
+      maxLen: Int = UniMaxLen, seedMulti: Int = UniSeedMulti,
+      rounds: Int = UniRounds)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    require(maxLen >= 2 && maxLen <= 8, s"maxLen must be in [2, 8], got $maxLen")
+    require(seedMulti >= 1 && seedMulti <= 65536,
+      s"seedMulti must be in [1, 65536], got $seedMulti")
+    require(rounds >= 1 && rounds <= 8, s"rounds must be in [1, 8], got $rounds")
+    val words = wordsIn.localCheckpoint(true)
+    val seed = words.selectExpr("cnt",
+        s"""explode(flatten(transform(sequence(1, length(word)),
+           |  i -> transform(sequence(1, least($maxLen, length(word) - i + 1)),
+           |    l -> substring(word, i, l))))) AS piece""".stripMargin)
+      .groupBy("piece").agg(sum(col("cnt")).as("seed_cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val chars = seed.filter("length(piece) = 1").select("piece")
+    var vocab = chars.unionAll(
+        seed.filter("length(piece) >= 2")
+          .orderBy(col("seed_cnt").desc, col("piece").asc)
+          .limit(seedMulti).select("piece"))
+      .localCheckpoint(true)
+    def segment(v: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val vs = v.agg(sort_array(collect_list(col("piece"))).as("vs"))
+      words.crossJoin(broadcast(vs))
+        .selectExpr("word", "cnt", s"${segExpr(maxLen)} AS ps")
+    }
+    def usage(seg: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      seg.select(col("cnt"), explode(col("ps")).as("piece"))
+        .groupBy("piece").agg(sum(col("cnt")).as("usage"))
+    (1 to rounds).foreach { r =>
+      val keep = math.max(1, seedMulti >> r)
+      vocab = chars.unionAll(
+          usage(segment(vocab)).filter("length(piece) >= 2")
+            .orderBy(col("usage").desc, col("piece").asc)
+            .limit(keep).select("piece"))
+        .localCheckpoint(true)
+    }
+    val segF = segment(vocab).persist(StorageLevel.MEMORY_AND_DISK)
+    val piecesF = usage(segF)
+      .selectExpr("piece", "CAST(length(piece) AS INT) AS piece_len", "usage")
+      .transform(graft.Sorted.byNames(_, "piece"))
+    (piecesF, segF)
+  }
+
+  /** One generated unigram oracle round: segment under va(r-1), count
+    * usage, keep chars + top-K survivors, re-sort the piece array. */
+  private def duckUniRound(r: Int, maxLen: Int, keep: Int): String =
+    s"""sg$r AS (SELECT cnt, unnest(${duckSegExpr(maxLen)}) AS piece
+       |  FROM uwords CROSS JOIN va${r - 1}),
+       |uu$r AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS usage FROM sg$r GROUP BY piece),
+       |v$r AS (SELECT piece FROM uchars UNION ALL
+       |  SELECT piece FROM (SELECT piece FROM uu$r WHERE length(piece) >= 2
+       |    ORDER BY usage DESC, piece LIMIT $keep)),
+       |va$r AS MATERIALIZED (SELECT list_sort(list(piece)) AS vs FROM v$r)""".stripMargin
+
+  /** Shared unigram oracle CTE chain: word frequencies, substring seed,
+    * v0, then [[UniRounds]] generated EM rounds ending at va[[UniRounds]]. */
+  private def duckUniTrain: String =
+    s"""uwords AS MATERIALIZED (SELECT t AS word, COUNT(*)::BIGINT AS cnt
+       |  FROM (SELECT unnest(${graft.functions.Portable.duckToksSql("text")}) AS t
+       |        FROM documents) GROUP BY 1),
+       |useed AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS seed_cnt FROM (
+       |    SELECT cnt, unnest(flatten(list_transform(range(1, length(word) + 1),
+       |      i -> list_transform(range(1, least($UniMaxLen, length(word) - i + 1) + 1),
+       |        l -> substr(word, i, l))))) AS piece FROM uwords) GROUP BY piece),
+       |uchars AS MATERIALIZED (SELECT piece FROM useed WHERE length(piece) = 1),
+       |v0 AS (SELECT piece FROM uchars UNION ALL
+       |  SELECT piece FROM (SELECT piece FROM useed WHERE length(piece) >= 2
+       |    ORDER BY seed_cnt DESC, piece LIMIT $UniSeedMulti)),
+       |va0 AS MATERIALIZED (SELECT list_sort(list(piece)) AS vs FROM v0),
+       |${(1 to UniRounds).map(r =>
+          duckUniRound(r, UniMaxLen, math.max(1, UniSeedMulti >> r))).mkString(",\n")},
+       |sgf AS MATERIALIZED (SELECT word, cnt, ${duckSegExpr(UniMaxLen)} AS ps
+       |  FROM uwords CROSS JOIN va$UniRounds)""".stripMargin
+
   val defs: ListMap[String, QueryDef] = ListMap(
 
     // ---- BPE merge table: Steps merge rounds over the corpus
@@ -204,6 +351,65 @@ object Tokenizer {
          |  FROM documents),
          |dw AS (SELECT lang, unnest(ts) AS word FROM dtoks),
          |enc AS (SELECT word, len(string_split(trim(enc), '  ')) AS ns, length(word) AS wl FROM w$Steps),
+         |agg AS (SELECT lang, COUNT(*) AS n_words,
+         |    CAST(SUM(ns) AS BIGINT) AS n_symbols,
+         |    CAST(SUM(wl) AS BIGINT) AS n_chars
+         |  FROM dw JOIN enc USING (word) GROUP BY lang)
+         |SELECT lang, n_words, n_symbols, n_chars,
+         |  (n_symbols * 1000) // n_words AS fertility_mille,
+         |  (n_chars * 1000) // n_symbols AS chars_per_symbol_mille
+         |FROM agg ORDER BY lang""".stripMargin),
+
+    // ---- Unigram-LM tokenizer train (Kudo 2018): the EM-prune loop
+    // over the corpus word-frequency substrate — see the block comment
+    // above [[unigramTrain]] for the algorithm, the two documented
+    // deviations (hard-EM greedy E-step; fixed top-K prune) and the
+    // scale shape (one corpus pass; vocab-sized EM rounds; TakeOrdered
+    // keeps, 1-row sorted-array vocabulary broadcasts). Output: the
+    // final piece inventory with its usage under the final vocabulary.
+    "tokenizer_unigram" -> QueryDef(
+      (s, dir) => unigramTrain(
+        Tables.load(s, dir, "documents")
+          .selectExpr(s"explode(${graft.functions.Portable.tokensSql("text")}) AS word")
+          .groupBy("word").agg(count(lit(1)).as("cnt")))._1,
+      s"""WITH $duckUniTrain
+         |SELECT piece, CAST(length(piece) AS INT) AS piece_len,
+         |  CAST(SUM(cnt) AS BIGINT) AS usage
+         |FROM (SELECT cnt, unnest(ps) AS piece FROM sgf)
+         |GROUP BY piece ORDER BY piece""".stripMargin),
+
+    // ---- per-language fertility of the unigram tokenizer: the same
+    // report as tokenizer_fertility, swapping the BPE encodings for the
+    // unigram segmentations — the side-by-side read (unigram vs BPE
+    // symbols per word, per language) SentencePiece's paper makes.
+    // Machinery identical: the trained word->n_pieces table is
+    // vocabulary-sized and broadcasts onto one corpus word explode. ------
+    "tokenizer_unigram_fertility" -> QueryDef(
+      (s, dir) => {
+        val segF = unigramTrain(
+          Tables.load(s, dir, "documents")
+            .selectExpr(s"explode(${graft.functions.Portable.tokensSql("text")}) AS word")
+            .groupBy("word").agg(count(lit(1)).as("cnt")))._2
+        Tables.load(s, dir, "documents")
+          .selectExpr("lang",
+            s"explode(${graft.functions.Portable.tokensSql("text")}) AS word")
+          .join(broadcast(segF.selectExpr("word",
+            "size(ps) AS ns", "length(word) AS wl")), "word")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("ns")).as("n_symbols"),
+            sum(col("wl")).as("n_chars"))
+          .selectExpr("lang", "n_words", "n_symbols", "n_chars",
+            "(n_symbols * 1000L) div n_words AS fertility_mille",
+            "(n_chars * 1000L) div n_symbols AS chars_per_symbol_mille")
+          .transform(graft.Sorted.byNames(_, "lang"))
+      },
+      s"""WITH $duckUniTrain,
+         |dtoks AS (SELECT lang,
+         |    ${graft.functions.Portable.duckToksSql("text")} AS ts
+         |  FROM documents),
+         |dw AS (SELECT lang, unnest(ts) AS word FROM dtoks),
+         |enc AS (SELECT word, len(ps) AS ns, length(word) AS wl FROM sgf),
          |agg AS (SELECT lang, COUNT(*) AS n_words,
          |    CAST(SUM(ns) AS BIGINT) AS n_symbols,
          |    CAST(SUM(wl) AS BIGINT) AS n_chars

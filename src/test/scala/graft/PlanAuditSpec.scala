@@ -588,6 +588,26 @@ class PlanAuditSpec extends SparkSpec {
       "only the 1-row totals frame may nested-loop join")
   }
 
+  test("tokenizer_unigram: vocab attaches as a 1-row broadcast; rounds cut by checkpoint") {
+    val p = plan("tokenizer_unigram")
+    // the final segmentation (visible inside segF's InMemoryRelation):
+    // the sorted piece array enters as ONE broadcast row — the word
+    // table is never shuffled or cartesian-joined against pieces.
+    // (The per-round TakeOrdered keeps ran inside earlier localCheckpoint
+    // stages and cannot appear here — UnigramSpec pins their semantics.)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row vocabulary array must broadcast onto the word table")
+    assert(p.contains("InMemoryRelation"),
+      "the final encodings persist once and feed the usage fold")
+    assert(!p.contains("Window ["), "no window anywhere in the train loop")
+    assert(!p.contains("CartesianProduct"),
+      "the vocabulary attaches as a broadcast, never a cartesian")
+    // localCheckpoint per round bounds plan depth: the visible lineage
+    // starts from checkpointed RDDs, not the accumulated EM chain
+    assert(p.contains("Scan ExistingRDD"),
+      "rounds must be cut by localCheckpoint, not accumulated lineage")
+  }
+
   test("mix_doremi: one corpus fold; the step loop runs on the |domains|-row frame") {
     val p = plan("mix_doremi")
     // classifier shape survives: the exactly-8192-row weight table and
