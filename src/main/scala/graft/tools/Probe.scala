@@ -1,0 +1,283 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The parameterized scale-probe harness — one entry point for every
+  * decade measurement in SCALE.md (replacing the per-round
+  * Round10[b-g]Probe accretion). Legs are keyed by name; every leg uses
+  * the `graft.Bench` timing discipline (clearCache + GC per rep, median
+  * of reps, row count reported once) via `graft.BenchAction`.
+  *
+  * Usage: tools/run.sh graft.tools.Probe <leg>[,<leg>...] [dirs] [reps]
+  *
+  *  - reg:<q1+q2+...>  any registry queries, timed per dir in [dirs]
+  *  - hll              hll_distinct + hll_overlap sketch-vs-calibration
+  *                     and memorization_spans per docs dir
+  *  - auc              train + score + classifier_auc per docs dir
+  *  - baskets          basket_rules / zorder / kcore over x1/x10/x30
+  *                     lineitem replication (item domain fixed)
+  *  - sales            inventory_abc / gini over x1/x10/x30
+  *  - assort           graph assortativity over basket replication
+  *  - closeness        sampled harmonic closeness over basket replication
+  *  - ldiv             l_diversity over customer replication
+  *  - corr             corr_matrix over lineitem replication
+  *  - gov              t_closeness + dp_counts over replication
+  *  - screen           benford + mad over orders replication
+  *  - dq               table_profile + fk_integrity over replication,
+  *                     ndcg/map per dir
+  *  - quant            quantile_sketch sketch-only vs calibration
+  *  - dpp              dynamic partition pruning: files read with the
+  *                     DPP subquery vs with pruning disabled, on a
+  *                     month-partitioned copy of each dir's orders
+  *
+  * Replication legs read sf0.1 fixtures (the SCALE.md decade
+  * discipline); registry/docs legs run on the dirs argument
+  * (default sf0.1).
+  */
+object Probe {
+
+  private val Decades = Seq(1, 10, 30)
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println(
+        "usage: graft.tools.Probe <leg>[,<leg>...] [dirs] [reps]")
+      sys.exit(2)
+    }
+    val legs = args(0).split(",").map(_.trim).filter(_.nonEmpty)
+    val dirs = args.lift(1).map(_.split(",").toSeq.map(_.trim))
+      .getOrElse(Seq("/root/testdata/sf0.1")).filter(_.nonEmpty)
+    val reps = args.lift(2).map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.GraftSession.build(Some(s"local[$cpus]"), cpus.toInt, "graft-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.HashExpressions.register(spark)
+
+    def time(mk: => DataFrame): (Double, Long) = {
+      val times = (1 to reps).map { _ =>
+        spark.catalog.clearCache(); System.gc()
+        val t0 = System.nanoTime()
+        graft.BenchAction.run(mk)
+        (System.nanoTime() - t0) / 1e9
+      }
+      spark.catalog.clearCache()
+      val rows = mk.count()
+      spark.catalog.clearCache()
+      (graft.BenchAction.median(times), rows)
+    }
+    def fmt(name: String, t: Double, r: Long) = f"$name=$t%.2f($r%d)"
+    def lineitem = graft.Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
+    def customer = graft.Tables.load(spark, "/root/testdata/sf0.1", "customer")
+    def ordersSf = graft.Tables.load(spark, "/root/testdata/sf0.1", "orders")
+    def repN(df: DataFrame, k: Int): DataFrame =
+      (0 until k).map(_ => df).reduce(_ unionAll _)
+    /** lineitem baskets replicated with DISTINCT order keys (item domain
+      * fixed, basket count scales) — the co-purchase graph substrate. */
+    def basketsX(k: Int): DataFrame =
+      (0 until k).map(i => lineitem.select(
+        (col("l_orderkey") + lit(i.toLong * 10000000L)).as("o"),
+        col("l_partkey").as("p"), col("l_suppkey").as("s")))
+        .reduce(_ unionAll _)
+    def copurchase(rep: DataFrame): DataFrame = {
+      val lp = rep.select(col("o"), col("p")).distinct()
+      lp.alias("x").join(lp.alias("y"), expr("x.o = y.o AND x.p < y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+    }
+
+    legs.foreach {
+      case l if l.startsWith("reg:") =>
+        val names = l.stripPrefix("reg:").split("\\+").toSeq.filter(_.nonEmpty)
+        dirs.foreach { dir =>
+          val rs = names.map { nq =>
+            val (t, r) = time(graft.SparkEntry.registry(nq).fn(spark, dir))
+            fmt(nq, t, r)
+          }
+          println(s"reg $dir ${rs.mkString(" ")}")
+        }
+
+      case "hll" => dirs.foreach { dir =>
+        val docs = graft.Tables.load(spark, dir, "documents")
+        val nd = docs.count()
+        val (ts, rs) = time(graft.operators.CorpusOps.hllDistinct(docs, withExact = false))
+        val (to, ro) = time(graft.operators.CorpusOps.hllOverlap(docs, withExact = false))
+        val cal = if (nd <= 60000) {
+          val (tc, rc) = time(graft.operators.CorpusOps.hllDistinct(docs))
+          val (tq, rq) = time(graft.operators.CorpusOps.hllOverlap(docs))
+          s" ${fmt("hll_calib", tc, rc)} ${fmt("overlap_calib", tq, rq)}"
+        } else " calib=skip"
+        val (tm, rm) = time(graft.SparkEntry.registry("memorization_spans").fn(spark, dir))
+        println(s"hll $dir n_docs=$nd ${fmt("hll_sketch", ts, rs)} " +
+          s"${fmt("overlap_sketch", to, ro)}$cal ${fmt("memorization", tm, rm)}")
+      }
+
+      case "auc" => dirs.foreach { dir =>
+        val d = graft.Tables.load(spark, dir, "documents")
+        val nd = d.count()
+        val (ta, ra) = time {
+          val w = graft.operators.CorpusOps.trainHashedClassifier(
+            d.filter("doc_id % 2 = 0"), posExpr = "lang = 'en'")
+          graft.operators.CorpusOps.classifierAuc(
+            graft.operators.CorpusOps.hashedClassifierScore(
+              d.filter("doc_id % 2 = 1"), w), labelExpr = "lang = 'en'")
+        }
+        println(s"auc $dir n_docs=$nd ${fmt("classifier_auc", ta, ra)}")
+      }
+
+      case "baskets" => Decades.foreach { k =>
+        val rep = basketsX(k)
+        val nb = rep.count()
+        val (tb, rb) = time(graft.operators.Extras.basketRules(
+          rep.selectExpr("o AS basket", "p AS item")))
+        val (tz, rz) = time(graft.operators.Curation.zorderLayout(
+          rep.selectExpr("CAST(p AS BIGINT) & 65535 AS x",
+            "CAST(s AS BIGINT) & 65535 AS y")))
+        val (tk, rk) = time(graft.operators.Graph.kcore(copurchase(rep), k = 80, rounds = 3))
+        println(s"baskets x$k rows=$nb ${fmt("basket_rules", tb, rb)} " +
+          s"${fmt("zorder", tz, rz)} ${fmt("kcore", tk, rk)}")
+      }
+
+      case "sales" => Decades.foreach { k =>
+        val rep = repN(lineitem.select(col("l_partkey"), col("l_extendedprice")), k)
+        val n = rep.count()
+        val sales = rep.selectExpr("l_partkey AS item",
+          "CAST(l_extendedprice AS DECIMAL(18,2)) AS price")
+        val (ti, ri) = time(graft.operators.Extras.inventoryAbc(sales))
+        val (tg, rg) = time(graft.operators.Extras.giniConcentration(sales))
+        println(s"sales x$k rows=$n ${fmt("inventory_abc", ti, ri)} ${fmt("gini", tg, rg)}")
+      }
+
+      case "assort" => Decades.foreach { k =>
+        val (ta, ra) = time(graft.operators.Graph.assortativity(copurchase(basketsX(k))))
+        println(s"baskets x$k ${fmt("assortativity", ta, ra)}")
+      }
+
+      case "closeness" => Decades.foreach { k =>
+        val rep = basketsX(k)
+        val n = rep.count()
+        val (tc, rc) = time(graft.operators.Graph.harmonicCloseness(copurchase(rep)))
+        println(s"baskets x$k lines=$n ${fmt("graph_closeness", tc, rc)}")
+      }
+
+      case "ldiv" => Decades.foreach { k =>
+        val rep = repN(customer, k)
+        val n = rep.count()
+        val (tl, rl) = time(graft.operators.CorpusOps.lDiversityProfile(
+          rep.selectExpr("c_nationkey",
+            "CAST(c_acctbal AS BIGINT) div 1000 AS bal_band", "c_mktsegment"),
+          "c_mktsegment"))
+        println(s"customers x$k rows=$n ${fmt("l_diversity", tl, rl)}")
+      }
+
+      case "corr" => Decades.foreach { k =>
+        val rep = repN(lineitem, k)
+        val n = rep.count()
+        val (tc, rc) = time(graft.operators.Extras.corrMatrix(rep.selectExpr(
+          "CAST(l_quantity AS BIGINT) AS qty",
+          "CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS disc",
+          "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c")))
+        println(s"measures x$k rows=$n ${fmt("corr_matrix", tc, rc)}")
+      }
+
+      case "gov" => Decades.foreach { k =>
+        val repC = repN(customer, k)
+        val nC = repC.count()
+        val (tt, rt) = time(graft.operators.CorpusOps.tClosenessProfile(
+          repC.selectExpr("c_nationkey",
+            "CAST(c_acctbal AS BIGINT) div 1000 AS bal_band", "c_mktsegment"),
+          "c_mktsegment"))
+        val repO = repN(ordersSf, k)
+        val nO = repO.count()
+        val (td, rd) = time(graft.operators.CorpusOps.dpCounts(
+          repO.select("o_orderpriority", "o_orderstatus")))
+        println(s"gov x$k customers=$nC ${fmt("t_closeness", tt, rt)} " +
+          s"orders=$nO ${fmt("dp_counts", td, rd)}")
+      }
+
+      case "screen" => Decades.foreach { k =>
+        val rep = repN(ordersSf, k)
+        val n = rep.count()
+        val vals = rep.selectExpr("o_orderpriority AS prio",
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x")
+        val (tb, rb) = time(graft.operators.CorpusOps.benfordScreen(vals, "x"))
+        val (tm, rm) = time(graft.operators.CorpusOps.madOutliers(vals, "x", kMilli = 2000L))
+        println(s"screen x$k orders=$n ${fmt("benford", tb, rb)} ${fmt("mad", tm, rm)}")
+      }
+
+      case "dq" =>
+        Decades.foreach { k =>
+          val rep = repN(ordersSf, k)
+          val n = rep.count()
+          val (tp, rp) = time(graft.operators.Extras.tableProfile(rep))
+          val (tf, rf) = time(graft.operators.Extras.fkIntegrity(
+            rep, "o_custkey", customer, "c_custkey"))
+          println(s"dq x$k orders=$n ${fmt("table_profile", tp, rp)} " +
+            s"${fmt("fk_integrity", tf, rf)}")
+        }
+        dirs.foreach { dir =>
+          val rs = Seq("ndcg_eval", "map_eval").map { nq =>
+            val (t, r) = time(graft.SparkEntry.registry(nq).fn(spark, dir))
+            fmt(nq, t, r)
+          }
+          println(s"evals $dir ${rs.mkString(" ")}")
+        }
+
+      case "quant" => Decades.foreach { k =>
+        val rep = repN(lineitem, k)
+        val n = rep.count()
+        val vals = rep.selectExpr("l_returnflag AS flag",
+          "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x")
+        val (ts, rs) = time(graft.operators.CorpusOps.quantileSketch(vals, "x", withExact = false))
+        val (tc, rc) = time(graft.operators.CorpusOps.quantileSketch(vals, "x"))
+        println(s"quant x$k lines=$n ${fmt("sketch_only", ts, rs)} " +
+          s"${fmt("calibration", tc, rc)}")
+      }
+
+      case "dpp" => dirs.foreach { dir =>
+        val base = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+        spark.read.parquet(s"$dir/orders.parquet")
+          .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+          .write.mode("overwrite").partitionBy("o_month").parquet(s"$base/orders")
+        spark.read.parquet(s"$base/orders").select(col("o_month")).distinct()
+          .withColumn("season", expr(
+            "IF(substring(o_month, 6, 2) IN ('11', '12'), 'peak', 'base')"))
+          .write.mode("overwrite").parquet(s"$base/months")
+        def run(dpp: Boolean): (Long, Long, Long, Double) = {
+          spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", dpp.toString)
+          val t0 = System.nanoTime()
+          val q = spark.read.parquet(s"$base/orders")
+            .join(spark.read.parquet(s"$base/months")
+              .filter(col("season") === "peak"), "o_month")
+            .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("rev"))
+          val n = q.collect()(0).getLong(0)
+          val el = (System.nanoTime() - t0) / 1e9
+          def scans(p: org.apache.spark.sql.execution.SparkPlan)
+              : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p.collect {
+            case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              scans(a.executedPlan)
+            case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              scans(qs.plan)
+            case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+              scans(r.child)
+          }.flatten
+          val fs = scans(q.queryExecution.executedPlan)
+            .filter(_.metadata.get("Location").exists(_.contains("/orders")))
+          (fs.map(_.metrics("numFiles").value).sum,
+            fs.map(_.metrics("filesSize").value).sum, n, el)
+        }
+        val (fOn, bOn, nOn, tOn) = run(dpp = true)
+        val (fOff, bOff, nOff, tOff) = run(dpp = false)
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+        require(nOn == nOff, s"pruning changed the answer: $nOn vs $nOff")
+        println(f"dpp $dir%s rows=$nOn%d dpp_on: files=$fOn%d bytes=$bOn%d t=$tOn%.2f " +
+          f"dpp_off: files=$fOff%d bytes=$bOff%d t=$tOff%.2f")
+      }
+
+      case other =>
+        System.err.println(s"unknown probe leg: $other")
+        sys.exit(2)
+    }
+    spark.stop()
+  }
+}
