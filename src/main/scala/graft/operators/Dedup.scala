@@ -1035,8 +1035,124 @@ object Dedup {
          |SELECT doc_a, doc_b, dist,
          |  (max_len - dist) * 1000 // max_len AS sim_pm
          |FROM v WHERE (max_len - dist) * 1000 // max_len >= 800
-         |ORDER BY doc_a, doc_b""".stripMargin)
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // ---- URL-canonicalization dedup (the C4 §2.2 / CCNet crawl-prep
+    // step dedup_exact does NOT cover: C4 deduplicates pages BY URL
+    // before any content hashing, because the same page is crawled
+    // under https/http, with/without www., with tracking parameters,
+    // trailing slashes and fragments). The fixture has no URL column,
+    // so (the pii_redact/c4_rules trick) a deterministic raw URL is
+    // constructed per document and mirrored op-for-op in the oracle:
+    // host from `source`, path from the doc_id div 7 page group, with
+    // doc_id-driven noise covering every rule — scheme case + https,
+    // www., host case, trailing slash, utm_* params in both positions,
+    // param-free variants (which canonicalize to a DIFFERENT group —
+    // the query string is content-bearing), and fragments.
+    // Canonicalization = [[urlCanonExpr]]: strip fragment, lowercase
+    // (fixture paths carry no case signal; production callers lowercase
+    // scheme+host only), strip www., https->http, split query, drop
+    // utm_* params, SORT surviving params, strip trailing slashes.
+    // Scale shape: canonicalization is pure map-side string algebra
+    // (codegen'd, zero shuffles); the dedup itself is dedup_exact's
+    // exact shape — one hash-group on the canonical key + the
+    // key-grouped join-back. -----------------------------------------------
+    "dedup_url" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .selectExpr("doc_id", s"$fixtureUrlExpr AS url")
+        val canon = urlCanonicalize(d)
+        val groups = canon.groupBy(col("url_canon"))
+          .agg(min(col("doc_id")).as("canonical_id"),
+            count(lit(1)).as("group_size"))
+        canon.join(groups, "url_canon")
+          .selectExpr("doc_id", "url_canon", "canonical_id",
+            "CAST(doc_id != canonical_id AS INT) AS is_dup", "group_size")
+          .orderBy("doc_id")
+      },
+      s"""WITH u AS (SELECT doc_id, $duckFixtureUrl AS url FROM documents),
+         |c AS (SELECT doc_id, $duckUrlCanon AS url_canon FROM u),
+         |g AS (SELECT url_canon, MIN(doc_id) AS canonical_id,
+         |    COUNT(*) AS group_size FROM c GROUP BY url_canon)
+         |SELECT doc_id, url_canon, canonical_id,
+         |  CAST(doc_id != canonical_id AS INT) AS is_dup, group_size
+         |FROM c JOIN g USING (url_canon)
+         |ORDER BY doc_id""".stripMargin)
   )
+
+  /** Deterministic fixture URL — every canonicalization rule gets a
+    * discriminating population (scheme case/https %2, www. %3, host
+    * case %5, trailing slash %11, utm params %4 in both positions and
+    * a param-free class, fragment %13); docs in the same (source,
+    * doc_id div 7) page group collide after canonicalization. */
+  private def fixtureUrlExpr: String =
+    """concat(
+      |  IF(doc_id % 2 = 0, 'https://', 'HTTP://'),
+      |  IF(doc_id % 3 = 0, 'www.', ''),
+      |  IF(doc_id % 5 = 0, upper(concat(source, '.example.com')),
+      |     concat(source, '.example.com')),
+      |  '/p/', CAST(doc_id div 7 AS STRING),
+      |  IF(doc_id % 11 = 0, '/', ''),
+      |  CASE CAST(doc_id % 4 AS INT)
+      |    WHEN 0 THEN concat('?id=', CAST(doc_id div 7 AS STRING))
+      |    WHEN 1 THEN concat('?utm_source=x&id=', CAST(doc_id div 7 AS STRING))
+      |    WHEN 2 THEN concat('?id=', CAST(doc_id div 7 AS STRING), '&utm_campaign=y')
+      |    ELSE '' END,
+      |  IF(doc_id % 13 = 0, '#sec2', ''))""".stripMargin
+
+  private def duckFixtureUrl: String =
+    """(CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END ||
+      |  CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+      |  CASE WHEN doc_id % 5 = 0 THEN upper(source || '.example.com')
+      |       ELSE source || '.example.com' END ||
+      |  '/p/' || CAST(doc_id // 7 AS VARCHAR) ||
+      |  CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END ||
+      |  CASE CAST(doc_id % 4 AS INT)
+      |    WHEN 0 THEN '?id=' || CAST(doc_id // 7 AS VARCHAR)
+      |    WHEN 1 THEN '?utm_source=x&id=' || CAST(doc_id // 7 AS VARCHAR)
+      |    WHEN 2 THEN '?id=' || CAST(doc_id // 7 AS VARCHAR) || '&utm_campaign=y'
+      |    ELSE '' END ||
+      |  CASE WHEN doc_id % 13 = 0 THEN '#sec2' ELSE '' END)""".stripMargin
+
+  /** Canonical form of a `url` column — the reusable rule set behind
+    * `dedup_url` (a production caller brings real crawl URLs): strip
+    * fragment, lowercase, strip www., normalize https->http, drop
+    * utm_* tracking parameters, sort the surviving query parameters,
+    * strip trailing slashes. Pure map-side string algebra; substring
+    * positions via instr (literal, not regex) so both engines agree on
+    * every metacharacter. */
+  private[operators] def urlCanonExpr(u: String): String = {
+    val nofrag = s"IF(instr($u, '#') > 0, substring($u, 1, instr($u, '#') - 1), $u)"
+    val sch = s"replace(replace(lower($nofrag), '://www.', '://'), 'https://', 'http://')"
+    s"""element_at(transform(array($sch), s -> concat(
+       |  regexp_replace(IF(instr(s, '?') > 0, substring(s, 1, instr(s, '?') - 1), s), '/+$$', ''),
+       |  element_at(transform(array(array_join(array_sort(filter(
+       |      split(IF(instr(s, '?') > 0, substring(s, instr(s, '?') + 1), ''), '&'),
+       |      p -> p != '' AND NOT startswith(p, 'utm_'))), '&')),
+       |    q -> IF(q = '', '', concat('?', q))), 1))), 1)""".stripMargin
+  }
+
+  /** [[urlCanonExpr]] applied to a `(…, url)` frame, appending `url_canon`. */
+  def urlCanonicalize(urls: DataFrame, urlCol: String = "url"): DataFrame = {
+    require(urls.columns.contains(urlCol),
+      s"url column '$urlCol' not in ${urls.columns.mkString(",")}")
+    urls.withColumn("url_canon", expr(urlCanonExpr(urlCol)))
+  }
+
+  /** DuckDB twin of [[urlCanonExpr]] over a column named `url` — the
+    * same rules layered through scalar subexpressions (DuckDB lambdas
+    * only where Spark uses them: the param filter/sort). */
+  private def duckUrlCanon: String = {
+    val nofrag = "CASE WHEN strpos(url, '#') > 0 THEN substr(url, 1, strpos(url, '#') - 1) ELSE url END"
+    val sch = s"replace(replace(lower($nofrag), '://www.', '://'), 'https://', 'http://')"
+    s"""(SELECT
+       |   regexp_replace(CASE WHEN strpos(s, '?') > 0 THEN substr(s, 1, strpos(s, '?') - 1) ELSE s END, '/+$$', '') ||
+       |   (SELECT CASE WHEN q = '' THEN '' ELSE '?' || q END FROM (SELECT
+       |      COALESCE(array_to_string(list_sort(list_filter(
+       |        string_split(CASE WHEN strpos(s, '?') > 0 THEN substr(s, strpos(s, '?') + 1) ELSE '' END, '&'),
+       |        p -> p != '' AND NOT starts_with(p, 'utm_'))), '&'), '') AS q))
+       | FROM (SELECT $sch AS s))""".stripMargin
+  }
 
   /** Winnowing selection (see the `dedup_winnow` registry comment):
     * (doc_id, pos, fp) rows — the rightmost window minimum per w-window

@@ -588,6 +588,19 @@ class PlanAuditSpec extends SparkSpec {
       "only the 1-row totals frame may nested-loop join")
   }
 
+  test("dedup_url: canonicalization is map-side; the dedup is one hash-group") {
+    val p = plan("dedup_url")
+    // URL construction + canonicalization must ride the scan (no
+    // shuffle before the group); the group + join-back is dedup_exact's
+    // shape — partial+final agg on the canonical key
+    assert(nodeIds(p, "HashAggregate").size >= 2,
+      "the canonical-key group must be partial+final")
+    assert(!p.contains("Window ["), "no window anywhere")
+    assert(!p.contains("CartesianProduct"), "no cartesian anywhere")
+    assert(nodeIds(p, "Scan parquet").size <= 2,
+      "canonicalization adds no extra corpus scan")
+  }
+
   test("tokenizer_unigram: vocab attaches as a 1-row broadcast; rounds cut by checkpoint") {
     val p = plan("tokenizer_unigram")
     // the final segmentation (visible inside segF's InMemoryRelation):
