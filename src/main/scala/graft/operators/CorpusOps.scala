@@ -1335,6 +1335,80 @@ object CorpusOps {
            |FROM nn ORDER BY o_orderpriority, o_orderstatus""".stripMargin
       }),
 
+    // ---- DP quantile release (the governance ladder's distribution
+    // artifact beside dp_counts' count release): the published
+    // noisy-histogram mechanism — bucket the value by the HDR base-2
+    // geometry (quantile_sketch's exact kernel), add the SAME two-sided
+    // dyadic geometric noise dp_counts draws (eps = ln 2 per bucket,
+    // seeded by the bucket id through the shared polyhash→fingerprint
+    // chain — the same determinism caveat, same production-CSPRNG swap),
+    // clamp, and read quantiles off the NOISY histogram. Any statistic
+    // computed from a DP release stays DP (post-processing invariance),
+    // so the released p50/p90/p99 inherit the histogram's budget.
+    // Registry row = the calibration report (released beside true —
+    // dp_counts' withTrue discipline; `withTrue = false` is the release
+    // path). Scale shape: ONE corpus fold into the ≤ ~1.9k-bucket
+    // domain; noise is map-side over domain rows; both readout windows
+    // run over the domain, never corpus rows. Substrate: order totals
+    // in cents — the transaction-amount telemetry release this
+    // mechanism exists for. -----------------------------------------------
+    "dp_quantiles" -> QueryDef(
+      (s, dir) => dpQuantiles(Tables.load(s, dir, "orders")
+        .selectExpr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x"),
+        "x"), {
+        import graft.functions.Portable.{MIX, MIX2, P, P2, P61}
+        s"""WITH v AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+           |  FROM orders),
+           |h0 AS (SELECT CASE WHEN x < 32 THEN x
+           |    ELSE (length(bin(x)) - 6) * 32 + (x >> (length(bin(x)) - 6))
+           |    END AS bkt, COUNT(*)::BIGINT AS cnt
+           |  FROM v GROUP BY 1),
+           |hh AS (SELECT *, ${graft.functions.Portable.duckPolyHashSql(
+                "CAST(bkt AS VARCHAR)")} AS h FROM h0),
+           |ff AS (SELECT *,
+           |    ((((h % $P) * (h % $P)) % $P) * $MIX + (h % $P)) % $P AS h1,
+           |    ((((h % $P2) * (h % $P2)) % $P2) * $MIX2 + (h % $P2)) % $P2 AS h2
+           |  FROM hh),
+           |vv AS (SELECT *,
+           |    ((((h1 * 2147483648 + h2) % 2147483648) * $MIX) % $P61
+           |     + (((h1 * 2147483648 + h2) // 2147483648) * $MIX2) % $P61)
+           |    % $P61 % 3221225470 AS u FROM ff),
+           |nn AS (SELECT bkt, cnt,
+           |    CASE WHEN u < 1073741824 THEN 0
+           |         ELSE (1 - 2 * ((u - 1073741824) % 2))
+           |            * (31 - length(bin(1073741823 - (u - 1073741824) // 2)))
+           |    END::BIGINT AS noise FROM vv),
+           |noisy AS (SELECT bkt, cnt + noise AS cnt FROM nn WHERE cnt + noise > 0),
+           |q AS (SELECT unnest([500, 900, 990]) AS q_pm),
+           |cT AS (SELECT bkt, cnt, SUM(cnt) OVER ()::BIGINT AS n,
+           |    SUM(cnt) OVER (ORDER BY bkt
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+           |  FROM h0),
+           |eT AS (SELECT q_pm, n, MIN(bkt) AS qb
+           |  FROM cT CROSS JOIN q WHERE cum >= (q_pm * n + 999) // 1000
+           |  GROUP BY 1, 2),
+           |estT AS (SELECT q_pm, n AS true_n,
+           |    CASE WHEN qb < 32 THEN qb
+           |         ELSE ((qb % 32) + 32) << ((qb // 32) - 1) END AS true_q
+           |  FROM eT),
+           |cN AS (SELECT bkt, cnt, SUM(cnt) OVER ()::BIGINT AS n,
+           |    SUM(cnt) OVER (ORDER BY bkt
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+           |  FROM noisy),
+           |eN AS (SELECT q_pm, n, MIN(bkt) AS qb
+           |  FROM cN CROSS JOIN q WHERE cum >= (q_pm * n + 999) // 1000
+           |  GROUP BY 1, 2),
+           |estN AS (SELECT q_pm, n AS released_n,
+           |    CASE WHEN qb < 32 THEN qb
+           |         ELSE ((qb % 32) + 32) << ((qb // 32) - 1) END AS released_q
+           |  FROM eN)
+           |SELECT q_pm, true_n, true_q,
+           |  COALESCE(released_n, 0) AS released_n,
+           |  COALESCE(released_q, 0) AS released_q
+           |FROM estT LEFT JOIN estN USING (q_pm)
+           |ORDER BY q_pm""".stripMargin
+      }),
+
     // ---- Benford first-digit deviation screen -------------------------------
     // The forensic-audit read beside the governance gates: naturally-grown
     // multiplicative quantities (revenues, populations, transaction sums)
@@ -1887,6 +1961,41 @@ object CorpusOps {
     val out = if (withTrue) released
       else released.selectExpr(keys :+ "released": _*)
     Sorted.byNames(out, keys.head, keys.tail: _*)
+  }
+
+  /** DP quantile release of a non-negative int64 `valueCol` via the
+    * noisy-histogram mechanism — see the `dp_quantiles` registry comment
+    * for the privacy argument (eps = ln 2 geometric noise per HDR
+    * bucket; the quantile read is post-processing). `withTrue = false`
+    * drops the true columns (the release path). */
+  def dpQuantiles(vals: DataFrame, valueCol: String, subBits: Int = 5,
+      qsPm: Seq[Int] = Seq(500, 900, 990),
+      withTrue: Boolean = true): DataFrame = {
+    requireSketchKnobs(subBits, qsPm)
+    val hist = vals
+      .selectExpr(s"${hdrBucketExpr(valueCol, subBits)} AS bkt")
+      .groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds the noisy AND true readouts
+    val (_, fpE) = hllIdExprs("h")
+    val noisy = hist
+      .withColumn("h", expr("graft_polyhash(CAST(bkt AS STRING))"))
+      .withColumn("u", expr(s"(${hllVExpr(fpE)}) % 3221225470L"))
+      .withColumn("noise", expr(geometricNoiseExpr("u")))
+      .selectExpr("bkt", "cnt + noise AS cnt")
+      .filter("cnt > 0")
+    val rel = hdrQuantiles(noisy, Seq.empty, subBits, qsPm)
+      .selectExpr("q_pm", "n AS released_n", "est_q AS released_q")
+    if (!withTrue) Sorted.byNames(rel, "q_pm")
+    else {
+      val tru = hdrQuantiles(hist, Seq.empty, subBits, qsPm)
+        .selectExpr("q_pm", "n AS true_n", "est_q AS true_q")
+      // left join: an (unrealistically tiny) corpus whose noisy histogram
+      // empties must read released 0, never drop the quantile row
+      Sorted.byNames(tru.join(rel, Seq("q_pm"), "left")
+        .selectExpr("q_pm", "true_n", "true_q",
+          "coalesce(released_n, 0L) AS released_n",
+          "coalesce(released_q, 0L) AS released_q"), "q_pm")
+    }
   }
 
   /** HDR/base-2 bucket id of a non-negative int64 `x` expression —
