@@ -1168,7 +1168,10 @@ object Curation {
     * precedent), and the steps loop composes |domains|-row stages with
     * NO driver action. int64 headroom: |score_ppb| ≤ ~2e9 ⇒
     * excess·10⁶ ≤ 2e15; w ≤ 10⁶ and multiplier ≤ 10⁶+η_ppm keep every
-    * product ≤ ~1e13. */
+    * product ≤ ~1e13. Domain-count contract: the uniform weight is
+    * u = 10⁶ div k, so k must stay below 10⁶ domains (past that u
+    * floors to 0 and the normalizing sum degenerates) — mixing plans
+    * operate on tens-to-thousands of sources, far inside the bound. */
   def mixDoremi(scored: DataFrame, domainCol: String = "source",
       scoreCol: String = "score_ppb", etaPpm: Long = 500000L,
       smoothPpm: Long = 1000L, steps: Int = DoremiSteps): DataFrame = {
