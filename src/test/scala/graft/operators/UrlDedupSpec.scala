@@ -37,6 +37,32 @@ class UrlDedupSpec extends SparkSpec {
     assert(canon(variants: _*).distinct.size == 1)
   }
 
+  test("canonicalization is idempotent and scrubbed on 300 seeded-random URLs") {
+    val rnd = new scala.util.Random(1711)
+    val schemes = Seq("http://", "https://", "HTTP://", "HTTPS://")
+    val hosts = Seq("a.example.com", "B.Example.ORG", "www.c.example.net", "d.io")
+    val paths = Seq("", "/", "/x", "/x/y", "/x/y/", "/x//")
+    val params = Seq("", "?id=1", "?utm_source=a", "?b=2&a=1", "?utm_x=1&z=9&a=0")
+    val frags = Seq("", "#top", "#a/b?c=1")
+    val urls = Seq.fill(300)(
+      schemes(rnd.nextInt(4)) + hosts(rnd.nextInt(4)) + paths(rnd.nextInt(6)) +
+        params(rnd.nextInt(5)) + frags(rnd.nextInt(3)))
+    val once = canon(urls: _*)
+    val twice = canon(once: _*)
+    assert(once == twice, "canon(canon(u)) must equal canon(u)")
+    once.foreach { c =>
+      assert(!c.contains("#") && !c.contains("utm_") && !c.contains("://www.") &&
+        !c.startsWith("https://") && c == c.toLowerCase && !c.endsWith("/"),
+        s"residual non-canonical content in '$c'")
+      // params, when present, are sorted
+      val qi = c.indexOf('?')
+      if (qi >= 0) {
+        val ps = c.substring(qi + 1).split("&").toSeq
+        assert(ps == ps.sorted && ps.forall(_.nonEmpty), s"unsorted params in '$c'")
+      }
+    }
+  }
+
   test("the query string is content-bearing: different ids never collapse") {
     val cs = canon(
       "http://example.com/p?id=1",
