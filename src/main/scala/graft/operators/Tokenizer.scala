@@ -378,6 +378,46 @@ object Tokenizer {
          |FROM (SELECT cnt, unnest(ps) AS piece FROM sgf)
          |GROUP BY piece ORDER BY piece""".stripMargin),
 
+    // ---- apply the unigram vocabulary: encode every document with the
+    // EM-pruned pieces and report the compression — tokenizer_apply's
+    // exact report (n_words / n_symbols / chars_per_symbol per doc) over
+    // the unigram segmentations instead of the BPE merges, so the two
+    // encode steps read side by side PER DOCUMENT (the fertility entries
+    // give the per-language roll-up). Machinery identical: the trained
+    // word->n_pieces table is vocabulary-sized and broadcasts onto one
+    // corpus word explode; per-doc sums are a partial+final fold. --------
+    "tokenizer_unigram_apply" -> QueryDef(
+      (s, dir) => {
+        val segF = unigramTrain(
+          Tables.load(s, dir, "documents")
+            .selectExpr(s"explode(${graft.functions.Portable.tokensSql("text")}) AS word")
+            .groupBy("word").agg(count(lit(1)).as("cnt")))._2
+        Tables.load(s, dir, "documents")
+          .selectExpr("doc_id",
+            s"explode(${graft.functions.Portable.tokensSql("text")}) AS word")
+          .join(broadcast(segF.selectExpr("word",
+            "size(ps) AS ns", "length(word) AS wl")), "word")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("ns")).as("n_symbols"),
+            sum(col("wl")).as("n_token_chars"))
+          .selectExpr("doc_id", "n_words", "n_symbols", "n_token_chars",
+            "CAST(n_token_chars AS DOUBLE) / n_symbols AS chars_per_symbol")
+          .transform(graft.Sorted.byNames(_, "doc_id"))
+      },
+      s"""WITH $duckUniTrain,
+         |dtoks AS (SELECT doc_id,
+         |    ${graft.functions.Portable.duckToksSql("text")} AS ts
+         |  FROM documents),
+         |dw AS (SELECT doc_id, unnest(ts) AS word FROM dtoks),
+         |enc AS (SELECT word, len(ps) AS ns, length(word) AS wl FROM sgf)
+         |SELECT doc_id, COUNT(*) AS n_words,
+         |  CAST(SUM(ns) AS BIGINT) AS n_symbols,
+         |  CAST(SUM(wl) AS BIGINT) AS n_token_chars,
+         |  CAST(CAST(SUM(wl) AS BIGINT) AS DOUBLE) / CAST(SUM(ns) AS BIGINT) AS chars_per_symbol
+         |FROM dw JOIN enc USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     // ---- per-language fertility of the unigram tokenizer: the same
     // report as tokenizer_fertility, swapping the BPE encodings for the
     // unigram segmentations — the side-by-side read (unigram vs BPE
