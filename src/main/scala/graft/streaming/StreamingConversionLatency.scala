@@ -19,11 +19,18 @@ import graft.operators.CorpusOps
   *     late events at or before the last processed (ts, seq) DROP (the
   *     StreamingScd2 idempotent-consumer rule, so an at-least-once
   *     upstream never emits a phantom conversion). A user's latency
-  *     emits EXACTLY ONCE: first qualifying purchase strictly after the
-  *     first view. Event-time TTL (watermark-clamped, ALWAYS set — the
-  *     StreamingNearDup leak rule) expires both unconverted users past
-  *     the funnel window and converted users once replays can no longer
-  *     arrive, so state is the in-flight-user domain, not the stream.
+  *     emits EXACTLY ONCE PER FUNNEL EPISODE: first qualifying purchase
+  *     strictly after the episode's first view. Event-time TTL
+  *     (watermark-clamped, ALWAYS set — the StreamingNearDup leak rule)
+  *     expires both unconverted users past the funnel window and
+  *     converted users once replays can no longer arrive, so state is
+  *     the in-flight-user domain, not the stream — and, deliberately, a
+  *     user active again AFTER expiry starts a NEW episode that can
+  *     convert again (the windowed-funnel semantics a live monitor
+  *     wants; the batch operator's one-shot first-view→first-purchase
+  *     equals the streaming readout exactly when the stream span fits
+  *     one TTL window, which is what the spec's bit-identity pins — and
+  *     the episode re-entry is spec-pinned separately).
   *
   *  2. HISTOGRAM — resolved latencies (whole seconds, the batch
   *     operator's quantization contract) fold into the HDR bucket

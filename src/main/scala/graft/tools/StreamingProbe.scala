@@ -166,6 +166,55 @@ object StreamingProbe {
         s" state_mem=${so.map(_.memoryUsedBytes).getOrElse(-1L)}" +
         s" commit_state_ms=${so.map(_.commitTimeMs).getOrElse(-1L)}")
     }
+
+    // ---- StreamingConversionLatency: per-user funnel state + the
+    // driver-held HDR histogram. The spool slices the REAL event stream
+    // by event time (watermark-ordered batches, the production shape);
+    // per-user state should level off at the in-flight-user domain and
+    // the histogram at the ~1.9k-bucket bound while conversions
+    // accumulate monotonically across batches.
+    val cspool = new java.io.File(workDir, "cspool")
+    cspool.mkdirs()
+    val ev = graft.Tables.load(spark, srcDir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .selectExpr("user_id", "ts", "event_id AS seq", "event_type")
+    val tr = ev.agg(min(expr("unix_millis(ts)")), max(expr("unix_millis(ts)"))).head()
+    val (tmin, tmax) = (tr.getLong(0), tr.getLong(1))
+    val width = math.max(1L, (tmax - tmin) / nFiles + 1)
+    for (i <- 0 until nFiles) {
+      val tmp = new java.io.File(workDir, s"ctmp$i")
+      ev.filter(expr(s"(unix_millis(ts) - ${tmin}L) div ${width}L = $i"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(f =>
+        f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(cspool, f"f$i%04d.parquet").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    }
+    val robuf = scala.collection.mutable.Buffer[
+      graft.streaming.StreamingConversionLatency.Readout]()
+    val conv = graft.streaming.StreamingConversionLatency.run(
+      spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
+        .parquet(cspool.getAbsolutePath),
+      s"$workDir/conv_chk", Some(s"$workDir/conv_state"),
+      onReadout = robuf.append(_))
+    conv.processAllAvailable()
+    val cProg = conv.recentProgress.toSeq
+    conv.stop()
+    println("== StreamingConversionLatency (per-user funnel state + driver HDR) ==")
+    cProg.filter(_.numInputRows > 0).foreach { p =>
+      val so = p.stateOperators.headOption
+      println(s"batch=${p.batchId} rows=${p.numInputRows}" +
+        s" trigger_ms=${p.durationMs.get("triggerExecution")}" +
+        s" addBatch_ms=${p.durationMs.get("addBatch")}" +
+        s" state_rows=${so.map(_.numRowsTotal).getOrElse(-1L)}" +
+        s" state_mem=${so.map(_.memoryUsedBytes).getOrElse(-1L)}" +
+        s" commit_state_ms=${so.map(_.commitTimeMs).getOrElse(-1L)}")
+    }
+    robuf.lastOption.foreach(r =>
+      println(s"final: converters=${r.n} hist_buckets=${r.histBuckets}" +
+        s" quantiles=${r.quantiles.mkString(",")}"))
     spark.stop()
   }
 }

@@ -110,6 +110,23 @@ class StreamingConversionLatencySpec extends SparkSpec {
     assert(got.last.n == 0L, "an expired funnel must not convert")
   }
 
+  test("a user active again after TTL expiry starts a NEW funnel episode") {
+    val day = 86400000L
+    // episode 1 converts in 30 s; u9 keeps the watermark moving; after
+    // u7's state expires (1-min TTL), a fresh view+purchase pair forms a
+    // SECOND episode that converts again — n = 2 from one user, the
+    // windowed-funnel semantics (probe-observed: 30 days of events at a
+    // 24 h TTL yield more episodes than users, deliberately)
+    val e1 = Seq((7L, T0, 1L, "view"), (7L, T0 + 30000L, 2L, "purchase"),
+      (9L, T0, 1L, "view"))
+    val e2 = Seq((9L, T0 + 2 * day, 2L, "view"))
+    val e3 = Seq((9L, T0 + 2 * day + 1000L, 3L, "view")) // u7's timer fires
+    val e4 = Seq((7L, T0 + 2 * day + 2000L, 4L, "view"),
+      (7L, T0 + 2 * day + 62000L, 5L, "purchase"))
+    val got = drive(tmpDir("sclat_ck5"), None, Seq(e1, e2, e3, e4), ttlMs = 60000L)
+    assert(got.last.n == 2L, "the post-expiry episode must convert independently")
+  }
+
   test("restart recovers the histogram exactly-once from the versioned state") {
     val src = tmpDir("sclat_src"); val ck = tmpDir("sclat_ck4")
     val st = Some(tmpDir("sclat_state"))
