@@ -668,45 +668,43 @@ object Curation {
         mixDoremi(CorpusOps.hashedClassifierScore(d, wts,
           carryCols = Seq("source")))
       },
-      s"""WITH th AS (SELECT doc_id, lang, source,
-         |    ${graft.functions.Portable.duckHashTokensSql(
-               graft.functions.Portable.duckToksSql("text"))} AS th
-         |  FROM documents),
-         |f AS (SELECT doc_id, lang, source,
-         |    unnest(${CorpusOps.duckBigramBkt}) AS bkt FROM th),
-         |tr AS (SELECT lang, bkt FROM f WHERE doc_id % 2 = 0),
-         |pos AS (SELECT bkt, COUNT(*)::BIGINT AS pc FROM tr WHERE lang = 'en' GROUP BY bkt),
-         |neg AS (SELECT bkt, COUNT(*)::BIGINT AS nc FROM tr WHERE NOT (lang = 'en') GROUP BY bkt),
-         |pt AS (SELECT COALESCE((SELECT SUM(pc) FROM pos), 0)::BIGINT AS ptot),
-         |nt AS (SELECT COALESCE((SELECT SUM(nc) FROM neg), 0)::BIGINT AS ntot),
-         |dom AS (SELECT UNNEST(range(0, 8192)) AS bkt),
-         |w AS (SELECT dom.bkt,
-         |    ((COALESCE(pc, 0) + 1) * 1000000000) // (ptot + 8192)
-         |      - ((COALESCE(nc, 0) + 1) * 1000000000) // (ntot + 8192) AS w
-         |  FROM dom CROSS JOIN pt CROSS JOIN nt
-         |  LEFT JOIN pos ON pos.bkt = dom.bkt
-         |  LEFT JOIN neg ON neg.bkt = dom.bkt),
-         |scored AS (SELECT doc_id, source,
-         |    CAST(SUM(w.w) AS BIGINT) // COUNT(*) AS score_ppb
-         |  FROM f JOIN w USING (bkt) GROUP BY doc_id, lang, source),
-         |dm AS (SELECT source, COUNT(*) AS n_docs,
-         |    CAST(SUM(score_ppb) AS BIGINT) AS ssum FROM scored GROUP BY source),
-         |b0 AS (SELECT source, n_docs, ssum // n_docs AS mean_score_ppb,
-         |    GREATEST(0, CAST(SUM(ssum) OVER () // SUM(n_docs) OVER () AS BIGINT)
-         |      - ssum // n_docs) AS excess_ppb
-         |  FROM dm),
-         |b1 AS (SELECT source, n_docs, mean_score_ppb, excess_ppb,
-         |    CASE WHEN MAX(excess_ppb) OVER () = 0 THEN 0
-         |         ELSE CAST(excess_ppb * 1000000 // MAX(excess_ppb) OVER () AS BIGINT)
-         |         END AS ex_n,
-         |    CAST(1000000 // COUNT(*) OVER () AS BIGINT) AS u
-         |  FROM b0),
-         |d0 AS (SELECT source, n_docs, mean_score_ppb, excess_ppb, ex_n, u,
-         |    u AS w, CAST(0 AS BIGINT) AS acc FROM b1),
-         |${(1 to DoremiSteps).map(doremiStepSql(_, 500000L, 1000L)).mkString(",\n")}
+      s"""WITH $doremiOracleCtes
          |SELECT source, n_docs, mean_score_ppb, excess_ppb,
          |  acc // $DoremiSteps AS weight_ppm
          |FROM d$DoremiSteps ORDER BY source""".stripMargin),
+
+    // ---- DoReMi plan: the weights REALIZED against a token budget —
+    // the step the paper's weights exist for (sample the training mix
+    // by alpha). Composes mix_doremi's reweighting with one per-source
+    // tokenize+count pass (mix_epoch_plan's first stage):
+    // alloc_tokens = budget * weight_ppm div 1e6 and the per-source
+    // milli-epoch read alloc * 1000 div n_tokens (an upweighted scarce
+    // domain shows epochs_m > 1000 — the repetition cost DoReMi's
+    // min-max objective trades against, read beside chinchilla_plan's
+    // 4-epoch cap). Scale shape: mix_doremi's one classifier fold + one
+    // token-count fold; the join and every downstream stage are
+    // |domains|-row. ------------------------------------------------------
+    "mix_doremi_plan" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val wts = CorpusOps.trainHashedClassifier(
+          d.filter("doc_id % 2 = 0"), posExpr = "lang = 'en'")
+        mixDoremiPlan(CorpusOps.hashedClassifierScore(d, wts,
+          carryCols = Seq("source")), d, budgetTokens = 5000000L)
+      },
+      s"""WITH $doremiOracleCtes,
+         |tok AS (SELECT source, CAST(SUM(len(
+         |    ${graft.functions.Portable.duckToksSql("coalesce(text, '')")})) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |wt AS (SELECT source, n_docs, acc // $DoremiSteps AS weight_ppm
+         |  FROM d$DoremiSteps)
+         |SELECT source, n_docs, weight_ppm,
+         |  COALESCE(n_tokens, 0) AS n_tokens,
+         |  5000000 * weight_ppm // 1000000 AS alloc_tokens,
+         |  CASE WHEN COALESCE(n_tokens, 0) = 0 THEN 0
+         |       ELSE (5000000 * weight_ppm // 1000000) * 1000 // n_tokens
+         |       END AS epochs_m
+         |FROM wt LEFT JOIN tok USING (source) ORDER BY source""".stripMargin),
 
     // ---- Chinchilla compute-optimal plan (Hoffmann et al. 2022): for a
     // ladder of model sizes, the rule-of-thumb data requirement
@@ -1225,6 +1223,74 @@ object Curation {
        |    (${1000000L - smoothPpm} * wn + $smoothPpm * u) // 1000000 AS w,
        |    acc + (${1000000L - smoothPpm} * wn + $smoothPpm * u) // 1000000 AS acc
        |  FROM q$n)""".stripMargin
+
+  /** The shared mix_doremi oracle CTE chain (classifier train/score with
+    * source carried, per-domain fold, generated EG steps) — ONE
+    * definition for the mix_doremi and mix_doremi_plan oracles. */
+  private def doremiOracleCtes: String =
+    s"""th AS (SELECT doc_id, lang, source,
+         |    ${graft.functions.Portable.duckHashTokensSql(
+               graft.functions.Portable.duckToksSql("text"))} AS th
+         |  FROM documents),
+         |f AS (SELECT doc_id, lang, source,
+         |    unnest(${CorpusOps.duckBigramBkt}) AS bkt FROM th),
+         |tr AS (SELECT lang, bkt FROM f WHERE doc_id % 2 = 0),
+         |pos AS (SELECT bkt, COUNT(*)::BIGINT AS pc FROM tr WHERE lang = 'en' GROUP BY bkt),
+         |neg AS (SELECT bkt, COUNT(*)::BIGINT AS nc FROM tr WHERE NOT (lang = 'en') GROUP BY bkt),
+         |pt AS (SELECT COALESCE((SELECT SUM(pc) FROM pos), 0)::BIGINT AS ptot),
+         |nt AS (SELECT COALESCE((SELECT SUM(nc) FROM neg), 0)::BIGINT AS ntot),
+         |dom AS (SELECT UNNEST(range(0, 8192)) AS bkt),
+         |w AS (SELECT dom.bkt,
+         |    ((COALESCE(pc, 0) + 1) * 1000000000) // (ptot + 8192)
+         |      - ((COALESCE(nc, 0) + 1) * 1000000000) // (ntot + 8192) AS w
+         |  FROM dom CROSS JOIN pt CROSS JOIN nt
+         |  LEFT JOIN pos ON pos.bkt = dom.bkt
+         |  LEFT JOIN neg ON neg.bkt = dom.bkt),
+         |scored AS (SELECT doc_id, source,
+         |    CAST(SUM(w.w) AS BIGINT) // COUNT(*) AS score_ppb
+         |  FROM f JOIN w USING (bkt) GROUP BY doc_id, lang, source),
+         |dm AS (SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(score_ppb) AS BIGINT) AS ssum FROM scored GROUP BY source),
+         |b0 AS (SELECT source, n_docs, ssum // n_docs AS mean_score_ppb,
+         |    GREATEST(0, CAST(SUM(ssum) OVER () // SUM(n_docs) OVER () AS BIGINT)
+         |      - ssum // n_docs) AS excess_ppb
+         |  FROM dm),
+         |b1 AS (SELECT source, n_docs, mean_score_ppb, excess_ppb,
+         |    CASE WHEN MAX(excess_ppb) OVER () = 0 THEN 0
+         |         ELSE CAST(excess_ppb * 1000000 // MAX(excess_ppb) OVER () AS BIGINT)
+         |         END AS ex_n,
+         |    CAST(1000000 // COUNT(*) OVER () AS BIGINT) AS u
+         |  FROM b0),
+         |d0 AS (SELECT source, n_docs, mean_score_ppb, excess_ppb, ex_n, u,
+         |    u AS w, CAST(0 AS BIGINT) AS acc FROM b1),
+         |${(1 to DoremiSteps).map(doremiStepSql(_, 500000L, 1000L)).mkString(",\n")}"""
+      .stripMargin
+
+  /** [[mixDoremi]] realized against a token budget — see the
+    * `mix_doremi_plan` registry comment. `docs` supplies the per-source
+    * token counts (one corpus pass); sources absent from the scored
+    * frame (no classifier features) get no allocation, sources absent
+    * from `docs` read n_tokens 0 with epochs guarded. */
+  def mixDoremiPlan(scored: DataFrame, docs: DataFrame,
+      budgetTokens: Long = 1000000L, domainCol: String = "source",
+      scoreCol: String = "score_ppb", etaPpm: Long = 500000L,
+      smoothPpm: Long = 1000L, steps: Int = DoremiSteps): DataFrame = {
+    require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
+    val w = mixDoremi(scored, domainCol, scoreCol, etaPpm, smoothPpm, steps)
+      .select(domainCol, "n_docs", "weight_ppm")
+    val toks = docs
+      .selectExpr(domainCol,
+        s"CAST(size(${graft.functions.Portable.tokensSql("coalesce(text, '')")}) AS BIGINT) AS t")
+      .groupBy(col(domainCol)).agg(sum(col("t")).as("n_tokens"))
+    w.join(toks, Seq(domainCol), "left")
+      .selectExpr(domainCol, "n_docs", "weight_ppm",
+        "coalesce(n_tokens, 0L) AS n_tokens",
+        s"${budgetTokens}L * weight_ppm div 1000000L AS alloc_tokens",
+        s"""CASE WHEN coalesce(n_tokens, 0L) = 0 THEN 0L
+           |     ELSE (${budgetTokens}L * weight_ppm div 1000000L) * 1000L div n_tokens
+           |     END AS epochs_m""".stripMargin)
+      .transform(graft.Sorted.byNames(_, domainCol))
+  }
 
   def mixTemperature(docs: DataFrame, alpha: Double = 0.5): DataFrame = {
     val w = weightSql("CAST(n_docs AS DOUBLE)", alpha)
