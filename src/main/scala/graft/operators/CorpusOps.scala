@@ -806,6 +806,66 @@ object CorpusOps {
     // uses, complemented). One extra corpus pass over the held-out half
     // into a SINGLE row; all arithmetic int64 with zero-denominator
     // guards, so a degenerate split (no positives) reads 0, not a crash.
+    // ---- label-noise detection (Northcutt et al. 2021, "Confident
+    // Learning" — the data-cleaning step that finds MISLABELED examples
+    // instead of low-quality ones): an example counts as confidently
+    // class-j when its score clears class j's self-confidence threshold
+    // t_j = the mean score of examples LABELED j (the paper's per-class
+    // mean-predicted-probability threshold, with the hashed classifier's
+    // score_ppb as the probability surrogate — higher = more positive);
+    // a SUSPECT is a label contradicting a confident prediction (labeled
+    // positive yet confidently negative, or vice versa) — the
+    // off-diagonal of the confident joint. Scored strictly on the
+    // held-out half (classifier_eval's train/test discipline: in-sample
+    // confidence flags nothing on a memorizing model). Exact integers:
+    // thresholds are trunc-toward-zero means; a single-class frame
+    // yields a NULL missing-class threshold whose comparisons fall to
+    // the 0 branch in both engines — no suspects, never an error.
+    // Output per held-out doc (flags, not a filtered frame, so the
+    // result is deterministic-size); scale shape: one scoring pass, a
+    // 2-row threshold fold broadcast back, flags map-side. ---------------
+    "label_noise_detect" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val w = trainHashedClassifier(
+          d.filter("doc_id % 2 = 0"), posExpr = "lang = 'en'")
+        labelNoiseDetect(
+          hashedClassifierScore(d.filter("doc_id % 2 = 1"), w),
+          labelExpr = "lang = 'en'")
+      },
+      s"""WITH th AS (SELECT doc_id, lang,
+         |    ${graft.functions.Portable.duckHashTokensSql(duckToks)} AS th
+         |  FROM documents),
+         |f AS (SELECT doc_id, lang, unnest($duckBigramBkt) AS bkt FROM th),
+         |tr AS (SELECT lang, bkt FROM f WHERE doc_id % 2 = 0),
+         |pos AS (SELECT bkt, COUNT(*)::BIGINT AS pc FROM tr WHERE lang = 'en' GROUP BY bkt),
+         |neg AS (SELECT bkt, COUNT(*)::BIGINT AS nc FROM tr WHERE NOT (lang = 'en') GROUP BY bkt),
+         |pt AS (SELECT COALESCE((SELECT SUM(pc) FROM pos), 0)::BIGINT AS ptot),
+         |nt AS (SELECT COALESCE((SELECT SUM(nc) FROM neg), 0)::BIGINT AS ntot),
+         |dom AS (SELECT UNNEST(range(0, 8192)) AS bkt),
+         |w AS (SELECT dom.bkt,
+         |    ((COALESCE(pc, 0) + 1) * 1000000000) // (ptot + 8192)
+         |      - ((COALESCE(nc, 0) + 1) * 1000000000) // (ntot + 8192) AS w
+         |  FROM dom CROSS JOIN pt CROSS JOIN nt
+         |  LEFT JOIN pos ON pos.bkt = dom.bkt
+         |  LEFT JOIN neg ON neg.bkt = dom.bkt),
+         |scored AS (SELECT doc_id, lang,
+         |    CAST(SUM(w.w) AS BIGINT) // COUNT(*) AS score_ppb
+         |  FROM f JOIN w USING (bkt) WHERE doc_id % 2 = 1 GROUP BY doc_id, lang),
+         |lab AS (SELECT doc_id, score_ppb,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label FROM scored),
+         |cut AS (SELECT MAX(CASE WHEN label = 1 THEN t END) AS t1,
+         |    MAX(CASE WHEN label = 0 THEN t END) AS t0
+         |  FROM (SELECT label, CAST(SUM(score_ppb) AS BIGINT) // COUNT(*) AS t
+         |        FROM lab GROUP BY label))
+         |SELECT doc_id, label, score_ppb,
+         |  CASE WHEN score_ppb >= t1 THEN 1 ELSE 0 END AS conf_pos,
+         |  CASE WHEN score_ppb <= t0 THEN 1 ELSE 0 END AS conf_neg,
+         |  CASE WHEN label = 1 AND score_ppb <= t0 THEN 1
+         |       WHEN label = 0 AND score_ppb >= t1 THEN 1
+         |       ELSE 0 END AS suspect
+         |FROM lab CROSS JOIN cut ORDER BY doc_id""".stripMargin),
+
     "classifier_eval" -> QueryDef(
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
@@ -2567,6 +2627,32 @@ object CorpusOps {
         """CASE WHEN np = 0 THEN 0L
           |     ELSE cum_pos * 1000 div np END AS cum_capture_pm""".stripMargin)
       .transform(Sorted.byNames(_, "decile"))
+  }
+
+  /** Confident-Learning label-noise flags over a scored+labeled frame —
+    * see the `label_noise_detect` registry comment for the thresholds,
+    * the suspect rule and the single-class guard. `labelExpr` is a SQL
+    * boolean over the scored columns (the classifierEval contract). */
+  def labelNoiseDetect(scored: DataFrame, labelExpr: String,
+      scoreCol: String = "score_ppb"): DataFrame = {
+    require(scored.columns.contains(scoreCol),
+      s"score column $scoreCol not in ${scored.columns.mkString(",")}")
+    val lab = scored.selectExpr("doc_id", s"$scoreCol AS score_ppb",
+        s"CAST(CAST($labelExpr AS BOOLEAN) AS INT) AS label")
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds the threshold fold AND the flags
+    val cut = lab.groupBy(col("label"))
+      .agg(sum(col("score_ppb")).as("ss"), count(lit(1)).as("n"))
+      .selectExpr("label", "ss div n AS t")
+      .agg(max(expr("IF(label = 1, t, CAST(NULL AS BIGINT))")).as("t1"),
+        max(expr("IF(label = 0, t, CAST(NULL AS BIGINT))")).as("t0"))
+    lab.crossJoin(broadcast(cut))
+      .selectExpr("doc_id", "label", "score_ppb",
+        "CASE WHEN score_ppb >= t1 THEN 1 ELSE 0 END AS conf_pos",
+        "CASE WHEN score_ppb <= t0 THEN 1 ELSE 0 END AS conf_neg",
+        """CASE WHEN label = 1 AND score_ppb <= t0 THEN 1
+          |     WHEN label = 0 AND score_ppb >= t1 THEN 1
+          |     ELSE 0 END AS suspect""".stripMargin)
+      .transform(Sorted.byNames(_, "doc_id"))
   }
 
   def hashedClassifierScore(docs: DataFrame, weights: DataFrame,
