@@ -1137,6 +1137,16 @@ object Curation {
     * and a forward val reference would silently read 0 there.) */
   private[operators] def DoremiSteps = 4
 
+  /** DoReMi EG step size and uniform-smoothing mass (ppm) — ONE
+    * definition feeding BOTH [[mixDoremi]]/[[mixDoremiPlan]]'s
+    * parameter defaults and the generated oracle step SQL
+    * ([[doremiStepSql]] via [[doremiOracleCtes]]), the DoremiSteps
+    * pattern: retuning either knob moves engine and oracle together
+    * instead of silently desynchronizing them. (`def`s, not `val`s —
+    * same forward-reference hazard as DoremiSteps.) */
+  private[operators] def DoremiEtaPpm = 500000L
+  private[operators] def DoremiSmoothPpm = 1000L
+
   /** DoReMi domain reweighting (Xie et al. 2023, "DoReMi: Optimizing
     * Data Mixtures Speeds Up Language Model Pretraining"): iterate
     * exponentiated-gradient updates on the domain weights driven by
@@ -1171,8 +1181,8 @@ object Curation {
     * floors to 0 and the normalizing sum degenerates) — mixing plans
     * operate on tens-to-thousands of sources, far inside the bound. */
   def mixDoremi(scored: DataFrame, domainCol: String = "source",
-      scoreCol: String = "score_ppb", etaPpm: Long = 500000L,
-      smoothPpm: Long = 1000L, steps: Int = DoremiSteps): DataFrame = {
+      scoreCol: String = "score_ppb", etaPpm: Long = DoremiEtaPpm,
+      smoothPpm: Long = DoremiSmoothPpm, steps: Int = DoremiSteps): DataFrame = {
     require(etaPpm >= 0 && etaPpm <= 10000000L,
       s"etaPpm must be in [0, 1e7], got $etaPpm")
     require(smoothPpm >= 0 && smoothPpm < 1000000L,
@@ -1263,7 +1273,7 @@ object Curation {
          |  FROM b0),
          |d0 AS (SELECT source, n_docs, mean_score_ppb, excess_ppb, ex_n, u,
          |    u AS w, CAST(0 AS BIGINT) AS acc FROM b1),
-         |${(1 to DoremiSteps).map(doremiStepSql(_, 500000L, 1000L)).mkString(",\n")}"""
+         |${(1 to DoremiSteps).map(doremiStepSql(_, DoremiEtaPpm, DoremiSmoothPpm)).mkString(",\n")}"""
       .stripMargin
 
   /** [[mixDoremi]] realized against a token budget — see the
@@ -1273,8 +1283,8 @@ object Curation {
     * from `docs` read n_tokens 0 with epochs guarded. */
   def mixDoremiPlan(scored: DataFrame, docs: DataFrame,
       budgetTokens: Long = 1000000L, domainCol: String = "source",
-      scoreCol: String = "score_ppb", etaPpm: Long = 500000L,
-      smoothPpm: Long = 1000L, steps: Int = DoremiSteps): DataFrame = {
+      scoreCol: String = "score_ppb", etaPpm: Long = DoremiEtaPpm,
+      smoothPpm: Long = DoremiSmoothPpm, steps: Int = DoremiSteps): DataFrame = {
     require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
     val w = mixDoremi(scored, domainCol, scoreCol, etaPpm, smoothPpm, steps)
       .select(domainCol, "n_docs", "weight_ppm")

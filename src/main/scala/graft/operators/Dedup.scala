@@ -1116,20 +1116,45 @@ object Dedup {
 
   /** Canonical form of a `url` column — the reusable rule set behind
     * `dedup_url` (a production caller brings real crawl URLs): strip
-    * fragment, lowercase, strip www., normalize https->http, drop
+    * fragment, lowercase the SCHEME AND HOST only, strip a leading
+    * www. from the host, normalize https->http in the scheme, drop
     * utm_* tracking parameters, sort the surviving query parameters,
-    * strip trailing slashes. Pure map-side string algebra; substring
-    * positions via instr (literal, not regex) so both engines agree on
-    * every metacharacter. */
+    * strip trailing path slashes. The scheme/www/case rewrites are
+    * scoped to the authority prefix (everything before the first '/'
+    * or '?' after '://'): paths and parameter VALUES are case- and
+    * content-significant on real sites, so a whole-string lowercase
+    * over-merges distinct pages and a whole-string replace rewrites an
+    * embedded URL in a query value (?redirect=https://x). Pure
+    * map-side string algebra; substring positions via instr (literal,
+    * not regex) so both engines agree on every metacharacter; the
+    * nested transform(array(..)) calls are let-bindings so each
+    * intermediate (strip point, authority end) computes once. */
   private[operators] def urlCanonExpr(u: String): String = {
     val nofrag = s"IF(instr($u, '#') > 0, substring($u, 1, instr($u, '#') - 1), $u)"
-    val sch = s"replace(replace(lower($nofrag), '://www.', '://'), 'https://', 'http://')"
-    s"""element_at(transform(array($sch), s -> concat(
-       |  regexp_replace(IF(instr(s, '?') > 0, substring(s, 1, instr(s, '?') - 1), s), '/+$$', ''),
+    s"""element_at(transform(array($nofrag), a ->
+       |element_at(transform(array(instr(a, '://')), m ->
+       |element_at(transform(array(named_struct(
+       |    'pre', IF(m > 0, replace(lower(substring(a, 1, m + 2)), 'https://', 'http://'), ''),
+       |    'rest', IF(m > 0, substring(a, m + 3), a))), r ->
+       |element_at(transform(array(CASE
+       |    WHEN m = 0 THEN 0
+       |    WHEN instr(r.rest, '/') > 0 AND (instr(r.rest, '?') = 0 OR instr(r.rest, '/') < instr(r.rest, '?'))
+       |      THEN instr(r.rest, '/')
+       |    WHEN instr(r.rest, '?') > 0 THEN instr(r.rest, '?')
+       |    ELSE length(r.rest) + 1 END), ae ->
+       |element_at(transform(array(named_struct(
+       |    'hp', IF(m = 0, '', concat(r.pre,
+       |        IF(startswith(lower(substring(r.rest, 1, ae - 1)), 'www.'),
+       |           substring(lower(substring(r.rest, 1, ae - 1)), 5),
+       |           lower(substring(r.rest, 1, ae - 1))))),
+       |    'tail', IF(m = 0, r.rest, substring(r.rest, ae)))), t ->
+       |concat(t.hp,
+       |  regexp_replace(IF(instr(t.tail, '?') > 0, substring(t.tail, 1, instr(t.tail, '?') - 1), t.tail), '/+$$', ''),
        |  element_at(transform(array(array_join(array_sort(filter(
-       |      split(IF(instr(s, '?') > 0, substring(s, instr(s, '?') + 1), ''), '&'),
+       |      split(IF(instr(t.tail, '?') > 0, substring(t.tail, instr(t.tail, '?') + 1), ''), '&'),
        |      p -> p != '' AND NOT startswith(p, 'utm_'))), '&')),
-       |    q -> IF(q = '', '', concat('?', q))), 1))), 1)""".stripMargin
+       |    q -> IF(q = '', '', concat('?', q))), 1))
+       |), 1)), 1)), 1)), 1)), 1)""".stripMargin
   }
 
   /** [[urlCanonExpr]] applied to a `(…, url)` frame, appending `url_canon`. */
@@ -1140,18 +1165,33 @@ object Dedup {
   }
 
   /** DuckDB twin of [[urlCanonExpr]] over a column named `url` — the
-    * same rules layered through scalar subexpressions (DuckDB lambdas
-    * only where Spark uses them: the param filter/sort). */
+    * same rules layered through scalar subqueries as let-bindings
+    * (DuckDB lambdas only where Spark uses them: the param
+    * filter/sort), authority-scoped exactly like the Spark side. */
   private def duckUrlCanon: String = {
     val nofrag = "CASE WHEN strpos(url, '#') > 0 THEN substr(url, 1, strpos(url, '#') - 1) ELSE url END"
-    val sch = s"replace(replace(lower($nofrag), '://www.', '://'), 'https://', 'http://')"
-    s"""(SELECT
-       |   regexp_replace(CASE WHEN strpos(s, '?') > 0 THEN substr(s, 1, strpos(s, '?') - 1) ELSE s END, '/+$$', '') ||
+    s"""(SELECT hp ||
+       |   regexp_replace(CASE WHEN strpos(tail, '?') > 0 THEN substr(tail, 1, strpos(tail, '?') - 1) ELSE tail END, '/+$$', '') ||
        |   (SELECT CASE WHEN q = '' THEN '' ELSE '?' || q END FROM (SELECT
        |      COALESCE(array_to_string(list_sort(list_filter(
-       |        string_split(CASE WHEN strpos(s, '?') > 0 THEN substr(s, strpos(s, '?') + 1) ELSE '' END, '&'),
+       |        string_split(CASE WHEN strpos(tail, '?') > 0 THEN substr(tail, strpos(tail, '?') + 1) ELSE '' END, '&'),
        |        p -> p != '' AND NOT starts_with(p, 'utm_'))), '&'), '') AS q))
-       | FROM (SELECT $sch AS s))""".stripMargin
+       | FROM (SELECT
+       |     CASE WHEN m = 0 THEN '' ELSE pre ||
+       |       (SELECT CASE WHEN starts_with(h, 'www.') THEN substr(h, 5) ELSE h END
+       |        FROM (SELECT lower(substr(rest, 1, ae - 1)) AS h)) END AS hp,
+       |     CASE WHEN m = 0 THEN rest ELSE substr(rest, ae) END AS tail
+       |   FROM (SELECT m, pre, rest,
+       |       CASE WHEN m = 0 THEN 0
+       |            WHEN strpos(rest, '/') > 0 AND (strpos(rest, '?') = 0 OR strpos(rest, '/') < strpos(rest, '?'))
+       |              THEN strpos(rest, '/')
+       |            WHEN strpos(rest, '?') > 0 THEN strpos(rest, '?')
+       |            ELSE length(rest) + 1 END AS ae
+       |     FROM (SELECT m,
+       |         CASE WHEN m > 0 THEN replace(lower(substr(a, 1, m + 2)), 'https://', 'http://') ELSE '' END AS pre,
+       |         CASE WHEN m > 0 THEN substr(a, m + 3) ELSE a END AS rest
+       |       FROM (SELECT a, strpos(a, '://') AS m
+       |         FROM (SELECT $nofrag AS a))))))""".stripMargin
   }
 
   /** Winnowing selection (see the `dedup_winnow` registry comment):

@@ -109,7 +109,23 @@ object StreamingConversionLatency {
 
   /** The pairing layer alone: `events` must carry (user_id: long,
     * ts: timestamp, seq: long, event_type: string). Append-mode stream
-    * of per-user latencies, one row per conversion. */
+    * of per-user latencies, one row per conversion.
+    *
+    * Cross-batch ordering contract: batch bit-identity additionally
+    * assumes event-time-ORDERED delivery across micro-batches for each
+    * user. Within one micro-batch the (ts, seq) sort restores any
+    * order, but a purchase that lands in an EARLIER micro-batch than
+    * its view is processed first and finds no open view (the pair is
+    * silently not a conversion), and a view arriving BELOW the
+    * watermark after later events advanced it is dropped by the
+    * engine before the state function runs. `delay` is the knob that
+    * buys cross-batch reordering room: the watermark lags the max
+    * seen event time by `delay`, so any source that can deliver a
+    * user's events up to D out of order across batch boundaries needs
+    * `delay >= D` (and pays TTL expiry latency for it). The default
+    * '0 seconds' is correct for ordered replay (the spec's time-sliced
+    * fixture) and for monotone per-user sources; give a real
+    * out-of-order stream a nonzero delay. */
   def latencies(events: DataFrame, fromType: String = "view",
       toType: String = "purchase", ttlMs: Long = 24L * 3600 * 1000,
       delay: String = "0 seconds"): Dataset[ConvLat] = {
@@ -204,7 +220,10 @@ object StreamingConversionLatency {
   /** Start the full sketch: pairing + histogram + shared HDR readout.
     * `stateDir` enables exactly-once histogram recovery across restarts
     * (the checkpointed query replays no offsets, so without it the
-    * pre-crash histogram would silently vanish). */
+    * pre-crash histogram would silently vanish). `delay` inherits
+    * [[latencies]]' ordering contract: size it to the source's
+    * cross-batch out-of-orderness or conversions whose view arrives in
+    * a later batch than the purchase are silently missed. */
   def run(events: DataFrame, checkpointDir: String,
       stateDir: Option[String] = None, subBits: Int = 5,
       qsPm: Seq[Int] = Seq(500, 900), fromType: String = "view",

@@ -63,6 +63,25 @@ class UrlDedupSpec extends SparkSpec {
     }
   }
 
+  test("rewrites are scoped to the authority: paths and values keep case/content") {
+    assert(canon(
+      // case-significant path survives; host still lowers
+      "https://Example.COM/Case/Sensitive/Path",
+      // embedded URL in a query value is NOT rewritten (no https->http,
+      // no www-strip inside the value)
+      "https://example.com/r?redirect=https://www.x.com/Y&utm_source=a",
+      // '?' before any '/' — the authority still ends correctly
+      "HTTP://WWW.EXAMPLE.COM?id=3",
+      // no scheme at all: query/slash rules apply, nothing else rewrites
+      "example.com/p/?b=2&a=1&utm_z=1"
+    ) == Seq(
+      "http://example.com/Case/Sensitive/Path",
+      "http://example.com/r?redirect=https://www.x.com/Y",
+      "http://example.com?id=3",
+      "example.com/p?a=1&b=2"
+    ))
+  }
+
   test("the query string is content-bearing: different ids never collapse") {
     val cs = canon(
       "http://example.com/p?id=1",
