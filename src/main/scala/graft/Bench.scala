@@ -93,6 +93,7 @@ object Bench {
         .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
     }
     val gcRunStart = gcMillis
+    var gcForced = 0
     for (_ <- 1 to reps; name <- names) {
       val fn = SparkEntry.queries(name)
       val gc0 = gcMillis
@@ -118,7 +119,19 @@ object Bench {
       // 6-21x (round-2 driver bench). Cleared OUTSIDE the timing window —
       // each query is timed cold-cache, same as a fresh session.
       spark.catalog.clearCache()
-      System.gc()
+      // PRESSURE-GATED forced collection (round 12): the unconditional
+      // System.gc() here cost ~160 s of harness wall per full sitting
+      // (642 calls x ~250 ms full STW each) while the GC inside the
+      // timed windows summed to ~5 s — the blanket collect was 97%
+      // no-op. The discipline it bought (query A's garbage never turns
+      // into a major collection inside query B's timed window) survives
+      // as a threshold: collect only when the heap is actually past
+      // half occupancy after the cache drop. gcForced counts the fires
+      // for the summary line, so the relief is self-reporting.
+      val rt = Runtime.getRuntime
+      if (rt.totalMemory() - rt.freeMemory() > rt.maxMemory() / 2) {
+        System.gc(); gcForced += 1
+      }
     }
     def median(xs: List[Double]): Double = BenchAction.median(xs)
     // Locale.ROOT: the f-interpolator formats with the JVM default locale,
@@ -159,7 +172,7 @@ object Bench {
     val adjudication =
       s""""loadavg1_start":${jnum(load1Start)},"contaminated":$contaminated,"idle_waited_sec":$idleWaited"""
     val fullLine =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"gc_sec":$gcJson,"errors":$errJson,"reps":$reps,"sf":${jstr(sfDir)},"loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadAvg)},$adjudication,"gc_total_sec":${jnum((gcMillis - gcRunStart) / 1e3)}}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"gc_sec":$gcJson,"errors":$errJson,"reps":$reps,"sf":${jstr(sfDir)},"loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadAvg)},$adjudication,"gc_total_sec":${jnum((gcMillis - gcRunStart) / 1e3)},"gc_forced":$gcForced}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_times.json")
     try {
       java.nio.file.Files.write(

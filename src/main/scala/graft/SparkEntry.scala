@@ -27,7 +27,8 @@ object SparkEntry {
       operators.Retrieval.defs ++
       operators.Graph.defs ++
       operators.Tokenizer.defs ++
-      operators.TimeSeries.defs
+      operators.TimeSeries.defs ++
+      operators.Pretrain.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

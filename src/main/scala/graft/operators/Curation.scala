@@ -668,7 +668,7 @@ object Curation {
         mixDoremi(CorpusOps.hashedClassifierScore(d, wts,
           carryCols = Seq("source")))
       },
-      s"""WITH $doremiOracleCtes
+      s"""WITH ${doremiOracleCtes()}
          |SELECT source, n_docs, mean_score_ppb, excess_ppb,
          |  acc // $DoremiSteps AS weight_ppm
          |FROM d$DoremiSteps ORDER BY source""".stripMargin),
@@ -692,7 +692,7 @@ object Curation {
         mixDoremiPlan(CorpusOps.hashedClassifierScore(d, wts,
           carryCols = Seq("source")), d, budgetTokens = 5000000L)
       },
-      s"""WITH $doremiOracleCtes,
+      s"""WITH ${doremiOracleCtes()},
          |tok AS (SELECT source, CAST(SUM(len(
          |    ${graft.functions.Portable.duckToksSql("coalesce(text, '')")})) AS BIGINT) AS n_tokens
          |  FROM documents GROUP BY source),
@@ -1236,31 +1236,34 @@ object Curation {
 
   /** The shared mix_doremi oracle CTE chain (classifier train/score with
     * source carried, per-domain fold, generated EG steps) — ONE
-    * definition for the mix_doremi and mix_doremi_plan oracles. */
-  private def doremiOracleCtes: String =
-    s"""th AS (SELECT doc_id, lang, source,
+    * definition for the mix_doremi and mix_doremi_plan oracles and the
+    * pretrain_prep capstone (which reweights the CLEANED corpus, so the
+    * scored source is a parameter; d-prefixed CTE names so the chain
+    * composes beside the gopher/LM/shingle fragments). */
+  private[operators] def doremiOracleCtes(src: String = "documents"): String =
+    s"""dth AS (SELECT doc_id, lang, source,
          |    ${graft.functions.Portable.duckHashTokensSql(
                graft.functions.Portable.duckToksSql("text"))} AS th
-         |  FROM documents),
-         |f AS (SELECT doc_id, lang, source,
-         |    unnest(${CorpusOps.duckBigramBkt}) AS bkt FROM th),
-         |tr AS (SELECT lang, bkt FROM f WHERE doc_id % 2 = 0),
-         |pos AS (SELECT bkt, COUNT(*)::BIGINT AS pc FROM tr WHERE lang = 'en' GROUP BY bkt),
-         |neg AS (SELECT bkt, COUNT(*)::BIGINT AS nc FROM tr WHERE NOT (lang = 'en') GROUP BY bkt),
-         |pt AS (SELECT COALESCE((SELECT SUM(pc) FROM pos), 0)::BIGINT AS ptot),
-         |nt AS (SELECT COALESCE((SELECT SUM(nc) FROM neg), 0)::BIGINT AS ntot),
-         |dom AS (SELECT UNNEST(range(0, 8192)) AS bkt),
-         |w AS (SELECT dom.bkt,
+         |  FROM $src),
+         |dfx AS (SELECT doc_id, lang, source,
+         |    unnest(${CorpusOps.duckBigramBkt}) AS bkt FROM dth),
+         |dtr AS (SELECT lang, bkt FROM dfx WHERE doc_id % 2 = 0),
+         |dpos AS (SELECT bkt, COUNT(*)::BIGINT AS pc FROM dtr WHERE lang = 'en' GROUP BY bkt),
+         |dneg AS (SELECT bkt, COUNT(*)::BIGINT AS nc FROM dtr WHERE NOT (lang = 'en') GROUP BY bkt),
+         |dpt AS (SELECT COALESCE((SELECT SUM(pc) FROM dpos), 0)::BIGINT AS ptot),
+         |dnt AS (SELECT COALESCE((SELECT SUM(nc) FROM dneg), 0)::BIGINT AS ntot),
+         |ddom AS (SELECT UNNEST(range(0, 8192)) AS bkt),
+         |dwt AS (SELECT ddom.bkt,
          |    ((COALESCE(pc, 0) + 1) * 1000000000) // (ptot + 8192)
          |      - ((COALESCE(nc, 0) + 1) * 1000000000) // (ntot + 8192) AS w
-         |  FROM dom CROSS JOIN pt CROSS JOIN nt
-         |  LEFT JOIN pos ON pos.bkt = dom.bkt
-         |  LEFT JOIN neg ON neg.bkt = dom.bkt),
-         |scored AS (SELECT doc_id, source,
-         |    CAST(SUM(w.w) AS BIGINT) // COUNT(*) AS score_ppb
-         |  FROM f JOIN w USING (bkt) GROUP BY doc_id, lang, source),
+         |  FROM ddom CROSS JOIN dpt CROSS JOIN dnt
+         |  LEFT JOIN dpos ON dpos.bkt = ddom.bkt
+         |  LEFT JOIN dneg ON dneg.bkt = ddom.bkt),
+         |dscored AS (SELECT doc_id, source,
+         |    CAST(SUM(dwt.w) AS BIGINT) // COUNT(*) AS score_ppb
+         |  FROM dfx JOIN dwt USING (bkt) GROUP BY doc_id, lang, source),
          |dm AS (SELECT source, COUNT(*) AS n_docs,
-         |    CAST(SUM(score_ppb) AS BIGINT) AS ssum FROM scored GROUP BY source),
+         |    CAST(SUM(score_ppb) AS BIGINT) AS ssum FROM dscored GROUP BY source),
          |b0 AS (SELECT source, n_docs, ssum // n_docs AS mean_score_ppb,
          |    GREATEST(0, CAST(SUM(ssum) OVER () // SUM(n_docs) OVER () AS BIGINT)
          |      - ssum // n_docs) AS excess_ppb

@@ -54,9 +54,14 @@ object Dedup {
     * re-running. At 100 TB the same shape holds: materialize the signature
     * table once (cache/temp parquet), derive bands from it, verify from a
     * recomputed map-side shingle projection. */
-  private def minhashSigTable(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.HashExpressions.register(s)
-    Tables.load(s, dir, "documents")
+  private def minhashSigTable(s: SparkSession, dir: String): DataFrame =
+    minhashSigOf(Tables.load(s, dir, "documents"))
+
+  /** The signature table over an arbitrary `(doc_id, text)` frame — the
+    * composition form (pretrain_prep signs the exact-dedup survivors). */
+  private[operators] def minhashSigOf(docs: DataFrame): DataFrame = {
+    graft.functions.HashExpressions.register(docs.sparkSession)
+    docs
       .selectExpr("doc_id", "graft_minhash_sig(text) AS sig")
       .filter(s"element_at(sig, 1) != ${Long.MaxValue}L")
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -95,9 +100,15 @@ object Dedup {
   /** doc_id + distinct 3-token shingle hashes (guarded for short docs),
     * recomputed map-side per use — cheap native expression, poor cache
     * economics (see [[minhashSigTable]]). */
-  private def shingles(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.HashExpressions.register(s)
-    Tables.load(s, dir, "documents")
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    shinglesOf(Tables.load(s, dir, "documents"))
+
+  /** Shingles over an arbitrary `(doc_id, text)` frame — the composition
+    * form (pretrain_prep shingles the eval pool and the dedup
+    * survivors). */
+  private[operators] def shinglesOf(docs: DataFrame): DataFrame = {
+    graft.functions.HashExpressions.register(docs.sparkSession)
+    docs
       .selectExpr("doc_id", "graft_shingles(text) AS sh")
       .filter("size(sh) > 0")
   }
@@ -167,9 +178,16 @@ object Dedup {
     * sig)` — shared by [[duckPairsCtes]] and Multimodal's b-bit pHash. */
   private[operators] def duckSigCtes: String =
     s"""$duckShingles,
-       |sig AS (SELECT doc_id, sh, list_transform(range(0, 16), j -> list_min(list_transform(sh,
+       |${duckSigCte()}""".stripMargin
+
+  /** The signature CTE alone over an arbitrary `(doc_id, sh)` source —
+    * pretrain_prep signs the exact-dedup SURVIVORS (the full-corpus `sh`
+    * restricted by join), so the sh source is a parameter. ONE lane
+    * arithmetic definition for every consumer. */
+  private[operators] def duckSigCte(shSrc: String = "sh"): String =
+    s"""sig AS (SELECT doc_id, sh, list_transform(range(0, 16), j -> list_min(list_transform(sh,
        |  x -> (x * ($MIX + ${graft.functions.Portable.LANE} * j) + 98765432 + 1234577 * j) % $P61))) AS sig
-       |  FROM sh)""".stripMargin
+       |  FROM $shSrc)""".stripMargin
 
   /** Banding CTE over `sig` — 4 bands x 4 lanes, the LSH recall knob.
     * ONE definition: a band-count/width retune (the dae9541 class of
@@ -196,7 +214,10 @@ object Dedup {
        |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
        |   / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8)""".stripMargin
 
-  private val duckShingles: String =
+  /** Full-corpus shingle CTE chain `toks -> th -> sh(doc_id, sh)` —
+    * private[operators] so the pretrain_prep capstone chain can compose
+    * it (restricting by id joins) beside the other fragments. */
+  private[operators] val duckShingles: String =
     s"""toks AS (SELECT doc_id,
        |  ${graft.functions.Portable.duckToksSql("text")} AS toks
        |  FROM documents),
@@ -315,6 +336,27 @@ object Dedup {
     NgramStages(bucketed, depth, cand, pruned, verified)
   }
 
+  /** Verified MinHash near-dup pairs (doc_a < doc_b, jaccard >= 0.8)
+    * over an arbitrary `(doc_id, text)` frame: persisted slim signature
+    * table -> 4x4 banded candidates -> exact shingle-Jaccard verify on
+    * the zero-allocation sorted-merge kernel (shingles are distinct by
+    * construction, so the merge count equals set intersection exactly).
+    * ONE definition behind dedup_minhash, dedup_keep_list (via the
+    * registry), and the pretrain_prep near-dedup stage. */
+  private[operators] def minhashPairsOf(docs: DataFrame): DataFrame = {
+    val sig = minhashSigOf(docs) // persisted slim: sig computed once
+    val sh = shinglesOf(docs)
+    val cand = bandedCandidates(sig)
+    val shA = sh.selectExpr("doc_id AS doc_a", "sort_array(sh) AS sh_a")
+    val shB = sh.selectExpr("doc_id AS doc_b", "sort_array(sh) AS sh_b")
+    cand.join(shA, "doc_a").join(shB, "doc_b")
+      .selectExpr("doc_a", "doc_b",
+        "graft_sorted_inter(sh_a, sh_b) AS inter", "size(sh_a) AS sa", "size(sh_b) AS sb")
+      .selectExpr("doc_a", "doc_b",
+        "CAST(inter AS DOUBLE) / (sa + sb - inter) AS jaccard")
+      .filter("jaccard >= 0.8")
+  }
+
   val defs: ListMap[String, QueryDef] = ListMap(
 
     // ---- exact dedup: content-hash grouping, canonical = min doc_id -------
@@ -340,23 +382,8 @@ object Dedup {
     // ---- MinHash + LSH near-dup pairs: 16 permutations, 4 bands × 4 rows;
     // candidates share a band, verified by exact shingle Jaccard ≥ 0.8 ------
     "dedup_minhash" -> QueryDef(
-      (s, dir) => {
-        val sig = minhashSigTable(s, dir) // persisted slim: sig computed once
-        val sh = shingles(s, dir)
-        val cand = bandedCandidates(sig)
-        // sorted once per doc so the per-pair verify is the zero-allocation
-        // merge count (graft_sorted_inter) — shingles are distinct by
-        // construction, so the count equals set intersection exactly
-        val shA = sh.selectExpr("doc_id AS doc_a", "sort_array(sh) AS sh_a")
-        val shB = sh.selectExpr("doc_id AS doc_b", "sort_array(sh) AS sh_b")
-        cand.join(shA, "doc_a").join(shB, "doc_b")
-          .selectExpr("doc_a", "doc_b",
-            "graft_sorted_inter(sh_a, sh_b) AS inter", "size(sh_a) AS sa", "size(sh_b) AS sb")
-          .selectExpr("doc_a", "doc_b",
-            "CAST(inter AS DOUBLE) / (sa + sb - inter) AS jaccard")
-          .filter("jaccard >= 0.8")
-          .transform(graft.Sorted.byNames(_, "doc_a", "doc_b"))
-      },
+      (s, dir) => minhashPairsOf(Tables.load(s, dir, "documents"))
+        .transform(graft.Sorted.byNames(_, "doc_a", "doc_b")),
       s"""WITH $duckSigCtes,
          |$duckBandsCte,
          |$duckCandCte

@@ -1,0 +1,237 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.Portable.{MIX, P}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import scala.collection.immutable.ListMap
+
+/** The pretraining-data capstone: the published curate→dedup→
+  * decontaminate→mix→pack→shard pipeline composed as ONE Spark plan —
+  * the query a 100 TB corpus owner actually runs, built entirely from
+  * the engine's own stage operators (each separately oracle-checked in
+  * its registry entry; THIS entry checks the composition).
+  *
+  * Stage order is the published one (RefinedWeb Fig. 2 / FineWeb's
+  * refinement table; CCNet for the LM gate; Gopher §A1.1 for the rule
+  * gate; Lee et al. 2022 for dedup-before-training; DoReMi for the
+  * mixture):
+  *
+  *  1. QUALITY GATE — [[TextOps.gopherFlags]] composite rules AND the
+  *     CCNet perplexity gate: the held-out trigram LM
+  *     ([[TextOps.lmTrigramScoreRaw]], trained on the doc_id % 2 = 0
+  *     half, scoring EVERYONE) bucketed per-language by
+  *     [[TextOps.ccnetBucketsRaw]]; the per-language tail third drops
+  *     (CCNet's "train on the head" frame).
+  *  2. EXACT DEDUP — content-digest grouping, keep the canonical
+  *     min-id doc (dedup_exact's rule, keep-side).
+  *  3. NEAR DEDUP — [[Dedup.minhashPairsOf]] over the exact-dedup
+  *     survivors (16-perm MinHash, 4×4 band LSH, Jaccard ≥ 0.8
+  *     verify); keep-first policy drops the higher id of every
+  *     verified pair (dedup_keep_list's rule).
+  *  4. DECONTAMINATION — drop the eval pool itself (doc_id % 97 = 0,
+  *     the decontaminate_overlap stand-in benchmark) AND any survivor
+  *     sharing ≥ 3 distinct 3-token shingles with it; the pool's gram
+  *     set is benchmark-sized and BROADCASTS into the survivor scan.
+  *  5. MIX REALIZATION — [[Curation.mixDoremiPlan]] reweights the
+  *     CLEANED corpus (DoReMi EG loop on the hashed-classifier signal)
+  *     and realizes the weights against `budgetTokens`: keep_ppm =
+  *     min(10⁶, alloc·10⁶ div n_tokens) hash-sampling for
+  *     under-allocated domains, epochs_m > 1000 carried per doc as the
+  *     repetition instruction for over-allocated ones.
+  *  6. PACK — pack_sequences' sharded running-length rule assigns the
+  *     sampled docs to 4096-char context packs per (lang, doc_id div
+  *     1000) — every window partition ≤ 1000 rows at any corpus size.
+  *  7. SHARD — shard_shuffle's deterministic hash spread over 8 output
+  *     shards with a within-shard hash-order position.
+  *
+  * Output: one row per doc in the REALIZED training corpus —
+  * (doc_id, lang, source, n_chars, epochs_m, pack_id, shard, pos).
+  *
+  * Scale shape (the plan audit in PretrainPrepSpec pins this): the
+  * corpus never funnels through a driver action or an unbounded window
+  * — the LM model joins are pair/triple-keyed shuffles with
+  * vocab-bounded broadcasts, both dedup stages are banded/blocked
+  * (never all-pairs), the decontamination and mix joins BROADCAST
+  * (benchmark-sized grams, |domains|-row plan), the pack window is
+  * shard-bounded, and the shard window partitions by shard. `gated`
+  * and `clean` materialize (localCheckpoint) because each feeds ≥ 3
+  * downstream stages — at 100 TB those boundaries become temp-parquet
+  * materializations, same shape. The
+  * stages FUSE: dedup/decontam/mix all read the one cached `gated`
+  * projection rather than re-scanning the corpus per stage (the only
+  * raw-corpus scans are the gate folds themselves and the full-corpus
+  * eval-pool shingle pass).
+  */
+object Pretrain {
+
+  /** Token budget the DoReMi weights are realized against — sized to
+    * the fixture so BOTH realization directions discriminate (some
+    * domains sample down with keep_m < 1000, some carry epochs_m >
+    * 1000 repetition — at 2M every domain repeated and the sampling
+    * path was invisible); a production caller passes their real
+    * budget. */
+  private val BudgetTokens = 20000L
+
+  def pretrainPrep(s: SparkSession, dir: String,
+      budgetTokens: Long = BudgetTokens): DataFrame = {
+    graft.functions.HashExpressions.register(s)
+    val d = Tables.load(s, dir, "documents")
+
+    // ---- 1. quality gates ------------------------------------------------
+    val gop = TextOps.gopherFlags(d, minStopHits = 1)
+      .filter("keep = 1").select("doc_id")
+    val lm = TextOps.lmTrigramScoreRaw(d,
+        trainExpr = "doc_id % 2 = 0", scoreExpr = "doc_id IS NOT NULL",
+        carryCols = Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("lm_score"))
+    val keepBuck = TextOps.ccnetBucketsRaw(lm, scoreCol = "lm_score")
+      .filter("bucket != 'tail'").select("doc_id")
+    // localCheckpoint, not persist: `gated` feeds stages 2/3/4/5, several
+    // of which reference it MORE than once (self-joins, sig+shingle
+    // pairs), so keeping the full gate lineage under every consumer
+    // nests the LM-chain subtree ~12x — planning/codegen memory blows up
+    // before any data moves (measured: 54k-line physical plan, driver
+    // OOM at 8g on the 50-doc fixture). The checkpoint truncates lineage
+    // to a leaf scan; at 100 TB this boundary is the temp-parquet
+    // materialization between pipeline stages (the dedup_clusters
+    // precedent — same single-JVM caveat documented there).
+    val gated = d.join(gop, "doc_id").join(keepBuck, "doc_id")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .localCheckpoint()
+
+    // ---- 2. exact dedup (keep canonical = min doc_id per digest) ---------
+    val dg = gated.select(col("doc_id"),
+      graft.functions.Portable.contentDigest.as("dg"))
+    val ek = dg.join(dg.groupBy("dg").agg(min("doc_id").as("cid")), "dg")
+      .filter("doc_id = cid").select("doc_id")
+    val ekDocs = gated.join(ek, "doc_id")
+
+    // ---- 3. MinHash near-dedup, keep-first -------------------------------
+    val drops = Dedup.minhashPairsOf(ekDocs.select("doc_id", "text"))
+      .select(col("doc_b").as("doc_id")).distinct()
+    val ndIds = ek.join(drops, Seq("doc_id"), "left_anti")
+
+    // ---- 4. eval-set decontamination --------------------------------------
+    val poolGrams = Dedup.shinglesOf(d.filter("doc_id % 97 = 0"))
+      .select(explode(col("sh")).as("g")).distinct()
+    val ndDocs = gated.join(ndIds, "doc_id").filter("doc_id % 97 != 0")
+    val contam = Dedup.shinglesOf(ndDocs.select("doc_id", "text"))
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(broadcast(poolGrams), "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      .filter("n_overlap >= 3").select("doc_id")
+    // same lineage cut: `clean` feeds classifier train + score, the
+    // token-count fold and the sampling join (4 consumers)
+    val clean = ndDocs.join(contam, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+
+    // ---- 5. DoReMi mixture realized against the token budget -------------
+    val wts = CorpusOps.trainHashedClassifier(
+      clean.filter("doc_id % 2 = 0"), posExpr = "lang = 'en'")
+    // keep rate in PPM, not the mix_rebalance per-mille: when budget ≪
+    // corpus (the realistic direction at 100 TB — the decade probe's 10×
+    // corpus pushed every domain's per-mille rate to floor 0 and emptied
+    // the output), per-mille quantization floors sub-0.1% domains to
+    // zero; ppm keeps the realization faithful for two more decades
+    val plan = Curation.mixDoremiPlan(
+        CorpusOps.hashedClassifierScore(clean, wts, carryCols = Seq("source")),
+        clean, budgetTokens = budgetTokens)
+      .selectExpr("source", "epochs_m",
+        """CASE WHEN n_tokens = 0 THEN 0L
+          |     ELSE least(1000000L, alloc_tokens * 1000000L div n_tokens)
+          |     END AS keep_ppm""".stripMargin)
+    val sampled = clean.join(broadcast(plan), "source")
+      .filter(s"((doc_id % 999983L) * ${MIX}L + 31L) % 1000000 < keep_ppm")
+      .select("doc_id", "lang", "source", "n_chars", "epochs_m")
+
+    // ---- 6. pack into 4096-char context windows --------------------------
+    val wp = Window.partitionBy(col("lang"), expr("doc_id div 1000"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = sampled
+      .withColumn("cum_chars", sum(col("n_chars")).over(wp))
+      .selectExpr("doc_id", "lang", "source", "n_chars", "epochs_m",
+        "(cum_chars - n_chars) div 4096 AS pack_id")
+
+    // ---- 7. deterministic shard assignment -------------------------------
+    val ws = Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
+    packed
+      .withColumn("skey", expr(s"((doc_id % 999983L) * ${MIX}L + 5081L) % ${P}L"))
+      .withColumn("shard", expr("CAST(skey % 8 AS INT)"))
+      .withColumn("pos", row_number().over(ws).cast("long"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("epochs_m"), col("pack_id"), col("shard"), col("pos"))
+      .transform(graft.Sorted.byNames(_, "shard", "pos"))
+  }
+
+  /** The DuckDB twin: the SAME stage chain assembled from the shared
+    * per-stage fragments (gopher flags, LM buckets, shingles+signature,
+    * DoReMi steps) — a fragment retune moves engine and oracle
+    * together. */
+  private def pretrainPrepSql(budgetTokens: Long): String =
+    s"""WITH ${TextOps.duckGopherCtes("documents", minStopHits = 1)},
+       |${TextOps.duckLmBucketCtes("documents", "doc_id % 2 = 0", "TRUE")},
+       |gated AS (SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+       |  FROM documents d
+       |  JOIN gflags g ON d.doc_id = g.doc_id
+       |  JOIN lmbuck b ON d.doc_id = b.doc_id
+       |  WHERE g.keep = 1 AND b.bucket <> 'tail'),
+       |exd AS (SELECT doc_id, md5(text) AS dg FROM gated),
+       |ecan AS (SELECT dg, MIN(doc_id) AS cid FROM exd GROUP BY dg),
+       |ek AS (SELECT doc_id FROM exd JOIN ecan USING (dg) WHERE doc_id = cid),
+       |${Dedup.duckShingles},
+       |shk AS (SELECT sh.doc_id, sh.sh FROM sh JOIN ek USING (doc_id)),
+       |${Dedup.duckSigCte("shk")},
+       |${Dedup.duckBandsCte},
+       |${Dedup.duckCandCte},
+       |mdup AS (SELECT DISTINCT doc_b AS doc_id
+       |  FROM cand JOIN shk sa ON sa.doc_id = doc_a JOIN shk sb ON sb.doc_id = doc_b
+       |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |     / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8),
+       |nd AS (SELECT ek.doc_id FROM ek
+       |  LEFT JOIN mdup ON ek.doc_id = mdup.doc_id WHERE mdup.doc_id IS NULL),
+       |bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 97 = 0),
+       |ndd AS (SELECT doc_id FROM nd WHERE doc_id % 97 <> 0),
+       |tgr AS (SELECT t.doc_id, unnest(t.sh) AS g FROM sh t JOIN ndd USING (doc_id)),
+       |contam AS (SELECT doc_id FROM tgr JOIN bench USING (g)
+       |  GROUP BY doc_id HAVING COUNT(*) >= 3),
+       |cdocs AS (SELECT g.doc_id, g.text, g.lang, g.source, g.n_chars
+       |  FROM gated g JOIN ndd ON g.doc_id = ndd.doc_id
+       |  LEFT JOIN contam c ON g.doc_id = c.doc_id WHERE c.doc_id IS NULL),
+       |${Curation.doremiOracleCtes("cdocs")},
+       |dtok AS (SELECT source, CAST(SUM(len(
+       |    ${graft.functions.Portable.duckToksSql("coalesce(text, '')")})) AS BIGINT) AS n_tokens
+       |  FROM cdocs GROUP BY source),
+       |dwts AS (SELECT source, acc // ${Curation.DoremiSteps} AS weight_ppm
+       |  FROM d${Curation.DoremiSteps}),
+       |dplan AS (SELECT source, weight_ppm, COALESCE(n_tokens, 0) AS n_tokens,
+       |    $budgetTokens * weight_ppm // 1000000 AS alloc_tokens
+       |  FROM dwts LEFT JOIN dtok USING (source)),
+       |dreal AS (SELECT source,
+       |    CASE WHEN n_tokens = 0 THEN 0 ELSE alloc_tokens * 1000 // n_tokens END AS epochs_m,
+       |    CASE WHEN n_tokens = 0 THEN 0
+       |         ELSE LEAST(1000000, alloc_tokens * 1000000 // n_tokens) END AS keep_ppm
+       |  FROM dplan),
+       |sampled AS (SELECT c.doc_id, c.lang, c.source, c.n_chars, r.epochs_m
+       |  FROM cdocs c JOIN dreal r ON c.source = r.source
+       |  WHERE ((c.doc_id % 999983) * $MIX + 31) % 1000000 < r.keep_ppm),
+       |packed AS (SELECT doc_id, lang, source, n_chars, epochs_m,
+       |    CAST((SUM(n_chars) OVER (PARTITION BY lang, doc_id // 1000 ORDER BY doc_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars) // 4096 AS BIGINT) AS pack_id
+       |  FROM sampled),
+       |sharded AS (SELECT *, ((doc_id % 999983) * $MIX + 5081) % $P AS skey FROM packed)
+       |SELECT doc_id, lang, source, n_chars, epochs_m, pack_id,
+       |  CAST(skey % 8 AS INT) AS shard,
+       |  ROW_NUMBER() OVER (PARTITION BY skey % 8 ORDER BY skey, doc_id) AS pos
+       |FROM sharded ORDER BY shard, pos""".stripMargin
+
+  val defs: ListMap[String, QueryDef] = ListMap(
+    "pretrain_prep" -> QueryDef(
+      (s, dir) => pretrainPrep(s, dir),
+      pretrainPrepSql(BudgetTokens))
+  )
+}

@@ -520,56 +520,9 @@ object TextOps {
           "doc_id % 2 = 0", "doc_id % 2 = 1", carryCols = Seq("lang"))
           .select(col("doc_id"), col("lang"), col("lm_score")),
         scoreCol = "lm_score"),
-      s"""WITH toks AS (SELECT doc_id, lang, $duckToksFluency AS ts FROM documents),
-         |train AS (SELECT ts FROM toks WHERE doc_id % 2 = 0),
-         |tric AS (SELECT tri, COUNT(*) AS c123 FROM (
-         |    SELECT unnest(list_transform(range(3, len(ts) + 1),
-         |      i -> ts[i-2] || ' ' || ts[i-1] || ' ' || ts[i])) AS tri
-         |    FROM train WHERE len(ts) >= 3) GROUP BY tri),
-         |bigc AS (SELECT big, COUNT(*) AS cb FROM (
-         |    SELECT unnest(list_transform(range(2, len(ts) + 1),
-         |      i -> ts[i-1] || ' ' || ts[i])) AS big
-         |    FROM train WHERE len(ts) >= 2) GROUP BY big),
-         |unic AS (SELECT w, COUNT(*) AS cw FROM (
-         |    SELECT unnest(ts) AS w FROM train) GROUP BY w),
-         |tot AS (SELECT COALESCE(SUM(cw), 0)::BIGINT AS nt FROM unic),
-         |sc AS (SELECT doc_id, lang,
-         |    unnest(list_transform(range(3, len(ts) + 1),
-         |      i -> ts[i-2] || ' ' || ts[i-1] || ' ' || ts[i])) AS tri,
-         |    unnest(list_transform(range(3, len(ts) + 1),
-         |      i -> ts[i-2] || ' ' || ts[i-1])) AS ctx,
-         |    unnest(list_transform(range(3, len(ts) + 1),
-         |      i -> ts[i-1] || ' ' || ts[i])) AS b23,
-         |    unnest(list_transform(range(3, len(ts) + 1), i -> ts[i-1])) AS w2,
-         |    unnest(list_transform(range(3, len(ts) + 1), i -> ts[i])) AS w3
-         |  FROM toks WHERE doc_id % 2 = 1 AND len(ts) >= 3),
-         |q AS (SELECT doc_id, lang,
-         |    CASE WHEN t.c123 IS NOT NULL THEN t.c123 * 1000000 // bc.cb
-         |         WHEN bb.cb IS NOT NULL THEN (bb.cb * 1000000 // u2.cw) * 2 // 5
-         |         WHEN u3.cw IS NOT NULL THEN
-         |           ((u3.cw * 1000000 // tot.nt) * 2 // 5) * 2 // 5
-         |         ELSE 0 END AS q
-         |  FROM sc
-         |  LEFT JOIN tric t ON sc.tri = t.tri
-         |  LEFT JOIN bigc bc ON sc.ctx = bc.big
-         |  LEFT JOIN bigc bb ON sc.b23 = bb.big
-         |  LEFT JOIN unic u2 ON sc.w2 = u2.w
-         |  LEFT JOIN unic u3 ON sc.w3 = u3.w
-         |  CROSS JOIN tot),
-         |scores AS (SELECT doc_id, lang,
-         |    CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1000000) AS lm_score
-         |  FROM q GROUP BY doc_id, lang),
-         |dist AS (SELECT lang, lm_score, COUNT(*) AS c FROM scores GROUP BY lang, lm_score),
-         |nl AS (SELECT lang, COUNT(*) AS n FROM scores GROUP BY lang),
-         |cw AS (SELECT lang, lm_score, SUM(c) OVER (PARTITION BY lang ORDER BY lm_score DESC
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM dist),
-         |cut AS (SELECT cw.lang, MAX(CASE WHEN cum >= (n + 2) // 3 THEN lm_score END) AS c2,
-         |    MAX(CASE WHEN cum >= (2 * n + 2) // 3 THEN lm_score END) AS c1
-         |  FROM cw JOIN nl USING (lang) GROUP BY cw.lang)
-         |SELECT s.doc_id, s.lang, s.lm_score,
-         |  CASE WHEN s.lm_score >= c2 THEN 'head'
-         |       WHEN s.lm_score >= c1 THEN 'middle' ELSE 'tail' END AS bucket
-         |FROM scores s JOIN cut USING (lang) ORDER BY s.doc_id""".stripMargin),
+      s"""WITH ${duckLmBucketCtes("documents", "doc_id % 2 = 0", "doc_id % 2 = 1")}
+         |SELECT doc_id, lang, lm_score, bucket
+         |FROM lmbuck ORDER BY doc_id""".stripMargin),
 
     // ---- Gopher quality rules (Rae et al. 2021 §A1.1): the canonical
     // composite document gate every large-scale text pipeline applies
@@ -581,28 +534,10 @@ object TextOps {
     // by its own unit test (LlmOpsEdgeSpec). -------------------------------
     "gopher_rules" -> QueryDef(
       (s, dir) => gopherRules(Tables.load(s, dir, "documents"), minStopHits = 1),
-      s"""WITH toks AS (SELECT doc_id,
-         |    ${Portable.duckToksSql("coalesce(text, '')")} AS toks FROM documents),
-         |m AS (SELECT doc_id, len(toks) AS n_words,
-         |    CASE WHEN len(toks) = 0 THEN 0
-         |         ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) * 100 // len(toks)
-         |    END AS mean_len_c,
-         |    CASE WHEN len(toks) = 0 THEN 0
-         |         ELSE CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) * 1000 // len(toks)
-         |    END AS alpha_m,
-         |    len(list_intersect(list_distinct(toks),
-         |      ['the','be','to','of','and','that','have','with'])) AS stop_hits
-         |  FROM toks),
-         |f AS (SELECT doc_id, n_words, mean_len_c, alpha_m, stop_hits,
-         |    CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS r_words,
-         |    CASE WHEN mean_len_c BETWEEN 300 AND 1000 THEN 1 ELSE 0 END AS r_mean_len,
-         |    CASE WHEN alpha_m >= 800 THEN 1 ELSE 0 END AS r_alpha,
-         |    CASE WHEN stop_hits >= 1 THEN 1 ELSE 0 END AS r_stops
-         |  FROM m)
+      s"""WITH ${duckGopherCtes("documents", minStopHits = 1)}
          |SELECT doc_id, n_words, mean_len_c, alpha_m, stop_hits,
-         |  r_words, r_mean_len, r_alpha, r_stops,
-         |  r_words * r_mean_len * r_alpha * r_stops AS keep
-         |FROM f ORDER BY doc_id""".stripMargin),
+         |  r_words, r_mean_len, r_alpha, r_stops, keep
+         |FROM gflags ORDER BY doc_id""".stripMargin),
 
     // ---- C4 cleaning rules (Raffel et al. 2020 §2.2): the LINE-level
     // companion to the document-level gopher_rules gate. C4 keeps only
@@ -885,6 +820,15 @@ object TextOps {
     * map-side (plan-pinned: a per-language NTILE would instead sort an
     * entire language inside one task). */
   def ccnetBuckets(scored: org.apache.spark.sql.DataFrame,
+      scoreCol: String = "score"): org.apache.spark.sql.DataFrame =
+    ccnetBucketsRaw(scored, scoreCol)
+      .transform(graft.Sorted.byNames(_, "doc_id"))
+
+  /** [[ccnetBuckets]] without the final presentation sort — the
+    * composition form (pretrain_prep filters on `bucket` mid-plan). The
+    * scored frame still persists inside: it feeds the distribution fold,
+    * the per-language counts AND the final assignment join. */
+  def ccnetBucketsRaw(scored: org.apache.spark.sql.DataFrame,
       scoreCol: String = "score"): org.apache.spark.sql.DataFrame = {
     require(scored.columns.contains(scoreCol),
       s"score column '$scoreCol' not in ${scored.columns.mkString(",")}")
@@ -907,7 +851,6 @@ object TextOps {
           .when(col(scoreCol) >= col("c1"), lit("middle"))
           .otherwise(lit("tail")))
       .select(col("doc_id"), col("lang"), col(scoreCol), col("bucket"))
-      .transform(graft.Sorted.byNames(_, "doc_id"))
   }
 
   /** C4 line-level cleaning (Raffel et al. 2020 §2.2) over a
@@ -1016,6 +959,47 @@ object TextOps {
       wordBounds: (Int, Int) = (50, 100000),
       meanLenBounds: (Int, Int) = (300, 1000),
       alphaMille: Int = 800): org.apache.spark.sql.DataFrame =
+    gopherFlags(docs, minStopHits, wordBounds, meanLenBounds, alphaMille)
+      .transform(graft.Sorted.byNames(_, "doc_id"))
+
+  /** DuckDB twin of [[gopherFlags]] over `src` — CTE chain ending in
+    * `gflags(doc_id, n_words, mean_len_c, alpha_m, stop_hits, r_*,
+    * keep)`. ONE definition shared by the gopher_rules oracle and the
+    * pretrain_prep capstone chain (g-prefixed CTE names so the fragment
+    * composes beside the shingle/LM/DoReMi fragments without
+    * collision). */
+  private[operators] def duckGopherCtes(src: String, minStopHits: Int): String =
+    s"""gtoks AS (SELECT doc_id,
+       |    ${Portable.duckToksSql("coalesce(text, '')")} AS toks FROM $src),
+       |gm AS (SELECT doc_id, len(toks) AS n_words,
+       |    CASE WHEN len(toks) = 0 THEN 0
+       |         ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) * 100 // len(toks)
+       |    END AS mean_len_c,
+       |    CASE WHEN len(toks) = 0 THEN 0
+       |         ELSE CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) * 1000 // len(toks)
+       |    END AS alpha_m,
+       |    len(list_intersect(list_distinct(toks),
+       |      ['the','be','to','of','and','that','have','with'])) AS stop_hits
+       |  FROM gtoks),
+       |gff AS (SELECT doc_id, n_words, mean_len_c, alpha_m, stop_hits,
+       |    CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS r_words,
+       |    CASE WHEN mean_len_c BETWEEN 300 AND 1000 THEN 1 ELSE 0 END AS r_mean_len,
+       |    CASE WHEN alpha_m >= 800 THEN 1 ELSE 0 END AS r_alpha,
+       |    CASE WHEN stop_hits >= $minStopHits THEN 1 ELSE 0 END AS r_stops
+       |  FROM gm),
+       |gflags AS (SELECT doc_id, n_words, mean_len_c, alpha_m, stop_hits,
+       |    r_words, r_mean_len, r_alpha, r_stops,
+       |    r_words * r_mean_len * r_alpha * r_stops AS keep
+       |  FROM gff)""".stripMargin
+
+  /** [[gopherRules]] without the final presentation sort — the
+    * composition form (pretrain_prep gates on `keep` mid-plan, where a
+    * persist+orderBy before the join would be pure waste). */
+  def gopherFlags(docs: org.apache.spark.sql.DataFrame,
+      minStopHits: Int = 2,
+      wordBounds: (Int, Int) = (50, 100000),
+      meanLenBounds: (Int, Int) = (300, 1000),
+      alphaMille: Int = 800): org.apache.spark.sql.DataFrame =
     docs
       .selectExpr("doc_id",
         s"${Portable.tokensSql("coalesce(text, '')")} AS toks")
@@ -1035,7 +1019,67 @@ object TextOps {
       .selectExpr("doc_id", "n_words", "mean_len_c", "alpha_m", "stop_hits",
         "r_words", "r_mean_len", "r_alpha", "r_stops",
         "r_words * r_mean_len * r_alpha * r_stops AS keep")
-      .transform(graft.Sorted.byNames(_, "doc_id"))
+
+  /** DuckDB twin of the lmTrigramScoreRaw -> ccnetBucketsRaw
+    * composition over `src`: Stupid-Backoff trigram scoring of the
+    * `scorePred` slice under a model counted on the `trainPred` slice,
+    * bucketed per-language into head/middle/tail thirds. CTE chain ends
+    * in `lmbuck(doc_id, lang, lm_score, bucket)`; lm-prefixed names so
+    * the fragment composes beside the gopher/shingle/DoReMi fragments
+    * in the pretrain_prep capstone without collision. ONE definition
+    * shared by the ccnet_perplexity_buckets oracle and the capstone. */
+  private[operators] def duckLmBucketCtes(src: String, trainPred: String,
+      scorePred: String): String =
+    s"""lmtk AS (SELECT doc_id, lang, $duckToksFluency AS ts FROM $src),
+       |lmtr AS (SELECT ts FROM lmtk WHERE $trainPred),
+       |lmtri AS (SELECT tri, COUNT(*) AS c123 FROM (
+       |    SELECT unnest(list_transform(range(3, len(ts) + 1),
+       |      i -> ts[i-2] || ' ' || ts[i-1] || ' ' || ts[i])) AS tri
+       |    FROM lmtr WHERE len(ts) >= 3) GROUP BY tri),
+       |lmbig AS (SELECT big, COUNT(*) AS cb FROM (
+       |    SELECT unnest(list_transform(range(2, len(ts) + 1),
+       |      i -> ts[i-1] || ' ' || ts[i])) AS big
+       |    FROM lmtr WHERE len(ts) >= 2) GROUP BY big),
+       |lmuni AS (SELECT w, COUNT(*) AS cw FROM (
+       |    SELECT unnest(ts) AS w FROM lmtr) GROUP BY w),
+       |lmtot AS (SELECT COALESCE(SUM(cw), 0)::BIGINT AS nt FROM lmuni),
+       |lmsc AS (SELECT doc_id, lang,
+       |    unnest(list_transform(range(3, len(ts) + 1),
+       |      i -> ts[i-2] || ' ' || ts[i-1] || ' ' || ts[i])) AS tri,
+       |    unnest(list_transform(range(3, len(ts) + 1),
+       |      i -> ts[i-2] || ' ' || ts[i-1])) AS ctx,
+       |    unnest(list_transform(range(3, len(ts) + 1),
+       |      i -> ts[i-1] || ' ' || ts[i])) AS b23,
+       |    unnest(list_transform(range(3, len(ts) + 1), i -> ts[i-1])) AS w2,
+       |    unnest(list_transform(range(3, len(ts) + 1), i -> ts[i])) AS w3
+       |  FROM lmtk WHERE ($scorePred) AND len(ts) >= 3),
+       |lmq AS (SELECT doc_id, lang,
+       |    CASE WHEN t.c123 IS NOT NULL THEN t.c123 * 1000000 // bc.cb
+       |         WHEN bb.cb IS NOT NULL THEN (bb.cb * 1000000 // u2.cw) * 2 // 5
+       |         WHEN u3.cw IS NOT NULL THEN
+       |           ((u3.cw * 1000000 // lmtot.nt) * 2 // 5) * 2 // 5
+       |         ELSE 0 END AS q
+       |  FROM lmsc
+       |  LEFT JOIN lmtri t ON lmsc.tri = t.tri
+       |  LEFT JOIN lmbig bc ON lmsc.ctx = bc.big
+       |  LEFT JOIN lmbig bb ON lmsc.b23 = bb.big
+       |  LEFT JOIN lmuni u2 ON lmsc.w2 = u2.w
+       |  LEFT JOIN lmuni u3 ON lmsc.w3 = u3.w
+       |  CROSS JOIN lmtot),
+       |lmscores AS (SELECT doc_id, lang,
+       |    CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1000000) AS lm_score
+       |  FROM lmq GROUP BY doc_id, lang),
+       |lmdist AS (SELECT lang, lm_score, COUNT(*) AS c FROM lmscores GROUP BY lang, lm_score),
+       |lmnl AS (SELECT lang, COUNT(*) AS n FROM lmscores GROUP BY lang),
+       |lmcw AS (SELECT lang, lm_score, SUM(c) OVER (PARTITION BY lang ORDER BY lm_score DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM lmdist),
+       |lmcut AS (SELECT lmcw.lang, MAX(CASE WHEN cum >= (n + 2) // 3 THEN lm_score END) AS c2,
+       |    MAX(CASE WHEN cum >= (2 * n + 2) // 3 THEN lm_score END) AS c1
+       |  FROM lmcw JOIN lmnl USING (lang) GROUP BY lmcw.lang),
+       |lmbuck AS (SELECT s.doc_id, s.lang, s.lm_score,
+       |    CASE WHEN s.lm_score >= c2 THEN 'head'
+       |         WHEN s.lm_score >= c1 THEN 'middle' ELSE 'tail' END AS bucket
+       |  FROM lmscores s JOIN lmcut USING (lang))""".stripMargin
 
   /** Per-document corpus-LM fluency — lm_bigram_score's exact pipeline
     * (same model, same int64-quantized transition arithmetic) carrying
@@ -1081,6 +1125,16 @@ object TextOps {
     * per-language key without a second corpus-sized join-back.
     */
   def lmTrigramScore(docs: DataFrame,
+      trainExpr: String = "doc_id % 2 = 0",
+      scoreExpr: String = "doc_id % 2 = 1",
+      carryCols: Seq[String] = Nil): DataFrame =
+    lmTrigramScoreRaw(docs, trainExpr, scoreExpr, carryCols)
+      .transform(graft.Sorted.byNames(_, "doc_id"))
+
+  /** [[lmTrigramScore]] without the final presentation sort — the
+    * composition form (pretrain_prep feeds the scores straight into the
+    * ccnet bucket gate, which persists them itself). */
+  def lmTrigramScoreRaw(docs: DataFrame,
       trainExpr: String = "doc_id % 2 = 0",
       scoreExpr: String = "doc_id % 2 = 1",
       carryCols: Seq[String] = Nil): DataFrame = {
@@ -1142,6 +1196,5 @@ object TextOps {
       .selectExpr(Seq("doc_id") ++ carryCols ++
         Seq("n_trigrams", "n_tri_hit", "n_big_hit", "n_uni_hit",
           "CAST(sq AS DOUBLE) / (n_trigrams * 1000000) AS lm_score"): _*)
-      .transform(graft.Sorted.byNames(_, "doc_id"))
   }
 }

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming URL-canonicalization dedup: the intake twin of the batch
+  * `dedup_url` operator — the C4 crawl-prep FRONT DOOR, where pages
+  * must be admitted or dropped AS they arrive (a production crawl is a
+  * stream, not a nightly batch). The eighth streaming sketch, on the
+  * established template (bounded keyed state + unconditional
+  * watermark-clamped TTL + restart-safe).
+  *
+  * Shape: [[graft.operators.Dedup.urlCanonicalize]]'s exact rule set
+  * (the batch operator's expression — ONE definition per engine side)
+  * computes map-side per micro-batch; state is keyed by the CANONICAL
+  * URL and holds one row — (canonical_id, newest event time) — so total
+  * state is the distinct-canonical-URL domain inside the TTL horizon,
+  * never the stream. (At 100 TB intake the group key can be swapped for
+  * a 64-bit hash of the canonical form to slim the shuffle; the string
+  * key keeps the fixture bit-exact against the batch twin and immune to
+  * hash collisions.)
+  *
+  * Semantics: KEEP-FIRST per TTL window. Within a micro-batch arrivals
+  * sort by doc_id (the batch operator's total order), so any group
+  * fully contained in one batch reports the batch twin's exact
+  * canonical (min doc_id). Across batches the canonical is the
+  * first-seen doc — bit-identical to the batch twin under
+  * doc_id-ordered cross-batch delivery within one TTL window (the
+  * StreamingConversionLatency ordering contract; `delay` buys
+  * out-of-order room). After TTL expiry the URL starts a NEW episode
+  * with a fresh canonical — the windowed-intake semantics a live crawl
+  * wants (re-crawls of a long-dead page re-admit).
+  *
+  * Emission: one verdict row per arriving doc — (doc_id, url_canon,
+  * canonical_id, is_dup). A re-delivered CANONICAL doc_id (at-least-once
+  * source) is absorbed silently; a re-delivered duplicate re-emits its
+  * (deterministic, identical) verdict — consumers dedup on doc_id, the
+  * exactly-once-view posture StreamingCuration documents.
+  */
+object StreamingUrlDedup {
+
+  case class UrlRow(urlCanon: String, docId: Long, ems: Long,
+      ets: java.sql.Timestamp)
+
+  case class UrlVerdict(doc_id: Long, url_canon: String, canonical_id: Long,
+      is_dup: Int)
+
+  /** One row per live canonical URL. */
+  case class CanonState(canonicalId: Long, lastEms: Long)
+
+  private[streaming] def stateFn(ttlMs: Long)(key: String,
+      rows: Iterator[UrlRow],
+      state: GroupState[CanonState]): Iterator[UrlVerdict] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    var st = state.getOption.orNull
+    val out = scala.collection.mutable.ArrayBuffer.empty[UrlVerdict]
+    rows.toSeq.sortBy(_.docId).foreach { r =>
+      if (st == null) {
+        st = CanonState(r.docId, r.ems)
+        out += UrlVerdict(r.docId, key, r.docId, 0)
+      } else if (r.docId == st.canonicalId) {
+        // canonical re-delivery: absorb, just refresh the TTL clock
+        st = st.copy(lastEms = math.max(st.lastEms, r.ems))
+      } else {
+        out += UrlVerdict(r.docId, key, st.canonicalId, 1)
+        st = st.copy(lastEms = math.max(st.lastEms, r.ems))
+      }
+    }
+    state.update(st)
+    // ALWAYS set the timeout (the StreamingNearDup leak rule), never
+    // at/before the watermark (Spark rejects it)
+    val wm = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(math.max(st.lastEms + ttlMs, wm + 1L))
+    out.iterator
+  }
+
+  /** `docs` must carry (doc_id: long, url: string, ts: timestamp).
+    * Append-mode stream of admit/drop verdicts, one per arriving doc. */
+  def verdicts(docs: DataFrame, ttlMs: Long = 24L * 3600 * 1000,
+      delay: String = "0 seconds"): Dataset[UrlVerdict] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.operators.Dedup.urlCanonicalize(docs, "url")
+      .withColumn("ets", col("ts").cast("timestamp"))
+      .withWatermark("ets", delay)
+      .selectExpr("url_canon AS urlCanon", "doc_id AS docId",
+        "unix_millis(ets) AS ems", "ets")
+      .as[UrlRow]
+      .groupByKey(_.urlCanon)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        stateFn(ttlMs))
+  }
+}
