@@ -464,12 +464,16 @@ object Graph {
     // instead of poisoning the mean — Boldi–Vigna 2014); undirected
     // symmetry makes d(seed, v) = d(v, seed). Reported as the exact
     // integer milli-sum over the sample (caller scales by N/|S| for the
-    // population estimate). Scale shape: MULTI-source BFS — state and
-    // frontier are (seed, node) pairs bounded by |S|·N with |S| the
-    // sampling knob; frontier joins are node-keyed equi SHUFFLE joins
-    // (the frontier is |S|·N-shaped — deliberately NOT the broadcast of
-    // the single-seed bfs_levels), the visited anti-join keys (seed,
-    // node), localCheckpoint truncates lineage per round (the pagerank
+    // population estimate). Scale shape: MULTI-source BFS with BITMAP
+    // frontiers — each seed gets a dense index and reached-seed sets ride
+    // as 64-bit words keyed (node, word_idx), so state and frontier are
+    // N·ceil(|S|/64) rows instead of the round-11 |S|·N (seed, node)
+    // pairs: a ~|S|/⌈|S|/64⌉ (≈64×) cut in frontier rows, edge-join
+    // fan-out and visited-mask volume. Frontier joins stay node-keyed
+    // equi SHUFFLE joins (never a broadcast of an N-shaped frame), the
+    // per-(node, word) bit_or fold is partial+final, the visited mask is
+    // a (node, word_idx)-keyed left join with bits & ~prev, and
+    // localCheckpoint truncates lineage per round (the pagerank
     // discipline). `rounds` bounds the radius: distances beyond it read
     // as unreached (sums bias low at the periphery — the documented
     // bounded-radius contract). --------------------------------------------
@@ -594,7 +598,16 @@ object Graph {
     * estimator, sampling and bounded-radius contracts. `seedEvery`
     * selects the deterministic seed sample (nodes ≡ 0 mod seedEvery);
     * `rounds` is the BFS radius. Output: (node, n_seeds_reached,
-    * harmonic_milli = Σ 1000 div d over reached seeds). */
+    * harmonic_milli = Σ 1000 div d over reached seeds).
+    *
+    * Round-12 shape: reached-seed sets are PACKED 64-per-word — each
+    * seed gets a dense index (a row_number over the |S|-row sample; |S|
+    * is the sampling knob, so the single-partition indexer window is
+    * model-sized by construction) and every state frame keys
+    * (node, word_idx) with a 64-bit `bits` word. Per-round contribution
+    * counts (bit_count of the newly-set words) accumulate lazily and
+    * fold once at the end, so the harmonic sum never needs per-(seed,
+    * node) rows at all. */
   def harmonicCloseness(und: org.apache.spark.sql.DataFrame,
       seedEvery: Long = 199L, rounds: Int = 3): org.apache.spark.sql.DataFrame = {
     require(seedEvery >= 1, s"seedEvery must be >= 1, got $seedEvery")
@@ -605,35 +618,49 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = und.select(col("a").as("v"))
       .unionAll(und.select(col("b").as("v"))).distinct()
+    val seedIdx = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
     var visited = nodes.filter(col("v") % seedEvery === 0)
-      .select(col("v").as("seed"), col("v").as("node"), lit(0L).as("level"))
+      .withColumn("idx", row_number().over(seedIdx).cast("long") - 1L)
+      .select(col("v").as("node"), expr("idx div 64").as("widx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(idx % 64 AS INT))").as("bits"))
       .localCheckpoint(true)
-    var frontier = visited.select(col("seed"), col("node"))
+    var frontier = visited
+    val contribs = Seq.newBuilder[org.apache.spark.sql.DataFrame]
     for (k <- 1 to rounds) {
-      val next = bfsRound(edges, frontier, visited, k).localCheckpoint(true)
-      visited = visited.union(next).localCheckpoint(true)
-      frontier = next.select(col("seed"), col("node"))
+      val next = bfsRound(edges, frontier, visited).localCheckpoint(true)
+      contribs += next.groupBy(col("node"))
+        .agg(sum(expr("bit_count(bits)")).cast("long").as("cnt"))
+        .withColumn("level", lit(k.toLong))
+      visited = visited.unionAll(next)
+        .groupBy(col("node"), col("widx")).agg(expr("bit_or(bits)").as("bits"))
+        .localCheckpoint(true)
+      frontier = next
     }
     edges.unpersist()
-    visited.filter(col("level") >= 1)
+    contribs.result().reduce(_ unionAll _)
       .groupBy(col("node"))
-      .agg(count(lit(1)).as("n_seeds_reached"),
-        sum(expr("1000L div level")).as("harmonic_milli"))
+      .agg(sum(col("cnt")).as("n_seeds_reached"),
+        sum(col("cnt") * expr("1000L div level")).as("harmonic_milli"))
       .transform(graft.Sorted.byNames(_, "node"))
   }
 
-  /** One multi-source frontier expansion, exposed (pre-checkpoint) so
-    * PlanAuditSpec can pin the equi-join shape the loop consumes: the
-    * |S|·N-shaped frontier joins the edge stream BY NODE KEY (shuffle
-    * equi — never a broadcast of the frontier, never a product), and the
-    * dedup-vs-visited anti-join keys (seed, node). */
+  /** One multi-source frontier expansion over packed seed bitmaps,
+    * exposed (pre-checkpoint) so PlanAuditSpec can pin the shape the
+    * loop consumes: the N·W frontier joins the edge stream BY NODE KEY
+    * (shuffle equi — never a broadcast of an N-shaped frame, never a
+    * product), the per-(node, word) bit_or fold is a partial+final hash
+    * aggregate, and the visited mask is a (node, widx)-keyed left join
+    * clearing already-reached bits (`bits & ~prev`), with only
+    * still-novel words surviving. */
   private[graft] def bfsRound(edges: org.apache.spark.sql.DataFrame,
       frontier: org.apache.spark.sql.DataFrame,
-      visited: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame =
+      visited: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     edges
       .join(frontier, edges("src") === frontier("node"))
-      .select(col("seed"), col("dst").as("node")).distinct()
-      .join(visited.select(col("seed"), col("node")),
-        Seq("seed", "node"), "left_anti")
-      .withColumn("level", lit(k.toLong))
+      .groupBy(col("dst").as("node"), col("widx"))
+      .agg(expr("bit_or(bits)").as("bits"))
+      .join(visited.withColumnRenamed("bits", "prev"), Seq("node", "widx"), "left")
+      .select(col("node"), col("widx"),
+        col("bits").bitwiseAND(bitwise_not(coalesce(col("prev"), lit(0L)))).as("bits"))
+      .filter(col("bits") =!= 0L)
 }

@@ -1111,19 +1111,19 @@ class PlanAuditSpec extends SparkSpec {
     import spark.implicits._
     // per-round plan is consumed by localCheckpoint inside harmonicCloseness:
     // audit the exposed single-round builder (the kcorePeel precedent).
-    // The frontier is |S|·N-shaped, so unlike the single-seed bfs_levels it
-    // must NOT require a broadcast to plan — equi joins are the contract.
+    // The frontier is N·W-shaped (packed seed bitmaps), so unlike the
+    // single-seed bfs_levels it must NOT require a broadcast to plan —
+    // equi joins are the contract; the visited mask is a left join whose
+    // projection clears already-reached bits.
     val e = Seq((1L, 2L), (2L, 3L)).flatMap(t => Seq(t, t.swap)).toDF("src", "dst")
-    val f = Seq((1L, 1L)).toDF("seed", "node")
-    val v = Seq((1L, 1L)).toDF("seed", "node")
-    val p = graft.operators.Graph.bfsRound(e, f, v, 1)
+    val f = Seq((1L, 0L, 1L)).toDF("node", "widx", "bits")
+    val v = Seq((1L, 0L, 1L)).toDF("node", "widx", "bits")
+    val p = graft.operators.Graph.bfsRound(e, f, v)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      "both joins must stay equi (hash-partitionable at any |S|·N)")
-    assert("LeftAnti".r.findAllIn(p).size >= 1,
-      "visited dedup is an anti-join on (seed, node)")
+      "both joins must stay equi (hash-partitionable at any N)")
     assert(nodeIds(p, "HashAggregate").size >= 2,
-      "the frontier distinct is partial+final")
+      "the per-(node, word) bit_or fold is partial+final")
   }
 
   test("basket_rules: bounded per-key pair join, pruned before marginals, bounded tail") {

@@ -10,16 +10,20 @@ tail) stay byte-identical — the duplicate-SATURATED corpus, deliberately
 adversarial for pair-emitting and dup-set-broadcast operators. The
 complementary zero-overlap corpus is build_distinct_corpus.py.
 
-Usage: build_salted_corpus.py <src_dir> <out_dir> <K>
+Usage: build_salted_corpus.py <src_dir> <out_dir> <K> [--docs-only]
 Writes out_dir/documents.parquet + embeddings.parquet; symlinks every
-other table from src.
+other table from src. `--docs-only` symlinks embeddings unchanged
+instead of perturbing K copies — the third-decade (K=1000) text probes
+only read documents, and 5M perturbed vectors would cost minutes of
+pure-Python list surgery for a table the probe never scans.
 """
 import sys, os
 import pyarrow as pa
 import pyarrow.parquet as pq
 
 src, out, k = sys.argv[1], sys.argv[2], int(sys.argv[3])
-assert 1 <= k <= 100, f"K={k} outside the probe range"
+docs_only = "--docs-only" in sys.argv[4:]
+assert 1 <= k <= 1000, f"K={k} outside the probe range"
 os.makedirs(out, exist_ok=True)
 
 t = pq.read_table(os.path.join(src, "documents.parquet"))
@@ -52,6 +56,18 @@ for i in range(k):
         cols[c] = pa.array(v, type=t.schema.field(c).type)
     batches.append(pa.table({c: cols[c] for c in t.column_names}))
 pq.write_table(pa.concat_tables(batches), os.path.join(out, "documents.parquet"))
+
+if docs_only:
+    dst = os.path.join(out, "embeddings.parquet")
+    if not os.path.exists(dst):
+        os.symlink(os.path.abspath(os.path.join(src, "embeddings.parquet")), dst)
+    for f in os.listdir(src):
+        if f.endswith(".parquet") and f != "documents.parquet":
+            d2 = os.path.join(out, f)
+            if not os.path.exists(d2):
+                os.symlink(os.path.abspath(os.path.join(src, f)), d2)
+    print(f"built {out}: K={k}, docs={t.num_rows * k}, vecs=symlinked")
+    sys.exit(0)
 
 e = pq.read_table(os.path.join(src, "embeddings.parquet"))
 vec_ids = e.column("vec_id").to_pylist()
