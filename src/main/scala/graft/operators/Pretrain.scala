@@ -76,8 +76,18 @@ object Pretrain {
     * budget. */
   private val BudgetTokens = 20000L
 
+  /** `evalPoolExpr` selects the decontamination benchmark. The registry
+    * default (`doc_id % 97 = 0`) is a corpus-FRACTION stand-in — fine at
+    * a fixed SF, but it grows WITH the corpus, and on the salted decade
+    * corpora a 10× pool's shingle set saturates the synthetic trigram
+    * space and marks EVERY survivor contaminated (measured: clean=0 at
+    * 10×). A real benchmark is fixed-size and independent of corpus
+    * scale, so the decade probe passes a base-stride-bounded pool
+    * (`doc_id % 97 = 0 AND doc_id < 10000000`) to measure the pipeline
+    * with all seven stages doing production-shaped work. */
   def pretrainPrep(s: SparkSession, dir: String,
-      budgetTokens: Long = BudgetTokens): DataFrame = {
+      budgetTokens: Long = BudgetTokens,
+      evalPoolExpr: String = "doc_id % 97 = 0"): DataFrame = {
     graft.functions.HashExpressions.register(s)
     val d = Tables.load(s, dir, "documents")
 
@@ -116,9 +126,9 @@ object Pretrain {
     val ndIds = ek.join(drops, Seq("doc_id"), "left_anti")
 
     // ---- 4. eval-set decontamination --------------------------------------
-    val poolGrams = Dedup.shinglesOf(d.filter("doc_id % 97 = 0"))
+    val poolGrams = Dedup.shinglesOf(d.filter(evalPoolExpr))
       .select(explode(col("sh")).as("g")).distinct()
-    val ndDocs = gated.join(ndIds, "doc_id").filter("doc_id % 97 != 0")
+    val ndDocs = gated.join(ndIds, "doc_id").filter(s"NOT ($evalPoolExpr)")
     val contam = Dedup.shinglesOf(ndDocs.select("doc_id", "text"))
       .select(col("doc_id"), explode(col("sh")).as("g"))
       .join(broadcast(poolGrams), "g")

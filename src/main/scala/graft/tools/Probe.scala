@@ -12,6 +12,7 @@ import org.apache.spark.sql.functions._
   * Usage: tools/run.sh graft.tools.Probe <leg>[,<leg>...] [dirs] [reps]
   *
   *  - reg:<q1+q2+...>  any registry queries, timed per dir in [dirs]
+  *  - pretrain         pretrain_prep with a fixed (base-stride) eval pool
   *  - hll              hll_distinct + hll_overlap sketch-vs-calibration
   *                     and memorization_spans per docs dir
   *  - auc              train + score + classifier_auc per docs dir
@@ -95,6 +96,17 @@ object Probe {
           }
           println(s"reg $dir ${rs.mkString(" ")}")
         }
+
+      // pretrain_prep with a FIXED (base-stride-bounded) eval pool: the
+      // registry's %97 stand-in pool grows with the corpus and saturates
+      // the salted decades' trigram space (clean=0, stages 5-7 idle);
+      // a real benchmark is fixed-size, so the decade wall is measured
+      // with all seven stages doing production-shaped work.
+      case "pretrain" => dirs.foreach { dir =>
+        val (t, r) = time(graft.operators.Pretrain.pretrainPrep(spark, dir,
+          evalPoolExpr = "doc_id % 97 = 0 AND doc_id < 10000000"))
+        println(s"pretrain $dir ${fmt("pretrain_prep_fixedpool", t, r)}")
+      }
 
       case "hll" => dirs.foreach { dir =>
         val docs = graft.Tables.load(spark, dir, "documents")
