@@ -119,19 +119,19 @@ object Bench {
       // 6-21x (round-2 driver bench). Cleared OUTSIDE the timing window —
       // each query is timed cold-cache, same as a fresh session.
       spark.catalog.clearCache()
-      // PRESSURE-GATED forced collection (round 12): the unconditional
-      // System.gc() here cost ~160 s of harness wall per full sitting
-      // (642 calls x ~250 ms full STW each) while the GC inside the
-      // timed windows summed to ~5 s — the blanket collect was 97%
-      // no-op. The discipline it bought (query A's garbage never turns
-      // into a major collection inside query B's timed window) survives
-      // as a threshold: collect only when the heap is actually past
-      // half occupancy after the cache drop. gcForced counts the fires
-      // for the summary line, so the relief is self-reporting.
-      val rt = Runtime.getRuntime
-      if (rt.totalMemory() - rt.freeMemory() > rt.maxMemory() / 2) {
-        System.gc(); gcForced += 1
-      }
+      // UNCONDITIONAL forced collection, deliberately (round 12 measured
+      // the alternative): gating this on heap occupancy (tried at max/2,
+      // /8 and /16) saves ~160 s of harness wall per full sitting (642
+      // calls x ~250 ms STW) — but it INFLATES the binary-decode family's
+      // TIMED windows ~3x (multimodal_meta 0.90 -> 2.9-3.6 s,
+      // multimodal_features 0.82 -> 2.4-3.7 s across three full gated
+      // sittings, reproduced on a 13-query subset, with in-window GC
+      // pause time at ~0 both ways — the collect was not saving pauses,
+      // it was QUIESCING G1's background work so the humongous-allocation
+      // storms start on a drained heap). 160 s of untimed harness wall is
+      // the cheaper cost: the timed window is the product. gcForced keeps
+      // counting so any future re-gating experiment stays self-reporting.
+      System.gc(); gcForced += 1
     }
     def median(xs: List[Double]): Double = BenchAction.median(xs)
     // Locale.ROOT: the f-interpolator formats with the JVM default locale,
