@@ -601,9 +601,9 @@ object Graph {
     * harmonic_milli = Σ 1000 div d over reached seeds).
     *
     * Round-12 shape: reached-seed sets are PACKED 64-per-word — each
-    * seed gets a dense index (a row_number over the |S|-row sample; |S|
-    * is the sampling knob, so the single-partition indexer window is
-    * model-sized by construction) and every state frame keys
+    * seed gets a dense index (a distributed sorted zipWithIndex over the
+    * |S|-row sample — no single-partition stage even when a caller
+    * leaves seedEvery small on a huge graph) and every state frame keys
     * (node, word_idx) with a 64-bit `bits` word. Per-round contribution
     * counts (bit_count of the newly-set words) accumulate lazily and
     * fold once at the end, so the harmonic sum never needs per-(seed,
@@ -618,9 +618,21 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = und.select(col("a").as("v"))
       .unionAll(und.select(col("b").as("v"))).distinct()
-    val seedIdx = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
-    var visited = nodes.filter(col("v") % seedEvery === 0)
-      .withColumn("idx", row_number().over(seedIdx).cast("long") - 1L)
+    // dense seed index WITHOUT a single-partition window: orderBy range-
+    // partitions the sorted seed sample and zipWithIndex assigns global
+    // offsets with one lightweight per-partition count job — so the
+    // indexer stays distributed even if a caller leaves seedEvery small
+    // on a huge graph (|S| = N/seedEvery grows with the corpus at a
+    // fixed knob; nothing here funnels it through one partition)
+    val seeds = nodes.filter(col("v") % seedEvery === 0).orderBy(col("v"))
+    val seedSchema = org.apache.spark.sql.types.StructType(
+      seeds.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "idx", org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = seeds.sparkSession.createDataFrame(
+      seeds.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
+      seedSchema)
+    var visited = indexed
       .select(col("v").as("node"), expr("idx div 64").as("widx"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(idx % 64 AS INT))").as("bits"))
       .localCheckpoint(true)

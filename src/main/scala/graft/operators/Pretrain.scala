@@ -76,18 +76,36 @@ object Pretrain {
     * budget. */
   private val BudgetTokens = 20000L
 
-  /** `evalPoolExpr` selects the decontamination benchmark. The registry
-    * default (`doc_id % 97 = 0`) is a corpus-FRACTION stand-in — fine at
-    * a fixed SF, but it grows WITH the corpus, and on the salted decade
-    * corpora a 10× pool's shingle set saturates the synthetic trigram
-    * space and marks EVERY survivor contaminated (measured: clean=0 at
-    * 10×). A real benchmark is fixed-size and independent of corpus
-    * scale, so the decade probe passes a base-stride-bounded pool
-    * (`doc_id % 97 = 0 AND doc_id < 10000000`) to measure the pipeline
-    * with all seven stages doing production-shaped work. */
+  /** doc_id stride between salted copies in tools/build_salted_corpus.py
+    * (each decade copy i shifts ids by i·10M, so `doc_id < SaltStride`
+    * selects exactly the base copy on ANY salted decade corpus). Shared
+    * so the [[FixedEvalPool]] bound and the corpus builder cannot drift
+    * apart silently — the builder asserts the id domain stays below it. */
+  val SaltStride = 10000000L
+
+  /** The corpus-fraction eval-pool stand-in (decontaminate_overlap's
+    * benchmark selector): simple, but it grows WITH the corpus. */
+  val DefaultEvalPool = "doc_id % 97 = 0"
+
+  /** The production-shaped pool: base-stride-bounded, so its size is
+    * FIXED regardless of corpus scale — the direction a 100 TB caller
+    * actually runs (a real benchmark does not grow with the crawl).
+    * Valid Spark SQL and DuckDB SQL alike (both sides of the oracle
+    * compare take the expression verbatim). */
+  val FixedEvalPool = s"$DefaultEvalPool AND doc_id < $SaltStride"
+
+  /** `evalPoolExpr` selects the decontamination benchmark. The
+    * [[DefaultEvalPool]] stand-in is fine at a fixed SF, but it grows
+    * WITH the corpus, and on the salted decade corpora a 10× pool's
+    * shingle set saturates the synthetic trigram space and marks EVERY
+    * survivor contaminated (measured: clean=0 at 10×). A real benchmark
+    * is fixed-size and independent of corpus scale — [[FixedEvalPool]]
+    * bounds the pool to the base stride so all seven stages do
+    * production-shaped work at every decade; the `pretrain_prep_fixed`
+    * registry entry oracle-checks that direction. */
   def pretrainPrep(s: SparkSession, dir: String,
       budgetTokens: Long = BudgetTokens,
-      evalPoolExpr: String = "doc_id % 97 = 0"): DataFrame = {
+      evalPoolExpr: String = DefaultEvalPool): DataFrame = {
     graft.functions.HashExpressions.register(s)
     val d = Tables.load(s, dir, "documents")
 
@@ -182,7 +200,8 @@ object Pretrain {
     * per-stage fragments (gopher flags, LM buckets, shingles+signature,
     * DoReMi steps) — a fragment retune moves engine and oracle
     * together. */
-  private def pretrainPrepSql(budgetTokens: Long): String =
+  private def pretrainPrepSql(budgetTokens: Long,
+      evalPoolExpr: String = DefaultEvalPool): String =
     s"""WITH ${TextOps.duckGopherCtes("documents", minStopHits = 1)},
        |${TextOps.duckLmBucketCtes("documents", "doc_id % 2 = 0", "TRUE")},
        |gated AS (SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
@@ -204,8 +223,8 @@ object Pretrain {
        |     / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8),
        |nd AS (SELECT ek.doc_id FROM ek
        |  LEFT JOIN mdup ON ek.doc_id = mdup.doc_id WHERE mdup.doc_id IS NULL),
-       |bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 97 = 0),
-       |ndd AS (SELECT doc_id FROM nd WHERE doc_id % 97 <> 0),
+       |bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE $evalPoolExpr),
+       |ndd AS (SELECT doc_id FROM nd WHERE NOT ($evalPoolExpr)),
        |tgr AS (SELECT t.doc_id, unnest(t.sh) AS g FROM sh t JOIN ndd USING (doc_id)),
        |contam AS (SELECT doc_id FROM tgr JOIN bench USING (g)
        |  GROUP BY doc_id HAVING COUNT(*) >= 3),
@@ -242,6 +261,14 @@ object Pretrain {
   val defs: ListMap[String, QueryDef] = ListMap(
     "pretrain_prep" -> QueryDef(
       (s, dir) => pretrainPrep(s, dir),
-      pretrainPrepSql(BudgetTokens))
+      pretrainPrepSql(BudgetTokens)),
+    // the production direction: a FIXED-size eval pool (bounded to the
+    // base stride), so decontamination does real work at every decade
+    // instead of saturating to clean=0 beyond 1× — the same seven-stage
+    // plan, oracle-checked with the pool expression shared verbatim
+    // between engine and DuckDB twin
+    "pretrain_prep_fixed" -> QueryDef(
+      (s, dir) => pretrainPrep(s, dir, evalPoolExpr = FixedEvalPool),
+      pretrainPrepSql(BudgetTokens, FixedEvalPool))
   )
 }

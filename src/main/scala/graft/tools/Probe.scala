@@ -97,14 +97,16 @@ object Probe {
           println(s"reg $dir ${rs.mkString(" ")}")
         }
 
-      // pretrain_prep with a FIXED (base-stride-bounded) eval pool: the
+      // pretrain_prep with the FIXED (base-stride-bounded) eval pool: the
       // registry's %97 stand-in pool grows with the corpus and saturates
       // the salted decades' trigram space (clean=0, stages 5-7 idle);
       // a real benchmark is fixed-size, so the decade wall is measured
-      // with all seven stages doing production-shaped work.
+      // with all seven stages doing production-shaped work. The pool
+      // bound is Pretrain.FixedEvalPool — the shared SaltStride constant,
+      // which build_salted_corpus.py asserts its id domain stays below.
       case "pretrain" => dirs.foreach { dir =>
         val (t, r) = time(graft.operators.Pretrain.pretrainPrep(spark, dir,
-          evalPoolExpr = "doc_id % 97 = 0 AND doc_id < 10000000"))
+          evalPoolExpr = graft.operators.Pretrain.FixedEvalPool))
         println(s"pretrain $dir ${fmt("pretrain_prep_fixedpool", t, r)}")
       }
 

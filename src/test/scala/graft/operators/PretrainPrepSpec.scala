@@ -77,6 +77,44 @@ class PretrainPrepSpec extends SparkSpec {
       s"pipeline submitted ${stages.get} stages (jobs=${jobs.get}) — a stage stopped fusing")
   }
 
+  test("pretrain_prep_fixed: vacuous bound at base scale; bounded pool on a salted corpus") {
+    import org.apache.spark.sql.functions._
+    // at base scale every doc_id < SaltStride, so the fixed-pool entry
+    // must return the SAME realized corpus as the stand-in — pins that
+    // the eval-pool parameterization (engine arg + oracle SQL splice)
+    // cannot silently change semantics where the bound is vacuous
+    val fixed = Pretrain.pretrainPrep(spark, dir,
+      evalPoolExpr = Pretrain.FixedEvalPool).collect()
+    assert(fixed.map(_.toSeq).toSet == rows.map(_.toSeq).toSet,
+      "fixed pool must be a no-op where all ids sit below the stride")
+
+    // 2-copy salted corpus (build_salted_corpus.py's recipe in-JVM): the
+    // default %97 pool gains members from the shifted copy (ids + 10M
+    // land on different residues), the fixed pool stays exactly the
+    // base-copy pool — the bounded-benchmark contract the 100 TB caller
+    // relies on
+    val out = tmpDir("pretrain_salted")
+    val d = graft.Tables.load(spark, dir, "documents")
+    d.unionByName(d
+        .withColumn("doc_id", col("doc_id") + lit(Pretrain.SaltStride))
+        .withColumn("text", concat(col("text"), lit(" zzsalt01")))
+        .withColumn("n_chars",
+          length(col("text")).cast(d.schema("n_chars").dataType)))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val sd = graft.Tables.load(spark, out, "documents")
+    val defPool = sd.filter(Pretrain.DefaultEvalPool).select("doc_id")
+    val fixPool = sd.filter(Pretrain.FixedEvalPool).select("doc_id")
+    val extra = defPool.exceptAll(fixPool).collect().map(_.getLong(0))
+    assert(extra.nonEmpty && extra.forall(_ >= Pretrain.SaltStride),
+      s"default pool must gain salted-copy members the fixed pool excludes, got ${extra.toSeq}")
+    assert(fixPool.collect().map(_.getLong(0)).forall(_ < Pretrain.SaltStride),
+      "fixed pool must hold base-copy docs only")
+    // and the fixed-pool pipeline still composes end-to-end on the
+    // duplicate-saturated corpus (the decade-probe direction)
+    assert(Pretrain.pretrainPrep(spark, out,
+      evalPoolExpr = Pretrain.FixedEvalPool).collect().nonEmpty)
+  }
+
   test("tail plan: sampling joins broadcast; no cartesian; codegen'd (no UDF fallback)") {
     spark.catalog.clearCache()
     val p = Pretrain.pretrainPrep(spark, dir)

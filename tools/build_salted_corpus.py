@@ -33,7 +33,10 @@ doc_ids = t.column("doc_id").to_pylist()
 assert doc_ids and all(d is not None for d in doc_ids), \
     "documents.parquet must have a non-empty, non-null doc_id column"
 # the stride guard must bound the id DOMAIN, not the row count: a sparse
-# corpus with ids above 10M would silently collide across copies
+# corpus with ids above 10M would silently collide across copies. The 10M
+# stride is mirrored by graft.operators.Pretrain.SaltStride (the fixed
+# eval-pool bound `doc_id < 10000000` means "base copy only" exactly
+# because this assertion holds) — change them together.
 assert max(doc_ids) < 10_000_000, "doc_id domain too large for the 10M stride"
 texts = t.column("text").to_pylist()
 others = {c: t.column(c).to_pylist() for c in t.column_names
@@ -58,9 +61,8 @@ for i in range(k):
 pq.write_table(pa.concat_tables(batches), os.path.join(out, "documents.parquet"))
 
 if docs_only:
-    dst = os.path.join(out, "embeddings.parquet")
-    if not os.path.exists(dst):
-        os.symlink(os.path.abspath(os.path.join(src, "embeddings.parquet")), dst)
+    # the loop excludes only documents.parquet, so it symlinks
+    # embeddings.parquet along with every other table
     for f in os.listdir(src):
         if f.endswith(".parquet") and f != "documents.parquet":
             d2 = os.path.join(out, f)
