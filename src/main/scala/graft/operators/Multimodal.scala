@@ -45,16 +45,37 @@ import scala.collection.immutable.ListMap
   */
 object Multimodal {
 
+  /** Raster-dimension cap for header sanity gates: a container header
+    * claiming dimensions beyond this is treated as corrupt BEFORE any
+    * decoder allocation happens (the decompression-bomb guard). Far
+    * above any fixture media; a production deployment sizes it to its
+    * media policy. */
+  private[operators] val MaxDim = 8192
+
   /** Typed row for the media table. */
   case class MediaRow(doc_id: Long, media_type: String, content: Array[Byte])
 
-  /** Decoded metadata produced by the (stub) codec. */
+  /** Decoded metadata produced by a codec kernel (the kernels VALIDATE
+    * loudly — header gates, chunk bounds, dimension caps — and throw on
+    * corrupt input; totality lives in the operator wrappers below). */
   case class MediaMeta(
       doc_id: Long, media_type: String, byte_len: Int,
       width: Int, height: Int, duration_ms: Long, checksum: Long)
 
-  /** Per-media fixed-width feature vector (16-bin byte histogram). */
-  case class MediaFeatures(doc_id: Long, features: Array[Double])
+  /** [[decodeAll]]'s row: metadata plus the decode verdict. On a real
+    * crawl corpus some fraction of fetched media is ALWAYS truncated or
+    * lying about itself — a corrupt container flags (decode_ok = 0,
+    * zeroed fields, checksum -1) instead of killing the query. */
+  case class MediaMetaV(
+      doc_id: Long, media_type: String, byte_len: Int,
+      width: Int, height: Int, duration_ms: Long, checksum: Long,
+      decode_ok: Int)
+
+  /** Per-media fixed-width feature vector (16-bin byte histogram) plus
+    * the decode verdict (corrupt container -> zero vector, flag 0; the
+    * kernels only ever construct succeeded rows, so the default is 1). */
+  case class MediaFeatures(doc_id: Long, features: Array[Double],
+      decode_ok: Int = 1)
 
   /** Sampled frame: offset + a slice of bytes. */
   case class Frame(doc_id: Long, frame_no: Int, offset: Int, frame_bytes: Array[Byte])
@@ -104,7 +125,36 @@ object Multimodal {
       b.array()
     }
 
+    /** Header sanity gate BEFORE ImageIO sees the bytes: a lying header
+      * must fail here, loudly and cheaply, so the total-decode wrappers
+      * ([[Multimodal.decodeAll]] etc.) can flag the row — and so a
+      * header claiming absurd dimensions can never reach the decoder's
+      * raster allocation (the classic decompression-bomb shape). For
+      * the uncompressed case the declared raster must actually be
+      * present in the buffer, which bounds allocation by input size. */
+    private[operators] def checkBmpHeader(content: Array[Byte], docId: Long): Unit = {
+      require(content.length >= 54, s"truncated BMP header for doc $docId")
+      require(content(0) == 'B'.toByte && content(1) == 'M'.toByte,
+        s"bad BMP magic for doc $docId")
+      val b = java.nio.ByteBuffer.wrap(content)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val dataOff = b.getInt(10)
+      val w = b.getInt(18)
+      val h = b.getInt(22)
+      val bpp = b.getShort(28).toInt & 0xffff
+      val compression = b.getInt(30)
+      require(w > 0 && w <= MaxDim && h > 0 && h <= MaxDim,
+        s"BMP dims out of range ($w x $h) for doc $docId")
+      require(bpp > 0 && bpp <= 32, s"BMP bpp $bpp out of range for doc $docId")
+      if (compression == 0) {
+        val rowBytes = ((w.toLong * bpp + 31) / 32) * 4
+        require(dataOff >= 54 && dataOff.toLong + rowBytes * h <= content.length,
+          s"BMP raster exceeds the buffer for doc $docId (truncated or lying header)")
+      }
+    }
+
     private def decode(r: MediaRow): java.awt.image.BufferedImage = {
+      checkBmpHeader(r.content, r.doc_id)
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(r.content))
       require(img != null, s"ImageIO could not decode media for doc ${r.doc_id}")
@@ -219,6 +269,9 @@ object Multimodal {
         val fmt = in.getFormat
         require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
           s"unexpected WAV format for doc ${r.doc_id}: $fmt")
+        // a lying fmt chunk can declare rate 0 — the duration division
+        // must fail as a flagged decode, not an ArithmeticException
+        require(fmt.getSampleRate > 0, s"WAV sample rate 0 for doc ${r.doc_id}")
         val bytes = in.readAllBytes()
         val n = bytes.length / 2
         val out = new Array[Int](n)
@@ -356,20 +409,35 @@ object Multimodal {
       def cc(): String = {
         val a = new Array[Byte](4); b.get(a); new String(a, "US-ASCII")
       }
+      require(r.content.length >= 12, s"truncated RIFF preamble for doc ${r.doc_id}")
       require(cc() == "RIFF" && { b.getInt; cc() == "AVI " },
         s"not a RIFF/AVI container for doc ${r.doc_id}")
       var strf: Array[Byte] = null
       var scale = 1
       var rate = Fps
       val frames = Vector.newBuilder[Array[Byte]]
-      def walk(end: Int): Unit =
+      // depth cap: a real AVI nests LISTs <= 4 deep; a crafted chain of
+      // nested LISTs must fail as a flagged decode, not a StackOverflow
+      // (fatal errors escape the total-decode wrappers by design)
+      def walk(end: Int, depth: Int): Unit =
         while (b.position() < end) {
+          // every chunk needs an 8-byte header and a payload INSIDE the
+          // buffer: a truncated chunk list or a lying/negative size field
+          // fails here instead of underflowing or allocating on a lie
+          require(end - b.position() >= 8,
+            s"truncated chunk header for doc ${r.doc_id}")
           val id = cc()
           val size = b.getInt
           val next = b.position() + size + (size & 1) // RIFF pads to even
+          require(size >= 0 && b.position() + size <= r.content.length,
+            s"chunk '$id' size $size exceeds the buffer for doc ${r.doc_id}")
           id match {
-            case "LIST" => cc(); walk(next) // recurse into hdrl/strl/movi
+            case "LIST" => // recurse into hdrl/strl/movi
+              require(depth < 16, s"LIST nesting too deep for doc ${r.doc_id}")
+              require(size >= 4, s"LIST chunk too small for doc ${r.doc_id}")
+              cc(); walk(next, depth + 1)
             case "strh" =>
+              require(size >= 28, s"strh chunk too small for doc ${r.doc_id}")
               b.position(b.position() + 20) // fccType..initialFrames
               scale = b.getInt; rate = b.getInt
             case "strf" =>
@@ -380,12 +448,25 @@ object Multimodal {
           }
           b.position(next)
         }
-      walk(r.content.length)
+      walk(r.content.length, 0)
       require(strf != null && strf.length >= 40, s"no strf header for doc ${r.doc_id}")
       val sb = java.nio.ByteBuffer.wrap(strf).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       val w = sb.getInt(4)
       val h = sb.getInt(8)
+      val bpp = sb.getShort(14).toInt & 0xffff
+      val compression = sb.getInt(16)
+      // the strf header drives the per-frame BMP assembly below — gate it
+      // the same way checkBmpHeader gates a standalone image: bounded
+      // dims, and (uncompressed) every frame chunk must actually hold the
+      // raster the header declares
+      require(w > 0 && w <= MaxDim && h > 0 && h <= MaxDim,
+        s"AVI stream dims out of range ($w x $h) for doc ${r.doc_id}")
+      require(bpp > 0 && bpp <= 32, s"AVI bpp $bpp out of range for doc ${r.doc_id}")
+      val rowBytes = ((w.toLong * bpp + 31) / 32) * 4
       val imgs = frames.result().map { dib =>
+        if (compression == 0)
+          require(dib.length >= rowBytes * h,
+            s"AVI frame smaller than the declared raster for doc ${r.doc_id}")
         // a complete BMP = 14-byte file header + the stream's info header
         // + the chunk payload; decoded by the real in-JDK BMP reader
         val bmp = java.nio.ByteBuffer.allocate(14 + strf.length + dib.length)
@@ -531,30 +612,76 @@ object Multimodal {
   /** Batched decode: one codec instance per partition (the expensive-setup
     * pattern of a vectorized UDF), metadata out as typed columns. Every
     * modality goes through a REAL in-JDK decoder (ImageIO / AudioSystem /
-    * RIFF walk + per-frame ImageIO). */
-  def decodeAll(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
+    * RIFF walk + per-frame ImageIO).
+    *
+    * TOTAL over arbitrary bytes: the kernels throw on corrupt input
+    * (header gates, chunk-bounds checks, dimension caps — so nothing
+    * fatal like an allocation bomb or stack overflow can happen), and
+    * this wrapper turns any kernel failure into a FLAGGED row
+    * (decode_ok = 0) — one bad fetch in a crawl batch must never kill
+    * the whole query. */
+  def decodeAll(media: Dataset[MediaRow]): Dataset[MediaMetaV] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition setup for the real codecs happens here (ImageIO
       // plugin lookup is JVM-global and thread-safe; nothing to init)
-      rows.map {
-        case r if r.media_type == "image" => BmpCodec.decodeMeta(r)
-        case r if r.media_type == "audio" => WavCodec.decodeMeta(r)
-        case r => AviCodec.decodeMeta(r)
+      rows.map { r =>
+        try {
+          val m = r.media_type match {
+            case "image" => BmpCodec.decodeMeta(r)
+            case "audio" => WavCodec.decodeMeta(r)
+            case _ => AviCodec.decodeMeta(r)
+          }
+          MediaMetaV(m.doc_id, m.media_type, m.byte_len, m.width, m.height,
+            m.duration_ms, m.checksum, decode_ok = 1)
+        } catch { case scala.util.control.NonFatal(_) =>
+          MediaMetaV(r.doc_id, r.media_type, r.content.length,
+            width = 0, height = 0, duration_ms = 0L, checksum = -1L,
+            decode_ok = 0)
+        }
       }
     }
   }
 
   /** Batched feature extraction (fixed-width vectors for the ANN surface):
     * decoded-pixel histograms for images/video frames, decoded-sample
-    * histograms for audio. */
+    * histograms for audio. Same total-decode contract as [[decodeAll]]:
+    * corrupt containers yield the zero vector with decode_ok = 0. */
   def featuresAll(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map {
-      case r if r.media_type == "image" => BmpCodec.decodeFeatures(r)
-      case r if r.media_type == "audio" => WavCodec.decodeFeatures(r)
-      case r => AviCodec.decodeFeatures(r)
+    media.mapPartitions(_.map { r =>
+      try {
+        r.media_type match {
+          case "image" => BmpCodec.decodeFeatures(r)
+          case "audio" => WavCodec.decodeFeatures(r)
+          case _ => AviCodec.decodeFeatures(r)
+        }
+      } catch { case scala.util.control.NonFatal(_) =>
+        MediaFeatures(r.doc_id, new Array[Double](16), decode_ok = 0)
+      }
     })
+  }
+
+  /** One row per decoded video frame. A corrupt container emits ONE
+    * sentinel row (frame_no = -1, checksum = -1) so the bad doc stays
+    * visible in the output instead of silently vanishing — the explode
+    * twin of [[decodeAll]]'s flag. */
+  case class FrameRow(doc_id: Long, frame_no: Int, width: Int, height: Int,
+      frame_checksum: Long)
+
+  def videoFramesAll(media: Dataset[MediaRow]): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      try {
+        val st = AviCodec.parseAvi(r)
+        st.frames.iterator.zipWithIndex.map { case (img, no) =>
+          FrameRow(r.doc_id, no, img.getWidth, img.getHeight,
+            AviCodec.frameChecksum(img))
+        }
+      } catch { case scala.util.control.NonFatal(_) =>
+        Iterator.single(FrameRow(r.doc_id, -1, 0, 0, -1L))
+      }
+    }
   }
 
   /** Resized media: deterministic stub "thumbnail" (every stride-th byte,
@@ -607,7 +734,8 @@ object Multimodal {
       (s, dir) => {
         decodeAll(decodableMediaTable(s, dir)).toDF()
           .select(col("doc_id"), col("media_type"), col("byte_len"),
-            col("width"), col("height"), col("duration_ms"), col("checksum"))
+            col("width"), col("height"), col("duration_ms"), col("checksum"),
+            col("decode_ok"))
           .transform(graft.Sorted.byNames(_, "doc_id"))
       },
       """WITH imgsrc AS (
@@ -656,7 +784,11 @@ object Multimodal {
         |                   ELSE ascii(substr(text, (((f * 7919 + k) % length(text)) + 1)::INT, 1)) END)::BIGINT)))),
         |      (acc, b) -> (acc * 31 + b) % 1000000007) AS checksum
         |  FROM vsrc)
-        |SELECT doc_id, media_type, byte_len, width, height, duration_ms, checksum
+        |-- every fixture container is well-formed by construction, so the
+        |-- total-decode verdict is constant 1 here (corrupt-input behavior
+        |-- is pinned by MultimodalFuzzSpec, which the oracle cannot reach)
+        |SELECT doc_id, media_type, byte_len, width, height, duration_ms, checksum,
+        |  1 AS decode_ok
         |FROM (SELECT * FROM imeta UNION ALL SELECT * FROM ameta UNION ALL SELECT * FROM vmeta)
         |ORDER BY doc_id""".stripMargin),
 
@@ -674,7 +806,8 @@ object Multimodal {
         featuresAll(decodableMediaTable(s, dir)).toDF()
           .selectExpr("doc_id", "round(features[0], 6) AS f0",
             "round(features[15], 6) AS f15",
-            "round(aggregate(features, double(0), (a, x) -> a + x), 6) AS f_sum")
+            "round(aggregate(features, double(0), (a, x) -> a + x), 6) AS f_sum",
+            "decode_ok")
           .transform(graft.Sorted.byNames(_, "doc_id"))
       },
       """WITH imgsrc AS (
@@ -722,7 +855,8 @@ object Multimodal {
         |         SELECT doc_id, f FROM afeat UNION ALL
         |         SELECT doc_id, f FROM vfeat)
         |SELECT doc_id, round(f[1], 6) AS f0, round(f[16], 6) AS f15,
-        |  round(list_reduce(list_prepend(0.0::DOUBLE, f), (a, b) -> a + b), 6) AS f_sum
+        |  round(list_reduce(list_prepend(0.0::DOUBLE, f), (a, b) -> a + b), 6) AS f_sum,
+        |  1 AS decode_ok
         |FROM allf ORDER BY doc_id""".stripMargin),
 
     // ---- resize: deterministic byte downsample (stub kernel; real
@@ -760,9 +894,16 @@ object Multimodal {
       (s, dir) => {
         import s.implicits._
         imageTable(s, dir).map { r =>
-          val (w, h, acc) = BmpCodec.resizeNN(r)
-          (r.doc_id, w, h, 8, 8, acc)
-        }.toDF("doc_id", "src_w", "src_h", "out_w", "out_h", "resized_checksum")
+          // same total-decode contract as decodeAll: a corrupt BMP flags
+          // (zero dims, checksum -1) instead of killing the thumbnail run
+          try {
+            val (w, h, acc) = BmpCodec.resizeNN(r)
+            (r.doc_id, w, h, 8, 8, acc, 1)
+          } catch { case scala.util.control.NonFatal(_) =>
+            (r.doc_id, 0, 0, 8, 8, -1L, 0)
+          }
+        }.toDF("doc_id", "src_w", "src_h", "out_w", "out_h",
+            "resized_checksum", "decode_ok")
           .transform(graft.Sorted.byNames(_, "doc_id"))
       },
       """WITH imgsrc AS (
@@ -778,7 +919,8 @@ object Multimodal {
         |               ELSE ascii(substr(text,
         |                 ((((((i // 24) * h) // 8) * w + (((i % 24) // 3) * w) // 8) * 3 + i % 3)
         |                   % length(text) + 1)::INT, 1)) END)::BIGINT)),
-        |    (acc, b) -> (acc * 31 + b) % 1000000007) AS resized_checksum
+        |    (acc, b) -> (acc * 31 + b) % 1000000007) AS resized_checksum,
+        |  1 AS decode_ok
         |FROM imgsrc
         |ORDER BY doc_id""".stripMargin),
 
@@ -808,13 +950,10 @@ object Multimodal {
     // not just aggregate counts. ------------------------------------------
     "multimodal_video_frames" -> QueryDef(
       (s, dir) => {
-        import s.implicits._
-        videoTable(s, dir).flatMap { r =>
-          val st = AviCodec.parseAvi(r)
-          st.frames.iterator.zipWithIndex.map { case (img, no) =>
-            (r.doc_id, no, img.getWidth, img.getHeight, AviCodec.frameChecksum(img))
-          }
-        }.toDF("doc_id", "frame_no", "width", "height", "frame_checksum")
+        // total decode: a corrupt container yields its frame_no = -1
+        // sentinel row (none on the well-formed fixture, so the oracle
+        // is unchanged; MultimodalFuzzSpec pins the sentinel)
+        videoFramesAll(videoTable(s, dir)).toDF()
           .transform(graft.Sorted.byNames(_, "doc_id", "frame_no"))
       },
       """WITH vsrc AS (
