@@ -40,8 +40,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingUrlDedup {
 
+  /** `gkey` is the codegen'd 64-bit xxhash64 of `urlCanon`, computed
+    * map-side — the slim group key the `hashKey` variant shuffles. */
   case class UrlRow(urlCanon: String, docId: Long, ems: Long,
-      ets: java.sql.Timestamp)
+      ets: java.sql.Timestamp, gkey: Long)
 
   case class UrlVerdict(doc_id: Long, url_canon: String, canonical_id: Long,
       is_dup: Int)
@@ -49,7 +51,10 @@ object StreamingUrlDedup {
   /** One row per live canonical URL. */
   case class CanonState(canonicalId: Long, lastEms: Long)
 
-  private[streaming] def stateFn(ttlMs: Long)(key: String,
+  /** Key-agnostic state transition: the verdict's `url_canon` comes from
+    * the ROW, not the group key, so the same function serves both the
+    * string-keyed and hash-keyed groupings. */
+  private[streaming] def stateFn(ttlMs: Long)(
       rows: Iterator[UrlRow],
       state: GroupState[CanonState]): Iterator[UrlVerdict] = {
     if (state.hasTimedOut) { state.remove(); return Iterator.empty }
@@ -58,12 +63,12 @@ object StreamingUrlDedup {
     rows.toSeq.sortBy(_.docId).foreach { r =>
       if (st == null) {
         st = CanonState(r.docId, r.ems)
-        out += UrlVerdict(r.docId, key, r.docId, 0)
+        out += UrlVerdict(r.docId, r.urlCanon, r.docId, 0)
       } else if (r.docId == st.canonicalId) {
         // canonical re-delivery: absorb, just refresh the TTL clock
         st = st.copy(lastEms = math.max(st.lastEms, r.ems))
       } else {
-        out += UrlVerdict(r.docId, key, st.canonicalId, 1)
+        out += UrlVerdict(r.docId, r.urlCanon, st.canonicalId, 1)
         st = st.copy(lastEms = math.max(st.lastEms, r.ems))
       }
     }
@@ -76,19 +81,39 @@ object StreamingUrlDedup {
   }
 
   /** `docs` must carry (doc_id: long, url: string, ts: timestamp).
-    * Append-mode stream of admit/drop verdicts, one per arriving doc. */
+    * Append-mode stream of admit/drop verdicts, one per arriving doc.
+    *
+    * `hashKey = true` swaps the shuffle/state group key from the
+    * canonical-URL STRING to its 64-bit xxhash64 — the 100 TB-intake
+    * shape (fixed 8-byte keys through the exchange and the state store
+    * instead of arbitrary-length URLs). Verdicts still carry the full
+    * `url_canon` from the row. The trade is the standard hashed-key one:
+    * a 64-bit collision between two LIVE canonical URLs inside one TTL
+    * horizon would merge their episodes (the colliding later URL reads
+    * as a duplicate of the earlier one) — expected collisions
+    * ≈ n²/2⁶⁵ over n live URLs, negligible below ~10⁸ live keys and
+    * detectable downstream because the verdict pairs (url_canon,
+    * canonical_id). The string key stays the default: bit-exact against
+    * the batch twin and immune to collisions. */
   def verdicts(docs: DataFrame, ttlMs: Long = 24L * 3600 * 1000,
-      delay: String = "0 seconds"): Dataset[UrlVerdict] = {
+      delay: String = "0 seconds", hashKey: Boolean = false): Dataset[UrlVerdict] = {
     val s = docs.sparkSession
     import s.implicits._
-    graft.operators.Dedup.urlCanonicalize(docs, "url")
+    val rows = graft.operators.Dedup.urlCanonicalize(docs, "url")
       .withColumn("ets", col("ts").cast("timestamp"))
       .withWatermark("ets", delay)
       .selectExpr("url_canon AS urlCanon", "doc_id AS docId",
-        "unix_millis(ets) AS ems", "ets")
+        "unix_millis(ets) AS ems", "ets", "xxhash64(url_canon) AS gkey")
       .as[UrlRow]
-      .groupByKey(_.urlCanon)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        stateFn(ttlMs))
+    if (hashKey)
+      rows.groupByKey(_.gkey)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+          (_: Long, rs: Iterator[UrlRow], st: GroupState[CanonState]) =>
+            stateFn(ttlMs)(rs, st))
+    else
+      rows.groupByKey(_.urlCanon)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+          (_: String, rs: Iterator[UrlRow], st: GroupState[CanonState]) =>
+            stateFn(ttlMs)(rs, st))
   }
 }

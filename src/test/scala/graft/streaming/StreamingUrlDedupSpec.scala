@@ -53,6 +53,44 @@ class StreamingUrlDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hashKey variant: the 64-bit group key yields identical verdicts and bounded state") {
+    // the 100 TB-intake shape (8-byte shuffle/state keys instead of URL
+    // strings) must be semantically invisible on the fixture — same
+    // verdicts, same episode behavior; the collision trade is documented
+    // on the knob (n^2 / 2^65 over live keys, none reachable here)
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingUrlDedup.verdicts(
+        ms.toDF().toDF("doc_id", "url", "ts"), hashKey = true)
+      .writeStream.format("memory").queryName("urldh")
+      .outputMode("append").start()
+    try {
+      ms.addData(urls.take(4).map { case (id, u) =>
+        (id, u, t(s"2024-01-01 00:00:0$id")) })
+      q.processAllAvailable()
+      ms.addData(urls.drop(4).map { case (id, u) =>
+        (id, u, t(s"2024-01-01 00:00:0$id")) })
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT doc_id, url_canon, canonical_id, is_dup FROM urldh")
+        .as[(Long, String, Long, Int)].collect().toSet
+      // expectation: the batch twin, with url_canon carried per doc
+      val canon = graft.operators.Dedup.urlCanonicalize(
+          urls.toDF("doc_id", "url"))
+      val exp = canon.alias("c")
+        .join(canon.groupBy("url_canon").agg(
+          org.apache.spark.sql.functions.min("doc_id").as("canonical_id")),
+          "url_canon")
+        .selectExpr("doc_id", "url_canon", "canonical_id",
+          "CAST(doc_id != canonical_id AS INT) AS is_dup")
+        .as[(Long, String, Long, Int)].collect().toSet
+      assert(got == exp, s"hashed-key streaming $got != batch $exp")
+      val stateRows = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateRows <= 5,
+        s"state must stay one row per live canonical URL, got $stateRows")
+    } finally q.stop()
+  }
+
   test("TTL expiry opens a new episode with a fresh canonical; state stays bounded") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[(Long, String, Timestamp)]
