@@ -27,7 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // extra JVM flags for experiments (mirrors tools/run.sh's passthrough
+  // so sbt-forked runs see the same flags, e.g. ReservedCodeCacheSize)
+  sys.env.getOrElse("GRAFT_JVM_FLAGS", "").split("\\s+").toSeq.filter(_.nonEmpty)
 // Raw stdout passthrough for forked runs: the round driver captures a
 // bounded tail of stdout and parses the single bench JSON line — sbt's
 // default LoggedOutput decorates every line with "[info] ", which defeats

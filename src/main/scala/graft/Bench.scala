@@ -92,6 +92,18 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
     }
+    // JIT code-cache occupancy (the three CodeHeap pools), reported at
+    // run end: the round-12 bimodal multimodal readings carried a
+    // code-cache-sweep hypothesis that was unfalsifiable from the JSON —
+    // with used/max recorded every run, "the cache saturated and the JIT
+    // started flushing hot codegen kernels" is machine-checkable
+    def codeCacheMb: (Double, Double) = {
+      import scala.jdk.CollectionConverters._
+      val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+        .asScala.filter(_.getName.startsWith("CodeHeap"))
+      (pools.map(_.getUsage.getUsed).sum / 1e6,
+        pools.map(_.getUsage.getMax.max(0L)).sum / 1e6)
+    }
     val gcRunStart = gcMillis
     var gcForced = 0
     for (_ <- 1 to reps; name <- names) {
@@ -171,8 +183,9 @@ object Bench {
     // pre-startup ambient 1-min load, `contaminated` its >1.0 adjudication
     val adjudication =
       s""""loadavg1_start":${jnum(load1Start)},"contaminated":$contaminated,"idle_waited_sec":$idleWaited"""
+    val (ccUsed, ccMax) = codeCacheMb
     val fullLine =
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"gc_sec":$gcJson,"errors":$errJson,"reps":$reps,"sf":${jstr(sfDir)},"loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadAvg)},$adjudication,"gc_total_sec":${jnum((gcMillis - gcRunStart) / 1e3)},"gc_forced":$gcForced}"""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"gc_sec":$gcJson,"errors":$errJson,"reps":$reps,"sf":${jstr(sfDir)},"loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadAvg)},$adjudication,"gc_total_sec":${jnum((gcMillis - gcRunStart) / 1e3)},"gc_forced":$gcForced,"codecache_used_mb":${jnum(ccUsed)},"codecache_max_mb":${jnum(ccMax)}}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_times.json")
     try {
       java.nio.file.Files.write(

@@ -623,8 +623,17 @@ object Graph {
     // offsets with one lightweight per-partition count job — so the
     // indexer stays distributed even if a caller leaves seedEvery small
     // on a huge graph (|S| = N/seedEvery grows with the corpus at a
-    // fixed knob; nothing here funnels it through one partition)
-    val seeds = nodes.filter(col("v") % seedEvery === 0).orderBy(col("v"))
+    // fixed knob; nothing here funnels it through one partition).
+    // Eager checkpoint BEFORE the sort: orderBy's range partitioner runs
+    // a sampling job, and zipWithIndex adds a count job — each would
+    // re-execute the distinct-nodes shuffle behind the sample without a
+    // materialization boundary; checkpointing the |S|-row filtered frame
+    // first makes the sample/count/index jobs all read the tiny cached
+    // blocks (sf0.1 solo readings for window vs zipWithIndex variants
+    // were within ambient noise either way — the win is the SCALE shape,
+    // not the fixture number)
+    val seeds = nodes.filter(col("v") % seedEvery === 0)
+      .localCheckpoint(true).orderBy(col("v"))
     val seedSchema = org.apache.spark.sql.types.StructType(
       seeds.schema.fields :+ org.apache.spark.sql.types.StructField(
         "idx", org.apache.spark.sql.types.LongType, nullable = false))
