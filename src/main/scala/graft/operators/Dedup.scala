@@ -395,6 +395,40 @@ object Dedup {
          |   / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin),
 
+    // ---- LSH bucket-load profiler: the "know before you pay" diagnostic
+    // for the pair emitter. bandedCandidates' in-bucket self-join is
+    // QUADRATIC in bucket occupancy by construction — fine when buckets
+    // track true-duplicate clusters (natural corpora), catastrophic on a
+    // duplicate-saturated one (measured, SCALE.md round 13: the K=1000
+    // salted corpus puts ~1000 near-twins in every bucket; the capstone's
+    // dedup stage then owes billions of candidate rows and the
+    // verify-join spill exceeds a single box's disk). This operator
+    // computes the exact candidate volume the emitter WOULD pay — one
+    // linear map + aggregation, never a pair — so a 100 TB caller
+    // profiles bucket skew BEFORE running dedup_minhash and engages a
+    // per-bucket cap / canonical-star pairing when max_bucket explodes.
+    // cand_pairs is the PRE-distinct per-band sum (the join volume
+    // actually paid; the emitter's cross-band distinct only collapses
+    // afterwards). -----------------------------------------------------------
+    "dedup_minhash_profile" -> QueryDef(
+      (s, dir) => {
+        val sig = minhashSigOf(Tables.load(s, dir, "documents"))
+        sig.selectExpr("doc_id",
+            "explode(transform(sequence(0, 3), b -> struct(b AS band, concat_ws('_', slice(sig, b * 4 + 1, 4)) AS key))) AS bk")
+          .selectExpr("doc_id", "bk.band AS band", "bk.key AS key")
+          .groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_buckets"),
+            max(col("n")).as("max_bucket"),
+            sum(expr("n * (n - 1) div 2")).as("cand_pairs"))
+      },
+      s"""WITH $duckSigCtes,
+         |$duckBandsCte,
+         |occ AS (SELECT band, key, COUNT(*) AS n FROM bands GROUP BY band, key)
+         |SELECT COUNT(*) AS n_buckets, CAST(MAX(n) AS BIGINT) AS max_bucket,
+         |  CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS cand_pairs
+         |FROM occ""".stripMargin),
+
     // ---- SimHash fingerprint per document (60-bit, token-vote) ------------
     "simhash_fingerprint" -> QueryDef(
       (s, dir) => simhashFp(s, dir).orderBy("doc_id"),

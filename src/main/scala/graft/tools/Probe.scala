@@ -110,6 +110,19 @@ object Probe {
         println(s"pretrain $dir ${fmt("pretrain_prep_fixedpool", t, r)}")
       }
 
+      // LSH bucket-load profile per dir: the candidate volume the MinHash
+      // pair emitter would pay (quadratic in bucket occupancy) — the
+      // decade evidence behind the round-13 capstone-at-1000x finding
+      case "lshload" => dirs.foreach { dir =>
+        val (t, _) = time(graft.SparkEntry.registry("dedup_minhash_profile").fn(spark, dir))
+        val row = graft.SparkEntry.registry("dedup_minhash_profile")
+          .fn(spark, dir).collect()(0)
+        spark.catalog.clearCache()
+        println(f"lshload $dir%s n_buckets=${row.getAs[Long]("n_buckets")}%d " +
+          f"max_bucket=${row.getAs[Long]("max_bucket")}%d " +
+          f"cand_pairs=${row.getAs[Long]("cand_pairs")}%d t=$t%.2f")
+      }
+
       case "hll" => dirs.foreach { dir =>
         val docs = graft.Tables.load(spark, dir, "documents")
         val nd = docs.count()
