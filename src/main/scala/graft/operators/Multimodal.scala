@@ -88,6 +88,16 @@ object Multimodal {
     * the decoded width/height/pixel checksum verify the full container
     * round trip, not just the arithmetic. */
   object BmpCodec {
+    // ImageIO.read(InputStream) defaults to a DISK-cached
+    // ImageInputStream (useCache = true): every decode writes a temp
+    // file, so decode wall time couples to the box's disk/page-cache
+    // ambient — the round-12/13 "bimodal under full-registry JVM
+    // ambient" signature (same query, same plan, same JIT code-cache
+    // occupancy, 1.1 s or 3.2 s depending on what the preceding 650
+    // query executions left on disk). The containers here are KBs and
+    // already in memory; cache them in memory. JVM-global, idempotent,
+    // runs once per executor JVM at codec class-load.
+    javax.imageio.ImageIO.setUseCache(false)
     private val MOD = 1000000007L
 
     /** Deterministic image dimensions from doc_id (4..16 x 4..14). */
@@ -320,6 +330,9 @@ object Multimodal {
     * chunk sizes, frame order, row order and channel order are all under
     * the hash compare. */
   object AviCodec {
+    // same in-memory ImageInputStream posture as BmpCodec (per-frame
+    // ImageIO decodes would otherwise write a temp file EACH)
+    javax.imageio.ImageIO.setUseCache(false)
     private val MOD = 1000000007L
     val Fps = 5
 
