@@ -88,6 +88,53 @@ object Dedup {
   private def bandedCandidates(sig: DataFrame): DataFrame =
     bandedCandidatesCfg(sig, 4, 4)
 
+  /** Canonical-STAR candidates: within each band bucket, pair every
+    * resident only against the bucket's canonical (min doc_id) — the
+    * bounded alternative to [[bandedCandidates]]' in-bucket self-join.
+    * Candidate volume is Σ(n_bucket − 1) = LINEAR in corpus where
+    * all-pairs is Σ n(n−1)/2 = quadratic in bucket occupancy (measured:
+    * 16.6 B all-pairs candidates vs ~20 M star candidates on the K=1000
+    * duplicate-saturated corpus — SCALE.md round 13). The semantic
+    * trade, stated exactly: a doc is dropped iff VERIFIED similar to
+    * one of its band canonicals, so an A~B, B~C, A≁C chain sharing one
+    * bucket keeps C where all-pairs (which emits (B, C)) would drop it
+    * — the keep-first approximation production-scale dedup pipelines
+    * run when clusters are huge; the 4 independent bands give C four
+    * chances to meet a canonical it IS similar to. One groupBy + one
+    * equi-join, no self-join anywhere. */
+  private def bandedCandidatesStar(sig: DataFrame): DataFrame = {
+    val bands = sig.selectExpr("doc_id",
+      "explode(transform(sequence(0, 3), b -> struct(b AS band, concat_ws('_', slice(sig, b * 4 + 1, 4)) AS key))) AS bk")
+      .selectExpr("doc_id", "bk.band AS band", "bk.key AS key")
+    val canon = bands.groupBy(col("band"), col("key"))
+      .agg(min(col("doc_id")).as("doc_a"))
+    bands.join(canon, Seq("band", "key"))
+      .filter(col("doc_id") > col("doc_a"))
+      .select(col("doc_a"), col("doc_id").as("doc_b")).distinct()
+  }
+
+  /** Verified star near-dup pairs — [[minhashPairsOf]]'s bounded twin
+    * (same signature/shingle/Jaccard fragments, star candidates). */
+  private[operators] def minhashPairsStarOf(docs: DataFrame): DataFrame = {
+    val sig = minhashSigOf(docs)
+    val sh = shinglesOf(docs)
+    val cand = bandedCandidatesStar(sig)
+    val shA = sh.selectExpr("doc_id AS doc_a", "sort_array(sh) AS sh_a")
+    val shB = sh.selectExpr("doc_id AS doc_b", "sort_array(sh) AS sh_b")
+    cand.join(shA, "doc_a").join(shB, "doc_b")
+      .selectExpr("doc_a", "doc_b",
+        "graft_sorted_inter(sh_a, sh_b) AS inter", "size(sh_a) AS sa", "size(sh_b) AS sb")
+      .selectExpr("doc_a", "doc_b",
+        "CAST(inter AS DOUBLE) / (sa + sb - inter) AS jaccard")
+      .filter("jaccard >= 0.8")
+  }
+
+  /** DuckDB star-candidate CTE (expects [[duckBandsCte]]'s `bands`). */
+  private[operators] val duckStarCandCte: String =
+    """scanon AS (SELECT band, key, MIN(doc_id) AS doc_a FROM bands GROUP BY band, key),
+      |cand AS (SELECT DISTINCT c.doc_a, b.doc_id AS doc_b
+      |  FROM bands b JOIN scanon c USING (band, key) WHERE b.doc_id > c.doc_a)""".stripMargin
+
   /** The sweep grid minhash_band_sweep measures — the realistic retune
     * range around the 4×4 operating point. (16, 1) is deliberately
     * excluded: width-1 buckets key on a SINGLE min-hash value, whose
@@ -387,6 +434,28 @@ object Dedup {
       s"""WITH $duckSigCtes,
          |$duckBandsCte,
          |$duckCandCte
+         |SELECT doc_a, doc_b,
+         |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |   / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+         |FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+         |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |   / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // ---- canonical-star MinHash pairs: the BOUNDED pair emitter the
+    // bucket-load profiler's verdict engages. Candidates are (bucket
+    // canonical, resident) — linear in corpus at ANY duplicate-cluster
+    // size, where dedup_minhash's in-bucket self-join is quadratic (the
+    // K=1000 salted corpus: 16.6 B vs ~20 M candidates). Verified by the
+    // SAME shingle-Jaccard fragments; semantics documented on
+    // bandedCandidatesStar (keep-first approximation: chains sharing one
+    // bucket may keep a middle-linked doc all-pairs would drop). --------
+    "dedup_minhash_star" -> QueryDef(
+      (s, dir) => minhashPairsStarOf(Tables.load(s, dir, "documents"))
+        .transform(graft.Sorted.byNames(_, "doc_a", "doc_b")),
+      s"""WITH $duckSigCtes,
+         |$duckBandsCte,
+         |$duckStarCandCte
          |SELECT doc_a, doc_b,
          |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
          |   / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard

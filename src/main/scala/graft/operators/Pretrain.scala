@@ -103,9 +103,18 @@ object Pretrain {
     * bounds the pool to the base stride so all seven stages do
     * production-shaped work at every decade; the `pretrain_prep_fixed`
     * registry entry oracle-checks that direction. */
+  /** `starDedup = true` swaps stage 3's all-pairs emitter for
+    * [[Dedup.minhashPairsStarOf]] (canonical-star candidates — linear
+    * in corpus at any duplicate-cluster size where all-pairs is
+    * quadratic in bucket occupancy): the knob the
+    * `dedup_minhash_profile` verdict engages on a duplicate-saturated
+    * corpus, and the only way the K=1000 decade leg fits on a box
+    * (16.6 B vs ~20 M candidates — SCALE.md round 13). The registry
+    * entries keep the exact all-pairs emitter (oracle-identical). */
   def pretrainPrep(s: SparkSession, dir: String,
       budgetTokens: Long = BudgetTokens,
-      evalPoolExpr: String = DefaultEvalPool): DataFrame = {
+      evalPoolExpr: String = DefaultEvalPool,
+      starDedup: Boolean = false): DataFrame = {
     graft.functions.HashExpressions.register(s)
     val d = Tables.load(s, dir, "documents")
 
@@ -139,7 +148,9 @@ object Pretrain {
     val ekDocs = gated.join(ek, "doc_id")
 
     // ---- 3. MinHash near-dedup, keep-first -------------------------------
-    val drops = Dedup.minhashPairsOf(ekDocs.select("doc_id", "text"))
+    val pairFn: DataFrame => DataFrame =
+      if (starDedup) Dedup.minhashPairsStarOf else Dedup.minhashPairsOf
+    val drops = pairFn(ekDocs.select("doc_id", "text"))
       .select(col("doc_b").as("doc_id")).distinct()
     val ndIds = ek.join(drops, Seq("doc_id"), "left_anti")
 

@@ -110,6 +110,17 @@ object Probe {
         println(s"pretrain $dir ${fmt("pretrain_prep_fixedpool", t, r)}")
       }
 
+      // the capstone with the star dedup knob engaged (fixed pool too):
+      // the configuration the bucket-load profiler's verdict selects on
+      // a duplicate-saturated corpus — the only one whose K=1000 decade
+      // leg fits on a single box (linear vs quadratic candidates)
+      case "pretrainstar" => dirs.foreach { dir =>
+        val (t, r) = time(graft.operators.Pretrain.pretrainPrep(spark, dir,
+          evalPoolExpr = graft.operators.Pretrain.FixedEvalPool,
+          starDedup = true))
+        println(s"pretrainstar $dir ${fmt("pretrain_prep_star", t, r)}")
+      }
+
       // LSH bucket-load profile per dir: the candidate volume the MinHash
       // pair emitter would pay (quadratic in bucket occupancy) — the
       // decade evidence behind the round-13 capstone-at-1000x finding
