@@ -52,6 +52,16 @@ object Multimodal {
     * media policy. */
   private[operators] val MaxDim = 8192
 
+  /** Pixel budget per INPUT byte for compressed containers (BMP RLE /
+    * AVI compressed streams), where the raster-fits-buffer bound cannot
+    * apply: RLE8's densest encoding is a 2-byte run of 255 pixels
+    * (~127.5 px/byte), so 128 admits every real container while a
+    * header claiming MaxDim x MaxDim (67 M pixels) from a KB-sized body
+    * fails the gate BEFORE the decoder sizes a raster from the lie — an
+    * OutOfMemoryError from a ~268 MB allocation is FATAL and would
+    * escape the NonFatal total-decode wrappers. */
+  private[operators] val MaxCompressedPixelsPerByte = 128L
+
   /** Typed row for the media table. */
   case class MediaRow(doc_id: Long, media_type: String, content: Array[Byte])
 
@@ -160,6 +170,13 @@ object Multimodal {
         val rowBytes = ((w.toLong * bpp + 31) / 32) * 4
         require(dataOff >= 54 && dataOff.toLong + rowBytes * h <= content.length,
           s"BMP raster exceeds the buffer for doc $docId (truncated or lying header)")
+      } else {
+        // compressed container: raster-fits-buffer can't apply, so bound
+        // the DECLARED pixel count by input size times the densest real
+        // compression ratio ([[MaxCompressedPixelsPerByte]]) — a tiny
+        // body claiming huge dims must flag here, never allocate
+        require(w.toLong * h <= content.length.toLong * MaxCompressedPixelsPerByte,
+          s"BMP declared pixels exceed any real compression of ${content.length} bytes ($w x $h) for doc $docId")
       }
     }
 
@@ -480,6 +497,12 @@ object Multimodal {
         if (compression == 0)
           require(dib.length >= rowBytes * h,
             s"AVI frame smaller than the declared raster for doc ${r.doc_id}")
+        else
+          // compressed frames: same bomb gate as checkBmpHeader's
+          // compressed branch — declared pixels bounded by what this
+          // frame's bytes could really expand to
+          require(w.toLong * h <= dib.length.toLong * MaxCompressedPixelsPerByte,
+            s"AVI frame declared pixels exceed any real compression of ${dib.length} bytes ($w x $h) for doc ${r.doc_id}")
         // a complete BMP = 14-byte file header + the stream's info header
         // + the chunk payload; decoded by the real in-JDK BMP reader
         val bmp = java.nio.ByteBuffer.allocate(14 + strf.length + dib.length)

@@ -102,15 +102,19 @@ object Pretrain {
     * is fixed-size and independent of corpus scale — [[FixedEvalPool]]
     * bounds the pool to the base stride so all seven stages do
     * production-shaped work at every decade; the `pretrain_prep_fixed`
-    * registry entry oracle-checks that direction. */
-  /** `starDedup = true` swaps stage 3's all-pairs emitter for
+    * registry entry oracle-checks that direction.
+    *
+    * `starDedup = true` swaps stage 3's all-pairs emitter for
     * [[Dedup.minhashPairsStarOf]] (canonical-star candidates — linear
     * in corpus at any duplicate-cluster size where all-pairs is
     * quadratic in bucket occupancy): the knob the
     * `dedup_minhash_profile` verdict engages on a duplicate-saturated
     * corpus, and the only way the K=1000 decade leg fits on a box
-    * (16.6 B vs ~20 M candidates — SCALE.md round 13). The registry
-    * entries keep the exact all-pairs emitter (oracle-identical). */
+    * (16.6 B vs ~20 M candidates — SCALE.md round 13). The
+    * `pretrain_prep_star` registry entry oracle-checks this direction
+    * with the star candidate CTE spliced into the same DuckDB twin;
+    * `pretrain_prep`/`pretrain_prep_fixed` keep the exact all-pairs
+    * emitter. */
   def pretrainPrep(s: SparkSession, dir: String,
       budgetTokens: Long = BudgetTokens,
       evalPoolExpr: String = DefaultEvalPool,
@@ -212,7 +216,8 @@ object Pretrain {
     * DoReMi steps) — a fragment retune moves engine and oracle
     * together. */
   private def pretrainPrepSql(budgetTokens: Long,
-      evalPoolExpr: String = DefaultEvalPool): String =
+      evalPoolExpr: String = DefaultEvalPool,
+      starDedup: Boolean = false): String =
     s"""WITH ${TextOps.duckGopherCtes("documents", minStopHits = 1)},
        |${TextOps.duckLmBucketCtes("documents", "doc_id % 2 = 0", "TRUE")},
        |gated AS (SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
@@ -227,7 +232,7 @@ object Pretrain {
        |shk AS (SELECT sh.doc_id, sh.sh FROM sh JOIN ek USING (doc_id)),
        |${Dedup.duckSigCte("shk")},
        |${Dedup.duckBandsCte},
-       |${Dedup.duckCandCte},
+       |${if (starDedup) Dedup.duckStarCandCte else Dedup.duckCandCte},
        |mdup AS (SELECT DISTINCT doc_b AS doc_id
        |  FROM cand JOIN shk sa ON sa.doc_id = doc_a JOIN shk sb ON sb.doc_id = doc_b
        |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
@@ -280,6 +285,17 @@ object Pretrain {
     // between engine and DuckDB twin
     "pretrain_prep_fixed" -> QueryDef(
       (s, dir) => pretrainPrep(s, dir, evalPoolExpr = FixedEvalPool),
-      pretrainPrepSql(BudgetTokens, FixedEvalPool))
+      pretrainPrepSql(BudgetTokens, FixedEvalPool)),
+    // the saturated-corpus direction: fixed pool AND the canonical-star
+    // near-dedup emitter — exactly the configuration a duplicate-heavy
+    // 100 TB caller runs (Probe's pretrainstar leg; the only one whose
+    // K=1000 decade fits on a box). Oracle-checked with duckStarCandCte
+    // spliced into the SAME seven-stage DuckDB twin, so the star
+    // emitter's keep-first semantics are pinned end-to-end, not just at
+    // the pair level (dedup_minhash_star)
+    "pretrain_prep_star" -> QueryDef(
+      (s, dir) => pretrainPrep(s, dir, evalPoolExpr = FixedEvalPool,
+        starDedup = true),
+      pretrainPrepSql(BudgetTokens, FixedEvalPool, starDedup = true))
   )
 }

@@ -94,7 +94,15 @@ object StreamingUrlDedup {
     * ≈ n²/2⁶⁵ over n live URLs, negligible below ~10⁸ live keys and
     * detectable downstream because the verdict pairs (url_canon,
     * canonical_id). The string key stays the default: bit-exact against
-    * the batch twin and immune to collisions. */
+    * the batch twin and immune to collisions.
+    *
+    * OPERATIONAL CONSTRAINT: `hashKey` changes the state-store group-key
+    * TYPE (String vs Long), so it must stay FIXED for the lifetime of a
+    * checkpoint location — restarting an existing query with the flag
+    * flipped fails on state key-schema mismatch (or, with state schema
+    * validation disabled, silently mis-keys). Encode the mode into the
+    * checkpoint path (e.g. `.../urldedup-hashed/` vs `.../urldedup/`)
+    * so the two postures can never share a checkpoint. */
   def verdicts(docs: DataFrame, ttlMs: Long = 24L * 3600 * 1000,
       delay: String = "0 seconds", hashKey: Boolean = false): Dataset[UrlVerdict] = {
     val s = docs.sparkSession

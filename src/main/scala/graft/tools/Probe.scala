@@ -125,10 +125,19 @@ object Probe {
       // pair emitter would pay (quadratic in bucket occupancy) — the
       // decade evidence behind the round-13 capstone-at-1000x finding
       case "lshload" => dirs.foreach { dir =>
-        val (t, _) = time(graft.SparkEntry.registry("dedup_minhash_profile").fn(spark, dir))
-        val row = graft.SparkEntry.registry("dedup_minhash_profile")
-          .fn(spark, dir).collect()(0)
+        // deliberately NOT the shared time() helper: its trailing count()
+        // would re-run this expensive aggregation a full extra time for a
+        // known-1-row result — collect the row inside the timed reps
+        var row: org.apache.spark.sql.Row = null
+        val times = (1 to reps).map { _ =>
+          spark.catalog.clearCache(); System.gc()
+          val t0 = System.nanoTime()
+          row = graft.SparkEntry.registry("dedup_minhash_profile")
+            .fn(spark, dir).collect()(0)
+          (System.nanoTime() - t0) / 1e9
+        }
         spark.catalog.clearCache()
+        val t = graft.BenchAction.median(times)
         println(f"lshload $dir%s n_buckets=${row.getAs[Long]("n_buckets")}%d " +
           f"max_bucket=${row.getAs[Long]("max_bucket")}%d " +
           f"cand_pairs=${row.getAs[Long]("cand_pairs")}%d t=$t%.2f")

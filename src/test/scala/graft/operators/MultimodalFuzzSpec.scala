@@ -48,12 +48,20 @@ class MultimodalFuzzSpec extends SparkSpec {
       MediaRow(5L, "image", patched(bmpValid)(_.putInt(22, -5))),      // negative height
       MediaRow(6L, "image", { val b = bmpValid.clone(); b(0) = 'X'.toByte; b }),
       MediaRow(7L, "image", Array.empty[Byte]),
-      MediaRow(8L, "image", text(64))))                  // arbitrary non-BMP bytes
-    assert(got.size == 8, "every row must come back — flagged, not thrown")
+      MediaRow(8L, "image", text(64)),                   // arbitrary non-BMP bytes
+      // compression bomb: a KB-sized body claiming compression=1 (RLE8)
+      // with MaxDim x MaxDim dims skips the raster-fits-buffer bound —
+      // the pixels-per-byte gate must flag it BEFORE ImageIO would size
+      // a ~268 MB raster from the lie (OOM is fatal and escapes the
+      // total-decode wrapper)
+      MediaRow(9L, "image", patched(bmpValid) { b =>
+        b.putInt(18, 8192); b.putInt(22, 8192); b.putInt(30, 1)
+      })))
+    assert(got.size == 9, "every row must come back — flagged, not thrown")
     assert(got(1L).decode_ok == 1 && got(1L).checksum == direct.checksum
       && got(1L).width == direct.width && got(1L).height == direct.height,
       "a bad neighbor must not perturb the valid row")
-    (2L to 8L).foreach { id =>
+    (2L to 9L).foreach { id =>
       assert(got(id).decode_ok == 0 && got(id).checksum == -1L
         && got(id).width == 0 && got(id).height == 0,
         s"doc $id must flag, got ${got(id)}")
@@ -104,10 +112,18 @@ class MultimodalFuzzSpec extends SparkSpec {
       MediaRow(6L, "video", patched(aviValid)(
         _.putInt(strfIdx + 8 + 4, 100000))),                            // lying stream width
       MediaRow(7L, "video", bomb),
-      MediaRow(8L, "video", Array.empty[Byte])))
-    assert(got.size == 8)
+      MediaRow(8L, "video", Array.empty[Byte]),
+      // compressed-stream bomb: biCompression=1 with MaxDim x MaxDim dims
+      // skips the uncompressed raster bound; the per-frame pixels-per-byte
+      // gate must flag before any frame BMP assembly sizes on the lie
+      MediaRow(9L, "video", patched(aviValid) { b =>
+        b.putInt(strfIdx + 8 + 4, 8192)   // biWidth
+        b.putInt(strfIdx + 8 + 8, 8192)   // biHeight
+        b.putInt(strfIdx + 8 + 16, 1)     // biCompression
+      })))
+    assert(got.size == 9)
     assert(got(1L).decode_ok == 1 && got(1L).checksum == direct.checksum)
-    (2L to 8L).foreach { id =>
+    (2L to 9L).foreach { id =>
       assert(got(id).decode_ok == 0, s"doc $id must flag, got ${got(id)}")
     }
   }

@@ -115,6 +115,23 @@ class PretrainPrepSpec extends SparkSpec {
       evalPoolExpr = Pretrain.FixedEvalPool).collect().nonEmpty)
   }
 
+  test("pretrain_prep_star: identical realized corpus at base scale, where the emitters must agree") {
+    // at base scale (exact-dedup already ran, near-dup buckets are tiny
+    // mutual-similarity cliques) the star emitter's keep-first drop set
+    // equals all-pairs' — the same cannot-drift pin pretrain_prep_fixed
+    // got for the pool parameterization, one knob over: the starDedup
+    // arg (engine) and the duckStarCandCte splice (oracle) must only
+    // diverge from all-pairs where chains actually differ, never at the
+    // base fixture
+    val star = Pretrain.pretrainPrep(spark, dir,
+      evalPoolExpr = Pretrain.FixedEvalPool, starDedup = true).collect()
+    val allPairs = Pretrain.pretrainPrep(spark, dir,
+      evalPoolExpr = Pretrain.FixedEvalPool).collect()
+    assert(star.nonEmpty)
+    assert(star.map(_.toSeq).toSet == allPairs.map(_.toSeq).toSet,
+      "star and all-pairs capstones must realize the same corpus at base scale")
+  }
+
   test("tail plan: sampling joins broadcast; no cartesian; codegen'd (no UDF fallback)") {
     spark.catalog.clearCache()
     val p = Pretrain.pretrainPrep(spark, dir)
