@@ -113,12 +113,10 @@ object Dedup {
       .select(col("doc_a"), col("doc_id").as("doc_b")).distinct()
   }
 
-  /** Verified star near-dup pairs — [[minhashPairsOf]]'s bounded twin
-    * (same signature/shingle/Jaccard fragments, star candidates). */
-  private[operators] def minhashPairsStarOf(docs: DataFrame): DataFrame = {
-    val sig = minhashSigOf(docs)
-    val sh = shinglesOf(docs)
-    val cand = bandedCandidatesStar(sig)
+  /** Exact shingle-Jaccard verification (≥ 0.8) of a candidate pair set
+    * on the zero-allocation sorted-merge kernel — ONE verify definition
+    * behind all three pair emitters (all-pairs / star / capped). */
+  private def verifyPairs(sh: DataFrame, cand: DataFrame): DataFrame = {
     val shA = sh.selectExpr("doc_id AS doc_a", "sort_array(sh) AS sh_a")
     val shB = sh.selectExpr("doc_id AS doc_b", "sort_array(sh) AS sh_b")
     cand.join(shA, "doc_a").join(shB, "doc_b")
@@ -129,11 +127,101 @@ object Dedup {
       .filter("jaccard >= 0.8")
   }
 
+  /** Verified star near-dup pairs — [[minhashPairsOf]]'s bounded twin
+    * (same signature/shingle/Jaccard fragments, star candidates). */
+  private[operators] def minhashPairsStarOf(docs: DataFrame): DataFrame =
+    verifyPairs(shinglesOf(docs), bandedCandidatesStar(minhashSigOf(docs)))
+
   /** DuckDB star-candidate CTE (expects [[duckBandsCte]]'s `bands`). */
   private[operators] val duckStarCandCte: String =
     """scanon AS (SELECT band, key, MIN(doc_id) AS doc_a FROM bands GROUP BY band, key),
       |cand AS (SELECT DISTINCT c.doc_a, b.doc_id AS doc_b
       |  FROM bands b JOIN scanon c USING (band, key) WHERE b.doc_id > c.doc_a)""".stripMargin
+
+  /** Default per-bucket resident cap for [[bandedCandidatesCapped]] —
+    * the batch twin of StreamingNearDup's `maxPerBucket = 64` default.
+    * 64 residents cost at most 64·63/2 ≈ 2k resident-resident pairs per
+    * bucket (an acceptable verify bill) and bound the per-bucket volume
+    * at 64·n thereafter; the `dedup_minhash_profile` verdict that
+    * engages this emitter is `max_bucket > cap`. */
+  private[operators] val DefaultBucketCap = 64
+
+  /** CAPPED candidate pairs: the recall-preserving middle ground between
+    * [[bandedCandidates]] (all-pairs, quadratic in bucket occupancy) and
+    * [[bandedCandidatesStar]] (canonical-star, linear but keep-first-
+    * approximate on chains). Exactly StreamingNearDup's `maxPerBucket`
+    * semantics in batch: the first `cap` residents of each bucket (by
+    * doc_id — the deterministic arrival order of the streaming twin)
+    * pair among themselves AND against every overflow doc; overflow
+    * docs never pair with each other. Per-bucket volume is n(n−1)/2 for
+    * n ≤ cap and cap·n − cap(cap+1)/2 = O(cap·n) beyond — LINEAR in
+    * occupancy at any saturation, with full all-pairs recall inside the
+    * resident set (cap = 1 degenerates to the star emitter; cap = ∞ to
+    * all-pairs). The rank is a per-bucket window sort — the same
+    * (band, key) shuffle the star emitter's groupBy pays, plus an
+    * in-partition sort bounded by bucket occupancy. */
+  private def bandedCandidatesCapped(sig: DataFrame, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bands = sig.selectExpr("doc_id",
+      "explode(transform(sequence(0, 3), b -> struct(b AS band, concat_ws('_', slice(sig, b * 4 + 1, 4)) AS key))) AS bk")
+      .selectExpr("doc_id", "bk.band AS band", "bk.key AS key")
+    val residents = bands
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("band"), col("key")).orderBy(col("doc_id"))))
+      .filter(col("rk") <= cap)
+      .select(col("band"), col("key"), col("doc_id"))
+    residents.alias("a")
+      .join(bands.alias("b"),
+        expr("a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"))
+      .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b").distinct()
+  }
+
+  /** Verified capped near-dup pairs — [[minhashPairsOf]]'s bounded-volume
+    * variant (same signature/shingle/Jaccard fragments, capped
+    * candidates). */
+  private[operators] def minhashPairsCappedOf(docs: DataFrame,
+      cap: Int = DefaultBucketCap): DataFrame =
+    verifyPairs(shinglesOf(docs), bandedCandidatesCapped(minhashSigOf(docs), cap))
+
+  /** Bucket-occupancy profile of a signature table: ONE linear map +
+    * aggregation, never a pair — (n_buckets, max_bucket, cand_pairs
+    * where cand_pairs is the pre-distinct volume the all-pairs emitter
+    * would pay). The frame behind the dedup_minhash_profile registry
+    * entry, factored so [[starRegime]] can profile COMPOSED inputs
+    * (pretrain_prep's exact-dedup survivors), not just the raw table. */
+  private[operators] def bucketProfileOf(sig: DataFrame): DataFrame =
+    sig.selectExpr("doc_id",
+        "explode(transform(sequence(0, 3), b -> struct(b AS band, concat_ws('_', slice(sig, b * 4 + 1, 4)) AS key))) AS bk")
+      .selectExpr("doc_id", "bk.band AS band", "bk.key AS key")
+      .groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("n")).as("max_bucket"),
+        sum(expr("n * (n - 1) div 2")).as("cand_pairs"))
+
+  /** The "profile before pairing" discipline AS CODE: TRUE when the
+    * all-pairs emitter's bucket load is in the adversarial regime —
+    * `max_bucket > cap` means at least one bucket owes more than
+    * cap(cap−1)/2 ≈ 2k in-bucket pairs and the quadratic term is live
+    * (the K=1000 salted corpus: 16.6 B candidates, a disk-filling
+    * verify join — SCALE.md round 13). ONE driver-side row, the same
+    * scalar-decision shape AQE reads from runtime stats; the persisted
+    * sig table it profiles is the SAME plan the chosen emitter then
+    * reads, so the profile pass is amortized into the dedup it gates. */
+  private[operators] def starRegime(docs: DataFrame,
+      cap: Int = DefaultBucketCap): Boolean =
+    bucketProfileOf(minhashSigOf(docs)).collect()(0)
+      .getAs[Long]("max_bucket") > cap
+
+  /** DuckDB capped-candidate CTE (expects [[duckBandsCte]]'s `bands`) —
+    * ONE rank rule shared with the Spark emitter above. */
+  private[operators] def duckCappedCandCte(cap: Int = DefaultBucketCap): String =
+    s"""crk AS (SELECT doc_id, band, key,
+       |    ROW_NUMBER() OVER (PARTITION BY band, key ORDER BY doc_id) AS rk
+       |  FROM bands),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM crk a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |  WHERE a.rk <= $cap)""".stripMargin
 
   /** The sweep grid minhash_band_sweep measures — the realistic retune
     * range around the 4×4 operating point. (16, 1) is deliberately
@@ -390,19 +478,9 @@ object Dedup {
     * construction, so the merge count equals set intersection exactly).
     * ONE definition behind dedup_minhash, dedup_keep_list (via the
     * registry), and the pretrain_prep near-dedup stage. */
-  private[operators] def minhashPairsOf(docs: DataFrame): DataFrame = {
-    val sig = minhashSigOf(docs) // persisted slim: sig computed once
-    val sh = shinglesOf(docs)
-    val cand = bandedCandidates(sig)
-    val shA = sh.selectExpr("doc_id AS doc_a", "sort_array(sh) AS sh_a")
-    val shB = sh.selectExpr("doc_id AS doc_b", "sort_array(sh) AS sh_b")
-    cand.join(shA, "doc_a").join(shB, "doc_b")
-      .selectExpr("doc_a", "doc_b",
-        "graft_sorted_inter(sh_a, sh_b) AS inter", "size(sh_a) AS sa", "size(sh_b) AS sb")
-      .selectExpr("doc_a", "doc_b",
-        "CAST(inter AS DOUBLE) / (sa + sb - inter) AS jaccard")
-      .filter("jaccard >= 0.8")
-  }
+  private[operators] def minhashPairsOf(docs: DataFrame): DataFrame =
+    // persisted slim sig: computed once, shared across consumers via cache
+    verifyPairs(shinglesOf(docs), bandedCandidates(minhashSigOf(docs)))
 
   val defs: ListMap[String, QueryDef] = ListMap(
 
@@ -464,6 +542,28 @@ object Dedup {
          |   / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin),
 
+    // ---- capped MinHash pairs: the recall-preserving middle ground the
+    // dedup_minhash_profile verdict engages when max_bucket exceeds the
+    // cap but full in-resident recall still matters — StreamingNearDup's
+    // maxPerBucket semantics in batch (first 64 residents per bucket by
+    // doc_id pair fully; overflow docs pair against residents only), so
+    // per-bucket volume is O(cap·n) at any saturation. cap=1 is the star
+    // emitter; cap=∞ is dedup_minhash. Verified by the SAME
+    // shingle-Jaccard fragments. --------------------------------------------
+    "dedup_minhash_capped" -> QueryDef(
+      (s, dir) => minhashPairsCappedOf(Tables.load(s, dir, "documents"))
+        .transform(graft.Sorted.byNames(_, "doc_a", "doc_b")),
+      s"""WITH $duckSigCtes,
+         |$duckBandsCte,
+         |${duckCappedCandCte()}
+         |SELECT doc_a, doc_b,
+         |  CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |   / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+         |FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+         |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |   / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin),
+
     // ---- LSH bucket-load profiler: the "know before you pay" diagnostic
     // for the pair emitter. bandedCandidates' in-bucket self-join is
     // QUADRATIC in bucket occupancy by construction — fine when buckets
@@ -480,17 +580,7 @@ object Dedup {
     // actually paid; the emitter's cross-band distinct only collapses
     // afterwards). -----------------------------------------------------------
     "dedup_minhash_profile" -> QueryDef(
-      (s, dir) => {
-        val sig = minhashSigOf(Tables.load(s, dir, "documents"))
-        sig.selectExpr("doc_id",
-            "explode(transform(sequence(0, 3), b -> struct(b AS band, concat_ws('_', slice(sig, b * 4 + 1, 4)) AS key))) AS bk")
-          .selectExpr("doc_id", "bk.band AS band", "bk.key AS key")
-          .groupBy(col("band"), col("key"))
-          .agg(count(lit(1)).as("n"))
-          .agg(count(lit(1)).as("n_buckets"),
-            max(col("n")).as("max_bucket"),
-            sum(expr("n * (n - 1) div 2")).as("cand_pairs"))
-      },
+      (s, dir) => bucketProfileOf(minhashSigOf(Tables.load(s, dir, "documents"))),
       s"""WITH $duckSigCtes,
          |$duckBandsCte,
          |occ AS (SELECT band, key, COUNT(*) AS n FROM bands GROUP BY band, key)

@@ -114,11 +114,25 @@ object Pretrain {
     * `pretrain_prep_star` registry entry oracle-checks this direction
     * with the star candidate CTE spliced into the same DuckDB twin;
     * `pretrain_prep`/`pretrain_prep_fixed` keep the exact all-pairs
-    * emitter. */
+    * emitter.
+    *
+    * `autoDedup = true` makes the profile-before-pairing discipline
+    * CODE instead of prose: stage 3 first runs [[Dedup.starRegime]]'s
+    * O(n) bucket-load profile over the exact-dedup survivors (one
+    * linear aggregation, one driver-side row — the AQE-stats shape) and
+    * engages the star emitter only when `max_bucket` exceeds
+    * [[Dedup.DefaultBucketCap]] (= 64: beyond it at least one bucket
+    * owes > 2k in-bucket pairs and the quadratic term is live; at the
+    * measured extreme, 16.6 B candidates on the K=1000 salted corpus).
+    * Below the threshold the exact all-pairs emitter runs — natural
+    * corpora pay nothing for the guard but the profile pass, whose sig
+    * table the chosen emitter reuses from cache. An explicit
+    * `starDedup = true` still forces the star emitter unconditionally. */
   def pretrainPrep(s: SparkSession, dir: String,
       budgetTokens: Long = BudgetTokens,
       evalPoolExpr: String = DefaultEvalPool,
-      starDedup: Boolean = false): DataFrame = {
+      starDedup: Boolean = false,
+      autoDedup: Boolean = false): DataFrame = {
     graft.functions.HashExpressions.register(s)
     val d = Tables.load(s, dir, "documents")
 
@@ -152,8 +166,10 @@ object Pretrain {
     val ekDocs = gated.join(ek, "doc_id")
 
     // ---- 3. MinHash near-dedup, keep-first -------------------------------
+    val useStar = starDedup ||
+      (autoDedup && Dedup.starRegime(ekDocs.select("doc_id", "text")))
     val pairFn: DataFrame => DataFrame =
-      if (starDedup) Dedup.minhashPairsStarOf else Dedup.minhashPairsOf
+      if (useStar) Dedup.minhashPairsStarOf else Dedup.minhashPairsOf
     val drops = pairFn(ekDocs.select("doc_id", "text"))
       .select(col("doc_b").as("doc_id")).distinct()
     val ndIds = ek.join(drops, Seq("doc_id"), "left_anti")

@@ -132,6 +132,47 @@ class PretrainPrepSpec extends SparkSpec {
       "star and all-pairs capstones must realize the same corpus at base scale")
   }
 
+  test("autoDedup: profile-gated emitter choice drives both branches") {
+    import org.apache.spark.sql.functions._
+    // base fixture: natural bucket loads sit far under the cap, so the
+    // profile must choose the exact all-pairs emitter — autoDedup output
+    // IS the default output (and the guard costs only the profile pass)
+    assert(!Dedup.starRegime(graft.Tables.load(spark, dir, "documents")
+        .select("doc_id", "text")),
+      "the natural fixture must profile below the cap")
+    val auto = Pretrain.pretrainPrep(spark, dir,
+      evalPoolExpr = Pretrain.FixedEvalPool, autoDedup = true).collect()
+    val allPairs = Pretrain.pretrainPrep(spark, dir,
+      evalPoolExpr = Pretrain.FixedEvalPool).collect()
+    assert(auto.map(_.toSeq).toSet == allPairs.map(_.toSeq).toSet,
+      "below the threshold autoDedup must be the all-pairs capstone exactly")
+
+    // duplicate-saturated corpus: 150 near-twins of a doc that reached
+    // the realized corpus (so its clones pass the quality gates too) put
+    // one bucket far over the cap — the profile must engage the star
+    // emitter, and the realized corpus must equal the forced-star run
+    val keptId = rows.map(_.getAs[Long]("doc_id")).min
+    val d = graft.Tables.load(spark, dir, "documents")
+    val baseDoc = d.filter(col("doc_id") === keptId)
+    val out = tmpDir("pretrain_saturated")
+    val twins = (1 to 150).map(i => baseDoc
+        .withColumn("doc_id", lit(1000000L + i))
+        .withColumn("text", concat(col("text"), lit(f" zzsalt$i%03d"))))
+      .reduce(_ unionByName _)
+      .withColumn("n_chars", length(col("text")).cast(d.schema("n_chars").dataType))
+    d.unionByName(twins).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    assert(Dedup.starRegime(graft.Tables.load(spark, out, "documents")
+        .select("doc_id", "text")),
+      "the saturated corpus must profile over the cap")
+    val autoSat = Pretrain.pretrainPrep(spark, out,
+      evalPoolExpr = Pretrain.FixedEvalPool, autoDedup = true).collect()
+    val starSat = Pretrain.pretrainPrep(spark, out,
+      evalPoolExpr = Pretrain.FixedEvalPool, starDedup = true).collect()
+    assert(autoSat.nonEmpty)
+    assert(autoSat.map(_.toSeq).toSet == starSat.map(_.toSeq).toSet,
+      "over the threshold autoDedup must be the star capstone exactly")
+  }
+
   test("tail plan: sampling joins broadcast; no cartesian; codegen'd (no UDF fallback)") {
     spark.catalog.clearCache()
     val p = Pretrain.pretrainPrep(spark, dir)

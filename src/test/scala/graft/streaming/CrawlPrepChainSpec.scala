@@ -59,7 +59,7 @@ class CrawlPrepChainSpec extends SparkSpec {
   /** One harness instance = one set of stage dirs/checkpoints; starting
     * the stages again against the same instance restarts the CHAIN from
     * its checkpoints. */
-  private class Chain {
+  private class Chain(hashKey: Boolean = false) {
     val vdir = tmpDir("chain_verdicts")
     val out2 = tmpDir("chain_curation")
     val pdir = tmpDir("chain_pairs")
@@ -77,7 +77,8 @@ class CrawlPrepChainSpec extends SparkSpec {
       // stage 1: URL-canonicalization dedup on the raw crawl feed; the
       // verdict log is the stage boundary
       val q1 = StreamingUrlDedup.verdicts(
-          ms.toDF().toDF("doc_id", "url", "text", "lang", "ts"))
+          ms.toDF().toDF("doc_id", "url", "text", "lang", "ts"),
+          hashKey = hashKey)
         .writeStream.option("checkpointLocation", c1)
         .foreachBatch((b: Dataset[StreamingUrlDedup.UrlVerdict], _: Long) =>
           b.toDF().write.mode("append").parquet(vdir))
@@ -160,6 +161,22 @@ class CrawlPrepChainSpec extends SparkSpec {
       assert(states(1) <= 6, s"digest-dedup state bounded by horizon distinct content, got ${states(1)}")
       assert(states(2) <= 12, s"band-bucket state bounded by 4 bands x residents, got ${states(2)}")
       assert(states.forall(_ > 0), s"every stage holds live state, got $states")
+    } finally qs.foreach(_.stop())
+  }
+
+  test("hashed-key front door: the 100 TB intake posture yields identical downstream stages") {
+    // the SAME end-to-end assertions as the string-keyed chain — the
+    // 8-byte xxhash64 group key slims stage 1's exchange and state store
+    // without changing a single verdict, kept/rejected id, or pair on a
+    // collision-free corpus (the documented trade; hashKey is fixed per
+    // checkpoint location, and this chain's c1 is born hashed)
+    val ch = new Chain(hashKey = true)
+    val qs = ch.start()
+    try {
+      wave1(ch); ch.drain(qs)
+      assertWave1(ch)
+      wave2(ch); ch.drain(qs)
+      assertWave2(ch)
     } finally qs.foreach(_.stop())
   }
 
