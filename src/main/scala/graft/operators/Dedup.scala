@@ -189,7 +189,8 @@ object Dedup {
     * would pay). The frame behind the dedup_minhash_profile registry
     * entry, factored so [[starRegime]] can profile COMPOSED inputs
     * (pretrain_prep's exact-dedup survivors), not just the raw table. */
-  private[operators] def bucketProfileOf(sig: DataFrame): DataFrame =
+  private[operators] def bucketProfileOf(sig: DataFrame): DataFrame = {
+    val cap = DefaultBucketCap
     sig.selectExpr("doc_id",
         "explode(transform(sequence(0, 3), b -> struct(b AS band, concat_ws('_', slice(sig, b * 4 + 1, 4)) AS key))) AS bk")
       .selectExpr("doc_id", "bk.band AS band", "bk.key AS key")
@@ -197,7 +198,15 @@ object Dedup {
       .agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("n_buckets"),
         max(col("n")).as("max_bucket"),
-        sum(expr("n * (n - 1) div 2")).as("cand_pairs"))
+        sum(expr("n * (n - 1) div 2")).as("cand_pairs"),
+        // what each BOUNDED emitter would pay on the same buckets — the
+        // verdict becomes a direct three-way cost comparison, not just a
+        // danger flag: star = Σ(n−1); capped = all-pairs below the cap,
+        // cap·n − cap(cap+1)/2 above it
+        sum(expr("n - 1")).as("cand_pairs_star"),
+        sum(expr(s"IF(n <= $cap, n * (n - 1) div 2, " +
+          s"$cap * n - $cap * ${cap + 1} div 2)")).as("cand_pairs_capped"))
+  }
 
   /** The "profile before pairing" discipline AS CODE: TRUE when the
     * all-pairs emitter's bucket load is in the adversarial regime —
@@ -585,7 +594,11 @@ object Dedup {
          |$duckBandsCte,
          |occ AS (SELECT band, key, COUNT(*) AS n FROM bands GROUP BY band, key)
          |SELECT COUNT(*) AS n_buckets, CAST(MAX(n) AS BIGINT) AS max_bucket,
-         |  CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS cand_pairs
+         |  CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS cand_pairs,
+         |  CAST(SUM(n - 1) AS BIGINT) AS cand_pairs_star,
+         |  CAST(SUM(CASE WHEN n <= $DefaultBucketCap THEN n * (n - 1) // 2
+         |    ELSE $DefaultBucketCap * n - $DefaultBucketCap * ${DefaultBucketCap + 1} // 2
+         |    END) AS BIGINT) AS cand_pairs_capped
          |FROM occ""".stripMargin),
 
     // ---- SimHash fingerprint per document (60-bit, token-vote) ------------

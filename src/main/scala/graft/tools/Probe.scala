@@ -140,7 +140,55 @@ object Probe {
         val t = graft.BenchAction.median(times)
         println(f"lshload $dir%s n_buckets=${row.getAs[Long]("n_buckets")}%d " +
           f"max_bucket=${row.getAs[Long]("max_bucket")}%d " +
-          f"cand_pairs=${row.getAs[Long]("cand_pairs")}%d t=$t%.2f")
+          f"cand_pairs=${row.getAs[Long]("cand_pairs")}%d " +
+          f"cand_star=${row.getAs[Long]("cand_pairs_star")}%d " +
+          f"cand_capped=${row.getAs[Long]("cand_pairs_capped")}%d t=$t%.2f")
+      }
+
+      // star/capped emitter recall vs all-pairs on the SAME corpus: pair
+      // recall, keep-first drop-set agreement, and connected-component
+      // agreement (how many all-pairs clusters the bounded emitters
+      // split) — the measured recall cost behind the A~B,B~C keep-first
+      // divergence documented on bandedCandidatesStar
+      case "starrecall" => dirs.foreach { dir =>
+        def pairs(q: String) = graft.SparkEntry.registry(q).fn(spark, dir)
+          .select(col("doc_a"), col("doc_b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val all = pairs("dedup_minhash")
+        val star = pairs("dedup_minhash_star")
+        val capped = pairs("dedup_minhash_capped")
+        val (nAll, nStar, nCap) = (all.count(), star.count(), capped.count())
+        def dropCount(df: DataFrame) = df.select(col("doc_b")).distinct().count()
+        val (dAll, dStar, dCap) = (dropCount(all), dropCount(star), dropCount(capped))
+        // component agreement: star/capped edges are subsets, so their
+        // partitions REFINE all-pairs'; count the all-pairs clusters the
+        // bounded partition splits and the docs affected. Docs absent
+        // from the bounded graph are singletons (cluster_id = doc_id).
+        def splitReport(sub: DataFrame): (Long, Long, Long) = {
+          val ca = graft.operators.Curation.connectedComponents(all)
+            .select(col("doc_id"), col("cluster_id").as("c_all"))
+          val cs = graft.operators.Curation.connectedComponents(sub)
+            .select(col("doc_id"), col("cluster_id").as("c_sub"))
+          val j = ca.join(cs, Seq("doc_id"), "left")
+            .selectExpr("c_all", "coalesce(c_sub, doc_id) AS c_sub")
+          val perCluster = j.groupBy(col("c_all"))
+            .agg(countDistinct(col("c_sub")).as("parts"), count(lit(1)).as("docs"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val total = perCluster.count()
+          val split = perCluster.filter("parts > 1")
+          val r = split.agg(coalesce(count(lit(1)), lit(0L)).as("nc"),
+            coalesce(sum(col("docs")), lit(0L)).as("nd")).collect()(0)
+          perCluster.unpersist()
+          (total, r.getAs[Long]("nc"), r.getAs[Long]("nd"))
+        }
+        val (ncAll, splitStar, docsStar) = splitReport(star)
+        val (_, splitCap, docsCap) = splitReport(capped)
+        println(f"starrecall $dir%s pairs all=$nAll%d star=$nStar%d capped=$nCap%d " +
+          f"drops all=$dAll%d star=$dStar%d capped=$dCap%d " +
+          f"clusters=$ncAll%d split_star=$splitStar%d docs_in_split_star=$docsStar%d " +
+          f"split_capped=$splitCap%d docs_in_split_capped=$docsCap%d")
+        Seq(all, star, capped).foreach(_.unpersist())
+        spark.catalog.clearCache()
       }
 
       case "hll" => dirs.foreach { dir =>
