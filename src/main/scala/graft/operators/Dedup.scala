@@ -222,6 +222,38 @@ object Dedup {
     bucketProfileOf(minhashSigOf(docs)).collect()(0)
       .getAs[Long]("max_bucket") > cap
 
+  /** Default capped-candidate budget for [[chooseEmitter]]'s middle
+    * rung, derived from the round-14 decade measurements: 85.4 M capped
+    * candidates (salt-100×) verified comfortably on one 32-thread box
+    * (65.6 s) while 1.14 B (salt-1000×) exceeded its disk — 200 M sits
+    * 2.4× above the measured-good point and 5.7× below the measured
+    * death. A cluster caller sizes this to shuffle capacity (1.14 B
+    * rows is an ordinary shuffle for 1000 executors). */
+  private[operators] val AutoCappedBudget = 200000000L
+
+  /** Profile-gated three-rung emitter choice — the measured ladder
+    * (SCALE.md round 14) as one decision function. Returns "all",
+    * "capped", or "star":
+    *  - `max_bucket ≤ cap` → "all": the cap would not bind, the exact
+    *    emitter is free (natural corpora — sf0.1 max_bucket 18);
+    *  - else if `cand_pairs_capped ≤ cappedBudget` → "capped": full
+    *    all-pairs recall inside the resident set at O(cap·n) volume —
+    *    measured EXACT drop-set agreement at mid-saturation where star
+    *    loses 3.7% of drops and splits clusters;
+    *  - else → "star": the only linear-volume rung (Σ(n−1)) when even
+    *    O(cap·n) is billions of rows (K=1000: capped owes 1.14 B,
+    *    star 18.4 M).
+    * ONE driver-side profile row; the persisted sig table is reused
+    * from cache by whichever emitter runs. */
+  private[operators] def chooseEmitter(docs: DataFrame,
+      cap: Int = DefaultBucketCap,
+      cappedBudget: Long = AutoCappedBudget): String = {
+    val row = bucketProfileOf(minhashSigOf(docs)).collect()(0)
+    if (row.getAs[Long]("max_bucket") <= cap) "all"
+    else if (row.getAs[Long]("cand_pairs_capped") <= cappedBudget) "capped"
+    else "star"
+  }
+
   /** DuckDB capped-candidate CTE (expects [[duckBandsCte]]'s `bands`) —
     * ONE rank rule shared with the Spark emitter above. */
   private[operators] def duckCappedCandCte(cap: Int = DefaultBucketCap): String =

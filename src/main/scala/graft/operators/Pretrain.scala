@@ -104,35 +104,31 @@ object Pretrain {
     * production-shaped work at every decade; the `pretrain_prep_fixed`
     * registry entry oracle-checks that direction.
     *
-    * `starDedup = true` swaps stage 3's all-pairs emitter for
-    * [[Dedup.minhashPairsStarOf]] (canonical-star candidates — linear
-    * in corpus at any duplicate-cluster size where all-pairs is
-    * quadratic in bucket occupancy): the knob the
-    * `dedup_minhash_profile` verdict engages on a duplicate-saturated
-    * corpus, and the only way the K=1000 decade leg fits on a box
-    * (16.6 B vs ~20 M candidates — SCALE.md round 13). The
-    * `pretrain_prep_star` registry entry oracle-checks this direction
-    * with the star candidate CTE spliced into the same DuckDB twin;
-    * `pretrain_prep`/`pretrain_prep_fixed` keep the exact all-pairs
-    * emitter.
-    *
-    * `autoDedup = true` makes the profile-before-pairing discipline
-    * CODE instead of prose: stage 3 first runs [[Dedup.starRegime]]'s
-    * O(n) bucket-load profile over the exact-dedup survivors (one
-    * linear aggregation, one driver-side row — the AQE-stats shape) and
-    * engages the star emitter only when `max_bucket` exceeds
-    * [[Dedup.DefaultBucketCap]] (= 64: beyond it at least one bucket
-    * owes > 2k in-bucket pairs and the quadratic term is live; at the
-    * measured extreme, 16.6 B candidates on the K=1000 salted corpus).
-    * Below the threshold the exact all-pairs emitter runs — natural
-    * corpora pay nothing for the guard but the profile pass, whose sig
-    * table the chosen emitter reuses from cache. An explicit
-    * `starDedup = true` still forces the star emitter unconditionally. */
+    * `dedupEmitter` selects stage 3's candidate emitter:
+    *  - `"all"` (default) — the exact all-pairs emitter
+    *    ([[Dedup.minhashPairsOf]]; quadratic in bucket occupancy, fine
+    *    on natural corpora);
+    *  - `"star"` — [[Dedup.minhashPairsStarOf]] (canonical-star,
+    *    Σ(n−1) linear candidates): the rung that completes the K=1000
+    *    decade a box cannot pay all-pairs on (16.6 B vs ~20 M —
+    *    SCALE.md round 13); oracle-checked by `pretrain_prep_star`
+    *    with the star CTE spliced into the same DuckDB twin;
+    *  - `"capped"` — [[Dedup.minhashPairsCappedOf]] (maxPerBucket = 64
+    *    in batch, O(cap·n) volume with measured EXACT all-pairs
+    *    drop-set agreement at mid-saturation — SCALE.md round 14);
+    *  - `"auto"` — the profile-before-pairing discipline AS CODE:
+    *    [[Dedup.chooseEmitter]]'s O(n) bucket-load profile over the
+    *    exact-dedup survivors picks the rung (one linear aggregation,
+    *    one driver-side row — the AQE-stats shape; thresholds
+    *    documented there: max_bucket ≤ 64 → all; capped candidates ≤
+    *    `autoCappedBudget` → capped; else star). Natural corpora pay
+    *    nothing for the guard but the profile pass, whose persisted
+    *    sig table the chosen emitter reuses from cache. */
   def pretrainPrep(s: SparkSession, dir: String,
       budgetTokens: Long = BudgetTokens,
       evalPoolExpr: String = DefaultEvalPool,
-      starDedup: Boolean = false,
-      autoDedup: Boolean = false): DataFrame = {
+      dedupEmitter: String = "all",
+      autoCappedBudget: Long = Dedup.AutoCappedBudget): DataFrame = {
     graft.functions.HashExpressions.register(s)
     val d = Tables.load(s, dir, "documents")
 
@@ -166,10 +162,19 @@ object Pretrain {
     val ekDocs = gated.join(ek, "doc_id")
 
     // ---- 3. MinHash near-dedup, keep-first -------------------------------
-    val useStar = starDedup ||
-      (autoDedup && Dedup.starRegime(ekDocs.select("doc_id", "text")))
-    val pairFn: DataFrame => DataFrame =
-      if (useStar) Dedup.minhashPairsStarOf else Dedup.minhashPairsOf
+    val emitter = dedupEmitter match {
+      case "auto" =>
+        Dedup.chooseEmitter(ekDocs.select("doc_id", "text"),
+          cappedBudget = autoCappedBudget)
+      case e @ ("all" | "star" | "capped") => e
+      case other => throw new IllegalArgumentException(
+        s"dedupEmitter must be all|star|capped|auto, got '$other'")
+    }
+    val pairFn: DataFrame => DataFrame = emitter match {
+      case "star" => Dedup.minhashPairsStarOf
+      case "capped" => Dedup.minhashPairsCappedOf(_)
+      case _ => Dedup.minhashPairsOf
+    }
     val drops = pairFn(ekDocs.select("doc_id", "text"))
       .select(col("doc_b").as("doc_id")).distinct()
     val ndIds = ek.join(drops, Seq("doc_id"), "left_anti")
@@ -233,7 +238,7 @@ object Pretrain {
     * together. */
   private def pretrainPrepSql(budgetTokens: Long,
       evalPoolExpr: String = DefaultEvalPool,
-      starDedup: Boolean = false): String =
+      dedupEmitter: String = "all"): String =
     s"""WITH ${TextOps.duckGopherCtes("documents", minStopHits = 1)},
        |${TextOps.duckLmBucketCtes("documents", "doc_id % 2 = 0", "TRUE")},
        |gated AS (SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
@@ -248,7 +253,11 @@ object Pretrain {
        |shk AS (SELECT sh.doc_id, sh.sh FROM sh JOIN ek USING (doc_id)),
        |${Dedup.duckSigCte("shk")},
        |${Dedup.duckBandsCte},
-       |${if (starDedup) Dedup.duckStarCandCte else Dedup.duckCandCte},
+       |${dedupEmitter match {
+           case "star" => Dedup.duckStarCandCte
+           case "capped" => Dedup.duckCappedCandCte()
+           case _ => Dedup.duckCandCte
+         }},
        |mdup AS (SELECT DISTINCT doc_b AS doc_id
        |  FROM cand JOIN shk sa ON sa.doc_id = doc_a JOIN shk sb ON sb.doc_id = doc_b
        |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
@@ -311,7 +320,15 @@ object Pretrain {
     // the pair level (dedup_minhash_star)
     "pretrain_prep_star" -> QueryDef(
       (s, dir) => pretrainPrep(s, dir, evalPoolExpr = FixedEvalPool,
-        starDedup = true),
-      pretrainPrepSql(BudgetTokens, FixedEvalPool, starDedup = true))
+        dedupEmitter = "star"),
+      pretrainPrepSql(BudgetTokens, FixedEvalPool, dedupEmitter = "star")),
+    // the middle rung, oracle-checked end-to-end too: fixed pool + the
+    // capped emitter (the rung `auto` selects at mid-saturation, where
+    // it reproduces all-pairs' drop set exactly — SCALE.md round 14);
+    // duckCappedCandCte spliced into the same seven-stage twin
+    "pretrain_prep_capped" -> QueryDef(
+      (s, dir) => pretrainPrep(s, dir, evalPoolExpr = FixedEvalPool,
+        dedupEmitter = "capped"),
+      pretrainPrepSql(BudgetTokens, FixedEvalPool, dedupEmitter = "capped"))
   )
 }

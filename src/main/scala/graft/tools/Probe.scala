@@ -117,7 +117,7 @@ object Probe {
       case "pretrainstar" => dirs.foreach { dir =>
         val (t, r) = time(graft.operators.Pretrain.pretrainPrep(spark, dir,
           evalPoolExpr = graft.operators.Pretrain.FixedEvalPool,
-          starDedup = true))
+          dedupEmitter = "star"))
         println(s"pretrainstar $dir ${fmt("pretrain_prep_star", t, r)}")
       }
 

@@ -103,4 +103,20 @@ class CappedDedupSpec extends SparkSpec {
         .select("doc_id", "text")),
       "the natural fixture must NOT engage the bounded emitter")
   }
+
+  test("chooseEmitter: the three-rung ladder selects by profile, thresholds injectable") {
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "wanders across the wide open field toward the river looking for " +
+      "something interesting to chase before the sun finally sets tonight"
+    val sat = (0 until 100).map(i =>
+      (i.toLong, if (i == 0) base else base + f" zzsalt$i%03d")).toDF("doc_id", "text")
+    val natural = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    assert(Dedup.chooseEmitter(natural) == "all",
+      "below the cap the exact emitter is free")
+    assert(Dedup.chooseEmitter(sat) == "capped",
+      "over the cap within the capped budget: the recall-preserving rung")
+    assert(Dedup.chooseEmitter(sat, cappedBudget = 0L) == "star",
+      "past the capped budget: the only linear rung")
+  }
 }

@@ -115,42 +115,44 @@ class PretrainPrepSpec extends SparkSpec {
       evalPoolExpr = Pretrain.FixedEvalPool).collect().nonEmpty)
   }
 
-  test("pretrain_prep_star: identical realized corpus at base scale, where the emitters must agree") {
+  test("pretrain_prep_star/_capped: identical realized corpus at base scale, where the emitters must agree") {
     // at base scale (exact-dedup already ran, near-dup buckets are tiny
-    // mutual-similarity cliques) the star emitter's keep-first drop set
-    // equals all-pairs' — the same cannot-drift pin pretrain_prep_fixed
-    // got for the pool parameterization, one knob over: the starDedup
-    // arg (engine) and the duckStarCandCte splice (oracle) must only
-    // diverge from all-pairs where chains actually differ, never at the
-    // base fixture
-    val star = Pretrain.pretrainPrep(spark, dir,
-      evalPoolExpr = Pretrain.FixedEvalPool, starDedup = true).collect()
+    // mutual-similarity cliques) every bounded emitter's keep-first
+    // drop set equals all-pairs' — the same cannot-drift pin
+    // pretrain_prep_fixed got for the pool parameterization, one knob
+    // over: the dedupEmitter arg (engine) and the candidate-CTE splice
+    // (oracle) must only diverge from all-pairs where chains/caps
+    // actually bind, never at the base fixture
     val allPairs = Pretrain.pretrainPrep(spark, dir,
       evalPoolExpr = Pretrain.FixedEvalPool).collect()
-    assert(star.nonEmpty)
-    assert(star.map(_.toSeq).toSet == allPairs.map(_.toSeq).toSet,
-      "star and all-pairs capstones must realize the same corpus at base scale")
+    assert(allPairs.nonEmpty)
+    Seq("star", "capped").foreach { e =>
+      val got = Pretrain.pretrainPrep(spark, dir,
+        evalPoolExpr = Pretrain.FixedEvalPool, dedupEmitter = e).collect()
+      assert(got.map(_.toSeq).toSet == allPairs.map(_.toSeq).toSet,
+        s"$e and all-pairs capstones must realize the same corpus at base scale")
+    }
   }
 
-  test("autoDedup: profile-gated emitter choice drives both branches") {
+  test("auto dedupEmitter: the profile-gated three-rung ladder drives every branch") {
     import org.apache.spark.sql.functions._
-    // base fixture: natural bucket loads sit far under the cap, so the
-    // profile must choose the exact all-pairs emitter — autoDedup output
-    // IS the default output (and the guard costs only the profile pass)
+    // RUNG 1 — base fixture: natural bucket loads sit far under the
+    // cap, the profile must choose the exact all-pairs emitter — auto
+    // output IS the default output (the guard costs only the profile
+    // pass)
     assert(!Dedup.starRegime(graft.Tables.load(spark, dir, "documents")
         .select("doc_id", "text")),
       "the natural fixture must profile below the cap")
     val auto = Pretrain.pretrainPrep(spark, dir,
-      evalPoolExpr = Pretrain.FixedEvalPool, autoDedup = true).collect()
+      evalPoolExpr = Pretrain.FixedEvalPool, dedupEmitter = "auto").collect()
     val allPairs = Pretrain.pretrainPrep(spark, dir,
       evalPoolExpr = Pretrain.FixedEvalPool).collect()
     assert(auto.map(_.toSeq).toSet == allPairs.map(_.toSeq).toSet,
-      "below the threshold autoDedup must be the all-pairs capstone exactly")
+      "below the cap, auto must be the all-pairs capstone exactly")
 
     // duplicate-saturated corpus: 150 near-twins of a doc that reached
-    // the realized corpus (so its clones pass the quality gates too) put
-    // one bucket far over the cap — the profile must engage the star
-    // emitter, and the realized corpus must equal the forced-star run
+    // the realized corpus (so its clones pass the quality gates too)
+    // put one bucket far over the cap
     val keptId = rows.map(_.getAs[Long]("doc_id")).min
     val d = graft.Tables.load(spark, dir, "documents")
     val baseDoc = d.filter(col("doc_id") === keptId)
@@ -161,16 +163,34 @@ class PretrainPrepSpec extends SparkSpec {
       .reduce(_ unionByName _)
       .withColumn("n_chars", length(col("text")).cast(d.schema("n_chars").dataType))
     d.unionByName(twins).write.mode("overwrite").parquet(s"$out/documents.parquet")
-    assert(Dedup.starRegime(graft.Tables.load(spark, out, "documents")
-        .select("doc_id", "text")),
-      "the saturated corpus must profile over the cap")
+    val satDocs = graft.Tables.load(spark, out, "documents")
+      .select("doc_id", "text")
+    // RUNG 2 — over the cap but within the capped budget: auto must be
+    // the capped capstone (the measured mid-saturation rung)
+    assert(Dedup.chooseEmitter(satDocs) == "capped",
+      "a 150-twin bucket within budget must select the capped rung")
     val autoSat = Pretrain.pretrainPrep(spark, out,
-      evalPoolExpr = Pretrain.FixedEvalPool, autoDedup = true).collect()
-    val starSat = Pretrain.pretrainPrep(spark, out,
-      evalPoolExpr = Pretrain.FixedEvalPool, starDedup = true).collect()
+      evalPoolExpr = Pretrain.FixedEvalPool, dedupEmitter = "auto").collect()
+    val cappedSat = Pretrain.pretrainPrep(spark, out,
+      evalPoolExpr = Pretrain.FixedEvalPool, dedupEmitter = "capped").collect()
     assert(autoSat.nonEmpty)
-    assert(autoSat.map(_.toSeq).toSet == starSat.map(_.toSeq).toSet,
-      "over the threshold autoDedup must be the star capstone exactly")
+    assert(autoSat.map(_.toSeq).toSet == cappedSat.map(_.toSeq).toSet,
+      "over the cap within budget, auto must be the capped capstone exactly")
+    // RUNG 3 — capped budget exhausted (injected 0 — a real 16.6 B
+    // corpus doesn't fit a unit test): auto must fall through to star
+    assert(Dedup.chooseEmitter(satDocs, cappedBudget = 0L) == "star",
+      "a blown capped budget must select the star rung")
+    val autoStar = Pretrain.pretrainPrep(spark, out,
+      evalPoolExpr = Pretrain.FixedEvalPool, dedupEmitter = "auto",
+      autoCappedBudget = 0L).collect()
+    val starSat = Pretrain.pretrainPrep(spark, out,
+      evalPoolExpr = Pretrain.FixedEvalPool, dedupEmitter = "star").collect()
+    assert(autoStar.map(_.toSeq).toSet == starSat.map(_.toSeq).toSet,
+      "past the capped budget, auto must be the star capstone exactly")
+
+    intercept[IllegalArgumentException] {
+      Pretrain.pretrainPrep(spark, dir, dedupEmitter = "bogus")
+    }
   }
 
   test("tail plan: sampling joins broadcast; no cartesian; codegen'd (no UDF fallback)") {
