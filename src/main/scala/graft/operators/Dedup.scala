@@ -71,11 +71,20 @@ object Dedup {
     * arbitrary (bands × width) split of the 16 lanes — the LSH recall
     * knob as a parameter (minhash_band_sweep measures the alternatives;
     * the operating point is [[bandedCandidates]]). */
-  private def bandedCandidatesCfg(sig: DataFrame, nb: Int, w: Int): DataFrame = {
+  /** doc_id → (band, key) rows for an arbitrary (bands × width) split of
+    * the 16 lanes — ONE explode definition behind every banding consumer
+    * (all three pair emitters AND the bucket-load profiler), so a band
+    * retune cannot silently desynchronize the profile from the buckets
+    * the emitters actually pair on. */
+  private def bandsOf(sig: DataFrame, nb: Int = 4, w: Int = 4): DataFrame = {
     require(nb * w == 16, s"band split must cover the 16 lanes: $nb x $w")
-    val bands = sig.selectExpr("doc_id",
-      s"explode(transform(sequence(0, ${nb - 1}), b -> struct(b AS band, concat_ws('_', slice(sig, b * $w + 1, $w)) AS key))) AS bk")
+    sig.selectExpr("doc_id",
+        s"explode(transform(sequence(0, ${nb - 1}), b -> struct(b AS band, concat_ws('_', slice(sig, b * $w + 1, $w)) AS key))) AS bk")
       .selectExpr("doc_id", "bk.band AS band", "bk.key AS key")
+  }
+
+  private def bandedCandidatesCfg(sig: DataFrame, nb: Int, w: Int): DataFrame = {
+    val bands = bandsOf(sig, nb, w)
     bands.alias("a")
       .join(bands.alias("b"),
         expr("a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"))
@@ -103,9 +112,7 @@ object Dedup {
     * chances to meet a canonical it IS similar to. One groupBy + one
     * equi-join, no self-join anywhere. */
   private def bandedCandidatesStar(sig: DataFrame): DataFrame = {
-    val bands = sig.selectExpr("doc_id",
-      "explode(transform(sequence(0, 3), b -> struct(b AS band, concat_ws('_', slice(sig, b * 4 + 1, 4)) AS key))) AS bk")
-      .selectExpr("doc_id", "bk.band AS band", "bk.key AS key")
+    val bands = bandsOf(sig)
     val canon = bands.groupBy(col("band"), col("key"))
       .agg(min(col("doc_id")).as("doc_a"))
     bands.join(canon, Seq("band", "key"))
@@ -162,9 +169,7 @@ object Dedup {
     * in-partition sort bounded by bucket occupancy. */
   private def bandedCandidatesCapped(sig: DataFrame, cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bands = sig.selectExpr("doc_id",
-      "explode(transform(sequence(0, 3), b -> struct(b AS band, concat_ws('_', slice(sig, b * 4 + 1, 4)) AS key))) AS bk")
-      .selectExpr("doc_id", "bk.band AS band", "bk.key AS key")
+    val bands = bandsOf(sig)
     val residents = bands
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("band"), col("key")).orderBy(col("doc_id"))))
@@ -189,11 +194,9 @@ object Dedup {
     * would pay). The frame behind the dedup_minhash_profile registry
     * entry, factored so [[starRegime]] can profile COMPOSED inputs
     * (pretrain_prep's exact-dedup survivors), not just the raw table. */
-  private[operators] def bucketProfileOf(sig: DataFrame): DataFrame = {
-    val cap = DefaultBucketCap
-    sig.selectExpr("doc_id",
-        "explode(transform(sequence(0, 3), b -> struct(b AS band, concat_ws('_', slice(sig, b * 4 + 1, 4)) AS key))) AS bk")
-      .selectExpr("doc_id", "bk.band AS band", "bk.key AS key")
+  private[operators] def bucketProfileOf(sig: DataFrame,
+      cap: Int = DefaultBucketCap): DataFrame = {
+    bandsOf(sig)
       .groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("n_buckets"),
@@ -208,19 +211,12 @@ object Dedup {
           s"$cap * n - $cap * ${cap + 1} div 2)")).as("cand_pairs_capped"))
   }
 
-  /** The "profile before pairing" discipline AS CODE: TRUE when the
-    * all-pairs emitter's bucket load is in the adversarial regime —
-    * `max_bucket > cap` means at least one bucket owes more than
-    * cap(cap−1)/2 ≈ 2k in-bucket pairs and the quadratic term is live
-    * (the K=1000 salted corpus: 16.6 B candidates, a disk-filling
-    * verify join — SCALE.md round 13). ONE driver-side row, the same
-    * scalar-decision shape AQE reads from runtime stats; the persisted
-    * sig table it profiles is the SAME plan the chosen emitter then
-    * reads, so the profile pass is amortized into the dedup it gates. */
+  /** The adversarial-regime flag: TRUE when the all-pairs emitter's
+    * bucket load exceeds the cap — [[chooseEmitter]]'s "not all" verdict
+    * (one definition; this is the boolean view the specs pin). */
   private[operators] def starRegime(docs: DataFrame,
       cap: Int = DefaultBucketCap): Boolean =
-    bucketProfileOf(minhashSigOf(docs)).collect()(0)
-      .getAs[Long]("max_bucket") > cap
+    chooseEmitter(docs, cap) != "all"
 
   /** Default capped-candidate budget for [[chooseEmitter]]'s middle
     * rung, derived from the round-14 decade measurements: 85.4 M capped
@@ -243,14 +239,19 @@ object Dedup {
     *  - else → "star": the only linear-volume rung (Σ(n−1)) when even
     *    O(cap·n) is billions of rows (K=1000: capped owes 1.14 B,
     *    star 18.4 M).
-    * ONE driver-side profile row; the persisted sig table is reused
-    * from cache by whichever emitter runs. */
+    * ONE driver-side profile row (the `cap` used to decide is the cap
+    * threaded into the profile's capped-volume estimate, so the verdict
+    * prices the emitter the caller will actually run); the persisted
+    * sig table is reused from cache by whichever emitter runs. An empty
+    * corpus (nothing shingles) profiles as max_bucket 0 → "all". */
   private[operators] def chooseEmitter(docs: DataFrame,
       cap: Int = DefaultBucketCap,
       cappedBudget: Long = AutoCappedBudget): String = {
-    val row = bucketProfileOf(minhashSigOf(docs)).collect()(0)
-    if (row.getAs[Long]("max_bucket") <= cap) "all"
-    else if (row.getAs[Long]("cand_pairs_capped") <= cappedBudget) "capped"
+    val row = bucketProfileOf(minhashSigOf(docs), cap).collect()(0)
+    def l(c: String): Long =
+      Option(row.getAs[java.lang.Long](c)).map(_.longValue).getOrElse(0L)
+    if (l("max_bucket") <= cap) "all"
+    else if (l("cand_pairs_capped") <= cappedBudget) "capped"
     else "star"
   }
 

@@ -166,15 +166,19 @@ object Multimodal {
       require(w > 0 && w <= MaxDim && h > 0 && h <= MaxDim,
         s"BMP dims out of range ($w x $h) for doc $docId")
       require(bpp > 0 && bpp <= 32, s"BMP bpp $bpp out of range for doc $docId")
-      if (compression == 0) {
+      if (compression == 0 || compression == 3) {
+        // BI_RGB and BI_BITFIELDS are both STORED UNCOMPRESSED (3 only
+        // adds channel masks), so the strict bound applies: the declared
+        // raster must actually be present in the buffer
         val rowBytes = ((w.toLong * bpp + 31) / 32) * 4
         require(dataOff >= 54 && dataOff.toLong + rowBytes * h <= content.length,
           s"BMP raster exceeds the buffer for doc $docId (truncated or lying header)")
       } else {
-        // compressed container: raster-fits-buffer can't apply, so bound
-        // the DECLARED pixel count by input size times the densest real
-        // compression ratio ([[MaxCompressedPixelsPerByte]]) — a tiny
-        // body claiming huge dims must flag here, never allocate
+        // genuinely compressed container (RLE etc): raster-fits-buffer
+        // can't apply, so bound the DECLARED pixel count by input size
+        // times the densest real compression ratio
+        // ([[MaxCompressedPixelsPerByte]]) — a tiny body claiming huge
+        // dims must flag here, never allocate
         require(w.toLong * h <= content.length.toLong * MaxCompressedPixelsPerByte,
           s"BMP declared pixels exceed any real compression of ${content.length} bytes ($w x $h) for doc $docId")
       }
@@ -494,13 +498,15 @@ object Multimodal {
       require(bpp > 0 && bpp <= 32, s"AVI bpp $bpp out of range for doc ${r.doc_id}")
       val rowBytes = ((w.toLong * bpp + 31) / 32) * 4
       val imgs = frames.result().map { dib =>
-        if (compression == 0)
+        if (compression == 0 || compression == 3)
+          // BI_RGB / BI_BITFIELDS frames are stored uncompressed — the
+          // declared raster must be present in the chunk
           require(dib.length >= rowBytes * h,
             s"AVI frame smaller than the declared raster for doc ${r.doc_id}")
         else
-          // compressed frames: same bomb gate as checkBmpHeader's
-          // compressed branch — declared pixels bounded by what this
-          // frame's bytes could really expand to
+          // genuinely compressed frames: same bomb gate as
+          // checkBmpHeader's compressed branch — declared pixels bounded
+          // by what this frame's bytes could really expand to
           require(w.toLong * h <= dib.length.toLong * MaxCompressedPixelsPerByte,
             s"AVI frame declared pixels exceed any real compression of ${dib.length} bytes ($w x $h) for doc ${r.doc_id}")
         // a complete BMP = 14-byte file header + the stream's info header

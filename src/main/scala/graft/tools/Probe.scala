@@ -164,9 +164,12 @@ object Probe {
         // partitions REFINE all-pairs'; count the all-pairs clusters the
         // bounded partition splits and the docs affected. Docs absent
         // from the bounded graph are singletons (cluster_id = doc_id).
+        // The all-pairs CC — the leg's dominant cost on a saturated
+        // corpus — is computed ONCE and shared by both reports.
+        val ca = graft.operators.Curation.connectedComponents(all)
+          .select(col("doc_id"), col("cluster_id").as("c_all"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         def splitReport(sub: DataFrame): (Long, Long, Long) = {
-          val ca = graft.operators.Curation.connectedComponents(all)
-            .select(col("doc_id"), col("cluster_id").as("c_all"))
           val cs = graft.operators.Curation.connectedComponents(sub)
             .select(col("doc_id"), col("cluster_id").as("c_sub"))
           val j = ca.join(cs, Seq("doc_id"), "left")
@@ -187,7 +190,7 @@ object Probe {
           f"drops all=$dAll%d star=$dStar%d capped=$dCap%d " +
           f"clusters=$ncAll%d split_star=$splitStar%d docs_in_split_star=$docsStar%d " +
           f"split_capped=$splitCap%d docs_in_split_capped=$docsCap%d")
-        Seq(all, star, capped).foreach(_.unpersist())
+        Seq(all, star, capped, ca).foreach(_.unpersist())
         spark.catalog.clearCache()
       }
 

@@ -56,12 +56,19 @@ class MultimodalFuzzSpec extends SparkSpec {
       // total-decode wrapper)
       MediaRow(9L, "image", patched(bmpValid) { b =>
         b.putInt(18, 8192); b.putInt(22, 8192); b.putInt(30, 1)
+      }),
+      // BI_BITFIELDS bomb: compression=3 is STORED UNCOMPRESSED (masks
+      // only), so the strict raster-fits-buffer bound applies — a body
+      // big enough to slip the 128 px/byte ratio gate must still flag
+      // because the declared 8192x8192 raster is not in the buffer
+      MediaRow(10L, "image", patched(bmpValid) { b =>
+        b.putInt(18, 8192); b.putInt(22, 8192); b.putInt(30, 3)
       })))
-    assert(got.size == 9, "every row must come back — flagged, not thrown")
+    assert(got.size == 10, "every row must come back — flagged, not thrown")
     assert(got(1L).decode_ok == 1 && got(1L).checksum == direct.checksum
       && got(1L).width == direct.width && got(1L).height == direct.height,
       "a bad neighbor must not perturb the valid row")
-    (2L to 9L).foreach { id =>
+    (2L to 10L).foreach { id =>
       assert(got(id).decode_ok == 0 && got(id).checksum == -1L
         && got(id).width == 0 && got(id).height == 0,
         s"doc $id must flag, got ${got(id)}")
@@ -120,10 +127,17 @@ class MultimodalFuzzSpec extends SparkSpec {
         b.putInt(strfIdx + 8 + 4, 8192)   // biWidth
         b.putInt(strfIdx + 8 + 8, 8192)   // biHeight
         b.putInt(strfIdx + 8 + 16, 1)     // biCompression
+      }),
+      // BI_BITFIELDS stream bomb: stored-uncompressed, so the strict
+      // frame-holds-raster bound applies regardless of the ratio gate
+      MediaRow(10L, "video", patched(aviValid) { b =>
+        b.putInt(strfIdx + 8 + 4, 8192)
+        b.putInt(strfIdx + 8 + 8, 8192)
+        b.putInt(strfIdx + 8 + 16, 3)
       })))
-    assert(got.size == 9)
+    assert(got.size == 10)
     assert(got(1L).decode_ok == 1 && got(1L).checksum == direct.checksum)
-    (2L to 9L).foreach { id =>
+    (2L to 10L).foreach { id =>
       assert(got(id).decode_ok == 0, s"doc $id must flag, got ${got(id)}")
     }
   }

@@ -45,7 +45,8 @@ code_detect hll_overlap memorization_spans feature_chi2
 ccnet_perplexity_buckets mix_doremi tokenizer_unigram
 tokenizer_unigram_fertility dedup_url tokenizer_unigram_apply
 mix_doremi_plan label_noise_detect pretrain_prep pretrain_prep_fixed
-dedup_minhash_profile dedup_minhash_star""".split()
+dedup_minhash_profile dedup_minhash_star dedup_minhash_capped
+pretrain_prep_star pretrain_prep_capped""".split()
 
 EMB_QUERIES = """ann_cosine_topk ann_cosine_bucketed ann_ivf_probe
 ann_ivf_nprobe ann_ivf_pq ann_recall_report dedup_embedding_cosine
