@@ -223,8 +223,26 @@ object Dedup {
     * candidates (salt-100×) verified comfortably on one 32-thread box
     * (65.6 s) while 1.14 B (salt-1000×) exceeded its disk — 200 M sits
     * 2.4× above the measured-good point and 5.7× below the measured
-    * death. A cluster caller sizes this to shuffle capacity (1.14 B
-    * rows is an ordinary shuffle for 1000 executors). */
+    * death.
+    *
+    * Cluster sizing formula (the knob is injectable through
+    * [[graft.operators.Pretrain.pretrainPrep]]'s `autoCappedBudget`):
+    *
+    *   budget ≈ Comfortable_per_unit × executor_units
+    *
+    * where an "executor unit" is the measured shape (32 cores / 128 GiB
+    * RAM / local SSD) and Comfortable_per_unit = 85 M candidate pairs —
+    * the verified-comfortable single-unit anchor. The cost being
+    * budgeted is the verify join's shuffle: each candidate row ships
+    * both docs' sorted shingle arrays (~8 B × |sh| each, |sh| ≈ doc
+    * tokens), so bytes ≈ budget × 2 × 8 × avg_shingles must fit the
+    * cluster's aggregate shuffle-spill capacity with headroom — the
+    * single-unit FATAL anchor is 1.14 B rows (71 GB spill, killed), so
+    * keep budget / executor_units at least 5× under ~1.1 B. A
+    * 1000-executor cluster thus runs budget ≈ 85 B comfortably — the
+    * K=1000 decade's 1.14 B capped candidates, fatal on one box, are an
+    * ordinary shuffle there. The default (200 M) is the ONE-unit
+    * setting this repo benches on. */
   private[operators] val AutoCappedBudget = 200000000L
 
   /** Profile-gated three-rung emitter choice — the measured ladder

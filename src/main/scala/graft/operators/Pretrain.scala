@@ -123,7 +123,17 @@ object Pretrain {
     *    documented there: max_bucket ≤ 64 → all; capped candidates ≤
     *    `autoCappedBudget` → capped; else star). Natural corpora pay
     *    nothing for the guard but the profile pass, whose persisted
-    *    sig table the chosen emitter reuses from cache. */
+    *    sig table the chosen emitter reuses from cache.
+    *
+    *    NOTE `"auto"` makes this call EAGER: the profile (gates →
+    *    exact dedup → signatures → one aggregate row) runs at
+    *    plan-construction time, not at the returned frame's first
+    *    action. The sig table it persists is the cache the chosen
+    *    emitter reuses, so it is deliberately NOT unpersisted here —
+    *    its lifetime is the session cache's (drop it with
+    *    `spark.catalog.clearCache()` between corpora; repeated auto
+    *    calls over DIFFERENT inputs otherwise accumulate one cached
+    *    sig table each, ~128 B/doc). */
   def pretrainPrep(s: SparkSession, dir: String,
       budgetTokens: Long = BudgetTokens,
       evalPoolExpr: String = DefaultEvalPool,

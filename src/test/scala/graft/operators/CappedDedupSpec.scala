@@ -62,25 +62,29 @@ class CappedDedupSpec extends SparkSpec {
     // Jaccards 88/108 ≈ 0.815 (adjacent) and 78/118 ≈ 0.661 (ends) —
     // the adjacent pairs verify, the ends don't. Star pairs C only against canonical A (fails verify) so C
     // SURVIVES; all-pairs and capped (cap ≥ 2) emit (B, C) and drop it.
-    // The vocabulary seed is searched deterministically because bucket
-    // co-residency of all three depends on the hash values; the found
-    // seed is then pinned by the assertions below.
+    // Bucket co-residency of all three depends on the hash values, so the
+    // vocabulary seed was searched once and is PINNED here (re-derive after
+    // a hash-function retune by re-enabling the search below: the first sd
+    // in 0 until 60 where star == {(1,2)} and all == {(1,2),(2,3)}).
+    //   val seed = (0 until 60).find { sd =>
+    //     val star = pairSet(Dedup.minhashPairsStarOf(docsFor(sd)))
+    //     val all = pairSet(Dedup.minhashPairsOf(docsFor(sd)))
+    //     star == Set((1L, 2L)) && all == Set((1L, 2L), (2L, 3L))
+    //   }
     def docsFor(seed: Int) = {
       def t(lo: Int, hi: Int) =
         (lo to hi).map(k => s"s${seed}w$k").mkString(" ")
       Seq((1L, t(1, 100)), (2L, t(11, 110)), (3L, t(21, 120)))
         .toDF("doc_id", "text")
     }
-    val seed = (0 until 60).find { sd =>
-      val star = pairSet(Dedup.minhashPairsStarOf(docsFor(sd)))
-      val all = pairSet(Dedup.minhashPairsOf(docsFor(sd)))
-      star == Set((1L, 2L)) && all == Set((1L, 2L), (2L, 3L))
-    }
-    assert(seed.nonEmpty, "no vocabulary seed produced the A~B~C chain-in-one-bucket regime")
-    val docs = docsFor(seed.get)
+    val ChainSeed = 21
+    val docs = docsFor(ChainSeed)
     val all = pairSet(Dedup.minhashPairsOf(docs))
     val star = pairSet(Dedup.minhashPairsStarOf(docs))
     val capped = pairSet(Dedup.minhashPairsCappedOf(docs, cap = 2))
+    assert(star == Set((1L, 2L)) && all == Set((1L, 2L), (2L, 3L)),
+      s"pinned seed $ChainSeed no longer produces the A~B~C chain-in-one-bucket " +
+        "regime — a hash retune moved the buckets; re-derive with the search above")
     assert(drops(all) == Set(2L, 3L) && drops(star) == Set(2L),
       s"chain regime: all-pairs drops both links, star keeps the far end (${drops(star)})")
     assert(drops(capped) == Set(2L, 3L),
