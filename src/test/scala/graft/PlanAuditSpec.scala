@@ -856,7 +856,7 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("InMemoryRelation"),
       "all three configs band over the ONE persisted signature table dedup_minhash materializes")
     assert(p.contains("partial_count"),
-      "per-config candidate aggregation must be partial+final: 3 rows leave the final stage")
+      "per-config candidate aggregation must be partial+final: 9 rows leave the final stage")
   }
 
   test("dedup_cluster_stats: histogram aggregates are combiner-merged; no partitioned cartesian") {

@@ -28,6 +28,42 @@ class CappedDedupSpec extends SparkSpec {
     assert(capped.forall { case (a, b) => a < b })
   }
 
+  test("band-split grid: star ⊆ capped ⊆ all-pairs at EVERY swept (nb × w) point") {
+    // The recall knob (band split) must compose with the volume knob
+    // (emitter): at every grid point the sweep measures, the emitter
+    // ladder's containment — and the cap=1 ≡ star degeneracy — hold, so
+    // a caller retuning bands for recall keeps the bounded emitters.
+    // Fixture: a saturated 80-twin clique, so containment is STRICT
+    // wherever the split actually crowds a bucket past the cap.
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "wanders across the wide open field toward the river looking for " +
+      "something interesting to chase before the sun finally sets tonight"
+    val sat = (0 until 80).map(i =>
+      (i.toLong, if (i == 0) base else base + f" zzsalt$i%03d")).toDF("doc_id", "text")
+    val cap = 4
+    Dedup.bandSweepCfgs.foreach { case (nb, w) =>
+      val all = pairSet(Dedup.minhashPairsOf(sat, nb, w))
+      val capped = pairSet(Dedup.minhashPairsCappedOf(sat, cap, nb, w))
+      val star = pairSet(Dedup.minhashPairsStarOf(sat, nb, w))
+      assert(star.subsetOf(capped), s"($nb x $w): star must be ⊆ capped")
+      assert(capped.subsetOf(all), s"($nb x $w): capped must be ⊆ all-pairs")
+      assert(pairSet(Dedup.minhashPairsCappedOf(sat, 1, nb, w)) == star,
+        s"($nb x $w): cap = 1 must degenerate to the star emitter")
+      val mb = Dedup.bucketProfileOf(Dedup.minhashSigOf(
+          sat.select("doc_id", "text")), cap, nb, w)
+        .collect()(0).getAs[Long]("max_bucket")
+      if (mb > cap)
+        assert(star.size < capped.size && capped.size < all.size,
+          s"($nb x $w): max_bucket $mb exceeds the cap, containment must be strict " +
+            s"(${star.size} / ${capped.size} / ${all.size})")
+    }
+    // the operating point is known-saturated on the clique — at least
+    // there the strict branch above must have engaged
+    val mb44 = Dedup.bucketProfileOf(Dedup.minhashSigOf(
+        sat.select("doc_id", "text")), cap).collect()(0).getAs[Long]("max_bucket")
+    assert(mb44 > cap, s"4x4 clique bucket must exceed the cap, got $mb44")
+  }
+
   test("cap = 1 degenerates to the star emitter exactly") {
     val d = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     assert(pairSet(Dedup.minhashPairsCappedOf(d, cap = 1))

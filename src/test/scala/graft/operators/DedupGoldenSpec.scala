@@ -53,26 +53,40 @@ class DedupGoldenSpec extends SparkSpec {
     }
   }
 
-  test("minhash_band_sweep: nested band splits give monotone candidate sets; 4x4 row ties to calibration") {
+  test("minhash_band_sweep: full (split × emitter) grid; monotone all-pairs; 4x4 ties to calibration") {
     val dir = fixture()
     val rows = graft.SparkEntry.queries("minhash_band_sweep")(spark, dir)
-      .as[(Long, Long, Long, Long, Long)].collect().toSeq
-    assert(rows.map(r => (r._1, r._2)) == Seq((2L, 8L), (4L, 4L), (8L, 2L)),
-      s"one row per sweep config, bands ascending: $rows")
+      .as[(Long, Long, String, Long, Long, Long)].collect().toSeq
+    // one row per (split, emitter) grid point, (bands, emitter) ascending
+    assert(rows.map(r => (r._1, r._3)) ==
+      (for (b <- Seq(2L, 4L, 8L); e <- Seq("all", "capped", "star")) yield (b, e)),
+      s"one row per sweep config per emitter: $rows")
     // width-w bands split exactly into width-w/2 bands, so a pair sharing
-    // a wide band shares both halves: candidates are SUPERSETS as width
-    // shrinks — n_candidates must be nondecreasing in bands
-    val n = rows.map(_._3)
-    assert(n == n.sorted, s"candidate volume must grow with band count: $rows")
+    // a wide band shares both halves: ALL-PAIRS candidates are SUPERSETS
+    // as width shrinks — n_candidates nondecreasing in bands (the bounded
+    // emitters re-pick canonicals/residents per split, so only weak
+    // bounds apply to them: star ≤ capped ≤ all per split)
+    val all = rows.filter(_._3 == "all").map(_._4)
+    assert(all == all.sorted, s"all-pairs volume must grow with band count: $rows")
+    rows.groupBy(_._1).foreach { case (b, rs) =>
+      val byEm = rs.map(r => r._3 -> r._4).toMap
+      assert(byEm("star") <= byEm("capped") && byEm("capped") <= byEm("all"),
+        s"ladder ordering must hold within split $b: $rs")
+      // this fixture's buckets hold ≤ 2 residents, far under the cap —
+      // the three emitters must coincide exactly (a 2-bucket's star pair
+      // IS its all pair), the degenerate end of the containment spec
+      assert(byEm("star") == byEm("all"),
+        s"≤2-resident buckets: emitters must coincide at split $b: $rs")
+    }
     // the exact-copy pair (3, 6) agrees on every lane — it is a candidate
-    // at every config, with est 1000
-    assert(n.forall(_ >= 1L), s"the exact-copy pair must surface at every config: $rows")
-    assert(rows.forall(_._5 >= 1L), s"est >= 0.5 must include the exact pair at every config: $rows")
-    // the (4, 4) row measures the SAME candidate set minhash_calibration
-    // reports per-pair — the counts must tie out
+    // at every grid point, with est 1000
+    assert(rows.forall(_._4 >= 1L), s"the exact-copy pair must surface everywhere: $rows")
+    assert(rows.forall(_._6 >= 1L), s"est >= 0.5 must include the exact pair everywhere: $rows")
+    // the (4, 4, all) row measures the SAME candidate set
+    // minhash_calibration reports per-pair — the counts must tie out
     val calPairs = graft.SparkEntry.queries("minhash_calibration")(spark, dir).count()
-    assert(rows.find(_._1 == 4L).get._3 == calPairs,
-      "the 4x4 sweep row and the calibration pair frame must see one candidate set")
+    assert(rows.find(r => r._1 == 4L && r._3 == "all").get._4 == calPairs,
+      "the 4x4 all-pairs sweep row and the calibration pair frame must see one candidate set")
   }
 
   test("dedup_cluster_stats: histogram ties out against the per-doc cluster frame") {
