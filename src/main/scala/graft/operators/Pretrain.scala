@@ -181,9 +181,9 @@ object Pretrain {
         s"dedupEmitter must be all|star|capped|auto, got '$other'")
     }
     val pairFn: DataFrame => DataFrame = emitter match {
-      case "star" => Dedup.minhashPairsStarOf
+      case "star" => Dedup.minhashPairsStarOf(_)
       case "capped" => Dedup.minhashPairsCappedOf(_)
-      case _ => Dedup.minhashPairsOf
+      case _ => Dedup.minhashPairsOf(_)
     }
     val drops = pairFn(ekDocs.select("doc_id", "text"))
       .select(col("doc_b").as("doc_id")).distinct()
@@ -339,6 +339,18 @@ object Pretrain {
     "pretrain_prep_capped" -> QueryDef(
       (s, dir) => pretrainPrep(s, dir, evalPoolExpr = FixedEvalPool,
         dedupEmitter = "capped"),
-      pretrainPrepSql(BudgetTokens, FixedEvalPool, dedupEmitter = "capped"))
+      pretrainPrepSql(BudgetTokens, FixedEvalPool, dedupEmitter = "capped")),
+    // the DISPATCH itself, oracle-pinned end-to-end: "auto" profiles the
+    // exact-dedup survivors and picks the rung inside the capstone. At
+    // fixture scale the profile's max_bucket sits far under the cap
+    // (sf0.1 measures 18 on the RAW corpus; survivors bucket smaller), so
+    // chooseEmitter returns "all" and the expected rung's oracle IS the
+    // fixed-pool all-pairs twin — this entry must hash-equal
+    // pretrain_prep_fixed, proving the auto wiring through the driver
+    // (PretrainPrepSpec drives the other two rungs suite-side)
+    "pretrain_prep_auto" -> QueryDef(
+      (s, dir) => pretrainPrep(s, dir, evalPoolExpr = FixedEvalPool,
+        dedupEmitter = "auto"),
+      pretrainPrepSql(BudgetTokens, FixedEvalPool, dedupEmitter = "all"))
   )
 }
