@@ -51,6 +51,14 @@ object StreamingNearDup {
   /** Bucket-resident docs: bounded at `maxPerBucket`, TTL-evicted. */
   case class BucketState(entries: List[(Long, Array[Long])])
 
+  /** [[bucketLoad]]'s readout: a bucket whose cumulative arrivals in the
+    * TTL horizon exceed the cap — `seen` arrivals, `overflow` of them
+    * past the cap (truncated from [[pairs]]' resident state). */
+  case class BucketLoad(bucket: String, seen: Long, overflow: Long)
+
+  /** [[bucketLoad]]'s per-bucket state: one arrival counter. */
+  private[streaming] case class LoadState(seen: Long)
+
   private def lanesEqualPm(a: Array[Long], b: Array[Long]): Long = {
     // a width mismatch must be LOUD: dividing matched lanes by a hardcoded
     // 16 would silently skew the estimate for any other signature width
@@ -99,14 +107,14 @@ object StreamingNearDup {
     out.iterator
   }
 
-  /** `docs` must carry (doc_id: long, text: string, ts: timestamp).
-    * Returns the stream of near-dup candidate pairs (append mode). */
-  def pairs(docs: DataFrame, maxPerBucket: Int = 64, minEstPm: Long = 750,
-      ttlMs: Long = 10L * 60 * 1000, delay: String = "0 seconds"): Dataset[CandPair] = {
+  /** Map-side banding shared by [[pairs]] and [[bucketLoad]] — ONE
+    * signature/band-key/watermark definition, so the telemetry counts
+    * exactly the buckets the pair query keys its state on. */
+  private def banded(docs: DataFrame, delay: String): Dataset[BandRow] = {
     val s = docs.sparkSession
     import s.implicits._
     HashExpressions.register(s)
-    val banded = docs
+    docs
       .withColumn("ets", col("ts").cast("timestamp"))
       .withWatermark("ets", delay)
       // map-side: native signature once per doc, then the 4×4 band keys —
@@ -119,8 +127,61 @@ object StreamingNearDup {
       .select(col("bucket"), col("doc_id").as("docId"), col("sig"), col("ems"),
         col("ets"))
       .as[BandRow]
-    banded.groupByKey(_.bucket)
+  }
+
+  /** `docs` must carry (doc_id: long, text: string, ts: timestamp).
+    * Returns the stream of near-dup candidate pairs (append mode). */
+  def pairs(docs: DataFrame, maxPerBucket: Int = 64, minEstPm: Long = 750,
+      ttlMs: Long = 10L * 60 * 1000, delay: String = "0 seconds"): Dataset[CandPair] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    banded(docs, delay).groupByKey(_.bucket)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         stateFn(maxPerBucket, minEstPm, ttlMs))
+  }
+
+  /** Per-bucket load telemetry — [[stateFn]]'s overflow twin. Counts
+    * this batch's arrivals into the cumulative census and reports the
+    * bucket ONLY when it is past the cap, so output volume is bounded
+    * by saturated buckets touched per batch, never bucket count. */
+  private[streaming] def loadFn(cap: Int, ttlMs: Long)(
+      key: String, rows: Iterator[BandRow],
+      state: GroupState[LoadState]): Iterator[BucketLoad] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    var maxMs = 0L
+    var n = 0L
+    rows.foreach { r => if (r.ems > maxMs) maxMs = r.ems; n += 1 }
+    val seen = state.getOption.map(_.seen).getOrElse(0L) + n
+    state.update(LoadState(seen))
+    // same TTL discipline as stateFn: watermark-clamped, never unset
+    val wm = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(math.max(maxMs + ttlMs, wm + 1L))
+    if (seen > cap) Iterator.single(BucketLoad(key, seen, seen - cap))
+    else Iterator.empty
+  }
+
+  /** Bucket-saturation telemetry: the streaming twin of the batch
+    * `dedup_minhash_profile` "know before you pay" discipline. [[pairs]]
+    * silently stops admitting residents once a bucket hits
+    * `maxPerBucket` — correct for state bounds, but the intake operator
+    * then discovers the recall cost only in the nightly batch census.
+    * Run THIS query beside the pair query (same source, same banding,
+    * same TTL horizon — one shared map-side definition), and every
+    * micro-batch that touches a bucket whose cumulative arrivals exceed
+    * the cap emits (bucket, seen, overflow): saturation is VISIBLE as
+    * it arrives, and the operator escalates the batch pass to the
+    * capped/star emitter (Dedup.chooseEmitter's ladder) before recall
+    * is lost. State is ONE long per active bucket — strictly lighter
+    * than the pair query's resident lists, same eviction horizon.
+    * Counts are per-arrival (an at-least-once source's re-deliveries
+    * count again — load telemetry, not an exact census; the exact
+    * batch profiler is `dedup_minhash_profile`). */
+  def bucketLoad(docs: DataFrame, maxPerBucket: Int = 64,
+      ttlMs: Long = 10L * 60 * 1000, delay: String = "0 seconds"): Dataset[BucketLoad] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    banded(docs, delay).groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        loadFn(maxPerBucket, ttlMs))
   }
 }

@@ -207,4 +207,41 @@ class StreamingNearDupSpec extends SparkSpec {
     assert(st.getTimeoutTimestampMs.get() == 500001L,
       "timeout must clamp to watermark + 1, never at/behind it")
   }
+
+  test("bucketLoad: CROSS-batch saturation surfaces as overflow telemetry the moment the cap is crossed") {
+    // 6 + 6 arrivals of the same text: each batch alone sits under the
+    // cap (8), so per-batch profiling would see nothing — the cumulative
+    // census crosses it in batch 2 and every one of the 4 band buckets
+    // reports (seen = 12, overflow = 4). Exactly the silent-truncation
+    // window the pairs query's resident cap opens.
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingNearDup.bucketLoad(
+        ms.toDF().toDF("doc_id", "text", "ts"), maxPerBucket = 8)
+      .writeStream.format("memory").queryName("bload")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L to 6L).map(i =>
+        (i, base, t("2024-01-01 00:00:01"))): _*)
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM bload").count() == 0,
+        "under the cap: silence (output bounded by SATURATED buckets only)")
+      ms.addData((7L to 12L).map(i =>
+        (i, base, t("2024-01-01 00:00:02"))): _*)
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT bucket, seen, overflow FROM bload")
+        .as[(String, Long, Long)].collect().toSeq
+      assert(rows.size == 4 && rows.map(_._1).distinct.size == 4,
+        s"identical docs share all 4 band buckets, each reports once: $rows")
+      assert(rows.forall(r => r._2 == 12L && r._3 == 4L),
+        s"cumulative census must read 12 seen / 4 over the cap: $rows")
+      // a saturated bucket keeps reporting on every batch that touches it
+      ms.addData((13L, base, t("2024-01-01 00:00:03")))
+      q.processAllAvailable()
+      val again = spark.sql("SELECT seen, overflow FROM bload WHERE seen = 13")
+        .as[(Long, Long)].collect().toSeq
+      assert(again.size == 4 && again.forall(_._2 == 5L),
+        s"batch 3 re-reports the still-saturated buckets: $again")
+    } finally q.stop()
+  }
 }
