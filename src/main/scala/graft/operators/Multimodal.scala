@@ -62,6 +62,30 @@ object Multimodal {
     * escape the NonFatal total-decode wrappers. */
   private[operators] val MaxCompressedPixelsPerByte = 128L
 
+  /** Absolute decoded-pixel ceiling for COMPRESSED containers, ANDed
+    * with the per-byte ratio gate above: the ratio gate alone still
+    * lets a body ≥ ~525 KB claim MaxDim × MaxDim (67 M px), and
+    * ImageIO's decode raster for that claim is a ~268 MB transient
+    * allocation per image/frame — up to ~512× input amplification,
+    * whose OutOfMemoryError is FATAL and escapes the NonFatal
+    * total-decode wrappers. 16 M pixels bounds the compressed branch's
+    * raster at ~64 MB per task. Uncompressed branches are untouched —
+    * raster-fits-buffer already bounds them at ~4× input. A production
+    * deployment sizes this to its media policy alongside [[MaxDim]]. */
+  private[operators] val MaxCompressedPixels = 16L << 20
+
+  /** ONE compressed-container bomb gate for both container families
+    * (standalone BMP and per-AVI-frame): declared pixels bounded by
+    * what the body bytes could really expand to AND by the absolute
+    * decode-raster budget. */
+  private[operators] def checkCompressedPixels(w: Int, h: Int,
+      bodyLen: Int, what: String, docId: Long): Unit = {
+    require(w.toLong * h <= bodyLen.toLong * MaxCompressedPixelsPerByte,
+      s"$what declared pixels exceed any real compression of $bodyLen bytes ($w x $h) for doc $docId")
+    require(w.toLong * h <= MaxCompressedPixels,
+      s"$what declared pixels exceed the compressed decode budget ($w x $h) for doc $docId")
+  }
+
   /** Typed row for the media table. */
   case class MediaRow(doc_id: Long, media_type: String, content: Array[Byte])
 
@@ -176,11 +200,10 @@ object Multimodal {
       } else {
         // genuinely compressed container (RLE etc): raster-fits-buffer
         // can't apply, so bound the DECLARED pixel count by input size
-        // times the densest real compression ratio
-        // ([[MaxCompressedPixelsPerByte]]) — a tiny body claiming huge
-        // dims must flag here, never allocate
-        require(w.toLong * h <= content.length.toLong * MaxCompressedPixelsPerByte,
-          s"BMP declared pixels exceed any real compression of ${content.length} bytes ($w x $h) for doc $docId")
+        // times the densest real compression ratio AND by the absolute
+        // decode budget ([[checkCompressedPixels]]) — a body claiming
+        // huge dims must flag here, never allocate
+        checkCompressedPixels(w, h, content.length, "BMP", docId)
       }
     }
 
@@ -504,11 +527,11 @@ object Multimodal {
           require(dib.length >= rowBytes * h,
             s"AVI frame smaller than the declared raster for doc ${r.doc_id}")
         else
-          // genuinely compressed frames: same bomb gate as
-          // checkBmpHeader's compressed branch — declared pixels bounded
-          // by what this frame's bytes could really expand to
-          require(w.toLong * h <= dib.length.toLong * MaxCompressedPixelsPerByte,
-            s"AVI frame declared pixels exceed any real compression of ${dib.length} bytes ($w x $h) for doc ${r.doc_id}")
+          // genuinely compressed frames: THE same bomb gate as
+          // checkBmpHeader's compressed branch (one definition) —
+          // declared pixels bounded by what this frame's bytes could
+          // really expand to and by the absolute decode budget
+          checkCompressedPixels(w, h, dib.length, "AVI frame", r.doc_id)
         // a complete BMP = 14-byte file header + the stream's info header
         // + the chunk payload; decoded by the real in-JDK BMP reader
         val bmp = java.nio.ByteBuffer.allocate(14 + strf.length + dib.length)

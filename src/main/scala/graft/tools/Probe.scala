@@ -50,6 +50,9 @@ object Probe {
     val dirs = args.lift(1).map(_.split(",").toSeq.map(_.trim))
       .getOrElse(Seq("/root/testdata/sf0.1")).filter(_.nonEmpty)
     val reps = args.lift(2).map(_.toInt).getOrElse(3)
+    // fail LOUDLY at parse time: reps = 0 would otherwise produce an empty
+    // sample (and NPE in the legs that collect a row inside the timed loop)
+    require(reps >= 1, s"reps must be >= 1, got $reps")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.GraftSession.build(Some(s"local[$cpus]"), cpus.toInt, "graft-probe")
     spark.sparkContext.setLogLevel("ERROR")

@@ -63,16 +63,37 @@ class MultimodalFuzzSpec extends SparkSpec {
       // because the declared 8192x8192 raster is not in the buffer
       MediaRow(10L, "image", patched(bmpValid) { b =>
         b.putInt(18, 8192); b.putInt(22, 8192); b.putInt(30, 3)
+      }),
+      // BIG-body compressed bomb: a ~600 KB RLE-claimed body slips the
+      // 128 px/byte ratio gate (67.1 M declared px ≤ 76.8 M allowed) —
+      // the ABSOLUTE MaxCompressedPixels budget must flag it before
+      // ImageIO sizes a ~268 MB raster from the claim
+      MediaRow(11L, "image", patched(
+          bmpValid ++ Array.fill(600000)('A'.toByte)) { b =>
+        b.putInt(18, 8192); b.putInt(22, 8192); b.putInt(30, 1)
       })))
-    assert(got.size == 10, "every row must come back — flagged, not thrown")
+    assert(got.size == 11, "every row must come back — flagged, not thrown")
     assert(got(1L).decode_ok == 1 && got(1L).checksum == direct.checksum
       && got(1L).width == direct.width && got(1L).height == direct.height,
       "a bad neighbor must not perturb the valid row")
-    (2L to 10L).foreach { id =>
+    (2L to 11L).foreach { id =>
       assert(got(id).decode_ok == 0 && got(id).checksum == -1L
         && got(id).width == 0 && got(id).height == 0,
         s"doc $id must flag, got ${got(id)}")
     }
+  }
+
+  test("compressed-pixel gate: ratio AND absolute budget, one definition for BMP and AVI frames") {
+    import graft.operators.Multimodal.{checkCompressedPixels, MaxCompressedPixels}
+    // small body, huge claim: the ratio arm rejects
+    assertThrows[IllegalArgumentException](
+      checkCompressedPixels(8192, 8192, 1024, "t", 1L))
+    // big body (slips the ratio arm), huge claim: the ABSOLUTE arm rejects
+    assertThrows[IllegalArgumentException](
+      checkCompressedPixels(8192, 8192, 600000, "t", 1L))
+    // big body, claim within both arms: admitted
+    checkCompressedPixels(4096, 4096, 600000, "t", 1L)
+    assert(4096L * 4096 <= MaxCompressedPixels)
   }
 
   test("WAV: truncation and lying fmt chunks flag, never throw") {
