@@ -928,7 +928,18 @@ object Curation {
     * `curriculum_plan` registry comment. Low score = easy = stage 1;
     * a tie-group of equal scores lands entirely in the stage of its
     * cumulative endpoint (deterministic, the distribution-cutoff rule).
-    */
+    *
+    * Cardinality contract: the cumulative window runs over the (score,
+    * count) DISTRIBUTION, and the resulting (score → stage) cutoff
+    * frame is BROADCAST back onto the corpus — so the distinct-score
+    * domain must stay broadcast-sized (≤ ~10⁶ values). That is a hard
+    * structural bound, not a silent funnel: a score domain past the
+    * broadcast threshold fails the join LOUDLY, and the documented fix
+    * is the classifierAuc knob — coarsen the score quantization (the
+    * difficulty signal here is a token count; quantized ppb/ppm scores
+    * are already domain-bounded). PlanAuditSpec pins the shape: one
+    * SinglePartition exchange, consuming the post-aggregate
+    * distribution frame only. */
   def curriculumPlan(scored: DataFrame, stages: Int = 4,
       nShards: Int = 8): DataFrame = {
     require(stages >= 1 && nShards >= 1, s"stages=$stages nShards=$nShards")

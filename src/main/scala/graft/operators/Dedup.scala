@@ -141,7 +141,7 @@ object Dedup {
     * with the volume knob: a caller who retunes bands (e.g. 8×2 for
     * higher recall) keeps the bounded emitter instead of being forced
     * back to the quadratic all-pairs path. */
-  private[operators] def minhashPairsStarOf(docs: DataFrame,
+  private[graft] def minhashPairsStarOf(docs: DataFrame,
       nb: Int = 4, w: Int = 4): DataFrame =
     verifyPairs(shinglesOf(docs), bandedCandidatesStar(minhashSigOf(docs), nb, w))
 
@@ -198,7 +198,7 @@ object Dedup {
     * variant (same signature/shingle/Jaccard fragments, capped
     * candidates). Band split parameterized like [[minhashPairsStarOf]]:
     * both bound knobs (volume: `cap`; recall: `nb × w`) compose. */
-  private[operators] def minhashPairsCappedOf(docs: DataFrame,
+  private[graft] def minhashPairsCappedOf(docs: DataFrame,
       cap: Int = DefaultBucketCap, nb: Int = 4, w: Int = 4): DataFrame =
     verifyPairs(shinglesOf(docs), bandedCandidatesCapped(minhashSigOf(docs), cap, nb, w))
 
@@ -276,7 +276,7 @@ object Dedup {
     * prices the emitter the caller will actually run); the persisted
     * sig table is reused from cache by whichever emitter runs. An empty
     * corpus (nothing shingles) profiles as max_bucket 0 → "all". */
-  private[operators] def chooseEmitter(docs: DataFrame,
+  private[graft] def chooseEmitter(docs: DataFrame,
       cap: Int = DefaultBucketCap,
       cappedBudget: Long = AutoCappedBudget,
       nb: Int = 4, w: Int = 4): String = {
@@ -314,7 +314,7 @@ object Dedup {
     * toward all-pairs on any corpus with shared boilerplate. ONE Scala
     * list drives both engines' sweep SQL AND the grid the containment
     * spec pins (star ⊆ capped ⊆ all-pairs at every point). */
-  private[operators] val bandSweepCfgs: Seq[(Int, Int)] = Seq((2, 8), (4, 4), (8, 2))
+  private[graft] val bandSweepCfgs: Seq[(Int, Int)] = Seq((2, 8), (4, 4), (8, 2))
 
   /** doc_id + distinct 3-token shingle hashes (guarded for short docs),
     * recomputed map-side per use — cheap native expression, poor cache
@@ -479,6 +479,7 @@ object Dedup {
     * [[winnowPairs]] for the same knob on the winnow family). */
   private[graft] def ngramPipelineOf(docs: DataFrame,
       midCap: Int = 1): NgramStages = {
+      require(midCap >= 1, s"midCap must be >= 1, got $midCap")
       val s = docs.sparkSession
       graft.functions.HashExpressions.register(s)
       // gram arrays are recomputed per use — the native graft_gram5 is a
@@ -607,7 +608,7 @@ object Dedup {
     * registry), and the pretrain_prep near-dedup stage. Band split
     * parameterized like the bounded emitters (default = the 4×4
     * operating point). */
-  private[operators] def minhashPairsOf(docs: DataFrame,
+  private[graft] def minhashPairsOf(docs: DataFrame,
       nb: Int = 4, w: Int = 4): DataFrame =
     // persisted slim sig: computed once, shared across consumers via cache
     verifyPairs(shinglesOf(docs), bandedCandidatesCfg(minhashSigOf(docs), nb, w))
@@ -1592,17 +1593,6 @@ object Dedup {
       .selectExpr("doc_id", s"c div ${1L << 31}L AS pos", s"c % ${1L << 31}L AS fp")
   }
 
-  /** Cross-doc winnowing overlap: pairs sharing >= `minShared` distinct
-    * fingerprints, with `overlap_pm` = shared·1000 div min(|fp_a|,|fp_b|)
-    * (the containment-style plagiarism score). Two-tier bucket policy on
-    * fingerprint document-frequency, exactly the ngram-jaccard shape:
-    * df in [2, dfCap] pairs fully inside the bucket; df > dfCap emits
-    * only (bucket-min hub, member) pairs — crowded boilerplate
-    * fingerprints contribute hub-member evidence instead of df² pairs.
-    * `midCap` widens the deep tier from hub (1, the default) to CAPPED
-    * pairing (first midCap residents pair fully and against every
-    * member), the same volume ladder as the MinHash family's emitters.
-    */
   /** DuckDB twin of [[winnowPairs]] over `documents` — ONE builder for
     * every (dfCap, midCap) setting, so the hub and capped tiers of the
     * registry cannot drift from each other (the deep tier instantiates
@@ -1655,6 +1645,17 @@ object Dedup {
        |JOIN nf nb ON nb.doc_id = doc_b
        |WHERE shared_fp >= $minShared ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Cross-doc winnowing overlap: pairs sharing >= `minShared` distinct
+    * fingerprints, with `overlap_pm` = shared·1000 div min(|fp_a|,|fp_b|)
+    * (the containment-style plagiarism score). Two-tier bucket policy on
+    * fingerprint document-frequency, exactly the ngram-jaccard shape:
+    * df in [2, dfCap] pairs fully inside the bucket; df > dfCap emits
+    * only (bucket-min hub, member) pairs — crowded boilerplate
+    * fingerprints contribute hub-member evidence instead of df² pairs.
+    * `midCap` widens the deep tier from hub (1, the default) to CAPPED
+    * pairing (first midCap residents pair fully and against every
+    * member), the same volume ladder as the MinHash family's emitters.
+    */
   def winnowPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
       dfCap: Int = 50, minShared: Int = 2, midCap: Int = 1): DataFrame = {
     require(midCap >= 1, s"midCap must be >= 1, got $midCap")

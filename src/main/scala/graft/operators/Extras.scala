@@ -593,9 +593,10 @@ object Extras {
     // first item is A, never B. All money exact int64 cents; shares in
     // per-mille by shared trunc division. Scale shape: the per-item
     // revenue agg is the only corpus-volume shuffle (partial+final); the
-    // ranking window runs over the ITEM DOMAIN — catalog-bounded, the
-    // skew_profile "exact percentiles are fine at key-domain size"
-    // argument — never over sales rows. -----------------------------------
+    // global revenue cumsum is DECOMPOSED (rangeRankCum: range-partition
+    // + local window + broadcast prefix offsets), so no single task ever
+    // sorts the whole catalog — a 10⁸-item catalog windows in ≈ n/B-row
+    // tasks. -----------------------------------------------------------------
     "inventory_abc" -> QueryDef(
       (s, dir) => inventoryAbc(Tables.load(s, dir, "lineitem")
         .selectExpr("l_partkey AS item",
@@ -622,8 +623,8 @@ object Extras {
     // ascending revenues; num is non-negative and ≤ den by construction
     // so ONE trunc division suffices (headroom: den·10⁶ < 10³⁸ up to
     // n·total_cents ≈ 10³², far past any catalog). Scale shape: the
-    // per-item agg is the only corpus-volume shuffle; the rank window
-    // runs over the ITEM DOMAIN (the inventory_abc argument) and the
+    // per-item agg is the only corpus-volume shuffle; the global rank is
+    // DECOMPOSED (rangeRankCum — no single-task catalog sort) and the
     // final fold is one row. ------------------------------------------------
     "gini_concentration" -> QueryDef(
       (s, dir) => giniConcentration(Tables.load(s, dir, "lineitem")
@@ -787,20 +788,64 @@ object Extras {
       })
   )
 
+  /** Global (rank, inclusive cumsum) over an ordered frame WITHOUT the
+    * single-partition WindowExec a bare `Window.orderBy` plans: range-
+    * repartition on the order keys (sampled balanced boundaries, so the
+    * physical partition id is monotone in the order and sizes are skew-
+    * proof ≈ n/B regardless of value clustering), rank + cumsum locally
+    * per partition, then add per-partition prefix offsets from the
+    * ≤ B-row partition census via a broadcast triangular self-join —
+    * the q8_running_total decomposition generalized from calendar
+    * partitions to sampled range partitions. Rank and decimal cumsum
+    * are exact and associative, so the result is bit-identical to the
+    * global window wherever the sampler drops the boundaries (which is
+    * why the sampled, not-run-reproducible boundaries are safe under
+    * the deterministic-output rule). B = the session shuffle-partition
+    * count: per-task window volume is ≈ n/B rows, the same sizing rule
+    * as every other shuffle in the engine. Adds `i` (1-based global
+    * rank, long) and `cum` (inclusive running sum of `valueCol`). */
+  private def rangeRankCum(df: org.apache.spark.sql.DataFrame,
+      order: Seq[org.apache.spark.sql.Column], valueCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = df.sparkSession.sessionState.conf.numShufflePartitions
+    // persisted: the ranked frame feeds the local window AND the
+    // partition census (twice, via the triangular join) — without the
+    // persist each consumer re-runs the upstream scan + aggregation
+    // (the winnowPairs fps-persist pattern; also pins the sampled range
+    // boundaries and spark_partition_id to ONE materialization)
+    val parts = df.repartitionByRange(b, order: _*)
+      .withColumn("_gp_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wRank = Window.partitionBy(col("_gp_pid")).orderBy(order: _*)
+    val wCum = wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parts
+      .withColumn("_gp_r", row_number().over(wRank).cast("long"))
+      .withColumn("_gp_c", sum(col(valueCol)).over(wCum))
+    val census = parts.groupBy(col("_gp_pid"))
+      .agg(count(lit(1)).as("_gp_ct"), sum(col(valueCol)).as("_gp_vs"))
+    val off = census.as("a")
+      .join(broadcast(census.as("b")), col("b._gp_pid") < col("a._gp_pid"), "left")
+      .groupBy(col("a._gp_pid").as("_gp_pid"))
+      .agg(sum(col("b._gp_ct")).as("_gp_cof"), sum(col("b._gp_vs")).as("_gp_vof"))
+    local.join(broadcast(off), "_gp_pid")
+      .withColumn("i", coalesce(col("_gp_cof"), lit(0L)) + col("_gp_r"))
+      .withColumn("cum", expr(s"coalesce(_gp_vof, 0) + _gp_c"))
+      .drop("_gp_pid", "_gp_r", "_gp_c", "_gp_cof", "_gp_vof")
+  }
+
   /** Gini concentration of any `(item, price DECIMAL)` sales frame —
     * see the `gini_concentration` registry comment. Exact integer ppm:
     * G = (2·Σ(i·x_i) − (n+1)·Σx) / (n·Σx) over ascending-sorted item
     * revenues (rank i = 1..n, ties broken by item id — a deterministic
     * total order both engines share; the ppm value is invariant to
-    * which equal-revenue item takes which rank). */
+    * which equal-revenue item takes which rank). The rank comes from
+    * [[rangeRankCum]] — the item frame scales with the catalog, so a
+    * bare global window would funnel it through one task. */
   def giniConcentration(sales: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val rev = sales
       .groupBy(col("item"))
       .agg(sum(expr("CAST(price * 100 AS DECIMAL(38,0))")).as("rev_dec"))
-    rev
-      .withColumn("i", row_number().over(
-        Window.orderBy(col("rev_dec").asc, col("item").asc)))
+    rangeRankCum(rev, Seq(col("rev_dec").asc, col("item").asc), "rev_dec")
       .agg(count(lit(1)).as("n"),
         sum(col("rev_dec")).as("sx"),
         sum(expr("CAST(i AS DECIMAL(38,0)) * rev_dec")).as("six"))
@@ -820,22 +865,22 @@ object Extras {
       aPm: Long = 800L, bPm: Long = 950L): org.apache.spark.sql.DataFrame = {
     require(aPm >= 1 && aPm < bPm && bPm <= 1000,
       s"need 1 <= aPm < bPm <= 1000, got ($aPm, $bPm)")
-    import org.apache.spark.sql.expressions.Window
     val rev = sales
       .groupBy(col("item"))
       .agg(sum(expr("CAST(price * 100 AS DECIMAL(38,0))")).as("rev_dec"))
-    val w = Window.orderBy(col("rev_dec").desc, col("item"))
-      .rowsBetween(Long.MinValue, 0)
-    rev
-      .withColumn("cum_dec", sum(col("rev_dec")).over(w))
-      .withColumn("tot_dec", sum(col("rev_dec")).over())
+    // decomposed global cumsum ([[rangeRankCum]] — the item frame scales
+    // with the catalog); the grand total is one aggregate row broadcast
+    // back, replacing the SinglePartition `sum() OVER ()` frame
+    val tot = rev.agg(sum(col("rev_dec")).as("tot_dec"))
+    rangeRankCum(rev, Seq(col("rev_dec").desc, col("item").asc), "rev_dec")
+      .crossJoin(broadcast(tot))
       // the class boundary reads the share BEFORE this item, so the item
       // that crosses a boundary belongs to the class it started in (the
       // textbook assignment; an all-revenue first item is A, never B)
       .selectExpr("item", "CAST(rev_dec AS BIGINT) AS revenue_cents",
-        "CAST(cum_dec * 1000 div tot_dec AS BIGINT) AS cum_share_pm",
-        s"CASE WHEN (cum_dec - rev_dec) * 1000 div tot_dec < ${aPm}L THEN 'A'" +
-          s" WHEN (cum_dec - rev_dec) * 1000 div tot_dec < ${bPm}L THEN 'B'" +
+        "CAST(cum * 1000 div tot_dec AS BIGINT) AS cum_share_pm",
+        s"CASE WHEN (cum - rev_dec) * 1000 div tot_dec < ${aPm}L THEN 'A'" +
+          s" WHEN (cum - rev_dec) * 1000 div tot_dec < ${bPm}L THEN 'B'" +
           " ELSE 'C' END AS abc_class")
       .transform(graft.Sorted.byNames(_, "item"))
   }

@@ -134,11 +134,14 @@ object Pretrain {
     *    `spark.catalog.clearCache()` between corpora; repeated auto
     *    calls over DIFFERENT inputs otherwise accumulate one cached
     *    sig table each, ~128 B/doc). */
-  def pretrainPrep(s: SparkSession, dir: String,
-      budgetTokens: Long = BudgetTokens,
-      evalPoolExpr: String = DefaultEvalPool,
-      dedupEmitter: String = "all",
-      autoCappedBudget: Long = Dedup.AutoCappedBudget): DataFrame = {
+  /** Stages 1–2 of [[pretrainPrep]] (quality gates → exact-dedup
+    * survivors), factored to ONE definition so the decade probe
+    * (tools/Probe `pretrainauto` leg) observes the exact frame the
+    * `"auto"` dispatch profiles — no hand copy to drift. Returns
+    * (gated, ek, ekDocs): the gate-surviving corpus (lineage-cut), the
+    * canonical exact-dedup ids, and their full rows. */
+  private[graft] def gateAndExactDedup(s: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
     graft.functions.HashExpressions.register(s)
     val d = Tables.load(s, dir, "documents")
 
@@ -170,6 +173,16 @@ object Pretrain {
     val ek = dg.join(dg.groupBy("dg").agg(min("doc_id").as("cid")), "dg")
       .filter("doc_id = cid").select("doc_id")
     val ekDocs = gated.join(ek, "doc_id")
+    (gated, ek, ekDocs)
+  }
+
+  def pretrainPrep(s: SparkSession, dir: String,
+      budgetTokens: Long = BudgetTokens,
+      evalPoolExpr: String = DefaultEvalPool,
+      dedupEmitter: String = "all",
+      autoCappedBudget: Long = Dedup.AutoCappedBudget): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val (gated, ek, ekDocs) = gateAndExactDedup(s, dir)
 
     // ---- 3. MinHash near-dedup, keep-first -------------------------------
     val emitter = dedupEmitter match {

@@ -56,8 +56,15 @@ object StreamingNearDup {
     * past the cap (truncated from [[pairs]]' resident state). */
   case class BucketLoad(bucket: String, seen: Long, overflow: Long)
 
-  /** [[bucketLoad]]'s per-bucket state: one arrival counter. */
-  private[streaming] case class LoadState(seen: Long)
+  /** [[bucketLoad]]'s per-bucket state: the doc_ids the pair query would
+    * have admitted as residents (bounded at the cap, same admission rule
+    * as [[stateFn]] — sorted-by-id within a batch, dedup against the
+    * tracked set) plus one counter of truncated arrivals. Tracking the
+    * ids instead of a bare arrival count keeps the telemetry honest
+    * against duplicate delivery: a doc_id re-delivered while resident is
+    * ignored here exactly as [[stateFn]] ignores it, so `overflow`
+    * counts only arrivals the pair query actually refused state for. */
+  private[streaming] case class LoadState(ids: List[Long], extra: Long)
 
   private def lanesEqualPm(a: Array[Long], b: Array[Long]): Long = {
     // a width mismatch must be LOUD: dividing matched lanes by a hardcoded
@@ -148,15 +155,27 @@ object StreamingNearDup {
       key: String, rows: Iterator[BandRow],
       state: GroupState[LoadState]): Iterator[BucketLoad] = {
     if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    var st = state.getOption.getOrElse(LoadState(Nil, 0L))
+    var ids = st.ids
+    var extra = st.extra
     var maxMs = 0L
-    var n = 0L
-    rows.foreach { r => if (r.ems > maxMs) maxMs = r.ems; n += 1 }
-    val seen = state.getOption.map(_.seen).getOrElse(0L) + n
-    state.update(LoadState(seen))
+    // mirror stateFn's admission exactly: batch arrivals in doc_id order,
+    // a doc_id already resident is skipped (the pair query skips it too,
+    // so it cost no recall), a new id enters the tracked set while there
+    // is room and is otherwise a truncated arrival. A truncated id
+    // re-delivered counts again — the pair query re-processes it too.
+    rows.toSeq.sortBy(_.docId).foreach { r =>
+      if (r.ems > maxMs) maxMs = r.ems
+      if (!ids.contains(r.docId)) {
+        if (ids.size < cap) ids = ids :+ r.docId
+        else extra += 1L
+      }
+    }
+    state.update(LoadState(ids, extra))
     // same TTL discipline as stateFn: watermark-clamped, never unset
     val wm = state.getCurrentWatermarkMs()
     state.setTimeoutTimestamp(math.max(maxMs + ttlMs, wm + 1L))
-    if (seen > cap) Iterator.single(BucketLoad(key, seen, seen - cap))
+    if (extra > 0) Iterator.single(BucketLoad(key, ids.size + extra, extra))
     else Iterator.empty
   }
 
@@ -171,11 +190,15 @@ object StreamingNearDup {
     * the cap emits (bucket, seen, overflow): saturation is VISIBLE as
     * it arrives, and the operator escalates the batch pass to the
     * capped/star emitter (Dedup.chooseEmitter's ladder) before recall
-    * is lost. State is ONE long per active bucket — strictly lighter
-    * than the pair query's resident lists, same eviction horizon.
-    * Counts are per-arrival (an at-least-once source's re-deliveries
-    * count again — load telemetry, not an exact census; the exact
-    * batch profiler is `dedup_minhash_profile`). */
+    * is lost. State is a bounded id list (≤ cap longs) plus one counter
+    * per active bucket — still strictly lighter than the pair query's
+    * resident (id, 16-lane sig) entries, same eviction horizon.
+    * Duplicate delivery of a RESIDENT doc_id is ignored exactly as the
+    * pair query ignores it (no phantom overflow on an exactly-once
+    * source); re-delivery of an already-TRUNCATED id counts again, as
+    * the pair query re-processes it — load telemetry faithful to the
+    * pair query's state admissions, not an exact distinct census (that
+    * is the batch `dedup_minhash_profile`). */
   def bucketLoad(docs: DataFrame, maxPerBucket: Int = 64,
       ttlMs: Long = 10L * 60 * 1000, delay: String = "0 seconds"): Dataset[BucketLoad] = {
     val s = docs.sparkSession

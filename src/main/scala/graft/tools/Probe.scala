@@ -40,6 +40,52 @@ object Probe {
 
   private val Decades = Seq(1, 10, 30)
 
+  /** Shared recall-metric block behind the starrecall and sweeprecall
+    * legs: pair counts, keep-first drop sets, and connected-component
+    * agreement of the bounded emitters vs all-pairs on ONE corpus.
+    * Component semantics: star/capped edges are subsets, so their
+    * partitions REFINE all-pairs'; we count the all-pairs clusters the
+    * bounded partition splits and the docs affected. Docs absent from
+    * the bounded graph are singletons (cluster_id = doc_id). The
+    * all-pairs CC — the dominant cost on a saturated corpus — is
+    * computed ONCE and shared by both reports. Persists the three slim
+    * pair frames; unpersists everything before returning. */
+  private def recallReport(all0: DataFrame, star0: DataFrame,
+      capped0: DataFrame): String = {
+    def slim(df: DataFrame) = df.select(col("doc_a"), col("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val all = slim(all0); val star = slim(star0); val capped = slim(capped0)
+    val (nAll, nStar, nCap) = (all.count(), star.count(), capped.count())
+    def dropCount(df: DataFrame) = df.select(col("doc_b")).distinct().count()
+    val (dAll, dStar, dCap) = (dropCount(all), dropCount(star), dropCount(capped))
+    val ca = graft.operators.Curation.connectedComponents(all)
+      .select(col("doc_id"), col("cluster_id").as("c_all"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def splitReport(sub: DataFrame): (Long, Long, Long) = {
+      val cs = graft.operators.Curation.connectedComponents(sub)
+        .select(col("doc_id"), col("cluster_id").as("c_sub"))
+      val j = ca.join(cs, Seq("doc_id"), "left")
+        .selectExpr("c_all", "coalesce(c_sub, doc_id) AS c_sub")
+      val perCluster = j.groupBy(col("c_all"))
+        .agg(countDistinct(col("c_sub")).as("parts"), count(lit(1)).as("docs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val total = perCluster.count()
+      val split = perCluster.filter("parts > 1")
+      val r = split.agg(coalesce(count(lit(1)), lit(0L)).as("nc"),
+        coalesce(sum(col("docs")), lit(0L)).as("nd")).collect()(0)
+      perCluster.unpersist()
+      (total, r.getAs[Long]("nc"), r.getAs[Long]("nd"))
+    }
+    val (ncAll, splitStar, docsStar) = splitReport(star)
+    val (_, splitCap, docsCap) = splitReport(capped)
+    val out = f"pairs all=$nAll%d star=$nStar%d capped=$nCap%d " +
+      f"drops all=$dAll%d star=$dStar%d capped=$dCap%d " +
+      f"clusters=$ncAll%d split_star=$splitStar%d docs_in_split_star=$docsStar%d " +
+      f"split_capped=$splitCap%d docs_in_split_capped=$docsCap%d"
+    Seq(all, star, capped, ca).foreach(_.unpersist())
+    out
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
       System.err.println(
@@ -124,6 +170,26 @@ object Probe {
         println(s"pretrainstar $dir ${fmt("pretrain_prep_star", t, r)}")
       }
 
+      // the capstone with dedupEmitter = "auto", decade-proven: report
+      // the rung chooseEmitter selects on the EXACT frame the dispatch
+      // profiles (the stage-2 exact-dedup survivors, via the shared
+      // Pretrain.gateAndExactDedup definition — no hand copy to drift),
+      // then run the auto capstone to completion. Expected ladder on the
+      // salted corpora: 10× (mid-saturation, max_bucket ~180) → capped;
+      // K=1000 (capped candidates ~1.14 B > the 200 M one-unit budget)
+      // → star. The timed run INCLUDES the eager profile pass — that is
+      // what auto costs.
+      case "pretrainauto" => dirs.foreach { dir =>
+        spark.catalog.clearCache()
+        val (_, _, ekDocs) = graft.operators.Pretrain.gateAndExactDedup(spark, dir)
+        val rung = graft.operators.Dedup.chooseEmitter(ekDocs.select("doc_id", "text"))
+        spark.catalog.clearCache()
+        val (t, r) = time(graft.operators.Pretrain.pretrainPrep(spark, dir,
+          evalPoolExpr = graft.operators.Pretrain.FixedEvalPool,
+          dedupEmitter = "auto"))
+        println(s"pretrainauto $dir rung=$rung ${fmt("pretrain_prep_auto", t, r)}")
+      }
+
       // LSH bucket-load profile per dir: the candidate volume the MinHash
       // pair emitter would pay (quadratic in bucket occupancy) — the
       // decade evidence behind the round-13 capstone-at-1000x finding
@@ -154,47 +220,29 @@ object Probe {
       // split) — the measured recall cost behind the A~B,B~C keep-first
       // divergence documented on bandedCandidatesStar
       case "starrecall" => dirs.foreach { dir =>
-        def pairs(q: String) = graft.SparkEntry.registry(q).fn(spark, dir)
-          .select(col("doc_a"), col("doc_b"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val all = pairs("dedup_minhash")
-        val star = pairs("dedup_minhash_star")
-        val capped = pairs("dedup_minhash_capped")
-        val (nAll, nStar, nCap) = (all.count(), star.count(), capped.count())
-        def dropCount(df: DataFrame) = df.select(col("doc_b")).distinct().count()
-        val (dAll, dStar, dCap) = (dropCount(all), dropCount(star), dropCount(capped))
-        // component agreement: star/capped edges are subsets, so their
-        // partitions REFINE all-pairs'; count the all-pairs clusters the
-        // bounded partition splits and the docs affected. Docs absent
-        // from the bounded graph are singletons (cluster_id = doc_id).
-        // The all-pairs CC — the leg's dominant cost on a saturated
-        // corpus — is computed ONCE and shared by both reports.
-        val ca = graft.operators.Curation.connectedComponents(all)
-          .select(col("doc_id"), col("cluster_id").as("c_all"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        def splitReport(sub: DataFrame): (Long, Long, Long) = {
-          val cs = graft.operators.Curation.connectedComponents(sub)
-            .select(col("doc_id"), col("cluster_id").as("c_sub"))
-          val j = ca.join(cs, Seq("doc_id"), "left")
-            .selectExpr("c_all", "coalesce(c_sub, doc_id) AS c_sub")
-          val perCluster = j.groupBy(col("c_all"))
-            .agg(countDistinct(col("c_sub")).as("parts"), count(lit(1)).as("docs"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          val total = perCluster.count()
-          val split = perCluster.filter("parts > 1")
-          val r = split.agg(coalesce(count(lit(1)), lit(0L)).as("nc"),
-            coalesce(sum(col("docs")), lit(0L)).as("nd")).collect()(0)
-          perCluster.unpersist()
-          (total, r.getAs[Long]("nc"), r.getAs[Long]("nd"))
-        }
-        val (ncAll, splitStar, docsStar) = splitReport(star)
-        val (_, splitCap, docsCap) = splitReport(capped)
-        println(f"starrecall $dir%s pairs all=$nAll%d star=$nStar%d capped=$nCap%d " +
-          f"drops all=$dAll%d star=$dStar%d capped=$dCap%d " +
-          f"clusters=$ncAll%d split_star=$splitStar%d docs_in_split_star=$docsStar%d " +
-          f"split_capped=$splitCap%d docs_in_split_capped=$docsCap%d")
-        Seq(all, star, capped, ca).foreach(_.unpersist())
+        def q(n: String) = graft.SparkEntry.registry(n).fn(spark, dir)
+        println(s"starrecall $dir " + recallReport(
+          q("dedup_minhash"), q("dedup_minhash_star"), q("dedup_minhash_capped")))
         spark.catalog.clearCache()
+      }
+
+      // bounded-emitter recall at every band-sweep grid point: the
+      // minhash_band_sweep registry entry prices candidate VOLUME at all
+      // 9 (nb × w, emitter) points; this leg adds the round-14 RECALL
+      // protocol — pair counts, keep-first drop-set agreement, cluster
+      // splits vs the all-pairs emitter AT THE SAME SPLIT — for the
+      // non-4×4 splits, so a caller retuning bands for recall reads
+      // volume AND recall per grid point (SCALE.md gets the table).
+      case "sweeprecall" => dirs.foreach { dir =>
+        val docs = graft.Tables.load(spark, dir, "documents")
+        graft.operators.Dedup.bandSweepCfgs.foreach { case (nb, w) =>
+          val rep = recallReport(
+            graft.operators.Dedup.minhashPairsOf(docs, nb, w),
+            graft.operators.Dedup.minhashPairsStarOf(docs, nb, w),
+            graft.operators.Dedup.minhashPairsCappedOf(docs, nb = nb, w = w))
+          println(s"sweeprecall $dir nb=$nb w=$w $rep")
+          spark.catalog.clearCache()
+        }
       }
 
       case "hll" => dirs.foreach { dir =>

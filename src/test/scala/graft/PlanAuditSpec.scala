@@ -516,6 +516,20 @@ class PlanAuditSpec extends SparkSpec {
     // precedent) and the per-(stage, shard) rank
     assert(nodeIds(p, "Window").size == 2,
       "distribution cum + partitioned rank, nothing else")
+    // the accepted SinglePartition stage: exactly ONE, and it consumes
+    // the post-aggregate (score, count) frame — whose cardinality is
+    // structurally bounded by the downstream BROADCAST of the cutoff
+    // frame (past the broadcast threshold the join fails loudly; the
+    // documented fix is score-quantization coarsening, see the
+    // curriculumPlan scaladoc). A second SinglePartition would mean a
+    // corpus-row funnel crept in.
+    // two accepted SinglePartition stages: the distribution cum window
+    // and the 1-row corpus-count fold — a third would mean a corpus-row
+    // funnel crept in
+    assert("SinglePartition".r.findAllIn(p).size == 2,
+      "distribution window + 1-row total fold only, never a corpus funnel")
+    assert(nodeIds(p, "HashAggregate").size >= 2,
+      "the (score, count) distribution fold must be partial+final below the window")
     assert("""\], \[stage#\d+L?, shard#\d+\]""".r.findFirstIn(p).isDefined,
       "the corpus rank window must partition by (stage, shard), never funnel")
     assert(nodeIds(p, "BroadcastHashJoin").size >= 1,
@@ -1176,13 +1190,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(nodeIds(p, "HashAggregate").size >= 2, "channel agg is partial+final")
   }
 
-  test("inventory_abc: per-item agg is the only corpus shuffle; ranking over the domain") {
+  test("inventory_abc: per-item agg is the only corpus shuffle; cumsum is DECOMPOSED") {
     val p = plan("inventory_abc")
-    assert(!p.contains("Join"), "no join anywhere")
+    // the global revenue cumsum is rangeRankCum (range-partitioned local
+    // window + broadcast prefix offsets); the grand total re-enters as a
+    // 1-row broadcast — neither funnels the catalog through one task
+    // the ONE single-partition exchange is the 1-row grand-total fold
+    // (<= B partial rows in); the cumsum window partitions by pid
+    assert("SinglePartition".r.findAllIn(p).size == 1,
+      "only the grand-total fold may funnel — never the cumsum window")
+    assert(p.contains("rangepartitioning"),
+      "the decomposed cumsum range-partitions on (rev desc, item)")
+    assert(p.contains("InMemoryRelation"),
+      "the ranked per-item frame is persisted — window and census share one materialization")
+    assert("""windowspecdefinition\(_gp_pid""".r.findFirstIn(p).isDefined,
+      "the cumsum window partitions by the range-partition id")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "offset census and grand total join back as broadcasts")
     assert(nodeIds(p, "HashAggregate").size >= 2, "revenue agg is partial+final")
-    // the window input is the per-item aggregate (catalog-domain-sized),
-    // never raw lineitem rows — the scan feeds the agg, the agg feeds
-    // the window
     assert("ReadSchema: [^\\n]*l_extendedprice[^\\n]*l_partkey".r.findFirstIn(p).isDefined
         || "ReadSchema: [^\\n]*l_partkey[^\\n]*l_extendedprice".r.findFirstIn(p).isDefined,
       "scan reads only (l_partkey, l_extendedprice)")
@@ -1204,6 +1229,15 @@ class PlanAuditSpec extends SparkSpec {
     // DISTRIBUTION; a second would mean per-row ranking crept in
     assert(nodeIds(p, "Window").size == 1,
       "rank over the distribution only — never over the corpus")
+    // the accepted SinglePartition stage: exactly one, consuming the
+    // (score, cnt, pos) distribution — bounded by the quantized score
+    // DOMAIN (ppb scores), not corpus rows; the documented knob when a
+    // domain outgrows a task is to coarsen the quantization (scaladoc).
+    // two accepted SinglePartition stages: the distribution window and
+    // the final 1-row readout fold — both bounded by the quantized score
+    // DOMAIN / a single row, never corpus rows
+    assert("SinglePartition".r.findAllIn(p).size == 2,
+      "distribution window + 1-row readout fold only, never a corpus funnel")
     assert(nodeIds(p, "HashAggregate").size >= 6,
       "scoring, distribution and the one-row fold are each partial+final")
   }
@@ -1388,9 +1422,24 @@ class PlanAuditSpec extends SparkSpec {
       "class count and the banded profile are each partial+final")
   }
 
-  test("gini_concentration: per-item agg is the only corpus shuffle; rank over the domain") {
+  test("gini_concentration: per-item agg is the only corpus shuffle; rank is DECOMPOSED") {
     val p = plan("gini_concentration")
-    assert(!p.contains("Join"), "no join anywhere")
+    // the global ascending rank is rangeRankCum: range-repartition +
+    // per-partition window + broadcast prefix offsets — a 10⁸-item
+    // catalog must never sort through one task
+    // the ONE single-partition exchange is the final 1-row readout fold
+    // (its input is <= B partial-agg rows, never the catalog); the rank
+    // window itself must partition by the range-partition id
+    assert("SinglePartition".r.findAllIn(p).size == 1,
+      "only the 1-row readout fold may funnel — never the rank window")
+    assert(p.contains("rangepartitioning"),
+      "the decomposed rank range-partitions on the order keys")
+    assert(p.contains("InMemoryRelation"),
+      "the ranked per-item frame is persisted — window and census share one materialization")
+    assert("""windowspecdefinition\(_gp_pid""".r.findFirstIn(p).isDefined,
+      "the rank window partitions by the range-partition id")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "the ≤B-row prefix-offset census joins back as a broadcast")
     assert(nodeIds(p, "HashAggregate").size >= 4,
       "revenue agg and the final fold are partial+final")
     assert("ReadSchema: [^\\n]*l_extendedprice[^\\n]*l_partkey".r.findFirstIn(p).isDefined

@@ -244,4 +244,31 @@ class StreamingNearDupSpec extends SparkSpec {
         s"batch 3 re-reports the still-saturated buckets: $again")
     } finally q.stop()
   }
+
+  test("bucketLoad: duplicate delivery of a RESIDENT doc_id never inflates overflow") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.apache.spark.api.java.Optional
+    val sig = Array.fill(16)(9L)
+    def row(id: Long) =
+      StreamingNearDup.BandRow("b", id, sig, 1000L, new Timestamp(1000L))
+    val st = TestGroupState.create[StreamingNearDup.LoadState](
+      Optional.empty(), GroupStateTimeout.EventTimeTimeout, 0L,
+      Optional.of(10L), hasTimedOut = false)
+    // cap 2: ids 1, 2 admitted; 1 re-delivered while resident is ignored
+    // (the pair query skips it too — no recall was lost, so no overflow)
+    val out1 = StreamingNearDup.loadFn(2, 60000L)(
+      "b", Iterator(row(1), row(2), row(1)), st).toSeq
+    assert(out1.isEmpty, s"duplicate resident must not count: $out1")
+    assert(st.get.ids == List(1L, 2L) && st.get.extra == 0L, st.get.toString)
+    // resident 2 re-delivered: ignored; 3 is a genuinely truncated arrival
+    val out2 = StreamingNearDup.loadFn(2, 60000L)(
+      "b", Iterator(row(2), row(3)), st).toSeq
+    assert(out2 == Seq(StreamingNearDup.BucketLoad("b", 3L, 1L)),
+      s"seen 3 / overflow 1 expected: $out2")
+    // a TRUNCATED id re-delivered counts again — the pair query
+    // re-processes it too (it never entered the resident set)
+    val out3 = StreamingNearDup.loadFn(2, 60000L)("b", Iterator(row(3)), st).toSeq
+    assert(out3 == Seq(StreamingNearDup.BucketLoad("b", 4L, 2L)),
+      s"truncated re-delivery counts per arrival: $out3")
+  }
 }
