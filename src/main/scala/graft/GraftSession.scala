@@ -25,6 +25,19 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // let AQE re-optimize CACHED plans too (off by default for
+      // output-partitioning compatibility only — SPARK-35332). The engine
+      // persists many intermediates (Sorted results, LSH signature tables,
+      // token-frequency frames); without this every `persist` materializes
+      // with the static shuffle-partition count and NO partition
+      // coalescing, so a KB-sized cached frame carries
+      // `spark.sql.shuffle.partitions` near-empty blocks and every
+      // downstream stage over it schedules that many near-empty tasks
+      // (measured round 16: 23 such 32-task stages per pretrain_prep run
+      // at sf0.1, 40-370 ms each of pure scheduling). At cluster scale the
+      // same flag sizes cached-plan partitions by AQE's advisory bytes
+      // instead of a static constant — strictly more scale-adaptive.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // RocksDB-backed keyed state for every streaming query: the default
       // HDFSBackedStateStoreProvider keeps ALL keys on the executor heap,

@@ -382,15 +382,15 @@ object Graph {
     // whenever peeling converges within the budget (KcoreSpec pins both a
     // converged case and a cascade that needs every round). -------------
     "graph_kcore" -> QueryDef(
-      (s, dir) => {
-        val und = copurchaseEdges(s, dir)
-        // safe here ONLY because kcore() eagerly localCheckpoints und
-        // before returning — the returned frame no longer references it
-        val out = kcore(und, k = 80, rounds = 3)
-          .transform(graft.Sorted.byNames(_, "part"))
-        und.unpersist()
-        out
-      }, {
+      // the edge cache stays persisted: kcore() is LAZY over `und` (the
+      // round-16 restructure — the surviving subgraph is `und` minus the
+      // accumulated peeled sets, so und is referenced by every round's
+      // degree fold AND the final readout) — unpersisting before the
+      // action would re-run the pair-expansion self-join per reference
+      // (the graph_assortativity no-early-unpersist rule; the harness
+      // clears caches per query)
+      (s, dir) => kcore(copurchaseEdges(s, dir), k = 80, rounds = 3)
+        .transform(graft.Sorted.byNames(_, "part")), {
         val rounds = 3
         val peels = (1 to rounds).map { i =>
           s"""d$i AS (SELECT v, COUNT(*) AS deg FROM (
@@ -567,11 +567,26 @@ object Graph {
     * The peeled set is explicitly [[broadcast]]: it is bounded by the
     * near-threshold population, not the corpus; on a graph where a round
     * peels a large fraction the knob is a plain shuffle anti-join.
-    */
+    *
+    * Round-16 shape (guide §2.4 — remove shuffles outright): the
+    * surviving subgraph is represented LAZILY as `und` minus the
+    * accumulated per-round peeled sets (each a tiny eager checkpoint, so
+    * every round's threshold decision is pinned exactly once), instead of
+    * eagerly re-checkpointing the whole surviving edge frame per round.
+    * The old shape re-wrote a corpus-sized frame `rounds` times when a
+    * round typically peels only the near-threshold fringe (measured
+    * sf0.1: 3 × ~190 MB checkpoint writes + re-reads for a peel that
+    * removes <2% of edges — 8.8 s → 5.0 s after). Plan depth grows by two
+    * broadcast anti-joins per round, so deep peels re-materialize every 4
+    * rounds to keep the lineage bounded (the registry's rounds=3 never
+    * does). `und` must stay persisted by the caller until the action —
+    * every round's degree fold and the final readout re-read it. */
   private[graft] def kcore(und: org.apache.spark.sql.DataFrame, k: Int, rounds: Int): org.apache.spark.sql.DataFrame = {
-    var e = und.localCheckpoint(true)
-    for (_ <- 1 to rounds)
-      e = kcorePeel(e, k).localCheckpoint(true)
+    var e = und
+    for (r <- 1 to rounds) {
+      e = kcorePeel(e, k)
+      if (r % 4 == 0 && r < rounds) e = e.localCheckpoint(true)
+    }
     kcoreDegrees(e).select(col("v").as("part"), col("deg"))
   }
 

@@ -168,10 +168,16 @@ object Pretrain {
       .localCheckpoint()
 
     // ---- 2. exact dedup (keep canonical = min doc_id per digest) ---------
+    // The canonical set IS the per-digest minimum: one partial+final
+    // aggregation. (Round 16, guide §2.4: the old shape joined the
+    // digest frame back against its own groupBy to filter doc_id = cid —
+    // a second corpus-sized shuffle of `dg` that the aggregation's output
+    // already contains; the join subtree was also re-executed under every
+    // downstream consumer of `ek`/`ekDocs` — sig table, both verify
+    // shingle sides, the survivor filter.)
     val dg = gated.select(col("doc_id"),
       graft.functions.Portable.contentDigest.as("dg"))
-    val ek = dg.join(dg.groupBy("dg").agg(min("doc_id").as("cid")), "dg")
-      .filter("doc_id = cid").select("doc_id")
+    val ek = dg.groupBy("dg").agg(min("doc_id").as("doc_id")).select("doc_id")
     val ekDocs = gated.join(ek, "doc_id")
     (gated, ek, ekDocs)
   }
