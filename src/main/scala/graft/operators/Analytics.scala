@@ -622,10 +622,15 @@ object Analytics {
     "q29_trailing_window" -> QueryDef(
       (s, dir) => {
         val o = Tables.load(s, dir, "orders")
+        // persisted: the slim daily frame (calendar-bounded) feeds the
+        // in-year window, the boundary-fix broadcast AND the year-head
+        // probe — without the persist each broadcast build re-runs the
+        // orders scan + aggregation (round 16; the Sorted/persist rule)
         val daily = o.groupBy(col("o_orderdate"))
           .agg(sum(dec2(col("o_totalprice"))).as("daily_dec"))
           .withColumn("t_sec", col("o_orderdate").cast("timestamp").cast("long"))
           .withColumn("y0_sec", trunc(col("o_orderdate"), "year").cast("timestamp").cast("long"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val wy = Window.partitionBy(col("y0_sec")).orderBy(col("t_sec"))
           .rangeBetween(-6L * 86400L, 0L) // trailing 7 calendar days inclusive
         val inYr = daily.withColumn("trail_yr", sum(col("daily_dec")).over(wy))

@@ -1755,7 +1755,19 @@ object Dedup {
       .filter("greatest(len_a, len_b) > 0")
       .filter(s"abs(len_a - len_b) * 1000 <= ${1000 - simPm} * greatest(len_a, len_b)")
       .select(col("doc_a"), col("doc_b"))
-    pruned
+    // the verify stage is COMPUTE-heavy on BYTE-light rows (a candidate
+    // row is two ids; levenshtein over the attached texts is O(len_a ·
+    // len_b) per row), so byte-based AQE coalescing legitimately shrinks
+    // the pair frame to a handful of partitions and serializes the
+    // quadratic work (measured round 16: 2.98 s → 26.5 s when the cached
+    // text side started broadcasting over the coalesced candidate frame).
+    // Pin the stage's parallelism deliberately (guide §2.5 — AQE sizes by
+    // bytes, not cost): an explicit keyed repartition at the session's
+    // configured shuffle-partition count (scale-parameterized — local
+    // default = cores; a cluster sizes it to 2-3× total cores), which AQE
+    // never re-coalesces. The extra shuffle moves id-only rows.
+    val verifyP = pruned.sparkSession.sessionState.conf.numShufflePartitions
+    pruned.repartition(verifyP, col("doc_a"))
       .join(d2.selectExpr("doc_id AS doc_a", "text AS text_a", "len AS len_a"), "doc_a")
       .join(d2.selectExpr("doc_id AS doc_b", "text AS text_b", "len AS len_b"), "doc_b")
       .selectExpr("doc_a", "doc_b",

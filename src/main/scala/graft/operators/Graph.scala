@@ -656,20 +656,32 @@ object Graph {
       seeds.rdd.zipWithIndex.map { case (r, i) =>
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
       seedSchema)
-    var visited = indexed
+    val visited = indexed
       .select(col("v").as("node"), expr("idx div 64").as("widx"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(idx % 64 AS INT))").as("bits"))
       .localCheckpoint(true)
     var frontier = visited
+    // the visited mask stays LAZY: per round it is rebuilt as ONE bit_or
+    // fold over the flat union of the ≤ rounds+1 checkpointed frontier
+    // frames (round 16 — each round used to eagerly re-materialize the
+    // merged N·W mask, a full extra shuffle write + job per round whose
+    // only consumer is the NEXT round's left join; the per-round frames
+    // are disjoint in (node, widx, bit) by construction, so the single
+    // fold over their union is the same mask, recomputed from tiny
+    // checkpoint blocks inside the join job instead of pinned by its own
+    // job). Plan depth stays bounded: every union leg is a checkpoint
+    // leaf and the fold is one aggregation, never nested.
+    var visitedParts = Vector(visited)
+    def visitedMask: org.apache.spark.sql.DataFrame =
+      visitedParts.reduce(_ unionAll _)
+        .groupBy(col("node"), col("widx")).agg(expr("bit_or(bits)").as("bits"))
     val contribs = Seq.newBuilder[org.apache.spark.sql.DataFrame]
     for (k <- 1 to rounds) {
-      val next = bfsRound(edges, frontier, visited).localCheckpoint(true)
+      val next = bfsRound(edges, frontier, visitedMask).localCheckpoint(true)
       contribs += next.groupBy(col("node"))
         .agg(sum(expr("bit_count(bits)")).cast("long").as("cnt"))
         .withColumn("level", lit(k.toLong))
-      visited = visited.unionAll(next)
-        .groupBy(col("node"), col("widx")).agg(expr("bit_or(bits)").as("bits"))
-        .localCheckpoint(true)
+      visitedParts :+= next
       frontier = next
     }
     edges.unpersist()

@@ -178,6 +178,11 @@ object Pretrain {
     val dg = gated.select(col("doc_id"),
       graft.functions.Portable.contentDigest.as("dg"))
     val ek = dg.groupBy("dg").agg(min("doc_id").as("doc_id")).select("doc_id")
+    // NOT persisted (round 16, measured): caching the text-carrying
+    // survivor frame costs more than the 2 extra digest+agg+join
+    // recomputes it saves (1.15-1.27× on the capstone family — the
+    // columnar string cache build is the dominant term; the same
+    // economics as the minhashSigTable slim-cache rule).
     val ekDocs = gated.join(ek, "doc_id")
     (gated, ek, ekDocs)
   }
